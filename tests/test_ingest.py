@@ -1,0 +1,127 @@
+"""End-to-end ingest tests: scan → partition overwrite → pruned read-back,
+idempotency (the reference's core guarantee, README.md:34-39), skip-empty,
+create-never, probe, async registry path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+    TableNotFoundError,
+    create_partitioned_table,
+    read_landing_table,
+    write_partition_overwrite,
+)
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.plans.ingest import (
+    plan_partition_ingest,
+    run_partition_ingest,
+)
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.plans.jobs import JobRegistry, JobState
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.hive_csv import read_hive_partition
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import partition_exists
+
+from .conftest import EVENTS_SCHEMA, TS_FMT
+
+# events span 2024-01-01..2024-01-30 (TESTDATA.md); hour 2024010100 exists.
+PART = "2024010100"
+MISSING = "2030010100"
+CSV_OPTS = {"timestampFormat": TS_FMT}
+
+
+def test_probe_exists(spark, hive_csv_root):
+    assert partition_exists(spark, hive_csv_root, PART) == 1
+    assert partition_exists(spark, hive_csv_root, MISSING) == 0
+
+
+def test_scan_partition_pruned(spark, hive_csv_root, events):
+    df = read_hive_partition(spark, hive_csv_root, PART, schema=EVENTS_SCHEMA, options=CSV_OPTS)
+    expected = events.filter(
+        F.date_format("ts", "yyyyMMddHH") == PART
+    ).count()
+    assert df.count() == expected
+    assert expected > 0
+    # partition pruning visible in the physical plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_csv_roundtrip_preserves_values(spark, hive_csv_root, events):
+    df = read_hive_partition(
+        spark, hive_csv_root, PART, schema=EVENTS_SCHEMA, options=CSV_OPTS
+    ).drop("year", "month", "day", "hour")
+    orig = events.filter(F.date_format("ts", "yyyyMMddHH") == PART)
+    assert df.exceptAll(orig).count() == 0
+    assert orig.exceptAll(df).count() == 0
+
+
+def test_ingest_end_to_end_and_idempotent(spark, hive_csv_root, tmp_path):
+    table_root = str(tmp_path / "landing")
+    create_partitioned_table(spark, table_root)
+    plan = plan_partition_ingest(hive_csv_root, table_root, PART, job_config=CSV_OPTS)
+    meta = run_partition_ingest(spark, plan, EVENTS_SCHEMA, cluster_by=["user_id"])
+    assert meta.status == JobState.SUCCESS
+
+    first = read_landing_table(spark, table_root, PART)
+    rows1 = sorted(r.event_id for r in first.select("event_id").collect())
+    assert len(rows1) > 0
+
+    # Re-run the same partition: state must be identical, zero duplicates.
+    plan2 = plan_partition_ingest(hive_csv_root, table_root, PART, job_config=CSV_OPTS)
+    assert run_partition_ingest(spark, plan2, EVENTS_SCHEMA).status == JobState.SUCCESS
+    again = read_landing_table(spark, table_root, PART)
+    rows2 = sorted(r.event_id for r in again.select("event_id").collect())
+    assert rows1 == rows2
+
+
+def test_overwrite_touches_only_target_partition(spark, hive_csv_root, tmp_path):
+    table_root = str(tmp_path / "landing2")
+    create_partitioned_table(spark, table_root)
+    other = "2024010101"
+    for p in (PART, other):
+        plan = plan_partition_ingest(hive_csv_root, table_root, p, job_config=CSV_OPTS)
+        assert run_partition_ingest(spark, plan, EVENTS_SCHEMA).status == JobState.SUCCESS
+    before_other = read_landing_table(spark, table_root, other).count()
+    # rewrite PART; partition `other` must be untouched (BQ decorator parity)
+    plan = plan_partition_ingest(hive_csv_root, table_root, PART, job_config=CSV_OPTS)
+    assert run_partition_ingest(spark, plan, EVENTS_SCHEMA).status == JobState.SUCCESS
+    assert read_landing_table(spark, table_root, other).count() == before_other
+
+
+def test_skip_missing_partition(spark, hive_csv_root, tmp_path):
+    table_root = str(tmp_path / "landing3")
+    create_partitioned_table(spark, table_root)
+    plan = plan_partition_ingest(hive_csv_root, table_root, MISSING, job_config=CSV_OPTS)
+    meta = run_partition_ingest(spark, plan, EVENTS_SCHEMA)
+    assert meta.status == JobState.NOT_CREATED
+
+
+def test_create_never_guard(spark, events, tmp_path):
+    with pytest.raises(TableNotFoundError):
+        write_partition_overwrite(events, str(tmp_path / "never_created"))
+
+
+def test_skip_empty_dataframe(spark, events, tmp_path):
+    table_root = str(tmp_path / "landing4")
+    create_partitioned_table(spark, table_root)
+    empty = events.filter(F.lit(False))
+    assert write_partition_overwrite(empty, table_root) == JobState.NOT_CREATED
+
+
+def test_require_partition_filter(spark, hive_csv_root, tmp_path):
+    table_root = str(tmp_path / "landing5")
+    create_partitioned_table(spark, table_root)
+    plan = plan_partition_ingest(hive_csv_root, table_root, PART, job_config=CSV_OPTS)
+    run_partition_ingest(spark, plan, EVENTS_SCHEMA)
+    with pytest.raises(ValueError):
+        read_landing_table(spark, table_root)  # no partition → rejected
+    assert read_landing_table(spark, table_root, require_partition_filter=False).count() > 0
+
+
+def test_async_registry_ingest(spark, hive_csv_root, tmp_path):
+    table_root = str(tmp_path / "landing6")
+    create_partitioned_table(spark, table_root)
+    registry = JobRegistry(spark)
+    plan = plan_partition_ingest(hive_csv_root, table_root, PART, job_config=CSV_OPTS)
+    meta = run_partition_ingest(spark, plan, EVENTS_SCHEMA, registry=registry)
+    assert meta.status == JobState.RUNNING
+    final = registry.wait(plan.job_id, timeout=120)
+    assert final.status == JobState.SUCCESS
