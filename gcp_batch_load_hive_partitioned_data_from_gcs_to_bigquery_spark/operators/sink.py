@@ -77,6 +77,20 @@ def with_partition_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return out
 
 
+def with_static_partition(df: DataFrame, partition: str) -> DataFrame:
+    """Attach the four partition columns as literals decomposed from a
+    ``YYYYMMDDHH`` string — the destination-partition-comes-from-the-request
+    semantic of the BQ partition decorator (ingestion/tasks.py:24-25): the
+    load targets ``table$YYYYMMDDHH`` regardless of row contents, so the
+    source schema needs no timestamp column."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.functions.partition import partition_values
+
+    out = df
+    for name, val in partition_values(partition).items():
+        out = out.withColumn(name, F.lit(val))
+    return out
+
+
 def write_partition_overwrite(
     df: DataFrame,
     table_root: str,
@@ -85,8 +99,13 @@ def write_partition_overwrite(
     fmt: str = "parquet",
     create_never: bool = True,
     files_per_partition: int | None = None,
+    partition: str | None = None,
 ) -> JobState:
     """Idempotently (re)write the hourly partitions present in ``df``.
+
+    Partition identity comes from ``partition`` (static, decorator-style:
+    all rows land in that one hour) when given, else is derived per-row
+    from ``ts_col`` (the ``TIMESTAMP_TRUNC`` DDL semantic).
 
     Returns the terminal :class:`JobState` — ``NOT_CREATED`` for an empty
     batch (sink_skip_empty), ``SUCCESS`` on completion. Raises
@@ -106,7 +125,10 @@ def write_partition_overwrite(
     if df.isEmpty():
         return JobState.NOT_CREATED
 
-    out = with_partition_columns(df, ts_col)
+    if partition is not None:
+        out = with_static_partition(df, partition)
+    else:
+        out = with_partition_columns(df, ts_col)
     if files_per_partition:
         # Bound small-file count per partition; at 100 TB tune so each file
         # lands near the 128 MiB-1 GiB sweet spot.

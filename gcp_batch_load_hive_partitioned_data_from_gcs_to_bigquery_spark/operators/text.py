@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (regexp/string/array functions) — no UDFs,
+so the hot path stays inside whole-stage codegen at 100 TB:
+
+* token counting — whitespace tokens + a BPE-ish subword regex count.
+* quality scoring — length/punctuation/stopword/uniqueness ratios.
+* language ID — stopword-hit n-gram heuristic over a small per-language
+  marker list (deterministic, SQL-replicable).
+* fingerprinting — normalized sorted-distinct-token SHA-256 (the
+  OpenRefine "fingerprint" key) for fuzzy-exact dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic marker sets; heuristic quality is secondary to the
+# operator shape (the oracle replicates the same rule).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "et", "les"),
+}
+
+# BPE-ish token regex: runs of letters, runs of digits, or single
+# non-space symbols — approximates subword pre-tokenization.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens via regexp_count (JVM-side)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: char/token counts, mean token length,
+    punctuation ratio, distinct-token ratio, and a composite score in
+    [0,1] (each factor rounded so a SQL oracle reproduces it exactly)."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    punct_ratio = punct_count(text) / n_chars
+    mean_tok_len = (F.length(F.trim(text)) - (n_tok - 1)) / n_tok  # chars net of single spaces
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + distinct_ratio * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_computed"),
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language heuristic: most marker hits wins; ties and
+    zero hits → 'und' (undetermined). CJK check first (any Han char)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    # arg-max with deterministic tie-break by language code order
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(_LANG_MARKERS):
+        better = hits[lang] > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits[lang]).otherwise(best_hits)
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-content fingerprint: lowercase → whitespace tokens →
+    distinct → sort → join → sha256. Word-order- and duplication-
+    insensitive exact-dup key."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    key = F.sha2(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))), 256)
+    return df.select(F.col(id_col), key.alias("fingerprint"))

@@ -52,7 +52,6 @@ def run_partition_ingest(
     spark: SparkSession,
     plan: IngestPlan,
     schema: T.StructType,
-    ts_col: str = "ts",
     registry: JobRegistry | None = None,
     cluster_by: list[str] | None = None,
 ) -> LoadJobMetadata:
@@ -79,7 +78,12 @@ def run_partition_ingest(
         df = read_hive_partition(
             spark, plan.source_root, plan.partition, schema=schema, fmt=fmt, options=options
         ).drop("year", "month", "day", "hour")
-        return write_partition_overwrite(df, plan.table_root, ts_col=ts_col, cluster_by=cluster_by)
+        # Destination partition is the plan's (decorator semantic,
+        # ingestion/tasks.py:24-25) — never re-derived from row contents,
+        # so schemas without a timestamp column ingest fine.
+        return write_partition_overwrite(
+            df, plan.table_root, cluster_by=cluster_by, partition=plan.partition
+        )
 
     if registry is not None:
         return registry.submit(meta, _action)

@@ -1,0 +1,1273 @@
+"""Query catalog: every operator from SURVEY.md §2 plus the training-data
+pipeline surface, each as a (spark_fn, duckdb_oracle_sql) pair.
+
+Contract (see __spark_entry__.py): spark_fn(spark, sf_dir) -> DataFrame;
+the oracle is ANSI/DuckDB SQL over the same parquet tables registered as
+views. Column names and rounding are aligned on both sides so the
+driver's order-insensitive value hash matches exactly. Oracles are
+omitted (None) only for genuinely non-SQL-expressible ops (LSH candidate
+generation with engine-specific hashing).
+
+Doubles are rounded (2-6 dp) in BOTH engines: different summation orders
+across partitions legitimately differ in low-order bits; rounding makes
+the comparison semantic rather than bitwise.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import dedup as D
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import multimodal as MM
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import similarity as SIM
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import text as TX
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
+
+# --- shared fixtures ---------------------------------------------------------
+
+# One known-present hour of the events table (TESTDATA: 2024-01 span).
+PART_HOUR = "2024010100"
+MISSING_HOUR = "2030010100"
+_HOUR_PRED_SQL = "strftime(ts, '%Y%m%d%H') = '2024010100'"
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _events_day1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events restricted to 2024-01-01 (keeps roundtrip fixtures to 24
+    partitions instead of 720)."""
+    return load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"sg_{prefix}_")
+
+
+# === SURVEY §2.1 scans / sources / sinks ====================================
+
+
+def q_scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan_hive_partitioned (ingestion/partition.py:25-27): write one day
+    of events as Hive-partitioned parquet, read back ONE hour partition-
+    pruned, aggregate. The filter on partition columns is statically
+    pruned to a single directory."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import with_partition_columns
+
+    root = _tmp("scanhive")
+    with_partition_columns(_events_day1(spark, sf_dir)).write.partitionBy(
+        "year", "month", "day", "hour"
+    ).mode("overwrite").parquet(root)
+    df = spark.read.option("basePath", root).parquet(root)
+    one_hour = df.filter(
+        (F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 1) & (F.col("hour") == 0)
+    )
+    return one_hour.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_SCAN_HIVE = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events WHERE {_HOUR_PRED_SQL}
+GROUP BY event_type
+"""
+
+
+def q_scan_csv_tab_delimited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan_csv_tab_delimited (ingestion/bigquery_interaction.py:17-26):
+    serialize one day of events as headerless tab-delimited unquoted
+    UTF-8 CSV in Hive layout, scan one hour back through the ingestion
+    reader with its fixed schema, and aggregate."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import with_partition_columns
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.hive_csv import read_hive_partition
+
+    root = _tmp("scancsv")
+    (
+        with_partition_columns(_events_day1(spark, sf_dir))
+        .write.partitionBy("year", "month", "day", "hour")
+        .options(sep="\t", header=False, quote="", emptyValue="", timestampFormat=TS_FMT)
+        .mode("overwrite")
+        .csv(root)
+    )
+    df = read_hive_partition(
+        spark, root, PART_HOUR, schema=EVENTS_SCHEMA, options={"timestampFormat": TS_FMT}
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_SCAN_CSV = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE {_HOUR_PRED_SQL}
+GROUP BY event_type
+"""
+
+
+def q_source_generic_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_generic_format (ingestion/app.py:33): pass-through options
+    dict into an arbitrary-format reader (parquet here)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.hive_csv import read_generic
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = read_generic(spark, f"{sf_dir}/events.parquet", "parquet", options={"mergeSchema": "false"})
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_GENERIC = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type
+"""
+
+
+def q_probe_partition_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """probe_partition_exists (ingestion/app.py:96-104): metadata-only 1/0
+    existence probe against a real Hive layout."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import with_partition_columns
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import partition_exists
+
+    root = _tmp("probe")
+    with_partition_columns(_events_day1(spark, sf_dir)).write.partitionBy(
+        "year", "month", "day", "hour"
+    ).mode("overwrite").parquet(root)
+    rows = [
+        (PART_HOUR, partition_exists(spark, root, PART_HOUR)),
+        (MISSING_HOUR, partition_exists(spark, root, MISSING_HOUR)),
+    ]
+    return spark.createDataFrame(rows, "partition string, exists_flag int")
+
+
+ORACLE_PROBE = f"""
+SELECT '2024010100' AS partition,
+       CAST(EXISTS(SELECT 1 FROM events WHERE {_HOUR_PRED_SQL}) AS INT) AS exists_flag
+UNION ALL
+SELECT '2030010100',
+       CAST(EXISTS(SELECT 1 FROM events WHERE strftime(ts,'%Y%m%d%H')='2030010100') AS INT)
+"""
+
+
+def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink_partition_overwrite (ingestion/tasks.py:24-25): ingest one hour
+    into a parquet landing table TWICE (idempotency, README.md:34-39) and
+    read the partition back pruned — must equal a single clean copy."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        read_landing_table,
+        write_partition_overwrite,
+    )
+
+    table_root = _tmp("sink")
+    create_partitioned_table(spark, table_root)
+    hour = _events_day1(spark, sf_dir).filter(F.date_format("ts", "yyyyMMddHH") == PART_HOUR)
+    write_partition_overwrite(hour, table_root, cluster_by=["user_id"])
+    write_partition_overwrite(hour, table_root, cluster_by=["user_id"])  # re-run
+    back = read_landing_table(spark, table_root, PART_HOUR)
+    return back.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+ORACLE_SINK = f"""
+SELECT event_id, user_id, event_type, round(CAST(value AS DOUBLE), 2) AS value
+FROM events WHERE {_HOUR_PRED_SQL}
+"""
+
+
+def q_sink_skip_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink_skip_empty + probe gate (workflow.yaml:25-35): ingesting a
+    missing partition yields NOT_CREATED (code 0) and launches no job."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import create_partitioned_table
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.plans.ingest import (
+        plan_partition_ingest,
+        run_partition_ingest,
+    )
+
+    root = _tmp("skipsrc")  # empty source layout
+    table_root = _tmp("skiptable")
+    create_partitioned_table(spark, table_root)
+    meta = run_partition_ingest(
+        spark, plan_partition_ingest(root, table_root, MISSING_HOUR), EVENTS_SCHEMA
+    )
+    return spark.createDataFrame([(int(meta.status),)], "state_code int")
+
+
+ORACLE_SKIP_EMPTY = "SELECT 0 AS state_code"
+
+
+def q_job_state_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """job_state_poll + job_idempotent_start (§2.7): async submit via the
+    registry, double-submit the same job id, poll to terminal SUCCESS,
+    verify written row count."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        read_landing_table,
+        with_partition_columns,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.plans.ingest import (
+        plan_partition_ingest,
+        run_partition_ingest,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.plans.jobs import JobRegistry
+
+    src_root = _tmp("jobsrc")
+    with_partition_columns(_events_day1(spark, sf_dir)).write.partitionBy(
+        "year", "month", "day", "hour"
+    ).options(sep="\t", header=False, quote="", emptyValue="", timestampFormat=TS_FMT).mode(
+        "overwrite"
+    ).csv(src_root)
+    table_root = _tmp("jobtable")
+    create_partitioned_table(spark, table_root)
+    registry = JobRegistry(spark)
+    plan = plan_partition_ingest(src_root, table_root, PART_HOUR, {"timestampFormat": TS_FMT})
+    run_partition_ingest(spark, plan, EVENTS_SCHEMA, registry=registry)
+    run_partition_ingest(spark, plan, EVENTS_SCHEMA, registry=registry)  # idempotent re-begin
+    final = registry.wait(plan.job_id, timeout=600)
+    n = read_landing_table(spark, table_root, PART_HOUR).count()
+    return spark.createDataFrame([(int(final.status), n)], "state_code int, n_rows bigint")
+
+
+ORACLE_JOB_POLL = f"""
+SELECT 2 AS state_code, CAST(count(*) AS BIGINT) AS n_rows FROM events WHERE {_HOUR_PRED_SQL}
+"""
+
+
+# === SURVEY §2.2 projections / filters / predicates =========================
+
+
+def q_filter_partition_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_partition_eq (ingestion/partition.py:3,15-16): conjunctive
+    equality on the four derived partition columns."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.filter(
+        (F.date_format("ts", "yyyy") == "2024")
+        & (F.date_format("ts", "MM") == "01")
+        & (F.date_format("ts", "dd") == "01")
+        & (F.date_format("ts", "HH") == "00")
+    )
+    return df.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+ORACLE_FILTER_PART = f"""
+SELECT event_id, user_id, event_type, round(CAST(value AS DOUBLE),2) AS value
+FROM events WHERE {_HOUR_PRED_SQL}
+"""
+
+
+def q_filter_rlike_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_rlike_status (README.md:77): regex predicate over a JSON-ish
+    payload, composed with an equality filter."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "error") & F.col("props").rlike(r'"k": 4\d')
+    ).select("event_id", "user_id", "props")
+
+
+ORACLE_RLIKE = """
+SELECT event_id, user_id, props FROM events
+WHERE event_type = 'error' AND regexp_matches(props, '"k": 4[0-9]')
+"""
+
+
+def q_filter_eq_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_eq_severity (README.md:92): severity=ERROR analogue."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+
+
+ORACLE_EQ_SEVERITY = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+FROM events WHERE event_type = 'error' GROUP BY user_id
+"""
+
+
+def q_filter_switch_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_switch_branch (workflow.yaml:25-35): in-query when/otherwise
+    branching on a scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("alert"))
+        .when(F.col("value") > 150, F.lit("review"))
+        .otherwise(F.lit("pass"))
+        .alias("branch"),
+    )
+
+
+ORACLE_SWITCH = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'alert'
+            WHEN value > 150 THEN 'review'
+            ELSE 'pass' END AS branch
+FROM events
+"""
+
+
+def q_project_job_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """project_job_fields (ingestion/app.py:36-44): project into the
+    {job_id, name, code, error_msg} response shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("job_id"),
+        F.col("event_type").alias("name"),
+        F.when(F.col("event_type") == "error", F.lit(3))
+        .when(F.col("event_type") == "purchase", F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("code"),
+        F.when(F.col("event_type") == "error", F.col("props")).alias("error_msg"),
+    )
+
+
+ORACLE_PROJECT_JOB = """
+SELECT event_id AS job_id, event_type AS name,
+       CASE WHEN event_type='error' THEN 3 WHEN event_type='purchase' THEN 2 ELSE 1 END AS code,
+       CASE WHEN event_type='error' THEN props END AS error_msg
+FROM events
+"""
+
+
+# === SURVEY §2.3 scalar functions ===========================================
+
+
+def q_fn_partition_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn_ts_to_bq_partition + fn_ts_to_hive_path + fn_partition_decorator
+    + fn_glob_path + fn_upper (ingestion/partition.py, tasks.py:24-25) as
+    column expressions."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.functions.columns import (
+        bq_partition_col,
+        hive_path_col,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bq = bq_partition_col("ts")
+    hive = hive_path_col("ts")
+    return ev.select(
+        "event_id",
+        bq.alias("bq_partition"),
+        hive.alias("hive_path"),
+        F.concat(F.lit("landing$"), bq).alias("decorated"),
+        F.format_string("gs://%s/%s/*", F.lit("bucket"), hive).alias("glob"),
+        F.upper("event_type").alias("type_upper"),
+    )
+
+
+ORACLE_FN_STRINGS = """
+SELECT event_id,
+       strftime(ts, '%Y%m%d%H') AS bq_partition,
+       strftime(ts, 'year=%Y/month=%m/day=%d/hour=%H') AS hive_path,
+       'landing$' || strftime(ts, '%Y%m%d%H') AS decorated,
+       'gs://bucket/' || strftime(ts, 'year=%Y/month=%m/day=%d/hour=%H') || '/*' AS glob,
+       upper(event_type) AS type_upper
+FROM events
+"""
+
+
+def q_fn_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn_bq_partition_to_ts + fn_bq_partition_to_hive_path
+    (ingestion/partition.py:11-22): parse the compact string back to a
+    timestamp and re-format."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = ev.select(F.date_format("ts", "yyyyMMddHH").alias("bq_partition")).distinct()
+    ts2 = F.to_timestamp("bq_partition", "yyyyMMddHH")
+    return parts.select(
+        "bq_partition",
+        F.date_format(ts2, "'year='yyyy'/month='MM'/day='dd'/hour='HH").alias("hive_path"),
+        F.date_format(ts2, "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+    )
+
+
+ORACLE_FN_ROUNDTRIP = """
+WITH parts AS (SELECT DISTINCT strftime(ts, '%Y%m%d%H') AS bq_partition FROM events)
+SELECT bq_partition,
+       strftime(strptime(bq_partition, '%Y%m%d%H'), 'year=%Y/month=%m/day=%d/hour=%H') AS hive_path,
+       strftime(strptime(bq_partition, '%Y%m%d%H'), '%Y-%m-%d %H:%M:%S') AS hour_start
+FROM parts
+"""
+
+
+def q_fn_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON dotted-path extraction (README.md:77 jsonPayload.success.result
+    analogue) via get_json_object."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+ORACLE_JSON_GET = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+"""
+
+
+def q_fn_trunc_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn_trunc_hour (bq_create_table_ddl.sql:7) + stream_tumbling_window
+    batch form: hourly rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_TRUNC_HOUR = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# === analytics surface (§2.4-2.6 join/agg/window/setop/topk) ================
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: wide aggregation with derived
+    measures; partial aggregation map-side, one shuffle on the tiny
+    grouping key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+       round(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+       round(CAST(avg(l_discount) AS DOUBLE), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective filters pushed below a 3-way join, top-10
+    by revenue. customer is broadcast (small dim); orders⋈lineitem
+    shuffles on orderkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    rev = (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return rev.select(
+        "l_orderkey",
+        "revenue",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join with co-nation constraint; all dims
+    broadcast, single shuffle on the orders⋈lineitem key."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_nationkey", "n_name")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join of a fact table to a small dim — zero shuffle on
+    the fact side (verify BroadcastHashJoin in .explain)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+ORACLE_JOIN_BROADCAST = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_totalprice,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi join (EXISTS): customers with at least one order, counted
+    per nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return (
+        with_orders.join(F.broadcast(nation), with_orders.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_JOIN_SEMI = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-anti join (NOT EXISTS): customers with no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return no_orders.select("c_custkey", "c_name", "c_nationkey")
+
+
+ORACLE_JOIN_ANTI = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (status → priority → grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (count FILTER) — shuffle-once."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus='O') AS BIGINT) AS n_open,
+       CAST(count(*) FILTER (WHERE o_orderstatus='F') AS BIGINT) AS n_finished,
+       CAST(count(*) FILTER (WHERE o_orderstatus='P') AS BIGINT) AS n_pending,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global statistics: count / sum / avg / min / max / sample stddev /
+    exact distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+ORACLE_STATS = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+       round(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+       round(CAST(min(l_extendedprice) AS DOUBLE), 2) AS min_price,
+       round(CAST(max(l_extendedprice) AS DOUBLE), 2) AS max_price,
+       round(CAST(stddev_samp(l_extendedprice) AS DOUBLE), 4) AS std_price,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem
+"""
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window (deterministic tie-break)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "rank")
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT c_mktsegment, c_custkey, round(CAST(c_acctbal AS DOUBLE),2) AS c_acctbal, CAST(rank AS INT) AS rank
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer
+) WHERE rank <= 3
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer over order history (rows-frame window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+FROM orders
+"""
+
+
+def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence gap analysis: lag window + epoch arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_us"), 0).alias("avg_gap_us"),
+    )
+
+
+ORACLE_LAG_GAP = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(avg(gap_us) AS DOUBLE), 0) AS avg_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, no full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderkey, o_custkey, round(CAST(o_totalprice AS DOUBLE),2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)  # EXCEPT (set semantics), not EXCEPT ALL
+
+
+ORACLE_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations with both customers and suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+ORACLE_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup): all account balances tagged by source relation."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"), F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"), F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
+
+
+ORACLE_UNION = """
+SELECT 'customer' AS src, c_nationkey AS nationkey FROM customer
+UNION
+SELECT 'supplier' AS src, s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# === streaming (§2.7) =======================================================
+
+
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_tumbling_window + stream_late_data: Structured Streaming over
+    the events parquet (availableNow trigger = bounded catch-up run),
+    1-hour tumbling window with a 40-minute watermark (the reference's
+    late-data grace, commands.sh:73), counts to a memory sink."""
+    stream_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos-as-long (testdata quirk)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources need a directory; link the single parquet file in
+    import os
+
+    stream_dir = _tmp("streamsrc")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    name = "stream_hourly_counts"
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "40 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "n_rows",
+    )
+
+
+ORACLE_STREAM = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1
+"""
+
+
+# === dedup ==================================================================
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on content (keeper = min id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_keepers(docs, "doc_id", ["text"])
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path exact dedup key: sha256 of content (32-byte shuffle
+    rows instead of full documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.content_hash(docs, "doc_id", "text")
+
+
+ORACLE_CONTENT_HASH = """
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard.
+    Engine-specific hashing → no SQL oracle (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_size=3)
+    return D.minhash_lsh_pairs(sigs, num_bands=16, threshold=0.2).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 12 of 64 bits) via block LSH.
+    Engine-specific hashing → no SQL oracle (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = D.simhash(docs, "doc_id", "text")
+    return D.simhash_near_pairs(fps, max_hamming=12)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard similarity pairs (threshold 0.1) —
+    the verification operator for MinHash candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+"""
+
+
+# === similarity search ======================================================
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors vec_id<5 — the exact
+    baseline every ANN path is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.cosine_topk(emb, queries, k=3)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+ORACLE_ANN = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, vec_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM q, c WHERE vec_id <> query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM s)
+SELECT query_id, vec_id, round(CAST(cosine AS DOUBLE), 4) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (approximate; engine-specific
+    hyperplanes → rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.lsh_bucket_topk(emb, queries, k=3, num_planes=6, dim=64)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+# === text analysis ==========================================================
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (JVM regexp, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/uniqueness features + composite."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.quality_features(docs, "doc_id", "text")
+
+
+ORACLE_TEXT_QUALITY = """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars_computed,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS n_distinct,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(trim(text)) AS n_trim
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars_computed AS INT) AS n_chars_computed,
+       CAST(n_tokens AS INT) AS n_tokens,
+       round((n_trim - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+       round(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS distinct_ratio,
+       round(n_punct / CAST(n_chars_computed AS DOUBLE), 4) AS punct_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.4
+             + (1.0 - least(n_punct / CAST(n_chars_computed AS DOUBLE) * 10.0, 1.0)) * 0.2, 4) AS quality_score
+FROM f
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language heuristic (deterministic, SQL-replicable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.lang_id(docs, "doc_id", "text")
+
+
+ORACLE_LANG_ID = """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+), h AS (
+  SELECT doc_id, text,
+    (CASE WHEN list_contains(toks,'der') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'und') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'die') THEN 1 ELSE 0 END) AS h_de,
+    (CASE WHEN list_contains(toks,'the') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'and') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'of') THEN 1 ELSE 0 END) AS h_en,
+    (CASE WHEN list_contains(toks,'el') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'la') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'los') THEN 1 ELSE 0 END) AS h_es,
+    (CASE WHEN list_contains(toks,'le') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'et') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'les') THEN 1 ELSE 0 END) AS h_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN h_de > 0 AND h_en <= h_de AND h_es <= h_de AND h_fr <= h_de THEN 'de'
+       WHEN h_en > 0 AND h_en > h_de AND h_es <= h_en AND h_fr <= h_en THEN 'en'
+       WHEN h_es > 0 AND h_es > h_de AND h_es > h_en AND h_fr <= h_es THEN 'es'
+       WHEN h_fr > 0 AND h_fr > h_de AND h_fr > h_en AND h_fr > h_es THEN 'fr'
+       ELSE 'und' END AS pred_lang
+FROM h
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized sorted-distinct-token SHA-256 fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.fingerprint(docs, "doc_id", "text")
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       sha256(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# === multimodal =============================================================
+
+
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary decode plumbing: mapInPandas stub over binary
+    payloads (documents-as-media adapter). Real schema/batching; fake
+    deterministic decode (no codec libs in container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    meta = MM.decode_image_meta(media)
+    return meta.select("media_id", "n_bytes", "format_guess", "fake_width", "fake_height")
+
+
+ORACLE_MM_META = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'unknown' AS format_guess,
+       CAST(octet_length(encode(text)) % 1024 AS INT) AS fake_width,
+       CAST(octet_length(encode(text)) // 1024 % 1024 + 1 AS INT) AS fake_height
+FROM documents
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding mapInPandas stub (1 payload → N frames @ 64-byte
+    stride) — the shape of real video frame sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return MM.frame_sample_stub(media, every_n_bytes=64)
+
+
+ORACLE_MM_FRAMES = """
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, CAST(i * 64 AS BIGINT) AS frame_offset
+FROM (
+  SELECT doc_id, unnest(generate_series(0, (octet_length(encode(text)) - 1) // 64)) AS i
+  FROM documents WHERE octet_length(encode(text)) > 0
+)
+"""
+
+
+# === registry ===============================================================
+
+QUERIES: dict[str, callable] = {
+    # §2.1 scans / sources / sinks
+    "scan_hive_partitioned": q_scan_hive_partitioned,
+    "scan_csv_tab_delimited": q_scan_csv_tab_delimited,
+    "source_generic_format": q_source_generic_format,
+    "probe_partition_exists": q_probe_partition_exists,
+    "sink_partition_overwrite": q_sink_partition_overwrite,
+    "sink_skip_empty": q_sink_skip_empty,
+    "job_state_poll": q_job_state_poll,
+    # §2.2 filters / projections
+    "filter_partition_eq": q_filter_partition_eq,
+    "filter_rlike_status": q_filter_rlike_status,
+    "filter_eq_severity": q_filter_eq_severity,
+    "filter_switch_branch": q_filter_switch_branch,
+    "project_job_fields": q_project_job_fields,
+    # §2.3 scalar functions
+    "fn_partition_strings": q_fn_partition_strings,
+    "fn_partition_roundtrip": q_fn_partition_roundtrip,
+    "fn_json_get": q_fn_json_get,
+    "fn_trunc_hour": q_fn_trunc_hour,
+    # analytics (§2.4-2.6)
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "join_broadcast_dim": q_join_broadcast_dim,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "agg_rollup": q_agg_rollup,
+    "agg_conditional_pivot": q_agg_conditional_pivot,
+    "agg_stats": q_agg_stats,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running_total": q_window_running_total,
+    "window_lag_gap": q_window_lag_gap,
+    "topk_orders": q_topk_orders,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    "set_union": q_set_union,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    # streaming (§2.7)
+    "stream_tumbling_window": q_stream_tumbling_window,
+    # dedup
+    "dedup_exact": q_dedup_exact,
+    "dedup_content_hash": q_dedup_content_hash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    # similarity
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    # text analysis
+    "text_token_counts": q_text_token_counts,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    # multimodal
+    "multimodal_image_meta": q_multimodal_image_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+}
+
+ORACLES: dict[str, str] = {
+    "scan_hive_partitioned": ORACLE_SCAN_HIVE,
+    "scan_csv_tab_delimited": ORACLE_SCAN_CSV,
+    "source_generic_format": ORACLE_GENERIC,
+    "probe_partition_exists": ORACLE_PROBE,
+    "sink_partition_overwrite": ORACLE_SINK,
+    "sink_skip_empty": ORACLE_SKIP_EMPTY,
+    "job_state_poll": ORACLE_JOB_POLL,
+    "filter_partition_eq": ORACLE_FILTER_PART,
+    "filter_rlike_status": ORACLE_RLIKE,
+    "filter_eq_severity": ORACLE_EQ_SEVERITY,
+    "filter_switch_branch": ORACLE_SWITCH,
+    "project_job_fields": ORACLE_PROJECT_JOB,
+    "fn_partition_strings": ORACLE_FN_STRINGS,
+    "fn_partition_roundtrip": ORACLE_FN_ROUNDTRIP,
+    "fn_json_get": ORACLE_JSON_GET,
+    "fn_trunc_hour": ORACLE_TRUNC_HOUR,
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_local_supplier": ORACLE_Q5,
+    "join_broadcast_dim": ORACLE_JOIN_BROADCAST,
+    "join_semi": ORACLE_JOIN_SEMI,
+    "join_anti": ORACLE_JOIN_ANTI,
+    "agg_rollup": ORACLE_ROLLUP,
+    "agg_conditional_pivot": ORACLE_PIVOT,
+    "agg_stats": ORACLE_STATS,
+    "window_topk_per_group": ORACLE_WINDOW_TOPK,
+    "window_running_total": ORACLE_RUNNING,
+    "window_lag_gap": ORACLE_LAG_GAP,
+    "topk_orders": ORACLE_TOPK,
+    "set_except": ORACLE_EXCEPT,
+    "set_intersect": ORACLE_INTERSECT,
+    "set_union": ORACLE_UNION,
+    "distinct_users_by_type": ORACLE_DISTINCT_USERS,
+    "stream_tumbling_window": ORACLE_STREAM,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_content_hash": ORACLE_CONTENT_HASH,
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: engine-specific
+    # hashing, rows-only checks by design.
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "ann_cosine_topk": ORACLE_ANN,
+    "text_token_counts": ORACLE_TOKEN_COUNTS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+    "multimodal_image_meta": ORACLE_MM_META,
+    "multimodal_frame_sample": ORACLE_MM_FRAMES,
+}
