@@ -45,6 +45,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # warm the JVM + parquet footers so per-query timings measure the query
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm one Python worker per core (mapInPandas queries otherwise pay
+    # interpreter + Arrow startup inside their first measured stage)
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    def _ident(it):
+        yield from it
+
+    n = spark.sparkContext.defaultParallelism
+    spark.range(0, n * 10, 1, n).mapInPandas(
+        _ident, _T.StructType([_T.StructField("id", _T.LongType())])
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -91,7 +91,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: explode distinct shingles, take the
     column-wise min of ``num_hashes`` universal hashes in ONE groupBy (one
-    shuffle of (id, 64 longs) — no signature-assembly second pass)."""
+    shuffle of (id, 64 longs) — no signature-assembly second pass).
+
+    The input is first hash-repartitioned on the id so (a) the expensive
+    explode+hash work spreads across all cores even when the source is a
+    single small file, and (b) the groupBy reuses that partitioning
+    instead of shuffling the exploded (much larger) shingle set. The
+    partition count is explicit — AQE would coalesce a size-based
+    repartition of a small source back to one task, serializing the
+    expensive hashing."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_size))).alias(
@@ -167,7 +176,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Token hash bit j contributes +1/-1 to bit-slot j; fingerprint bit j is
     1 iff the slot sum is positive. Implemented as 64 conditional-sum
-    aggregates in one groupBy (single shuffle, all codegen)."""
+    aggregates in one groupBy (single shuffle, all codegen). Input is
+    repartitioned on the id first — see minhash_signatures."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),

@@ -89,6 +89,11 @@ def decode_image_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFram
     (Arrow batches, schema, partition parallelism) is unchanged.
     """
 
+    # Spread payloads across all cores: media tables at scale are many
+    # files, but a local single-file source would otherwise run the whole
+    # Python decode in one task.
+    media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             contents = pdf["content"]

@@ -97,6 +97,50 @@ def hyperplane_signature(vec, num_planes: int, dim: int, seed: int = 42):
     return sig
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for all
+    pairs with cosine ≥ ``threshold`` (id_a < id_b).
+
+    Exact mode (``num_planes=None``) self-joins the corpus — O(N²), the
+    verification oracle. Scale mode buckets both sides with the same
+    hyperplane signature first, so only same-bucket pairs are scored:
+    near-identical vectors almost always share all sign bits, shrinking
+    the join to O(N²/2^planes) per bucket at the cost of missing pairs
+    that straddle a hyperplane."""
+    v = with_double_embedding(df, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    if num_planes is not None:
+        v = v.withColumn("bucket", hyperplane_signature(F.col("vec"), num_planes, dim))
+        join_on = [F.col("a.bucket") == F.col("b.bucket")]
+    else:
+        join_on = []
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.vid") < F.col("b.vid")
+    for c in join_on:
+        cond = cond & c
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "cosine",
+            _dot(F.col("a.vec"), F.col("b.vec")) / (_norm(F.col("a.vec")) * _norm(F.col("b.vec"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -92,3 +92,42 @@ def run_partition_ingest(
         return meta.with_status(_action())
     except Exception as exc:  # fold to FAILURE like the poll fold (:103-121)
         return meta.with_status(JobState.FAILURE, error_msg=str(exc))
+
+
+def backfill_partition_range(
+    spark: SparkSession,
+    source_root: str,
+    table_root: str,
+    start_partition: str,
+    end_partition: str,
+    schema: T.StructType,
+    job_config: dict | None = None,
+    cluster_by: list[str] | None = None,
+) -> list[LoadJobMetadata]:
+    """Reprocess every hourly partition in ``[start, end)`` — the manual
+    backfill loop (``workflow:run:partition``, commands.sh:56-64;
+    README.md:49-60), partition by partition so each hour stays an
+    independent idempotent overwrite (a failed hour re-runs alone).
+
+    Missing hours come back NOT_CREATED, matching the workflow's
+    skip-if-empty gate; execution is sequential like the reference's
+    scheduler but each job is internally parallel across the cluster.
+    """
+    import datetime as _dt
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.functions.partition import (
+        bq_partition_from_datetime,
+        datetime_from_bq_partition,
+    )
+
+    cur = datetime_from_bq_partition(start_partition)
+    end = datetime_from_bq_partition(end_partition)
+    results: list[LoadJobMetadata] = []
+    while cur < end:
+        part = bq_partition_from_datetime(cur)
+        plan = plan_partition_ingest(source_root, table_root, part, job_config)
+        results.append(
+            run_partition_ingest(spark, plan, schema, cluster_by=cluster_by)
+        )
+        cur += _dt.timedelta(hours=1)
+    return results

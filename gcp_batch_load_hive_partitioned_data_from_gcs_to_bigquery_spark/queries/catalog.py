@@ -252,6 +252,48 @@ SELECT 2 AS state_code, CAST(count(*) AS BIGINT) AS n_rows FROM events WHERE {_H
 """
 
 
+def q_backfill_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_backfill (commands.sh:56-64, README.md:49-60): reprocess
+    three consecutive hours partition-by-partition, then read each hour
+    back pruned and count — replayed hours must exactly mirror the
+    source."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        read_landing_table,
+        with_partition_columns,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.plans.ingest import backfill_partition_range
+
+    src_root = _tmp("bfsrc")
+    with_partition_columns(_events_day1(spark, sf_dir)).write.partitionBy(
+        "year", "month", "day", "hour"
+    ).options(sep="\t", header=False, quote="", emptyValue="", timestampFormat=TS_FMT).mode(
+        "overwrite"
+    ).csv(src_root)
+    table_root = _tmp("bftable")
+    create_partitioned_table(spark, table_root)
+    metas = backfill_partition_range(
+        spark, src_root, table_root, "2024010101", "2024010104",
+        EVENTS_SCHEMA, {"timestampFormat": TS_FMT},
+    )
+    rows = []
+    for meta in metas:
+        n = read_landing_table(spark, table_root, meta.partition).count()
+        rows.append((meta.partition, int(meta.status), n))
+    return spark.createDataFrame(rows, "partition string, state_code int, n_rows bigint")
+
+
+ORACLE_BACKFILL = """
+SELECT strftime(h, '%Y%m%d%H') AS partition, 2 AS state_code,
+       CAST(count(e.event_id) AS BIGINT) AS n_rows
+FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 01:00:00',
+                                    TIMESTAMP '2024-01-01 03:00:00',
+                                    INTERVAL 1 HOUR)) AS h) hours
+LEFT JOIN events e ON date_trunc('hour', e.ts) = hours.h
+GROUP BY h
+"""
+
+
 # === SURVEY §2.2 projections / filters / predicates =========================
 
 
@@ -1013,6 +1055,27 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact self-join mode — the oracle
+    for the LSH-bucketed scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_cosine_pairs(emb, threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+ORACLE_DEDUP_EMBEDDING = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(CAST(cosine AS DOUBLE), 4) AS cosine
+FROM s WHERE cosine >= 0.9
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (approximate; engine-specific
     hyperplanes → rows-only check)."""
@@ -1173,6 +1236,7 @@ QUERIES: dict[str, callable] = {
     "sink_partition_overwrite": q_sink_partition_overwrite,
     "sink_skip_empty": q_sink_skip_empty,
     "job_state_poll": q_job_state_poll,
+    "backfill_range": q_backfill_range,
     # §2.2 filters / projections
     "filter_partition_eq": q_filter_partition_eq,
     "filter_rlike_status": q_filter_rlike_status,
@@ -1213,6 +1277,7 @@ QUERIES: dict[str, callable] = {
     # similarity
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     # text analysis
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
@@ -1231,6 +1296,7 @@ ORACLES: dict[str, str] = {
     "sink_partition_overwrite": ORACLE_SINK,
     "sink_skip_empty": ORACLE_SKIP_EMPTY,
     "job_state_poll": ORACLE_JOB_POLL,
+    "backfill_range": ORACLE_BACKFILL,
     "filter_partition_eq": ORACLE_FILTER_PART,
     "filter_rlike_status": ORACLE_RLIKE,
     "filter_eq_severity": ORACLE_EQ_SEVERITY,
@@ -1264,6 +1330,7 @@ ORACLES: dict[str, str] = {
     # hashing, rows-only checks by design.
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ann_cosine_topk": ORACLE_ANN,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,

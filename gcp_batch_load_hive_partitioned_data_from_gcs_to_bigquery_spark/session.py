@@ -30,6 +30,17 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # parquet; local SFs just produce fewer tasks.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
+    # Single-JVM local mode runs all 32 executor threads in the driver
+    # heap; the 1g default causes GC thrash under concurrent hash-aggs.
+    # (Honored at JVM launch; on a real cluster spark-submit overrides.)
+    "spark.driver.memory": "16g",
+    # Whole-stage codegen emits one JIT-compiled class per query stage; a
+    # long session (40+ catalog queries) fills the default ~240m code
+    # cache, the JIT shuts off, and every later stage runs interpreted
+    # (observed 50-100x slowdowns). Reserve more and allow flushing.
+    "spark.driver.extraJavaOptions": (
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+    ),
 }
 
 

@@ -116,6 +116,42 @@ def test_require_partition_filter(spark, hive_csv_root, tmp_path):
     assert read_landing_table(spark, table_root, require_partition_filter=False).count() > 0
 
 
+def test_backfill_range(spark, hive_csv_root, events, tmp_path):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.plans.ingest import backfill_partition_range
+
+    table_root = str(tmp_path / "landing_bf")
+    create_partitioned_table(spark, table_root)
+    metas = backfill_partition_range(
+        spark, hive_csv_root, table_root, "2024010100", "2024010103",
+        EVENTS_SCHEMA, job_config=CSV_OPTS,
+    )
+    assert [m.partition for m in metas] == ["2024010100", "2024010101", "2024010102"]
+    assert all(m.status == JobState.SUCCESS for m in metas)
+    for part in ("2024010100", "2024010101", "2024010102"):
+        expected = events.filter(F.date_format("ts", "yyyyMMddHH") == part).count()
+        assert read_landing_table(spark, table_root, part).count() == expected
+
+
+def test_ingest_schema_without_timestamp_column(spark, tmp_path):
+    """Destination partition comes from the plan (decorator semantic) —
+    a source schema with no ts column must ingest fine."""
+    import pyspark.sql.types as T
+
+    src = tmp_path / "plain_src" / "year=2024/month=03/day=05/hour=07"
+    src.mkdir(parents=True)
+    (src / "part-000.tsv").write_text("1\talice\n2\tbob\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    table_root = str(tmp_path / "plain_table")
+    create_partitioned_table(spark, table_root)
+    plan = plan_partition_ingest(str(tmp_path / "plain_src"), table_root, "2024030507")
+    meta = run_partition_ingest(spark, plan, schema)
+    assert meta.status == JobState.SUCCESS
+    back = read_landing_table(spark, table_root, "2024030507")
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "alice"), (2, "bob")]
+
+
 def test_async_registry_ingest(spark, hive_csv_root, tmp_path):
     table_root = str(tmp_path / "landing6")
     create_partitioned_table(spark, table_root)
