@@ -215,6 +215,71 @@ def q_sink_skip_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SKIP_EMPTY = "SELECT 0 AS state_code"
 
 
+def q_sink_create_never(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink_create_never (ingestion/bigquery_interaction.py:15-18): writing
+    into a never-created table root must be refused (flag 1), writing into
+    a created one must succeed (flag 0 = no guard error)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        TableNotFoundError,
+        create_partitioned_table,
+        write_partition_overwrite,
+    )
+
+    hour = _events_day1(spark, sf_dir).filter(F.date_format("ts", "yyyyMMddHH") == PART_HOUR)
+    missing_root = _tmp("cn_missing") + "/never_created"
+    try:
+        write_partition_overwrite(hour, missing_root)
+        refused_missing = 0
+    except TableNotFoundError:
+        refused_missing = 1
+    created_root = _tmp("cn_created")
+    create_partitioned_table(spark, created_root)
+    try:
+        write_partition_overwrite(hour, created_root)
+        refused_created = 0
+    except TableNotFoundError:
+        refused_created = 1
+    rows = [("missing_table", refused_missing), ("created_table", refused_created)]
+    return spark.createDataFrame(rows, "target string, refused int")
+
+
+ORACLE_CREATE_NEVER = """
+SELECT 'missing_table' AS target, 1 AS refused
+UNION ALL SELECT 'created_table', 0
+"""
+
+
+def q_filter_require_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_require_partition (bq_create_table_ddl.sql:12): reading the
+    landing table without a partition predicate is rejected (flag 1); a
+    partition-constrained read passes (flag 0)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        read_landing_table,
+        write_partition_overwrite,
+    )
+
+    table_root = _tmp("reqpart")
+    create_partitioned_table(spark, table_root)
+    hour = _events_day1(spark, sf_dir).filter(F.date_format("ts", "yyyyMMddHH") == PART_HOUR)
+    write_partition_overwrite(hour, table_root)
+    try:
+        read_landing_table(spark, table_root)
+        rejected_unfiltered = 0
+    except ValueError:
+        rejected_unfiltered = 1
+    n = read_landing_table(spark, table_root, PART_HOUR).count()
+    rows = [("unfiltered_read_rejected", rejected_unfiltered), ("filtered_read_rows", n)]
+    return spark.createDataFrame(rows, "check string, value bigint")
+
+
+ORACLE_REQUIRE_PARTITION = f"""
+SELECT 'unfiltered_read_rejected' AS check, CAST(1 AS BIGINT) AS value
+UNION ALL
+SELECT 'filtered_read_rows', CAST(count(*) AS BIGINT) FROM events WHERE {_HOUR_PRED_SQL}
+"""
+
+
 def q_job_state_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """job_state_poll + job_idempotent_start (§2.7): async submit via the
     registry, double-submit the same job id, poll to terminal SUCCESS,
@@ -1235,6 +1300,8 @@ QUERIES: dict[str, callable] = {
     "probe_partition_exists": q_probe_partition_exists,
     "sink_partition_overwrite": q_sink_partition_overwrite,
     "sink_skip_empty": q_sink_skip_empty,
+    "sink_create_never": q_sink_create_never,
+    "filter_require_partition": q_filter_require_partition,
     "job_state_poll": q_job_state_poll,
     "backfill_range": q_backfill_range,
     # §2.2 filters / projections
@@ -1295,6 +1362,8 @@ ORACLES: dict[str, str] = {
     "probe_partition_exists": ORACLE_PROBE,
     "sink_partition_overwrite": ORACLE_SINK,
     "sink_skip_empty": ORACLE_SKIP_EMPTY,
+    "sink_create_never": ORACLE_CREATE_NEVER,
+    "filter_require_partition": ORACLE_REQUIRE_PARTITION,
     "job_state_poll": ORACLE_JOB_POLL,
     "backfill_range": ORACLE_BACKFILL,
     "filter_partition_eq": ORACLE_FILTER_PART,

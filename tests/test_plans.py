@@ -1,0 +1,51 @@
+"""Physical-plan regression guards: the scale properties that make these
+queries viable at 100 TB — predicate pushdown into the parquet scan,
+column pruning, broadcast joins for small dims, shuffle-free global
+top-k — must stay visible in the executed plan.
+"""
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q1_filter_pushdown(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q3_pushdown_pruning_broadcast_topk(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    # selective predicates reach the scans
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    # column pruning: lineitem scan reads only the 4 needed columns
+    assert (
+        "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double,"
+        "l_shipdate:timestamp_ntz>" in plan
+    )
+    # small dim broadcast + shuffle-free top-10
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_broadcast_dims(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "q5_local_supplier")
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi")
+    assert "LeftAnti" in _plan(spark, "join_anti")
+
+
+def test_global_topk_no_full_sort(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle for a global top-k
