@@ -24,9 +24,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61-1: universal hashing family (a*x + b) mod p.
-_MERSENNE_P = (1 << 61) - 1
-
 
 def tokenize(text: Column, lowercase: bool = True) -> Column:
     """Whitespace tokenization (JVM-side regexp split)."""
@@ -72,14 +69,14 @@ def content_hash(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def _minhash_value(shingle_hash: Column, i: int) -> Column:
-    """i-th universal hash of a shingle: ((a_i*h + b_i) mod p), with fixed
-    per-index odd coefficients so signatures are deterministic across runs
-    and executors. ``h`` is first reduced to 31 bits so ``a*h + b`` stays
-    well inside int64 under ANSI overflow checking."""
-    a = 2 * i + 1
-    b = (0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) % _MERSENNE_P
-    h = F.pmod(shingle_hash, F.lit(1 << 31))
-    return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+    """i-th hash of a shingle: re-hash the precomputed 64-bit shingle hash
+    with the slot index as seed material (``xxhash64(h, i)``). Each slot
+    is an independent strong permutation proxy — deterministic across runs
+    and executors, JVM-evaluated, no modular arithmetic that could stay
+    monotonic in ``h`` (a linear (a*h+b) mod p with small ``a`` never
+    wraps, which would make every slot pick the same min shingle and
+    collapse the signature to one effective hash)."""
+    return F.xxhash64(shingle_hash, F.lit(i))
 
 
 def minhash_signatures(

@@ -97,6 +97,82 @@ def hyperplane_signature(vec, num_planes: int, dim: int, seed: int = 42):
     return sig
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    partitions the corpus into ``nlist`` cells; each query scores only its
+    ``nprobe`` nearest cells.
+
+    Index build = one KMeans fit (on a sample at 100 TB) + one assignment
+    pass; the cell id becomes the shuffle/partition key, so a query reads
+    ~``nprobe/nlist`` of the corpus instead of all of it. Centroids are
+    tiny (nlist × dim) and ride along as a broadcast join — the corpus is
+    never collected."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+
+    train = c.select(array_to_vector("c_vec").alias("features"))
+    model = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cell").fit(train)
+
+    assigned = model.transform(
+        c.select("vec_id", "c_vec", array_to_vector("c_vec").alias("features"))
+    ).select("vec_id", "c_vec", "cell")
+
+    # (cell, centroid) relation — nlist rows, broadcastable by construction
+    centroids = q.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+
+    # nprobe nearest cells per query (query set is small: cross join against
+    # nlist centroids, rank by L2 distance)
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2",
+        F.aggregate(
+            F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        ),
+    )
+    probe_w = W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    probes = (
+        qc.withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+        .select("query_id", "vec_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,

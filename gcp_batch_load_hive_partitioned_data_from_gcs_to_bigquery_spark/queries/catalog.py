@@ -1014,6 +1014,38 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_hourly_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_reprocessing (§2.7): Structured-Streaming file source →
+    40-min watermark → foreachBatch idempotent partition overwrite into
+    the landing table (availableNow = bounded catch-up run), then a
+    pruned batch read-back of the landing table, counted per hour."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.hourly import stream_hourly_ingest
+
+    src = _tmp("streamingsrc")
+    _events_day1(spark, sf_dir).write.mode("overwrite").parquet(src)
+    table_root = _tmp("streamingtable")
+    q = stream_hourly_ingest(
+        spark, src, table_root, EVENTS_SCHEMA,
+        checkpoint=_tmp("streamingckpt"), trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    back = spark.read.option("basePath", table_root).parquet(table_root)
+    return (
+        back.filter(F.col("day") == 1)  # partition-pruned read
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+ORACLE_STREAM_INGEST = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY 1
+"""
+
+
 # === dedup ==================================================================
 
 
@@ -1118,6 +1150,15 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, v
 SELECT query_id, vec_id, round(CAST(cosine AS DOUBLE), 4) AS cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 3
 """
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, nprobe cells per query) —
+    approximate; k-means training → rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.ivf_topk(emb, queries, k=3, nlist=8, nprobe=3)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,6 +1376,7 @@ QUERIES: dict[str, callable] = {
     "distinct_users_by_type": q_distinct_users_by_type,
     # streaming (§2.7)
     "stream_tumbling_window": q_stream_tumbling_window,
+    "stream_hourly_ingest": q_stream_hourly_ingest,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_content_hash": q_dedup_content_hash,
@@ -1344,6 +1386,7 @@ QUERIES: dict[str, callable] = {
     # similarity
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     # text analysis
     "text_token_counts": q_text_token_counts,
@@ -1393,6 +1436,7 @@ ORACLES: dict[str, str] = {
     "set_union": ORACLE_UNION,
     "distinct_users_by_type": ORACLE_DISTINCT_USERS,
     "stream_tumbling_window": ORACLE_STREAM,
+    "stream_hourly_ingest": ORACLE_STREAM_INGEST,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_content_hash": ORACLE_CONTENT_HASH,
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: engine-specific

@@ -1,0 +1,103 @@
+"""Operator-level tests for the training-data-pipeline surface: the
+approximate paths (MinHash-LSH, SimHash, hyperplane-LSH ANN, IVF ANN)
+are checked against their exact counterparts — candidate quality and
+recall, not just shape.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import dedup as D
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import similarity as SIM
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_exact_dedup_partitions_ids(spark, docs):
+    keepers = D.exact_dedup_keepers(docs, "doc_id", ["text"])
+    total = keepers.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()  # every doc accounted for exactly once
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, docs):
+    """MinHash-LSH candidates' estimated Jaccard must be close to the
+    exact n-gram Jaccard on the same pairs (|err| small on average)."""
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_size=3)
+    est = D.minhash_lsh_pairs(sigs, num_bands=16, threshold=0.2)
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    joined = est.join(exact, ["doc_a", "doc_b"])
+    n_cand = est.count()
+    assert n_cand > 0
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.abs(F.col("est_jaccard") - F.col("jaccard"))).alias("mae"),
+    ).collect()[0]
+    assert stats["n"] > 0
+    assert stats["mae"] < 0.15  # 64 hashes → stderr ~ sqrt(j(1-j)/64)
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark, docs):
+    """Recall: pairs with exact Jaccard ≥ 0.5 must appear among LSH
+    candidates (16 bands × 4 rows → P(miss | j=0.5) ≈ (1-.5^4)^16 ≈ .35
+    per pair, but the corpus's near-dups are j≈1 where P(miss) ≈ 0)."""
+    exact_high = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_size=3)
+    cand = D.minhash_lsh_pairs(sigs, num_bands=16, threshold=0.2)
+    missed = exact_high.join(cand, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0
+
+
+def test_simhash_hamming_symmetric_and_bounded(spark, docs):
+    fps = D.simhash(docs, "doc_id", "text")
+    assert fps.count() == docs.count()
+    pairs = D.simhash_near_pairs(fps, max_hamming=12)
+    bad = pairs.filter((F.col("hamming") < 0) | (F.col("hamming") > 12)).count()
+    assert bad == 0
+    # doc_a < doc_b convention → no self-pairs or duplicates
+    assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def _recall(approx, exact):
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    return hit / exact.count()
+
+
+def test_ann_lsh_recall_vs_exact(spark, emb):
+    """Synthetic random embeddings are near-orthogonal — the worst case
+    for hyperplane LSH (P[same bucket] ≈ (1-θ/π)^planes with θ ≈ 70-80°).
+    With 2 planes the analytic recall is ~0.3; require half that, and
+    require the approximate scores to be genuine cosines (subset check
+    happens via the exact join)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=3)
+    approx = SIM.lsh_bucket_topk(emb, queries, k=3, num_planes=2, dim=64)
+    assert _recall(approx, exact) >= 0.15
+
+
+def test_ann_ivf_recall_vs_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=3)
+    approx = SIM.ivf_topk(emb, queries, k=3, nlist=8, nprobe=3)
+    assert approx.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 3
+    assert _recall(approx, exact) >= 0.5
+
+
+def test_embedding_cosine_pairs_lsh_subset_of_exact(spark, emb):
+    exact = SIM.embedding_cosine_pairs(emb, threshold=0.8)
+    bucketed = SIM.embedding_cosine_pairs(emb, threshold=0.8, num_planes=4)
+    # bucketed mode returns a subset of the exact pairs, never extras
+    extras = bucketed.select("id_a", "id_b").join(
+        exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
+    assert extras.count() == 0
