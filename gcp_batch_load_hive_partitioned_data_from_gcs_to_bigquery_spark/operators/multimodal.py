@@ -114,6 +114,44 @@ def decode_image_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFram
     return media.select("media_id", "content").mapInPandas(_kernel, IMAGE_META_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("target_width", T.IntegerType()),
+        T.StructField("target_height", T.IntegerType()),
+        T.StructField("n_bytes_out", T.LongType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, width: int = 256, height: int = 256) -> DataFrame:
+    """STUB resize: binary-in/binary-out mapInPandas — the shape of a real
+    thumbnailing stage (decode → resample → re-encode). The fake kernel
+    truncates/pads the payload to width*height/8 bytes deterministically;
+    swap for a PIL resize when the codec lib exists. Output schema keeps
+    the payload opaque-binary with typed size metadata, matching the
+    engine's multimodal column convention."""
+    target_len = width * height // 8
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["content"].map(
+                lambda b: bytes(b or b"")[:target_len].ljust(target_len, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "target_width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "target_height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "n_bytes_out": out.map(len).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(_kernel, RESIZE_SCHEMA)
+
+
 def decode_image_pixels(media: DataFrame):  # pragma: no cover - needs PIL
     """Real pixel decode — requires PIL, absent in this container."""
     try:

@@ -91,6 +91,25 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def ngram_freq(df: DataFrame, text_col: str, n: int = 2, top_k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams: explode → count → ordered limit.
+
+    One shuffle on the n-gram key with map-side partial aggregation, then
+    a TakeOrderedAndProject for the top-k — no full sort, no driver-side
+    counting, so corpus size only affects the (parallel) count stage."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import tokenize, word_shingles
+
+    grams = df.select(
+        F.explode(word_shingles(tokenize(F.col(text_col)), n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(top_k)
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized-content fingerprint: lowercase → whitespace tokens →
     distinct → sort → join → sha256. Word-order- and duplication-

@@ -1291,6 +1291,55 @@ FROM documents
 """
 
 
+def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: explode → count → TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.ngram_freq(docs, "text", n=2, top_k=20)
+
+
+ORACLE_NGRAM_FREQ = """
+WITH tok AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS words FROM documents
+),
+grams AS (
+  SELECT words[i] || ' ' || words[i+1] AS ngram
+  FROM (SELECT words, unnest(generate_series(1, greatest(len(words) - 1, 0))) AS i FROM tok)
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+FROM grams GROUP BY ngram
+ORDER BY freq DESC, ngram ASC LIMIT 20
+"""
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a pathologically skewed key (event_type: 5 values
+    over the whole fact table) — result identical to the plain join, but
+    each hot key spreads over salt_factor reducer partitions."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("error", 0.0), ("signup", 5.0)],
+        "event_type string, weight double",
+    )
+    joined = salted_join(ev, dim, on="event_type", salt_factor=8, salt_source=["event_id"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+    )
+
+
+ORACLE_SKEW_SALTED = """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0), ('error', 0.0), ('signup', 5.0)
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(e.value * d.weight) AS DOUBLE), 2) AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
 # === multimodal =============================================================
 
 
@@ -1310,6 +1359,33 @@ SELECT doc_id AS media_id,
        'unknown' AS format_guess,
        CAST(octet_length(encode(text)) % 1024 AS INT) AS fake_width,
        CAST(octet_length(encode(text)) // 1024 % 1024 + 1 AS INT) AS fake_height
+FROM documents
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in/binary-out resize stub over mapInPandas: payload
+    truncated/padded to the target byte budget (deterministic fake of a
+    decode→resample→encode stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    out = MM.resize_stub(media, width=64, height=64)
+    return out.select(
+        "media_id", "target_width", "target_height", "n_bytes_out",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+# documents are pure ASCII (verified: length(text) = octet_length for all
+# rows), so VARCHAR slicing/padding below is byte-exact.
+ORACLE_MM_RESIZE = """
+SELECT doc_id AS media_id, 64 AS target_width, 64 AS target_height,
+       CAST(512 AS BIGINT) AS n_bytes_out,
+       sha256(
+         CASE WHEN length(text) >= 512 THEN substr(text, 1, 512)
+              ELSE text || repeat(chr(0), 512 - length(text))
+         END
+       ) AS content_sha256
 FROM documents
 """
 
@@ -1363,6 +1439,7 @@ QUERIES: dict[str, callable] = {
     "join_broadcast_dim": q_join_broadcast_dim,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
+    "join_skew_salted": q_join_skew_salted,
     "agg_rollup": q_agg_rollup,
     "agg_conditional_pivot": q_agg_conditional_pivot,
     "agg_stats": q_agg_stats,
@@ -1393,9 +1470,11 @@ QUERIES: dict[str, callable] = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
+    "text_ngram_freq": q_text_ngram_freq,
     # multimodal
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1424,6 +1503,7 @@ ORACLES: dict[str, str] = {
     "join_broadcast_dim": ORACLE_JOIN_BROADCAST,
     "join_semi": ORACLE_JOIN_SEMI,
     "join_anti": ORACLE_JOIN_ANTI,
+    "join_skew_salted": ORACLE_SKEW_SALTED,
     "agg_rollup": ORACLE_ROLLUP,
     "agg_conditional_pivot": ORACLE_PIVOT,
     "agg_stats": ORACLE_STATS,
@@ -1448,6 +1528,8 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_ngram_freq": ORACLE_NGRAM_FREQ,
     "multimodal_image_meta": ORACLE_MM_META,
     "multimodal_frame_sample": ORACLE_MM_FRAMES,
+    "multimodal_resize": ORACLE_MM_RESIZE,
 }

@@ -68,6 +68,27 @@ def test_simhash_hamming_symmetric_and_bounded(spark, docs):
     assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics — only the shuffle layout."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.skew import key_skew_profile, salted_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+    plain = ev.join(dim, "event_type").select("event_id", "event_type", "weight")
+    salted = salted_join(ev, dim, on="event_type", salt_factor=8, salt_source=["event_id"]).select(
+        "event_id", "event_type", "weight"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+    profile = key_skew_profile(ev, "event_type")
+    shares = [r["share"] for r in profile.collect()]
+    assert abs(sum(shares) - 1.0) < 0.01  # 5 keys cover the whole table
+
+
 def _recall(approx, exact):
     hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
     return hit / exact.count()
