@@ -564,6 +564,38 @@ FROM events GROUP BY 1
 """
 
 
+def q_fn_uuid_last_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn_uuid (ingestion/tasks.py:30) + fn_last_hour (ingestion/app.py:
+    127-133): per-row uuid() job ids must be unique and well-formed, and
+    the last-hour partition string must parse back to now()-1h truncated.
+    Checked via deterministic invariants (the values themselves are
+    random/time-dependent)."""
+    ev = load_table(spark, sf_dir, "events")
+    with_ids = ev.select("event_id", F.expr("uuid()").alias("job_id"))
+    uuid_re = r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    checks = with_ids.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("job_id").alias("n_distinct_ids"),
+        F.min(F.col("job_id").rlike(uuid_re).cast("int")).alias("all_wellformed"),
+    )
+    last_hour_ok = F.unix_timestamp(
+        F.to_timestamp(
+            F.date_format(F.current_timestamp() - F.expr("INTERVAL 1 HOUR"), "yyyyMMddHH"),
+            "yyyyMMddHH",
+        )
+    ) == F.unix_timestamp(F.date_trunc("hour", F.current_timestamp() - F.expr("INTERVAL 1 HOUR")))
+    return checks.withColumn("last_hour_roundtrip_ok", last_hour_ok.cast("int"))
+
+
+ORACLE_FN_UUID = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_ids,
+       1 AS all_wellformed,
+       1 AS last_hour_roundtrip_ok
+FROM events
+"""
+
+
 # === analytics surface (§2.4-2.6 join/agg/window/setop/topk) ================
 
 
@@ -770,6 +802,98 @@ ORACLE_ROLLUP = """
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions (all 4 grouping sets in one pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(avg(o_totalprice) AS DOUBLE), 2) AS avg_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing per market segment (ntile window)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    buckets = cust.withColumn("quartile", F.ntile(4).over(w))
+    return buckets.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+    )
+
+
+ORACLE_NTILE = """
+SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(avg(c_acctbal) AS DOUBLE), 2) AS avg_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+  FROM customer
+) GROUP BY 1, 2
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join: per-nation customer and supplier counts, keeping
+    nations present on either side only."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+ORACLE_FULL_OUTER = """
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       CAST(COALESCE(c.n_customers, 0) AS BIGINT) AS n_customers,
+       CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS n_suppliers
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+USING (nationkey)
+"""
+
+
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90,
+       round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
 """
 
 
@@ -1442,6 +1566,7 @@ QUERIES: dict[str, callable] = {
     "fn_partition_roundtrip": q_fn_partition_roundtrip,
     "fn_json_get": q_fn_json_get,
     "fn_trunc_hour": q_fn_trunc_hour,
+    "fn_uuid_last_hour": q_fn_uuid_last_hour,
     # analytics (§2.4-2.6)
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1451,8 +1576,12 @@ QUERIES: dict[str, callable] = {
     "join_anti": q_join_anti,
     "join_skew_salted": q_join_skew_salted,
     "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
     "agg_conditional_pivot": q_agg_conditional_pivot,
     "agg_stats": q_agg_stats,
+    "agg_percentiles": q_agg_percentiles,
+    "join_full_outer": q_join_full_outer,
+    "window_ntile": q_window_ntile,
     "window_topk_per_group": q_window_topk_per_group,
     "window_running_total": q_window_running_total,
     "window_lag_gap": q_window_lag_gap,
@@ -1507,6 +1636,7 @@ ORACLES: dict[str, str] = {
     "fn_partition_roundtrip": ORACLE_FN_ROUNDTRIP,
     "fn_json_get": ORACLE_JSON_GET,
     "fn_trunc_hour": ORACLE_TRUNC_HOUR,
+    "fn_uuid_last_hour": ORACLE_FN_UUID,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier": ORACLE_Q5,
@@ -1515,8 +1645,12 @@ ORACLES: dict[str, str] = {
     "join_anti": ORACLE_JOIN_ANTI,
     "join_skew_salted": ORACLE_SKEW_SALTED,
     "agg_rollup": ORACLE_ROLLUP,
+    "agg_cube": ORACLE_CUBE,
     "agg_conditional_pivot": ORACLE_PIVOT,
     "agg_stats": ORACLE_STATS,
+    "agg_percentiles": ORACLE_PERCENTILES,
+    "join_full_outer": ORACLE_FULL_OUTER,
+    "window_ntile": ORACLE_NTILE,
     "window_topk_per_group": ORACLE_WINDOW_TOPK,
     "window_running_total": ORACLE_RUNNING,
     "window_lag_gap": ORACLE_LAG_GAP,
