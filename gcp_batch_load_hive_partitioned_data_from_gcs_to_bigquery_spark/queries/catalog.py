@@ -270,6 +270,63 @@ UNION ALL SELECT 'created_table', 0
 """
 
 
+def q_ddl_create_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ddl_create_partitioned_table (bq_create_table_ddl.sql:1-13,
+    commands.sh:17-26): the landing-table DDL as Spark SQL — ``CREATE
+    TABLE .. USING parquet PARTITIONED BY (hour_bucket)`` where
+    ``hour_bucket = date_trunc('hour', ts)`` is the engine's
+    ``TIMESTAMP_TRUNC(f, HOUR)``; clustering = sorted insert on the
+    cluster key (row-group min/max stats → scan locality). CREATE IF NOT
+    EXISTS is idempotent like the reference's DDL; read-back goes through
+    the catalog with a partition predicate (require_partition_filter)."""
+    loc = _tmp("ddl_tbl")
+    spark.sql("DROP TABLE IF EXISTS landing_ddl")
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS landing_ddl (
+            event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            event_type STRING, value DOUBLE, props STRING,
+            hour_bucket TIMESTAMP)
+        USING parquet PARTITIONED BY (hour_bucket)
+        LOCATION '{loc}'
+        """
+    )
+    # second CREATE IF NOT EXISTS must be a no-op (idempotent DDL)
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS landing_ddl (
+            event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            event_type STRING, value DOUBLE, props STRING,
+            hour_bucket TIMESTAMP)
+        USING parquet PARTITIONED BY (hour_bucket)
+        LOCATION '{loc}'
+        """
+    )
+    hour = _events_day1(spark, sf_dir).filter(F.date_format("ts", "yyyyMMddHH") == PART_HOUR)
+    (
+        hour.withColumn("hour_bucket", F.date_trunc("hour", "ts"))
+        .sortWithinPartitions("user_id")  # CLUSTER BY parity
+        .write.mode("overwrite")
+        .insertInto("landing_ddl")
+    )
+    back = spark.table("landing_ddl").filter(
+        F.col("hour_bucket") == F.to_timestamp(F.lit(PART_HOUR), "yyyyMMddHH")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_distinct("user_id").alias("users"),
+    )
+
+
+ORACLE_DDL_CREATE = f"""
+SELECT event_type, count(*) AS n, round(sum(CAST(value AS DOUBLE)), 2) AS sum_value,
+       count(DISTINCT user_id) AS users
+FROM events WHERE {_HOUR_PRED_SQL}
+GROUP BY event_type
+"""
+
+
 def q_filter_require_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_require_partition (bq_create_table_ddl.sql:12): reading the
     landing table without a partition predicate is rejected (flag 1); a
@@ -725,6 +782,80 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast-revenue: conjunctive range predicates on a
+    single fact table — every filter compiles to a Parquet pushed filter
+    (min/max row-group skipping), the projection prunes to 4 columns, and
+    the global agg is a map-side partial + 1-row exchange. The cheapest
+    possible shape at 100 TB: scan cost tracks the predicate selectivity,
+    not the table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: aggregate-then-semi-join —
+    the HAVING subquery becomes a reusable aggregated frame joined back on
+    the orderkey. Both sides shuffle on l_orderkey/o_orderkey once; AQE
+    converts the filtered (tiny) qualifying-keys side to broadcast at
+    runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("o_total_qty"))
+        .filter(F.col("o_total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("o_total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+       round(CAST(t.qty AS DOUBLE), 2) AS total_qty
+FROM customer, orders,
+     (SELECT l_orderkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) t
+WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
 """
 
 
@@ -1552,6 +1683,7 @@ QUERIES: dict[str, callable] = {
     "sink_partition_overwrite": q_sink_partition_overwrite,
     "sink_skip_empty": q_sink_skip_empty,
     "sink_create_never": q_sink_create_never,
+    "ddl_create_partitioned_table": q_ddl_create_partitioned_table,
     "filter_require_partition": q_filter_require_partition,
     "job_state_poll": q_job_state_poll,
     "backfill_range": q_backfill_range,
@@ -1571,6 +1703,8 @@ QUERIES: dict[str, callable] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q18_large_orders": q18_large_orders,
     "join_broadcast_dim": q_join_broadcast_dim,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
@@ -1624,6 +1758,7 @@ ORACLES: dict[str, str] = {
     "sink_partition_overwrite": ORACLE_SINK,
     "sink_skip_empty": ORACLE_SKIP_EMPTY,
     "sink_create_never": ORACLE_CREATE_NEVER,
+    "ddl_create_partitioned_table": ORACLE_DDL_CREATE,
     "filter_require_partition": ORACLE_REQUIRE_PARTITION,
     "job_state_poll": ORACLE_JOB_POLL,
     "backfill_range": ORACLE_BACKFILL,
@@ -1640,6 +1775,8 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier": ORACLE_Q5,
+    "q6_forecast_revenue": ORACLE_Q6,
+    "q18_large_orders": ORACLE_Q18,
     "join_broadcast_dim": ORACLE_JOIN_BROADCAST,
     "join_semi": ORACLE_JOIN_SEMI,
     "join_anti": ORACLE_JOIN_ANTI,
