@@ -120,7 +120,16 @@ def minhash_lsh_pairs(
     sharing any band bucket become candidates (one shuffle on the band
     key). Estimated Jaccard = fraction of equal signature slots; pairs
     below ``threshold`` are dropped. Returns (doc_a, doc_b, est_jaccard).
+
+    The signature frame feeds BOTH sides of the self-join; without
+    materialization the whole upstream shingle+hash pipeline would run
+    twice. Signatures are tiny relative to the corpus (~0.5 KB/doc —
+    64 longs), so MEMORY_AND_DISK persistence is the right trade at any
+    scale: compute once, stream twice.
     """
+    from pyspark import StorageLevel
+
+    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     num_hashes = 64  # matches minhash_signatures default
     rows = num_hashes // num_bands
     banded = signatures.select(
@@ -201,7 +210,14 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
     Block-LSH: split the 64-bit fingerprint into 4 16-bit blocks; any pair
     within distance 3 shares ≥1 exact block (pigeonhole), so the join is
     equality on (block_idx, block_value) — shuffleable — then exact
-    popcount verification via bit_count(xor)."""
+    popcount verification via bit_count(xor).
+
+    Fingerprints are persisted before the self-join so the upstream
+    tokenize+hash pipeline runs once, not once per join side (16 B/doc —
+    cheap at any scale)."""
+    from pyspark import StorageLevel
+
+    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = fingerprints.select(
         "doc_id",
         "simhash",
@@ -248,11 +264,16 @@ def ngram_jaccard_pairs(
 
     Quadratic in per-shingle document frequency — at 100 TB use this only
     to VERIFY candidates from MinHash/SimHash, or drop stop-shingles
-    first. Returns (doc_a, doc_b, jaccard)."""
+    first. Returns (doc_a, doc_b, jaccard).
+
+    The exploded shingle set feeds both self-join sides plus the size
+    aggregate — persisted so tokenization runs once, not three times."""
+    from pyspark import StorageLevel
+
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(tokenize(F.col(text_col)), n))).alias("shingle"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
