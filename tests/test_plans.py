@@ -49,3 +49,28 @@ def test_global_topk_no_full_sort(spark):
     plan = _plan(spark, "topk_orders")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan  # no shuffle for a global top-k
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    # every range predicate reaches the parquet scan (row-group skipping)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.03)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # projection pruned to the 4 referenced columns
+    assert (
+        "struct<l_quantity:double,l_extendedprice:double,l_discount:double,"
+        "l_shipdate:timestamp_ntz>" in plan
+    )
+    # global agg is partial map-side: exactly one single-partition exchange
+    assert plan.count("Exchange") >= 1 and "partial_sum" in plan
+
+
+def test_q18_partial_agg_before_join(spark):
+    plan = _plan(spark, "q18_large_orders")
+    # lineitem scan pruned to orderkey+quantity and pre-aggregated before
+    # any join (shuffle carries one row per orderkey, not per lineitem)
+    assert "struct<l_orderkey:bigint,l_quantity:double>" in plan
+    assert "partial_sum(l_quantity" in plan
+    assert "BroadcastHashJoin" in plan  # customer dim broadcast
