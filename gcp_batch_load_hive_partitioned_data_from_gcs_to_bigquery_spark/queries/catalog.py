@@ -1311,6 +1311,35 @@ FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY 1
 """
 
 
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (count, sum) whose GroupState survives micro-batches. The day-1
+    events are split into many files read 8-per-trigger, so totals genuinely
+    accumulate across batches; the final state per key must equal the plain
+    batch aggregate — which is the oracle."""
+    import uuid
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.stateful import (
+        run_stateful_totals_over_files,
+    )
+
+    key = ("flat24", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("fix_flat24")
+        _events_day1(spark, sf_dir).repartition(24).write.mode("overwrite").parquet(root)
+        _FIXTURES[key] = root
+    return run_stateful_totals_over_files(
+        spark, _FIXTURES[key], EVENTS_SCHEMA, query_name=f"sst_{uuid.uuid4().hex[:8]}"
+    )
+
+
+ORACLE_STREAM_STATEFUL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY user_id
+"""
+
+
 # === dedup ==================================================================
 
 
@@ -1727,6 +1756,7 @@ QUERIES: dict[str, callable] = {
     # streaming (§2.7)
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_hourly_ingest": q_stream_hourly_ingest,
+    "stream_stateful_totals": q_stream_stateful_totals,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_content_hash": q_dedup_content_hash,
@@ -1798,6 +1828,7 @@ ORACLES: dict[str, str] = {
     "distinct_users_by_type": ORACLE_DISTINCT_USERS,
     "stream_tumbling_window": ORACLE_STREAM,
     "stream_hourly_ingest": ORACLE_STREAM_INGEST,
+    "stream_stateful_totals": ORACLE_STREAM_STATEFUL,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_content_hash": ORACLE_CONTENT_HASH,
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: engine-specific

@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no data-plane state (its only state machine is the
+driver-side load-job lifecycle, ingestion/types.py:5-10), but a
+large-scale ingest engine needs per-key state that survives micro-batches
+— running per-entity counters, sessionization, dedup-seen sets. This
+module provides the canonical shape: Arrow-batched per-group kernels with
+explicit ``GroupState``, the Structured Streaming twin of a stateful
+Flink ``KeyedProcessFunction``.
+
+Scale design: state lives in the state store partitioned by the grouping
+key (shuffle on key once per micro-batch); the kernel sees one key's rows
+per call, Arrow-batched. State size is O(distinct keys), not O(rows) —
+running totals here keep 16 bytes per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+STATE_SCHEMA = "n bigint, s double"
+
+
+def _running_totals_kernel(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Accumulate (count, sum(value)) per key across micro-batches; emit
+    the updated running totals once per batch the key appears in."""
+    if state.exists:
+        n, s = state.get
+    else:
+        n, s = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+
+def stateful_running_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key running (count, sum) with explicit cross-batch state.
+
+    ``update`` output mode: every micro-batch emits the new running total
+    for keys seen in that batch; downstream takes the latest row per key
+    for final totals.
+    """
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _running_totals_kernel,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_totals_over_files(
+    spark: SparkSession,
+    source_root: str,
+    schema: T.StructType,
+    query_name: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Drive :func:`stateful_running_totals` over a static file layout as a
+    multi-micro-batch stream (``maxFilesPerTrigger`` splits the source so
+    state genuinely carries across batches), collect updates in a memory
+    sink, and return the FINAL state per key: the row with the highest
+    running count is the last update emitted."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_root)
+    )
+    updates = stateful_running_totals(stream)
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(query_name)
+    # latest update per key = running total at its max n_events
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
+    )

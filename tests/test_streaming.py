@@ -45,3 +45,29 @@ def test_hourly_counts_batch_window(spark, events):
     rows = {r["window_start"]: r["n_rows"] for r in out.collect()}
     assert len(rows) == day1.select(F.date_trunc("hour", "ts")).distinct().count()
     assert sum(rows.values()) == day1.count()
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, events, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    final per-user totals over a 4-batch stream equal the batch groupBy."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.stateful import (
+        run_stateful_totals_over_files,
+    )
+
+    day1 = events.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    src = str(tmp_path / "stateful_src")
+    day1.repartition(8).write.mode("overwrite").parquet(src)
+
+    out = run_stateful_totals_over_files(
+        spark, src, EVENTS_SCHEMA, query_name="sst_test", max_files_per_trigger=2
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in out.collect()}
+
+    expected_df = day1.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")
+    )
+    expected = {r["user_id"]: (r["n"], r["s"]) for r in expected_df.collect()}
+    assert set(got) == set(expected)
+    for uid, (n, s) in expected.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - s) < 0.05  # float accumulation order
