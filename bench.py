@@ -23,6 +23,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "window_running_total",
     "agg_stats",
     # training-data pipeline
