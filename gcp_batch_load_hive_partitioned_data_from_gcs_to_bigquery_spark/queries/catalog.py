@@ -479,6 +479,40 @@ FROM events WHERE event_type = 'error' GROUP BY user_id
 """
 
 
+def q_monitor_error_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring rollup (§2.10, reference README.md:66-93): the implied
+    alerting query — failed-event counts per 1-hour tumbling window with
+    the failure-regex predicate, plus an error-rate against all events in
+    the window. Batch twin of the streaming alert; window+groupBy is one
+    shuffle on the hour bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+            F.sum(F.col("props").rlike(r'"k": 4\d').cast("long")).alias("n_regex_hits"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_total",
+            "n_errors",
+            "n_regex_hits",
+            F.round(F.col("n_errors") / F.col("n_total"), 4).alias("error_rate"),
+        )
+    )
+
+
+ORACLE_MONITOR_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(sum(CASE WHEN regexp_matches(props, '"k": 4[0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS n_regex_hits,
+       round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS error_rate
+FROM events GROUP BY 1
+"""
+
+
 def q_filter_switch_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_switch_branch (workflow.yaml:25-35): in-query when/otherwise
     branching on a scalar."""
@@ -1722,6 +1756,7 @@ QUERIES: dict[str, callable] = {
     "filter_eq_severity": q_filter_eq_severity,
     "filter_switch_branch": q_filter_switch_branch,
     "project_job_fields": q_project_job_fields,
+    "monitor_error_rollup": q_monitor_error_rollup,
     # §2.3 scalar functions
     "fn_partition_strings": q_fn_partition_strings,
     "fn_partition_roundtrip": q_fn_partition_roundtrip,
@@ -1797,6 +1832,7 @@ ORACLES: dict[str, str] = {
     "filter_eq_severity": ORACLE_EQ_SEVERITY,
     "filter_switch_branch": ORACLE_SWITCH,
     "project_job_fields": ORACLE_PROJECT_JOB,
+    "monitor_error_rollup": ORACLE_MONITOR_ROLLUP,
     "fn_partition_strings": ORACLE_FN_STRINGS,
     "fn_partition_roundtrip": ORACLE_FN_ROUNDTRIP,
     "fn_json_get": ORACLE_JSON_GET,
