@@ -168,6 +168,42 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type
 """
 
 
+def q_source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_generic_format, JSON instance (README.md:6-7 "other formats
+    and configurations"): JSON-lines roundtrip through the same
+    pass-through reader with an explicit schema (CREATE_NEVER parity — no
+    inference), options dict carrying the timestamp format."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.hive_csv import read_generic
+
+    key = ("json", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("fix_json")
+        _events_day1(spark, sf_dir).write.mode("overwrite").option(
+            "timestampFormat", TS_FMT
+        ).json(root)
+        _FIXTURES[key] = root
+    df = read_generic(
+        spark,
+        _FIXTURES[key],
+        "json",
+        schema=EVENTS_SCHEMA,
+        options={"timestampFormat": TS_FMT},
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+ORACLE_JSON_LINES = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY event_type
+"""
+
+
 def q_probe_partition_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """probe_partition_exists (ingestion/app.py:96-104): metadata-only 1/0
     existence probe against a real Hive layout."""
@@ -1742,6 +1778,7 @@ QUERIES: dict[str, callable] = {
     "scan_hive_partitioned": q_scan_hive_partitioned,
     "scan_csv_tab_delimited": q_scan_csv_tab_delimited,
     "source_generic_format": q_source_generic_format,
+    "source_json_lines": q_source_json_lines,
     "probe_partition_exists": q_probe_partition_exists,
     "sink_partition_overwrite": q_sink_partition_overwrite,
     "sink_skip_empty": q_sink_skip_empty,
@@ -1819,6 +1856,7 @@ ORACLES: dict[str, str] = {
     "scan_hive_partitioned": ORACLE_SCAN_HIVE,
     "scan_csv_tab_delimited": ORACLE_SCAN_CSV,
     "source_generic_format": ORACLE_GENERIC,
+    "source_json_lines": ORACLE_JSON_LINES,
     "probe_partition_exists": ORACLE_PROBE,
     "sink_partition_overwrite": ORACLE_SINK,
     "sink_skip_empty": ORACLE_SKIP_EMPTY,
