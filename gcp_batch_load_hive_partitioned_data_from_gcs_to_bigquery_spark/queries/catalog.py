@@ -889,6 +889,38 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: the EXISTS subquery compiles to
+    a LEFT SEMI join — the lineitem side is pre-projected to just the join
+    key behind a pushed-down returnflag predicate (the synthetic lineitem
+    has no commit/receipt dates), so the shuffle carries one bigint per
+    qualifying lineitem, and the semi join short-circuits on first match
+    (no row multiplication)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        )
+        .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style large-volume customers: aggregate-then-semi-join —
     the HAVING subquery becomes a reusable aggregated frame joined back on
@@ -1804,6 +1836,7 @@ QUERIES: dict[str, callable] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
+    "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q18_large_orders": q18_large_orders,
     "join_broadcast_dim": q_join_broadcast_dim,
@@ -1879,6 +1912,7 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier": ORACLE_Q5,
+    "q4_order_priority": ORACLE_Q4,
     "q6_forecast_revenue": ORACLE_Q6,
     "q18_large_orders": ORACLE_Q18,
     "join_broadcast_dim": ORACLE_JOIN_BROADCAST,
