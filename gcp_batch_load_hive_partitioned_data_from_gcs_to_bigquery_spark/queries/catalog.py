@@ -961,6 +961,55 @@ WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
 """
 
 
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written with ``bucketBy(8,
+    custkey) + sortBy`` so the SortMergeJoin consumes the bucket layout
+    directly — zero Exchange in the join plan (pinned in
+    tests/test_plans.py). This is the 100 TB pattern for repeated
+    fact-fact joins: pay the shuffle once at write time, never at read
+    time."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    for tbl in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", _tmp("bkt_orders"))
+        .saveAsTable("bkt_orders")
+    )
+    (
+        cust.select("c_custkey", "c_name", "c_nationkey")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", _tmp("bkt_customer"))
+        .saveAsTable("bkt_customer")
+    )
+    bo = spark.table("bkt_orders")
+    bc = spark.table("bkt_customer")
+    # hint("merge"): at toy SF the tiny dim would broadcast, bypassing the
+    # bucket layout this query exists to exercise; at real scale SMJ is
+    # what the planner picks anyway for fact-fact sizes.
+    return (
+        bo.hint("merge")
+        .join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ORACLE_JOIN_BUCKETED = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-hash join of a fact table to a small dim — zero shuffle on
     the fact side (verify BroadcastHashJoin in .explain)."""
@@ -1840,6 +1889,7 @@ QUERIES: dict[str, callable] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q18_large_orders": q18_large_orders,
     "join_broadcast_dim": q_join_broadcast_dim,
+    "join_bucketed_colocated": q_join_bucketed_colocated,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_skew_salted": q_join_skew_salted,
@@ -1916,6 +1966,7 @@ ORACLES: dict[str, str] = {
     "q6_forecast_revenue": ORACLE_Q6,
     "q18_large_orders": ORACLE_Q18,
     "join_broadcast_dim": ORACLE_JOIN_BROADCAST,
+    "join_bucketed_colocated": ORACLE_JOIN_BUCKETED,
     "join_semi": ORACLE_JOIN_SEMI,
     "join_anti": ORACLE_JOIN_ANTI,
     "join_skew_salted": ORACLE_SKEW_SALTED,

@@ -67,6 +67,19 @@ def test_q6_pushdown_and_pruning(spark):
     assert plan.count("Exchange") >= 1 and "partial_sum" in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Both sides bucketed on the join key: the SortMergeJoin must consume
+    the bucket layout directly — no Exchange anywhere below the join (the
+    only shuffles allowed are for the aggregate above it)."""
+    plan = _plan(spark, "join_bucketed_colocated")
+    tree = plan.split("\n\n")[0]  # the indented operator tree section
+    lines = tree.splitlines()
+    smj_idx = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    below_join = lines[smj_idx + 1 :]  # tree prints children after the node
+    assert any("Scan parquet" in l for l in below_join)
+    assert not any("Exchange" in l for l in below_join)
+
+
 def test_q18_partial_agg_before_join(spark):
     plan = _plan(spark, "q18_large_orders")
     # lineitem scan pruned to orderkey+quantity and pre-aggregated before
