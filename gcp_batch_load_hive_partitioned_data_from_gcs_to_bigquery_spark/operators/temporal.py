@@ -1,0 +1,104 @@
+"""Temporal joins Spark lacks as primitives: as-of join and point-in-
+interval range join, both built from shuffle-friendly compositions (no
+BroadcastNestedLoopJoin, no per-row Python).
+
+* ``asof_join`` — for each left row, attach the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented as union → single window
+  pass: tag the two sides, sort within each key by (ts, side) and carry
+  the last non-null right payload forward (``last(..., ignorenulls)``
+  over rows UNBOUNDED PRECEDING..CURRENT). ONE shuffle on the key — the
+  naive inequality join is a per-key cross product; the sort-based form
+  is O(n log n) per key and AQE-splittable.
+* ``range_join_buckets`` — join points to intervals by exploding each
+  interval into the fixed-width buckets it covers and equi-joining on the
+  bucket, then verifying exact containment. Turns an inequality join
+  (nested-loop at any scale) into a shuffle join whose fan-out is
+  ``interval_len / bucket_len`` per interval — the standard trick behind
+  Databricks' range-join optimization and interval libraries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row gains the most recent right-side
+    ``value_cols`` at or before its timestamp (per ``key``); nulls where
+    no prior right row exists.
+
+    Ties (equal timestamps) resolve to the right row — matching DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts`` inclusive semantics — via the side
+    tag ordering (right=0 sorts before left=1 at equal ts).
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (key, right_ts)]
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema) + ">"
+        ).alias("_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "_side",
+        "_left",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in value_cols],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        "_left.*", *[F.col(f"_r_{c}").alias(c) for c in value_cols]
+    )
+    return out
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Inner join of points to [start, end) intervals via bucketed
+    equi-join + exact containment filter. ``bucket`` should be >= the
+    typical interval length; fan-out per interval is its covered bucket
+    count."""
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col(start_col)),
+                F.date_trunc("hour", F.col(end_col)),
+                F.expr(f"INTERVAL {bucket}"),
+            )
+        ),
+    )
+    pt = points.withColumn("_bucket", F.date_trunc("hour", F.col(point_ts)))
+    return (
+        pt.join(iv, "_bucket")
+        .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
+        .drop("_bucket")
+    )

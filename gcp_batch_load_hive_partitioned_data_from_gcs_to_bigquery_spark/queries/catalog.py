@@ -1010,6 +1010,80 @@ GROUP BY c_nationkey
 """
 
 
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no primitive): every day-1
+    event picks up the latest error-event value at or before its
+    timestamp, per user. One shuffle on the key via union+window carry-
+    forward (operators/temporal.py); oracle is DuckDB's native ASOF JOIN."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import asof_join
+
+    ev = _events_day1(spark, sf_dir)
+    left = ev.select("event_id", "user_id", "ts")
+    # unique (user_id, ts) state points so tie-breaks are well-defined on
+    # both engines
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_val"))
+    )
+    out = asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id", "user_id", F.round("state_val", 2).alias("last_error_value")
+    )
+
+
+ORACLE_JOIN_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+     r AS (SELECT user_id, ts, max(value) AS state_val FROM events
+           WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+           GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, round(CAST(r.state_val AS DOUBLE), 2) AS last_error_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via bucketed equi-join (custom
+    operator): the 50 earliest error events define 2-hour maintenance
+    windows; count day-1 events falling inside each. The inequality join
+    becomes explode-to-hour-buckets + equi-join + exact containment —
+    shuffle-based, no nested loop."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import (
+        range_join_buckets,
+    )
+
+    ev = _events_day1(spark, sf_dir)
+    intervals = (
+        ev.filter(F.col("event_type") == "error")
+        .orderBy("event_id")
+        .limit(50)
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        )
+    )
+    joined = range_join_buckets(ev, intervals, "ts", "start_ts", "end_ts")
+    return joined.groupBy("iv_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_JOIN_RANGE = """
+WITH iv AS (SELECT event_id AS iv_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+            FROM events WHERE event_type = 'error'
+              AND ts < TIMESTAMP '2024-01-02 00:00:00'
+            ORDER BY event_id LIMIT 50)
+SELECT iv_id, CAST(count(*) AS BIGINT) AS n_points,
+       round(CAST(sum(e.value) AS DOUBLE), 2) AS sum_value
+FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+WHERE e.ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY iv_id
+"""
+
+
 def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-hash join of a fact table to a small dim — zero shuffle on
     the fact side (verify BroadcastHashJoin in .explain)."""
@@ -1890,6 +1964,8 @@ QUERIES: dict[str, callable] = {
     "q18_large_orders": q18_large_orders,
     "join_broadcast_dim": q_join_broadcast_dim,
     "join_bucketed_colocated": q_join_bucketed_colocated,
+    "join_asof": q_join_asof,
+    "join_range_buckets": q_join_range_buckets,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_skew_salted": q_join_skew_salted,
@@ -1967,6 +2043,8 @@ ORACLES: dict[str, str] = {
     "q18_large_orders": ORACLE_Q18,
     "join_broadcast_dim": ORACLE_JOIN_BROADCAST,
     "join_bucketed_colocated": ORACLE_JOIN_BUCKETED,
+    "join_asof": ORACLE_JOIN_ASOF,
+    "join_range_buckets": ORACLE_JOIN_RANGE,
     "join_semi": ORACLE_JOIN_SEMI,
     "join_anti": ORACLE_JOIN_ANTI,
     "join_skew_salted": ORACLE_SKEW_SALTED,

@@ -122,3 +122,50 @@ def test_embedding_cosine_pairs_lsh_subset_of_exact(spark, emb):
         exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     )
     assert extras.count() == 0
+
+
+def test_asof_join_tie_and_ordering_semantics(spark):
+    """Hand-built frames: before-first-state → null, exact tie → inclusive
+    match, later events carry the latest prior state per key."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 00:30:00"), (2, "u", "2024-01-01 01:00:00"),
+         (3, "u", "2024-01-01 02:30:00"), (4, "v", "2024-01-01 05:00:00")],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 01:00:00", 10.0), ("u", "2024-01-01 02:00:00", 20.0)],
+        "user_id string, ts string, state_val double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {r["event_id"]: r["state_val"]
+           for r in asof_join(left, right, key="user_id").collect()}
+    assert out[1] is None          # before any state point
+    assert out[2] == 10.0          # tie at 01:00 matches inclusively
+    assert out[3] == 20.0          # latest prior state
+    assert out[4] is None          # key with no state points
+
+
+def test_range_join_boundary_semantics(spark):
+    """[start, end): start inclusive, end exclusive; multi-bucket spans."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import (
+        range_join_buckets,
+    )
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00"), (2, "2024-01-01 02:59:59"),
+         (3, "2024-01-01 03:00:00"), (4, "2024-01-01 00:59:59")],
+        "pid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [(100, "2024-01-01 01:00:00", "2024-01-01 03:00:00")],
+        "iv_id long, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.col("start_ts").cast("timestamp")).withColumn(
+        "end_ts", F.col("end_ts").cast("timestamp")
+    )
+
+    got = sorted(
+        r["pid"] for r in range_join_buckets(points, intervals, "ts", "start_ts", "end_ts").collect()
+    )
+    assert got == [1, 2]  # start inclusive, end exclusive, outside dropped
