@@ -130,9 +130,21 @@ def write_partition_overwrite(
     else:
         out = with_partition_columns(df, ts_col)
     if files_per_partition:
-        # Bound small-file count per partition; at 100 TB tune so each file
-        # lands near the 128 MiB-1 GiB sweet spot.
-        out = out.repartition(files_per_partition, *PARTITION_COLS)
+        # Control file count per partition; at 100 TB tune so each file
+        # lands near the 128 MiB-1 GiB sweet spot. The salt is required:
+        # hashing on the partition columns alone would send ALL rows of an
+        # hour to one task and always produce a single file.
+        # Round-robin salt + explicit partition count: even spread within
+        # each hour, and AQE never coalesces an explicitly-sized
+        # repartition back to one task.
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
+        out = (
+            out.withColumn("_file_salt", salt)
+            .repartition(
+                files_per_partition, *[F.col(c) for c in PARTITION_COLS], F.col("_file_salt")
+            )
+            .drop("_file_salt")
+        )
     if cluster_by:
         # BQ CLUSTER BY analogue: sort within files so Parquet row-group
         # min/max stats enable block skipping on the cluster keys.
@@ -145,6 +157,55 @@ def write_partition_overwrite(
         .save(table_root)
     )
     return JobState.SUCCESS
+
+
+def compact_partition(
+    spark: SparkSession,
+    table_root: str,
+    partition: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Size-tiered compaction of ONE hourly partition: rewrite its files
+    into ``ceil(partition_bytes / target_file_bytes)`` outputs (min 1),
+    re-sorted on the cluster key. The maintenance twin of
+    ``sink_partition_overwrite`` — hourly micro-batches leave small files;
+    periodic compaction restores the 128 MiB-1 GiB scan sweet spot without
+    touching any other partition (the rewrite IS an idempotent partition
+    overwrite). Returns the number of files written.
+
+    At 100 TB this runs per-partition and embarrassingly parallel across
+    partitions; cost is one read+write of the compacted hour only.
+    """
+    import math
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.functions.partition import (
+        hive_path_from_bq_partition,
+    )
+
+    part_dir = f"{table_root.rstrip('/')}/{hive_path_from_bq_partition(partition)}"
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(part_dir)
+    fs = path.getFileSystem(conf)
+    size = fs.getContentSummary(path).getLength()
+    n_files = max(1, math.ceil(size / target_file_bytes))
+
+    df = read_landing_table(spark, table_root, partition)
+    data_cols = [c for c in df.columns if c not in PARTITION_COLS]
+    # localCheckpoint materializes the hour BEFORE the overwrite — we are
+    # rewriting the exact files being read, so lineage must not re-scan
+    # them during the write.
+    staged = df.select(*data_cols).coalesce(n_files).localCheckpoint(eager=True)
+    write_partition_overwrite(
+        staged,
+        table_root,
+        cluster_by=cluster_by,
+        partition=partition,
+        create_never=False,
+    )
+    listed = fs.listStatus(path)
+    return sum(1 for st in listed if st.getPath().getName().startswith("part-"))
 
 
 def read_landing_table(

@@ -306,6 +306,34 @@ UNION ALL SELECT 'created_table', 0
 """
 
 
+def q_sink_compact_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-tiered partition compaction (maintenance twin of the sink,
+    SURVEY §7): land one hour fragmented into 16 files, compact it to the
+    target file size (1 file at this SF), read back pruned — content must
+    be byte-equal to the uncompacted hour (the oracle checks content; the
+    file-count drop is pinned in tests/test_ingest.py)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        compact_partition,
+        create_partitioned_table,
+        read_landing_table,
+        write_partition_overwrite,
+    )
+
+    table_root = _tmp("compact")
+    create_partitioned_table(spark, table_root)
+    hour = _events_day1(spark, sf_dir).filter(F.date_format("ts", "yyyyMMddHH") == PART_HOUR)
+    write_partition_overwrite(hour, table_root, files_per_partition=16)
+    compact_partition(spark, table_root, PART_HOUR, cluster_by=["user_id"])
+    back = read_landing_table(spark, table_root, PART_HOUR)
+    return back.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+ORACLE_SINK_COMPACT = f"""
+SELECT event_id, user_id, event_type, round(CAST(value AS DOUBLE), 2) AS value
+FROM events WHERE {_HOUR_PRED_SQL}
+"""
+
+
 def q_ddl_create_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ddl_create_partitioned_table (bq_create_table_ddl.sql:1-13,
     commands.sh:17-26): the landing-table DDL as Spark SQL — ``CREATE
@@ -1939,6 +1967,7 @@ QUERIES: dict[str, callable] = {
     "sink_skip_empty": q_sink_skip_empty,
     "sink_create_never": q_sink_create_never,
     "ddl_create_partitioned_table": q_ddl_create_partitioned_table,
+    "sink_compact_partition": q_sink_compact_partition,
     "filter_require_partition": q_filter_require_partition,
     "job_state_poll": q_job_state_poll,
     "backfill_range": q_backfill_range,
@@ -2021,6 +2050,7 @@ ORACLES: dict[str, str] = {
     "sink_skip_empty": ORACLE_SKIP_EMPTY,
     "sink_create_never": ORACLE_CREATE_NEVER,
     "ddl_create_partitioned_table": ORACLE_DDL_CREATE,
+    "sink_compact_partition": ORACLE_SINK_COMPACT,
     "filter_require_partition": ORACLE_REQUIRE_PARTITION,
     "job_state_poll": ORACLE_JOB_POLL,
     "backfill_range": ORACLE_BACKFILL,

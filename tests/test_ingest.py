@@ -161,3 +161,45 @@ def test_async_registry_ingest(spark, hive_csv_root, tmp_path):
     assert meta.status == JobState.RUNNING
     final = registry.wait(plan.job_id, timeout=120)
     assert final.status == JobState.SUCCESS
+
+
+def test_compact_partition_reduces_files_preserves_content(spark, events, tmp_path):
+    """Fragmented hour (16-way salted write over a dense synthetic hour)
+    → 1 compacted file, identical rows."""
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        compact_partition,
+        create_partitioned_table,
+        read_landing_table,
+        write_partition_overwrite,
+    )
+
+    hour = spark.range(512).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id") % 3600)).alias("ts"),
+        (F.col("id") % 37).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") * 1.5).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    table_root = str(tmp_path / "compact_tbl")
+    create_partitioned_table(spark, table_root)
+    write_partition_overwrite(hour, table_root, files_per_partition=16)
+
+    part_dir = tmp_path / "compact_tbl" / "year=2024" / "month=01" / "day=01" / "hour=00"
+    before = len([p for p in part_dir.iterdir() if p.name.startswith("part-")])
+    assert before > 1
+
+    expected = sorted(
+        tuple(r) for r in read_landing_table(spark, table_root, "2024010100")
+        .select("event_id", "user_id", "value").collect()
+    )
+    n_after = compact_partition(spark, table_root, "2024010100", cluster_by=["user_id"])
+    assert n_after == 1
+    got = sorted(
+        tuple(r) for r in read_landing_table(spark, table_root, "2024010100")
+        .select("event_id", "user_id", "value").collect()
+    )
+    assert got == expected
