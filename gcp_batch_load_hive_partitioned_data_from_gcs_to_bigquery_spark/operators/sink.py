@@ -208,6 +208,47 @@ def compact_partition(
     return sum(1 for st in listed if st.getPath().getName().startswith("part-"))
 
 
+def maintain_hourly_rollup(
+    spark: SparkSession,
+    table_root: str,
+    rollup_root: str,
+    partition: str,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    ts_col: str = "ts",
+) -> JobState:
+    """Incrementally maintain a continuous hourly aggregate (the
+    hypertable-rollup pattern): after ingesting hour ``partition`` into
+    the landing table, recompute ONLY that hour's rollup rows and
+    partition-overwrite them into ``rollup_root``.
+
+    ``agg_exprs`` maps output column → SQL aggregate over the hour (e.g.
+    ``{"n_rows": "count(*)", "sum_value": "sum(value)"}``).
+
+    Scale properties: cost per maintenance call is one pruned read of the
+    refreshed hour + one tiny write — independent of total table size —
+    and because the rollup write is itself an idempotent partition
+    replace, re-ingesting an hour (late data, backfill) re-derives that
+    hour's aggregates exactly, never double-counts (the same guarantee
+    the reference's WRITE_TRUNCATE gives raw rows, lifted to the
+    aggregate level).
+    """
+    hour = read_landing_table(spark, table_root, partition)
+    agg_cols = [F.expr(sql).alias(name) for name, sql in agg_exprs.items()]
+    rolled = hour.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_cols)
+    # carry a representative timestamp so the rollup table partitions on
+    # the same hour as its source partition
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.functions.partition import (
+        datetime_from_bq_partition,
+    )
+
+    rolled = rolled.withColumn(
+        ts_col, F.lit(datetime_from_bq_partition(partition)).cast("timestamp")
+    )
+    create_partitioned_table(spark, rollup_root)
+    return write_partition_overwrite(rolled, rollup_root, ts_col=ts_col, partition=partition)
+
+
 def read_landing_table(
     spark: SparkSession,
     table_root: str,

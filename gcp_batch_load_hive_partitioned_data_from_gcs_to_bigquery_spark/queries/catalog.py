@@ -334,6 +334,60 @@ FROM events WHERE {_HOUR_PRED_SQL}
 """
 
 
+def q_rollup_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous hourly rollup (hypertable pattern): ingest three hours,
+    maintain a per-hour aggregate table incrementally after each ingest —
+    re-maintaining one hour twice to prove the aggregate never double-
+    counts — then read the rollup table back pruned to those hours."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        maintain_hourly_rollup,
+        read_landing_table,
+        write_partition_overwrite,
+    )
+
+    hours = ["2024010100", "2024010101", "2024010102"]
+    table_root = _tmp("cr_landing")
+    rollup_root = _tmp("cr_rollup")
+    create_partitioned_table(spark, table_root)
+    ev = _events_day1(spark, sf_dir)
+    aggs = {
+        "n_rows": "count(*)",
+        "sum_value": "round(sum(value), 2)",
+        "n_users": "count(distinct user_id)",
+    }
+    for h in hours:
+        batch = ev.filter(F.date_format("ts", "yyyyMMddHH") == h)
+        write_partition_overwrite(batch, table_root)
+        maintain_hourly_rollup(spark, table_root, rollup_root, h, ["event_type"], aggs)
+    # late-data re-ingest of hour 0: rollup must re-derive, not accumulate
+    batch0 = ev.filter(F.date_format("ts", "yyyyMMddHH") == hours[0])
+    write_partition_overwrite(batch0, table_root)
+    maintain_hourly_rollup(spark, table_root, rollup_root, hours[0], ["event_type"], aggs)
+
+    frames = [
+        read_landing_table(spark, rollup_root, h).select(
+            F.lit(h).alias("hour_partition"), "event_type", "n_rows", "sum_value", "n_users"
+        )
+        for h in hours
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+ORACLE_ROLLUP_CONTINUOUS = """
+SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hour_partition,
+       event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-01 03:00:00'
+GROUP BY 1, 2
+"""
+
+
 def q_ddl_create_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ddl_create_partitioned_table (bq_create_table_ddl.sql:1-13,
     commands.sh:17-26): the landing-table DDL as Spark SQL — ``CREATE
@@ -1968,6 +2022,7 @@ QUERIES: dict[str, callable] = {
     "sink_create_never": q_sink_create_never,
     "ddl_create_partitioned_table": q_ddl_create_partitioned_table,
     "sink_compact_partition": q_sink_compact_partition,
+    "rollup_continuous_hourly": q_rollup_continuous_hourly,
     "filter_require_partition": q_filter_require_partition,
     "job_state_poll": q_job_state_poll,
     "backfill_range": q_backfill_range,
@@ -2051,6 +2106,7 @@ ORACLES: dict[str, str] = {
     "sink_create_never": ORACLE_CREATE_NEVER,
     "ddl_create_partitioned_table": ORACLE_DDL_CREATE,
     "sink_compact_partition": ORACLE_SINK_COMPACT,
+    "rollup_continuous_hourly": ORACLE_ROLLUP_CONTINUOUS,
     "filter_require_partition": ORACLE_REQUIRE_PARTITION,
     "job_state_poll": ORACLE_JOB_POLL,
     "backfill_range": ORACLE_BACKFILL,
