@@ -1454,6 +1454,53 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
 """
 
 
+def q_window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-minute silence starts a new session
+    (new-session flag → running sum = session index — two window passes
+    over ONE shuffle on user_id, since both windows share the same
+    partitioning+ordering). Output: per-user session count and the mean
+    events-per-session. The batch form of streaming session windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "session_idx"
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+),
+p AS (SELECT user_id, session_idx, count(*) AS n_events FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       round(CAST(avg(n_events) AS DOUBLE), 4) AS avg_events_per_session
+FROM p GROUP BY user_id
+"""
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: TakeOrderedAndProject, no full sort."""
     orders = load_table(spark, sf_dir, "orders")
@@ -2063,6 +2110,7 @@ QUERIES: dict[str, callable] = {
     "window_topk_per_group": q_window_topk_per_group,
     "window_running_total": q_window_running_total,
     "window_lag_gap": q_window_lag_gap,
+    "window_sessionize": q_window_sessionize,
     "topk_orders": q_topk_orders,
     "set_except": q_set_except,
     "set_intersect": q_set_intersect,
@@ -2144,6 +2192,7 @@ ORACLES: dict[str, str] = {
     "window_topk_per_group": ORACLE_WINDOW_TOPK,
     "window_running_total": ORACLE_RUNNING,
     "window_lag_gap": ORACLE_LAG_GAP,
+    "window_sessionize": ORACLE_SESSIONIZE,
     "topk_orders": ORACLE_TOPK,
     "set_except": ORACLE_EXCEPT,
     "set_intersect": ORACLE_INTERSECT,
