@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q18_large_orders",
     "window_running_total",
+    "window_sessionize",
+    "join_asof",
     "agg_stats",
     # training-data pipeline
     "dedup_exact",
@@ -60,10 +62,11 @@ def main() -> None:
         _ident, _T.StructType([_T.StructField("id", _T.LongType())])
     ).write.format("noop").mode("overwrite").save()
 
-    # Two passes, report the min: the host shows intermittent hypervisor
-    # CPU-steal waves; min-of-2 measures the query, not the noise.
+    # Three passes, report the min: the host shows intermittent hypervisor
+    # CPU-steal waves (observed 3-15x inflation for whole passes); the min
+    # measures the query, not the noise.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in BENCH_QUERIES:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
