@@ -1889,6 +1889,78 @@ FROM f
 """
 
 
+def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by (lang, source): doc counts, stored-vs-computed
+    length agreement, mean length — the first query any training-data
+    curation run does before filtering. One shuffle on a tiny key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum((F.length("text") == F.col("n_chars")).cast("long")).alias("n_len_match"),
+        )
+    )
+
+
+ORACLE_TEXT_CORPUS = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(avg(n_chars) AS DOUBLE), 2) AS avg_chars,
+       CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_len_match
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN classification over the embedding corpus: predict
+    each query vector's label as the majority among its top-5 cosine
+    neighbors (ties → smaller label), compared to ground truth. The
+    evaluation query every ANN index is judged by."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = SIM.cosine_topk(emb, queries, k=5)
+    labeled = topk.join(
+        emb.select(F.col("vec_id"), F.col("label").alias("neighbor_label")), "vec_id"
+    )
+    votes = labeled.groupBy("query_id", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("neighbor_label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("neighbor_label").alias("predicted_label"))
+    )
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "predicted_label",
+        "true_label",
+        (F.col("predicted_label") == F.col("true_label")).cast("int").alias("correct"),
+    )
+
+
+ORACLE_ANN_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS true_label
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+s AS (
+  SELECT query_id, true_label, c.vec_id, c.label AS neighbor_label,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM q, c WHERE c.vec_id <> query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM s),
+v AS (SELECT query_id, true_label, neighbor_label, count(*) AS n_votes
+      FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+p AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, neighbor_label ASC) AS rk FROM v)
+SELECT query_id, CAST(neighbor_label AS INT) AS predicted_label,
+       CAST(true_label AS INT) AS true_label,
+       CAST(CASE WHEN neighbor_label = true_label THEN 1 ELSE 0 END AS INT) AS correct
+FROM p WHERE rk = 1
+"""
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language heuristic (deterministic, SQL-replicable)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2128,11 +2200,13 @@ QUERIES: dict[str, callable] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     # similarity
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_knn_classify": q_ann_knn_classify,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     # text analysis
     "text_token_counts": q_text_token_counts,
+    "text_corpus_stats": q_text_corpus_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
@@ -2207,8 +2281,10 @@ ORACLES: dict[str, str] = {
     # hashing, rows-only checks by design.
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ann_cosine_topk": ORACLE_ANN,
+    "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
+    "text_corpus_stats": ORACLE_TEXT_CORPUS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
