@@ -150,7 +150,17 @@ def minhash_lsh_pairs(
 
     left = banded.alias("a")
     right = banded.alias("b")
-    cand = (
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    # Score and threshold BEFORE the distinct: the estimate is a cheap
+    # per-row expression (even recomputed for multi-band duplicates),
+    # while dropDuplicates is a shuffle — filtering first and projecting
+    # away the signatures shrinks that shuffle from ~1 KB/candidate (two
+    # 64-long arrays) to 24 bytes of (doc_a, doc_b, est).
+    return (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
@@ -163,17 +173,10 @@ def minhash_lsh_pairs(
             F.col("a.signature").alias("sig_a"),
             F.col("b.signature").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(num_hashes))
-    return (
-        cand.withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -236,6 +239,9 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
         ).alias("bv"),
     ).select("doc_id", "simhash", F.col("bv.block").alias("block"), F.col("bv.value").alias("value"))
     a, b = blocks.alias("a"), blocks.alias("b")
+    # Popcount-filter BEFORE the distinct: random non-dup pairs sit at
+    # Hamming ~32, so the threshold removes most candidates — the
+    # dropDuplicates shuffle then carries only true near-dups.
     return (
         a.join(
             b,
@@ -248,8 +254,8 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
