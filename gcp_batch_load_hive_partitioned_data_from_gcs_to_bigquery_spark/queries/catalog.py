@@ -1003,6 +1003,41 @@ GROUP BY o_orderpriority
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: conditional aggregate over a
+    fact-dim join — lineitem pruned to 4 columns behind a pushed shipdate
+    range, part broadcast, the CASE folds into the partial agg so the
+    final exchange moves two doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(F.lit(0.0)))
+            / F.sum(disc_price),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_Q14 = """
+SELECT round(CAST(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style large-volume customers: aggregate-then-semi-join —
     the HAVING subquery becomes a reusable aggregated frame joined back on
@@ -2164,6 +2199,7 @@ QUERIES: dict[str, callable] = {
     "q5_local_supplier": q5_local_supplier,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "join_broadcast_dim": q_join_broadcast_dim,
     "join_bucketed_colocated": q_join_bucketed_colocated,
@@ -2248,6 +2284,7 @@ ORACLES: dict[str, str] = {
     "q5_local_supplier": ORACLE_Q5,
     "q4_order_priority": ORACLE_Q4,
     "q6_forecast_revenue": ORACLE_Q6,
+    "q14_promo_revenue": ORACLE_Q14,
     "q18_large_orders": ORACLE_Q18,
     "join_broadcast_dim": ORACLE_JOIN_BROADCAST,
     "join_bucketed_colocated": ORACLE_JOIN_BUCKETED,
