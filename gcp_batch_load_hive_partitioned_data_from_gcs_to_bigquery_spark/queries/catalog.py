@@ -1996,6 +1996,28 @@ FROM p WHERE rk = 1
 """
 
 
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column (the coarse-quantizer
+    build step behind IVF): posexplode → (label, dim) mean — one shuffle
+    keyed on (label, dim), map-side partial averaging, no vectors ever
+    collected to the driver. Flat (label, dim, centroid) output keeps the
+    oracle comparison exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
+
+
+ORACLE_EMB_CENTROIDS = """
+SELECT label, CAST(t.i AS INT) AS dim,
+       round(CAST(avg(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)) AS DOUBLE), 6) AS centroid
+FROM embeddings CROSS JOIN range(64) t(i)
+GROUP BY label, dim
+"""
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language heuristic (deterministic, SQL-replicable)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2240,6 +2262,7 @@ QUERIES: dict[str, callable] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "embedding_label_centroids": q_embedding_label_centroids,
     # text analysis
     "text_token_counts": q_text_token_counts,
     "text_corpus_stats": q_text_corpus_stats,
@@ -2320,6 +2343,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": ORACLE_ANN,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
+    "embedding_label_centroids": ORACLE_EMB_CENTROIDS,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
     "text_corpus_stats": ORACLE_TEXT_CORPUS,
     "text_quality": ORACLE_TEXT_QUALITY,
