@@ -2354,3 +2354,11 @@ ORACLES: dict[str, str] = {
     "multimodal_frame_sample": ORACLE_MM_FRAMES,
     "multimodal_resize": ORACLE_MM_RESIZE,
 }
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.tpch_extra import (  # noqa: E402
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+)
+
+QUERIES.update(EXTRA_QUERIES)
+ORACLES.update(EXTRA_ORACLES)
