@@ -1,0 +1,105 @@
+"""Deterministic sampling / splitting / mixing operators for
+training-data pipelines.
+
+A 100 TB corpus can't use `rand()`-based sampling: re-runs must be
+reproducible (the reference's whole idempotency stance — its partition
+re-loads replace rather than append, `README.md:34-39`,
+`ingestion/bigquery_interaction.py:20` — extends to "re-running a
+pipeline stage yields the same sample"). Every operator here derives its
+randomness from a *content hash of the row key*, so membership is a pure
+function of (key, salt):
+
+* re-runs, retries, and backfills produce identical splits;
+* no shuffle is needed — each row decides membership locally (narrow
+  dependency, survives any partitioning);
+* the same row lands in the same split on any cluster size.
+
+The hash is a Knuth multiplicative hash on the 64-bit key (documented
+constant 2654435761 = floor(2^32/phi)); production engines would use
+xxhash64, but the arithmetic form is reproducible in ANSI SQL, which
+keeps every operator DuckDB-oracle-checkable — the driver contract this
+repo is validated under.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# floor(2^32 / golden_ratio), the classic Knuth multiplicative constant.
+_KNUTH = 2654435761
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 10000) from a 64-bit key column.
+
+    Pure 64-bit arithmetic (no overflow for keys < ~3.4e9 even after the
+    salt add), identical in Spark and ANSI SQL: the oracle twin is
+    `((key + salt) * 2654435761) % 10000`.
+    """
+    return ((key.cast("long") + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(_BUCKETS)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: int = 0,
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hash
+    bucket. Weights must sum to ~1. Adds a `split` column; no shuffle,
+    no sampling variance between runs."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    items = sorted(weights.items())  # deterministic order
+    for name, w in items[:-1]:
+        cum += w
+        cond = bucket < int(cum * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sample: per stratum, keep rows whose hash
+    bucket falls below fraction*10000. Unlike `df.sampleBy` this is
+    exact-membership reproducible (same rows every run, any cluster) and
+    stays a narrow map — no shuffle, no seed plumbing."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    keep = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = (F.col(strata_col) == stratum) & (bucket < int(frac * _BUCKETS))
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep if keep is not None else F.lit(False))
+
+
+def weighted_mix(
+    df: DataFrame,
+    source_col: str,
+    source_fractions: dict[str, float],
+    key_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted source mixing (the "data mixture" step of a training
+    pipeline): downsample each source to its configured fraction via the
+    deterministic hash filter. Sources absent from the dict are dropped
+    — the mixture is explicit, nothing rides along silently."""
+    return stratified_sample(df, source_col, source_fractions, key_col, salt)
+
+
+def split_counts(df: DataFrame, by: list[str]) -> DataFrame:
+    """Audit aggregate for any of the above: row counts per group —
+    the number a pipeline operator reconciles against its config."""
+    return df.groupBy(*by).agg(F.count(F.lit(1)).alias("n_rows"))

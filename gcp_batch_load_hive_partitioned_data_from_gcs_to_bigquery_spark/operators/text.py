@@ -117,3 +117,44 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     key = F.sha2(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))), 256)
     return df.select(F.col(id_col), key.alias("fingerprint"))
+
+
+# PII patterns kept to syntax shared by Java regex and RE2 so the DuckDB
+# oracle runs the identical expression.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact email addresses and phone numbers, reporting per-document
+    match counts. Pure regexp_replace/regexp_count — JVM-side, no UDF;
+    at 100 TB this is a narrow map over the corpus."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("text_redacted"),
+    )
+
+
+def chunk_windows(
+    df: DataFrame, id_col: str, text_col: str, size: int = 200, overlap: int = 50
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the chunking step ahead of embedding in a retrieval/training
+    pipeline. sequence+explode keeps it a narrow JVM-side op (rows fan
+    out in place, no shuffle); chunk ids stay deterministic
+    (doc_id, start)."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    step = size - overlap
+    text = F.col(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.length(text), F.lit(1)), F.lit(step))
+    return df.select(
+        F.col(id_col),
+        F.explode(starts).alias("chunk_start"),
+        text.substr(F.col("chunk_start"), F.lit(size)).alias("chunk"),
+    )

@@ -2359,6 +2359,12 @@ from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.tpc
     EXTRA_ORACLES,
     EXTRA_QUERIES,
 )
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.pipeline_extra import (  # noqa: E402
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
 
 QUERIES.update(EXTRA_QUERIES)
 ORACLES.update(EXTRA_ORACLES)
+QUERIES.update(PIPELINE_QUERIES)
+ORACLES.update(PIPELINE_ORACLES)

@@ -1,0 +1,229 @@
+"""Training-data pipeline queries: deterministic sampling/splitting/
+mixing, document chunking, PII scrubbing, and near-duplicate cluster
+resolution (connected components).
+
+These extend the reference-parity surface with the operations a 100 TB
+pretraining-corpus pipeline runs between ingest (the reference's job,
+SURVEY.md §0) and training: carve reproducible splits, rebalance source
+mixtures, window documents for embedding, redact PII, and collapse
+near-duplicate pair graphs into clusters. All sampling is hash-derived
+(operators/sampling.py) so re-runs are idempotent — the same property
+the reference guarantees for partition loads (README.md:34-39 of the
+reference) extended to sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import sampling as S
+from ..operators import text as TX
+from ..sources.tables import load_table
+
+# Oracle twin of operators/sampling.hash_bucket.
+_BUCKET_SQL = "(({key} + {salt}) * 2654435761) % 10000"
+
+
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the document corpus
+    by key hash: membership is a pure function of doc_id, so re-runs and
+    backfills reproduce the same split with zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = S.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return S.split_counts(split, ["split"]).orderBy("split")
+
+
+ORACLE_SAMPLE_SPLIT = f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n_rows
+FROM (SELECT CASE WHEN {_BUCKET_SQL.format(key='doc_id', salt=0)} < 1000 THEN 'test'
+                  WHEN {_BUCKET_SQL.format(key='doc_id', salt=0)} < 9000 THEN 'train'
+                  ELSE 'val' END AS split
+      FROM documents)
+GROUP BY split
+ORDER BY split
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-language keep fractions
+    (downsample dominant English, keep more of the tail) via the hash
+    filter — a narrow map, no shuffle until the audit count."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.9, "es": 0.9, "fr": 0.9, "zh": 0.25}
+    kept = S.stratified_sample(docs, "lang", fractions, "doc_id", salt=7)
+    return S.split_counts(kept, ["lang"]).orderBy("lang")
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+WHERE (lang = 'de' AND {_BUCKET_SQL.format(key='doc_id', salt=7)} < 9000)
+   OR (lang = 'en' AND {_BUCKET_SQL.format(key='doc_id', salt=7)} < 5000)
+   OR (lang = 'es' AND {_BUCKET_SQL.format(key='doc_id', salt=7)} < 9000)
+   OR (lang = 'fr' AND {_BUCKET_SQL.format(key='doc_id', salt=7)} < 9000)
+   OR (lang = 'zh' AND {_BUCKET_SQL.format(key='doc_id', salt=7)} < 2500)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixture: three sources resampled at explicit
+    fractions, everything else dropped — the data-mixing step of a
+    training pipeline, idempotent under re-run."""
+    docs = load_table(spark, sf_dir, "documents")
+    mix = S.weighted_mix(
+        docs, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "doc_id", salt=13
+    )
+    return S.split_counts(mix, ["source"]).orderBy("source")
+
+
+ORACLE_SAMPLE_MIX = f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+WHERE (source = 'src0' AND {_BUCKET_SQL.format(key='doc_id', salt=13)} < 10000)
+   OR (source = 'src1' AND {_BUCKET_SQL.format(key='doc_id', salt=13)} < 5000)
+   OR (source = 'src2' AND {_BUCKET_SQL.format(key='doc_id', salt=13)} < 2500)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character windows (200 chars, 50 overlap)
+    over every document — the chunking stage ahead of embedding. Explode
+    is a narrow fan-out; chunk identity (doc_id, chunk_start) is
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = TX.chunk_windows(docs, "doc_id", "text", size=200, overlap=50)
+    return chunks.select(
+        "doc_id", "chunk_start", F.length("chunk").alias("chunk_len"), "chunk"
+    )
+
+
+ORACLE_CHUNKS = """
+SELECT doc_id, s AS chunk_start,
+       CAST(length(substr(text, s, 200)) AS INTEGER) AS chunk_len,
+       substr(text, s, 200) AS chunk
+FROM documents, LATERAL unnest(generate_series(1, greatest(length(text), 1), 150)) AS t(s)
+"""
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with per-document match counts. The corpus
+    is synthetic word-salad with no PII, so the query injects a
+    deterministic contact line derived from doc_id and then scrubs it —
+    both engines derive and redact identically, proving the operator on
+    non-trivial matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +"),
+        (F.col("doc_id") % 900 + 100).cast("string"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    scrubbed = TX.pii_scrub(docs.select("doc_id", contact.alias("text")), "doc_id", "text")
+    return scrubbed.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("text_redacted").alias("redacted_len"),
+        F.substring("text_redacted", 1, 40).alias("redacted_head"),
+    )
+
+
+ORACLE_PII = r"""
+WITH injected AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +'
+           || CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text AS text
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+         regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text_redacted
+  FROM injected
+)
+SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails, CAST(n_phones AS INTEGER) AS n_phones,
+       CAST(length(text_redacted) AS INTEGER) AS redacted_len,
+       substr(text_redacted, 1, 40) AS redacted_head
+FROM scrubbed
+"""
+
+
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster resolution: exact 3-gram Jaccard pairs
+    (threshold 0.1) collapsed into connected components by iterative
+    min-label propagation — pairwise dedup output becomes per-cluster
+    keep/drop decisions. Returns component root and member count."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("component")
+    )
+
+
+ORACLE_CC = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.node
+)
+SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node)
+GROUP BY component
+ORDER BY component
+"""
+
+
+PIPELINE_QUERIES: dict[str, callable] = {
+    "sample_hash_split": q_sample_hash_split,
+    "sample_stratified": q_sample_stratified,
+    "sample_weighted_mix": q_sample_weighted_mix,
+    "text_chunk_windows": q_text_chunk_windows,
+    "text_pii_scrub": q_text_pii_scrub,
+    "dedup_connected_components": q_dedup_connected_components,
+}
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "sample_hash_split": ORACLE_SAMPLE_SPLIT,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "sample_weighted_mix": ORACLE_SAMPLE_MIX,
+    "text_chunk_windows": ORACLE_CHUNKS,
+    "text_pii_scrub": ORACLE_PII,
+    "dedup_connected_components": ORACLE_CC,
+}

@@ -1,0 +1,109 @@
+"""Tests for deterministic sampling/splitting/mixing and the
+near-duplicate connected-components resolver: reproducibility (the
+property that motivates hash-derived sampling), partition invariance,
+and graph-clustering correctness on a hand-built graph.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import dedup as D
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import sampling as S
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import text as TX
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_hash_split_is_deterministic_and_total(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = S.hash_split(docs, "doc_id", w).select("doc_id", "split").collect()
+    b = S.hash_split(docs.repartition(7), "doc_id", w).select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partitioning-invariant
+    assert len(a) == docs.count()  # total: every row assigned
+    splits = {s for _, s in a}
+    assert splits <= {"train", "val", "test"}
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError):
+        S.hash_split(docs, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_hash_split_fractions_approximate_weights(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    counts = dict(
+        S.hash_split(docs, "doc_id", w)
+        .groupBy("split")
+        .count()
+        .rdd.map(tuple)
+        .collect()
+    )
+    n = docs.count()
+    assert counts.get("train", 0) / n == pytest.approx(0.8, abs=0.15)
+
+
+def test_stratified_sample_subsets_each_stratum(spark, docs):
+    frac = {"en": 0.5, "de": 1.0}
+    kept = S.stratified_sample(docs, "lang", frac, "doc_id", salt=3)
+    assert set(r[0] for r in kept.select("lang").distinct().collect()) <= {"en", "de"}
+    de_all = docs.filter(F.col("lang") == "de").count()
+    de_kept = kept.filter(F.col("lang") == "de").count()
+    assert de_kept == de_all  # fraction 1.0 keeps everything
+    # determinism under re-run
+    again = S.stratified_sample(docs, "lang", frac, "doc_id", salt=3)
+    assert sorted(r[0] for r in kept.select("doc_id").collect()) == sorted(
+        r[0] for r in again.select("doc_id").collect()
+    )
+
+
+def test_salt_changes_membership(spark, docs):
+    frac = {"en": 0.5}
+    a = {r[0] for r in S.stratified_sample(docs, "lang", frac, "doc_id", 1).select("doc_id").collect()}
+    b = {r[0] for r in S.stratified_sample(docs, "lang", frac, "doc_id", 2).select("doc_id").collect()}
+    assert a != b  # different salt, different (but each deterministic) sample
+
+
+def test_connected_components_hand_graph(spark):
+    # two components {1,2,3,4} (a path) and {10,11}; 20-20 self-free
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    cc = D.connected_components(edges).collect()
+    got = {r["node"]: r["component"] for r in cc}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_chunk_windows_cover_text_exactly(spark):
+    df = spark.createDataFrame([(1, "a" * 450), (2, "xy")], ["doc_id", "text"])
+    chunks = TX.chunk_windows(df, "doc_id", "text", size=200, overlap=50).collect()
+    d1 = sorted((r["chunk_start"], len(r["chunk"])) for r in chunks if r["doc_id"] == 1)
+    assert d1 == [(1, 200), (151, 200), (301, 150)]  # stride 150, tail truncated
+    d2 = [(r["chunk_start"], r["chunk"]) for r in chunks if r["doc_id"] == 2]
+    assert d2 == [(1, "xy")]  # short doc → one chunk, no empties
+
+
+def test_chunk_windows_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        TX.chunk_windows(df, "doc_id", "text", size=100, overlap=100)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org call 555-123-4567"),
+            (2, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TX.pii_scrub(df, "doc_id", "text").collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["text_redacted"] and "<PHONE>" in out[1]["text_redacted"]
+    assert "@" not in out[1]["text_redacted"]
+    assert out[2]["n_emails"] == 0 and out[2]["text_redacted"] == "no pii here"
