@@ -417,8 +417,9 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16-style supplier variety (adapted: part↔supplier pairs come
     from lineitem, no partsupp): distinct supplier count per
     (brand, type, size) for selected sizes, excluding one brand. The
-    distinct-pair projection collapses lineitem before the count shuffle
-    so the expensive distinct runs on the narrow key set."""
+    broadcast part filter runs *before* the pair-distinct, so the dedup
+    shuffle carries only qualifying partkeys (~15% of fact rows), and
+    the distinct collapses the pairs before the final count shuffle."""
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
         & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
@@ -426,8 +427,8 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pairs = (
         li.select("l_partkey", "l_suppkey")
-        .dropDuplicates(["l_partkey", "l_suppkey"])
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .dropDuplicates(["l_partkey", "l_suppkey"])
     )
     return (
         pairs.groupBy("p_brand", "p_type", "p_size")
@@ -569,40 +570,36 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-style suppliers-who-kept-orders-waiting (adapted: the
     commit/receipt lateness predicate becomes l_returnflag = 'R'):
     suppliers who were the *only* returned-flag supplier on a
-    multi-supplier finalized order. EXISTS → left-semi on the distinct
-    other-supplier pairs, NOT EXISTS → left-anti on the distinct
-    other-R-supplier pairs; both right sides are distinct-projected to
-    (orderkey, suppkey) before the join so the shuffles carry keys only."""
+    multi-supplier finalized order.
+
+    The EXISTS / NOT EXISTS pair is algebraized away instead of run as
+    self-joins: one pass collapses lineitem to distinct
+    (orderkey, suppkey, had_R) pairs, a second aggregates those to
+    per-order supplier counts — "exists another supplier" is
+    n_supp > 1 and "no other R supplier" is n_r_supp = 1. One scan of
+    the fact table and shuffles only on shrinking derived frames,
+    versus three scans + two pair self-joins for the naive plan (which
+    only survives at test scale because AQE broadcasts the pairs)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
 
-    l1 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .dropDuplicates(["l_orderkey", "l_suppkey"])
-        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    base = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
+        .persist()
     )
-    pairs_all = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    ).dropDuplicates(["o2_orderkey", "o2_suppkey"])
-    pairs_r = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey"))
-        .dropDuplicates(["o3_orderkey", "o3_suppkey"])
+    order_stats = base.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").alias("n_r_supp")
     )
     waiting = (
-        l1.join(
-            pairs_all,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        base.filter(F.col("has_r") == 1)
+        .join(
+            order_stats.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)),
+            F.col("l_orderkey") == F.col("os_orderkey"),
             "left_semi",
-        ).join(
-            pairs_r,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
         )
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
     return (
         waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)

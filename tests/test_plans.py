@@ -87,3 +87,46 @@ def test_q18_partial_agg_before_join(spark):
     assert "struct<l_orderkey:bigint,l_quantity:double>" in plan
     assert "partial_sum(l_quantity" in plan
     assert "BroadcastHashJoin" in plan  # customer dim broadcast
+
+
+def test_q21_single_fact_scan(spark):
+    """The algebraized Q21 reads lineitem once; the naive EXISTS/NOT
+    EXISTS formulation needs three scans + two pair self-joins."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan  # top-20 without global sort
+
+
+def test_q16_filters_before_distinct(spark):
+    """Part predicates must be pushed to the part scan (the broadcast
+    filter side), and supplier-count dedup happens post-filter."""
+    plan = _plan(spark, "q16_part_supplier_variety")
+    assert "Not(EqualTo(p_brand,Brand#5))" in plan
+    assert "In(p_size" in plan
+
+
+def test_q15_no_global_window(spark):
+    """Max-revenue supplier must come from a 1-row aggregate broadcast
+    back, not a Window over an unpartitioned frame."""
+    plan = _plan(spark, "q15_top_supplier")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_decorrelated_single_shuffle(spark):
+    """The per-part AVG subquery must appear as an aggregate + broadcast
+    join, not a per-row re-scan: exactly one scan of lineitem feeding
+    both sides via a semi-filtered projection is ideal, but the guard is
+    no more than two fact scans and a broadcast application."""
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert plan.count("lineitem.parquet") <= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sample_split_is_scan_plus_project(spark):
+    """Hash-split membership must be a narrow map: no Exchange before
+    the audit aggregation's own shuffle."""
+    plan = _plan(spark, "sample_hash_split")
+    # exactly one hash exchange (the audit groupBy); the only other
+    # allowed exchange is the final orderBy's range partitioning
+    assert plan.count("hashpartitioning(") == 1
