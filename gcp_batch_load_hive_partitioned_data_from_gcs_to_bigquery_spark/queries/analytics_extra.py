@@ -1,0 +1,149 @@
+"""Additional analytics surface: grouping sets, event-time range-frame
+windows, an ORC instance of the generic-format source, and an
+approx-distinct accuracy gate.
+
+Fills the remaining §2.5/§2.6 shapes (multi-level aggregation lattices,
+time-interval window frames) plus one more `source_generic_format`
+format instance (ORC — the reference's job-config pass-through,
+`ingestion/app.py:33` / `README.md:6-7` of the reference, is
+format-agnostic by design). The approx gate follows the repo rule that
+every approximate path is bounded by an exact one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS lattice over events: per (type, day), per type, and
+    grand total in ONE pass — the multi-level rollup a monitoring
+    dashboard issues against the landing table. Spark plans a single
+    Expand + one shuffle rather than three scans+unions; labels are
+    coalesced so both engines emit identical rows without grouping_id."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(date_format(date_trunc('day', ts), 'yyyy-MM-dd'), 'ALL') AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('day', ts)), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('day', ts)), ())
+"""
+
+
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user rolling 1-hour sum ordered by
+    timestamp — the "how much in the trailing hour" monitoring query.
+    RANGE BETWEEN INTERVAL bounds make the frame data-driven (all rows
+    within 1h, however many), vs ROWS frames' fixed counts; one shuffle
+    on user_id, sort within partitions."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    ev.createOrReplaceTempView("events_ri")
+    return spark.sql(
+        """
+        SELECT user_id, ts,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+                 AS rolling_1h
+        FROM events_ri
+        """
+    )
+
+
+ORACLE_RANGE_INTERVAL = """
+SELECT user_id, ts,
+       round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+         AS rolling_1h
+FROM events
+WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+"""
+
+
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_generic_format, ORC instance: the same pass-through reader
+    exercised with a columnar format whose reader is JVM-vectorized —
+    round-trips one day of events through ORC and aggregates."""
+    from .catalog import _FIXTURES, _events_day1, _tmp
+    from ..sources.hive_csv import read_generic
+
+    key = ("orc", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("fix_orc")
+        _events_day1(spark, sf_dir).write.mode("overwrite").orc(root)
+        _FIXTURES[key] = root
+    df = read_generic(spark, _FIXTURES[key], "orc")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+ORACLE_SOURCE_ORC = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY event_type
+"""
+
+
+def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count bounded by the exact count: returns
+    the exact per-type user count plus a flag that the approximate
+    estimate (rsd=0.02) landed within 5%. At 100 TB the approx path is
+    the one you run (no per-key state explosion); this gate is how its
+    error stays observable. The oracle checks the exact counts and
+    expects every flag true."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_exact",
+        (
+            (F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")) <= 0.05
+        ).cast("int").alias("approx_ok"),
+    ).orderBy("event_type")
+
+
+ORACLE_APPROX_GATE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, 1 AS approx_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+ANALYTICS_QUERIES: dict[str, callable] = {
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "window_range_interval": q_window_range_interval,
+    "source_orc": q_source_orc,
+    "approx_distinct_gate": q_approx_distinct_gate,
+}
+
+ANALYTICS_ORACLES: dict[str, str] = {
+    "agg_grouping_sets": ORACLE_GROUPING_SETS,
+    "window_range_interval": ORACLE_RANGE_INTERVAL,
+    "source_orc": ORACLE_SOURCE_ORC,
+    "approx_distinct_gate": ORACLE_APPROX_GATE,
+}

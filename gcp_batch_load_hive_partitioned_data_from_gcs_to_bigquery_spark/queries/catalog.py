@@ -2363,8 +2363,14 @@ from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.pip
     PIPELINE_ORACLES,
     PIPELINE_QUERIES,
 )
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra import (  # noqa: E402
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+)
 
 QUERIES.update(EXTRA_QUERIES)
 ORACLES.update(EXTRA_ORACLES)
 QUERIES.update(PIPELINE_QUERIES)
 ORACLES.update(PIPELINE_ORACLES)
+QUERIES.update(ANALYTICS_QUERIES)
+ORACLES.update(ANALYTICS_ORACLES)
