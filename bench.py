@@ -24,12 +24,17 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
     "q18_large_orders",
+    "q21_waiting_suppliers",
     "window_running_total",
     "window_sessionize",
     "join_asof",
     "agg_stats",
     # training-data pipeline
+    "sample_hash_split",
+    "text_chunk_windows",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
