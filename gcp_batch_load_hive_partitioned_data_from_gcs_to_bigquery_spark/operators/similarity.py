@@ -252,3 +252,34 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range (radius) similarity search: all corpus vectors within a
+    cosine threshold of each query — the "find everything similar
+    enough" variant of top-k (dedup sweeps, recall-oriented retrieval).
+    Queries broadcast, corpus streamed once, JVM-side dot products;
+    unlike top-k there is no per-query window, so the plan is a pure
+    broadcast nested loop + filter — no shuffle at all."""
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("query_id", "vec_id", "cosine")
+    )

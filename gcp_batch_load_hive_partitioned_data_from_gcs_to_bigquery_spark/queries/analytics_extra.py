@@ -134,11 +134,148 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: every corpus vector within
+    cosine ≥ 0.3 of each query vector (every 50th id). Exact and
+    shuffle-free — broadcast queries, one corpus pass, no per-query
+    window — the recall-oriented companion to `ann_cosine_topk`."""
+    from ..operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = SIM.radius_search(emb, queries, min_cosine=0.3)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+ORACLE_ANN_RADIUS = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, vec_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM q, c WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, round(CAST(cosine AS DOUBLE), 4) AS cosine
+FROM s WHERE cosine >= 0.3
+"""
+
+
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 30 min slide) with the
+    reference's 40-minute watermark over a bounded streaming run
+    (availableNow): each event lands in exactly two overlapping windows.
+    The oracle derives both candidate window starts per event in SQL."""
+    import os
+
+    from .catalog import _FIXTURES, _tmp
+
+    from pyspark.sql import types as T
+
+    stream_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos-as-long (testdata quirk)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = ("slidesrc", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("slidesrc")
+        os.symlink(f"{sf_dir}/events.parquet", f"{root}/events.parquet")
+        _FIXTURES[key] = root
+    name = "stream_sliding_counts"
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .parquet(_FIXTURES[key])
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "40 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_rows",
+    )
+
+
+ORACLE_STREAM_SLIDING = """
+WITH cand AS (
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS ws FROM events
+  UNION ALL
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) - INTERVAL 30 MINUTE FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM cand GROUP BY ws
+"""
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with cross-batch state: day-1 events are
+    written twice into separate files, streamed one file per trigger
+    (duplicates arrive in *different* micro-batches), and
+    dropDuplicates on the key must still collapse them — proving the
+    dedup state store survives batch boundaries. Counts per type must
+    equal the plain distinct batch aggregate."""
+    import uuid
+
+    from .catalog import _FIXTURES, _events_day1, _tmp
+
+    key = ("dupstream", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("dupstream")
+        day1 = _events_day1(spark, sf_dir)
+        day1.coalesce(1).write.mode("overwrite").parquet(root)
+        day1.coalesce(1).write.mode("append").parquet(root)
+        _FIXTURES[key] = root
+    from .catalog import EVENTS_SCHEMA
+
+    name = f"sdw_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_FIXTURES[key])
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "agg_grouping_sets": q_agg_grouping_sets,
     "window_range_interval": q_window_range_interval,
     "source_orc": q_source_orc,
     "approx_distinct_gate": q_approx_distinct_gate,
+    "ann_radius_search": q_ann_radius_search,
+    "stream_sliding_window": q_stream_sliding_window,
+    "stream_dedup_watermark": q_stream_dedup_watermark,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -146,4 +283,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "window_range_interval": ORACLE_RANGE_INTERVAL,
     "source_orc": ORACLE_SOURCE_ORC,
     "approx_distinct_gate": ORACLE_APPROX_GATE,
+    "ann_radius_search": ORACLE_ANN_RADIUS,
+    "stream_sliding_window": ORACLE_STREAM_SLIDING,
+    "stream_dedup_watermark": ORACLE_STREAM_DEDUP,
 }
