@@ -210,7 +210,74 @@ ORDER BY component
 """
 
 
+def q_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline in one composed plan: exact 3-gram Jaccard
+    pairs (≥0.1) → connected components → keep the min-id doc per
+    cluster, pass through unclustered docs → per-language kept/dropped
+    counts. This is the shape a production corpus dedup runs (with
+    MinHash-LSH pairs instead of exact Jaccard at 100 TB — same
+    downstream graph/keeper logic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    # drop every clustered doc that is not its component's root
+    drops = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("drop_id")
+    )
+    kept = docs.join(drops, docs.doc_id == F.col("drop_id"), "left_anti")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
+            "lang",
+        )
+        .select("lang", "n_docs", "n_kept", (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"))
+        .orderBy("lang")
+    )
+
+
+ORACLE_DEDUP_E2E = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.node
+),
+cc AS (SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node),
+drops AS (SELECT node AS drop_id FROM cc WHERE node <> component),
+kept AS (SELECT d.* FROM documents d WHERE d.doc_id NOT IN (SELECT drop_id FROM drops))
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM kept k WHERE k.lang = d.lang) AS BIGINT) AS n_kept,
+       CAST(count(*) - (SELECT count(*) FROM kept k WHERE k.lang = d.lang) AS BIGINT) AS n_dropped
+FROM documents d
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
+    "dedup_end_to_end": q_dedup_end_to_end,
     "sample_hash_split": q_sample_hash_split,
     "sample_stratified": q_sample_stratified,
     "sample_weighted_mix": q_sample_weighted_mix,
@@ -220,6 +287,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
+    "dedup_end_to_end": ORACLE_DEDUP_E2E,
     "sample_hash_split": ORACLE_SAMPLE_SPLIT,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "sample_weighted_mix": ORACLE_SAMPLE_MIX,
