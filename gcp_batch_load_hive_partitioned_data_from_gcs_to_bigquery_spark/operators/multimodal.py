@@ -194,3 +194,47 @@ def frame_sample_stub(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(_kernel, schema)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_start", T.LongType()),
+        T.StructField("win_bytes", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+    ]
+)
+
+
+def audio_features_stub(media: DataFrame, window_bytes: int = 1024) -> DataFrame:
+    """STUB audio feature extraction: one row per fixed-size byte window
+    of the payload — the row-expanding mapInPandas shape of real frame/
+    hop feature extraction (MFCC, energy). librosa/soundfile are not in
+    this container, so the kernel emits deterministic byte-window stats;
+    swap the window body for a real DSP call when the library exists.
+    Windowing is per-item Python but Arrow-batched and executor-parallel.
+    """
+
+    media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, starts, sizes, firsts = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content or b"")
+                for off in range(0, max(len(buf), 1), window_bytes):
+                    win = buf[off : off + window_bytes]
+                    ids.append(mid)
+                    starts.append(off)
+                    sizes.append(len(win))
+                    firsts.append(win[0] if win else -1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_start": pd.Series(starts, dtype="int64"),
+                    "win_bytes": pd.Series(sizes, dtype="int64"),
+                    "first_byte": pd.Series(firsts, dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(_kernel, AUDIO_FEATURE_SCHEMA)

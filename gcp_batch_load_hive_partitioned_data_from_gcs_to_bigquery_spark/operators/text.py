@@ -158,3 +158,45 @@ def chunk_windows(
         F.explode(starts).alias("chunk_start"),
         text.substr(F.col("chunk_start"), F.lit(size)).alias("chunk"),
     )
+
+
+def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram negative log-likelihood — the classic cheap
+    "perplexity-proxy" quality score: tokens that are rare in the corpus
+    make a document surprising. Two shuffles total: one groupBy(token)
+    to build the corpus frequency table (small — the vocabulary), which
+    is then broadcast back onto the exploded tokens, and one
+    groupBy(doc) for the per-document mean. No Python in the loop."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    total = toks.count()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("n_tok") / F.lit(float(total)))), 3).alias(
+                "mean_nll"
+            ),
+        )
+    )
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 30) -> DataFrame:
+    """Corpus vocabulary: top-k BPE-ish pre-tokens by frequency with a
+    deterministic (count desc, token asc) rank — the vocabulary-build
+    step of tokenizer training. regexp_extract_all + explode stays in
+    codegen; one shuffle for the count, top-k via TakeOrdered (no global
+    sort)."""
+    toks = df.select(
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+    )

@@ -276,8 +276,127 @@ ORDER BY d.lang
 """
 
 
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram negative-log-likelihood quality score per document (the
+    cheap perplexity proxy): corpus token frequencies built in one
+    aggregate, broadcast back onto the exploded tokens, averaged per
+    doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.unigram_nll(docs, "doc_id", "text")
+
+
+ORACLE_UNIGRAM_NLL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(n_tok / (SELECT CAST(count(*) AS DOUBLE) FROM toks))), 3) AS mean_nll
+FROM toks JOIN freq USING (tok)
+GROUP BY doc_id
+"""
+
+
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary build: top-30 BPE-ish pre-tokens by
+    corpus frequency, deterministic (count desc, token asc) order. One
+    count shuffle; top-k via TakeOrdered, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.vocab_topk(docs, "text", k=30)
+
+
+ORACLE_VOCAB_TOPK = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+  FROM documents
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 30
+"""
+
+
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing (STUB kernel): one row per
+    256-byte window of each opaque payload via Arrow-batched
+    mapInPandas — the row-expanding hop/frame shape of real DSP feature
+    extraction. The deterministic byte-window stats let the oracle
+    replicate the windowing in SQL."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return MM.audio_features_stub(media, window_bytes=256)
+
+
+ORACLE_AUDIO_FRAMES = """
+SELECT doc_id AS media_id, off AS window_start,
+       CAST(least(256, octet_length(encode(text)) - off) AS BIGINT) AS win_bytes,
+       CAST(ord(substr(text, off + 1, 1)) AS INTEGER) AS first_byte
+FROM documents,
+     LATERAL unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 256)) AS t(off)
+"""
+
+
+def q_scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance for the tab-CSV scan: day-1 events
+    round-tripped through headerless TSV plus three injected garbage
+    lines, read in PERMISSIVE mode with a corrupt-record column — the
+    engine counts clean vs corrupt rows instead of failing the load.
+    (The reference delegates this policy to BigQuery's max_bad_records;
+    PERMISSIVE + corrupt-column is the Spark-native equivalent.)"""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .catalog import _FIXTURES, _events_day1, _tmp, EVENTS_SCHEMA, TS_FMT
+
+    key = ("badcsv", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("badcsv")
+        _events_day1(spark, sf_dir).coalesce(1).write.mode("overwrite").option(
+            "sep", "\t"
+        ).option("timestampFormat", TS_FMT).csv(root)
+        with open(os.path.join(root, "part-bad.csv"), "w", encoding="utf-8") as fh:
+            fh.write("garbage line with no tabs at all\n")
+            fh.write("1\tnot-a-timestamp\t2\tclick\t3.5\t{}\n")
+            fh.write("only\ttwo\n")
+        _FIXTURES[key] = root
+    schema = T.StructType(EVENTS_SCHEMA.fields + [T.StructField("_corrupt", T.StringType())])
+    df = (
+        spark.read.schema(schema)
+        .options(
+            sep="\t",
+            header=False,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt",
+            timestampFormat=TS_FMT,
+        )
+        .csv(_FIXTURES[key])
+        .persist()  # CSV corrupt-column queries require materialization
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.col("_corrupt").isNull().cast("long")).alias("n_good"),
+    )
+
+
+ORACLE_BADRECORDS = """
+SELECT CAST(count(*) + 3 AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST(count(*) AS BIGINT) AS n_good
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_end_to_end": q_dedup_end_to_end,
+    "text_unigram_nll": q_text_unigram_nll,
+    "text_vocab_topk": q_text_vocab_topk,
+    "multimodal_audio_frames": q_multimodal_audio_frames,
+    "scan_csv_badrecords": q_scan_csv_badrecords,
     "sample_hash_split": q_sample_hash_split,
     "sample_stratified": q_sample_stratified,
     "sample_weighted_mix": q_sample_weighted_mix,
@@ -288,6 +407,10 @@ PIPELINE_QUERIES: dict[str, callable] = {
 
 PIPELINE_ORACLES: dict[str, str] = {
     "dedup_end_to_end": ORACLE_DEDUP_E2E,
+    "text_unigram_nll": ORACLE_UNIGRAM_NLL,
+    "text_vocab_topk": ORACLE_VOCAB_TOPK,
+    "multimodal_audio_frames": ORACLE_AUDIO_FRAMES,
+    "scan_csv_badrecords": ORACLE_BADRECORDS,
     "sample_hash_split": ORACLE_SAMPLE_SPLIT,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "sample_weighted_mix": ORACLE_SAMPLE_MIX,
