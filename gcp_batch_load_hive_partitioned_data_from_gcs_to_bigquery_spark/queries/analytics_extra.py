@@ -268,7 +268,50 @@ FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY event_type
 """
 
 
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a long-lived landing table: generation 1 files
+    carry (event_id, event_type), generation 2 adds a value column; a
+    mergeSchema read unions the schemas and old rows surface NULL for
+    the new column. This is the add-column lifecycle an hourly-partition
+    table lives through (the reference's CREATE_NEVER stance pins the
+    *write* schema; reads must still span generations)."""
+    from .catalog import _FIXTURES, _events_day1, _tmp
+
+    key = ("schevo", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("schevo")
+        day1 = _events_day1(spark, sf_dir)
+        gen1 = day1.filter(F.hour("ts") < 12).select("event_id", "event_type")
+        gen2 = day1.filter(F.hour("ts") >= 12).select("event_id", "event_type", "value")
+        gen1.write.mode("overwrite").parquet(f"{root}/gen=1")
+        gen2.write.mode("overwrite").parquet(f"{root}/gen=2")
+        _FIXTURES[key] = root
+    df = spark.read.option("mergeSchema", "true").option("basePath", _FIXTURES[key]).parquet(
+        _FIXTURES[key]
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_legacy_rows"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("sum_value_new"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy_rows,
+       round(CAST(sum(CASE WHEN hour(ts) >= 12 THEN value ELSE 0 END) AS DOUBLE), 2) AS sum_value_new
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "source_schema_evolution": q_source_schema_evolution,
     "agg_grouping_sets": q_agg_grouping_sets,
     "window_range_interval": q_window_range_interval,
     "source_orc": q_source_orc,
@@ -279,6 +322,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "source_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "agg_grouping_sets": ORACLE_GROUPING_SETS,
     "window_range_interval": ORACLE_RANGE_INTERVAL,
     "source_orc": ORACLE_SOURCE_ORC,
