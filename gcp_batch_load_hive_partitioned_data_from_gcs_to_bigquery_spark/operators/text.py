@@ -171,14 +171,17 @@ def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    total = toks.count()
+    # corpus total as a 1-row broadcast, NOT a driver-side count():
+    # keeps the operator lazy and avoids an extra full pass over the corpus
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").cast("double").alias("total_tok"))
     return (
         toks.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("n_tok") / F.lit(float(total)))), 3).alias(
+            F.round(F.avg(-F.log(F.col("n_tok") / F.col("total_tok"))), 3).alias(
                 "mean_nll"
             ),
         )
