@@ -310,8 +310,86 @@ ORDER BY event_type
 """
 
 
+def q_monitor_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting rule over the hourly error rollup: fire when an hour's
+    error count is at least double the previous hour's (and non-trivial).
+    The lag comparison is a window over the tiny aggregated frame — the
+    monitoring pattern behind the reference's failed-job alert
+    (README.md:66-93 of the reference) expressed in-engine instead of in
+    a cloud logging product."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("hour_start")
+    flagged = hourly.select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "n_errors",
+        F.lag("n_errors").over(w).alias("prev_errors"),
+    )
+    return flagged.filter(
+        (F.col("prev_errors").isNotNull())
+        & (F.col("n_errors") >= 2 * F.col("prev_errors"))
+        & (F.col("n_errors") >= 5)
+    )
+
+
+ORACLE_ALERT_THRESHOLD = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+flagged AS (
+  SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, n_errors,
+         lag(n_errors) OVER (ORDER BY h) AS prev_errors
+  FROM hourly
+)
+SELECT hour_start, n_errors, prev_errors
+FROM flagged
+WHERE prev_errors IS NOT NULL AND n_errors >= 2 * prev_errors AND n_errors >= 5
+"""
+
+
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one window pass: rank,
+    dense_rank, percent_rank, cume_dist over order totals per customer
+    segment — one shuffle on the partition key, one sort, four functions
+    evaluated in the same frame."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+ORACLE_RANK_FAMILY = """
+SELECT c_mktsegment, c_custkey, round(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(CAST(percent_rank() OVER w AS DOUBLE), 4) AS pct_rank,
+       round(CAST(cume_dist() OVER w AS DOUBLE), 4) AS cume
+FROM customer
+WHERE c_custkey < 100
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "source_schema_evolution": q_source_schema_evolution,
+    "monitor_alert_threshold": q_monitor_alert_threshold,
+    "window_rank_family": q_window_rank_family,
     "agg_grouping_sets": q_agg_grouping_sets,
     "window_range_interval": q_window_range_interval,
     "source_orc": q_source_orc,
@@ -323,6 +401,8 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 
 ANALYTICS_ORACLES: dict[str, str] = {
     "source_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
+    "monitor_alert_threshold": ORACLE_ALERT_THRESHOLD,
+    "window_rank_family": ORACLE_RANK_FAMILY,
     "agg_grouping_sets": ORACLE_GROUPING_SETS,
     "window_range_interval": ORACLE_RANGE_INTERVAL,
     "source_orc": ORACLE_SOURCE_ORC,
