@@ -307,13 +307,18 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Connected components over a near-duplicate pair graph by iterative
-    min-label propagation: every node repeatedly adopts the smallest
-    label among itself and its neighbors until fixpoint. Converges in
-    O(component diameter) rounds — near-dup clusters are shallow (stars
-    around a template), so a handful of rounds suffices; `max_iter` is a
-    runaway guard. Each round is one shuffle (groupBy node); frames are
-    persisted so the convergence probe doesn't recompute the round.
+    """Connected components over a near-duplicate pair graph: each round
+    every node adopts the min label among itself and its neighbors
+    (hashing step), then labels chase their own label's label (pointer
+    jumping) — halving chain lengths so convergence is O(log diameter)
+    rounds, not O(diameter). `max_iter=25` therefore covers components
+    of any realistic shape (2^25-hop chains), while near-dup clusters
+    (shallow stars) converge in 2-3 rounds. Each round: one shuffle over
+    the edge set + one over the (far smaller) label set. Every round's
+    labels are localCheckpoint()ed — persist alone keeps the full
+    lineage, and an iteratively-growing plan tree blows up analysis/
+    codegen long before the data does (the standard Spark iterative-
+    algorithm trap).
 
     This turns pairwise dedup (MinHash/SimHash/Jaccard output) into
     cluster-level dedup: keep min-id per component, drop the rest.
@@ -331,7 +336,7 @@ def connected_components(
         sym.select("a")
         .distinct()
         .select(F.col("a").alias("node"), F.col("a").alias("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -339,15 +344,22 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hashed = labels.join(nbr_min, labels.node == nbr_min.a, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jump: label <- label(label). Every label is itself a
+        # node (labels are min-reachable node ids), so the inner
+        # self-join is total and strictly non-increasing.
+        jump = hashed.select(
+            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            hashed.join(jump, hashed.label == F.col("j_node"))
+            .select("node", F.col("j_label").alias("label"))
+            .localCheckpoint()  # truncate lineage; eager
         )
         changed = (
             new_labels.alias("n")
@@ -356,7 +368,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -79,6 +79,18 @@ def test_connected_components_hand_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_path_converges(spark):
+    """A 41-node path (diameter 40 > max_iter) must still collapse to one
+    component: pointer jumping gives O(log diameter) convergence, so 25
+    rounds cover chains min-label propagation alone could not."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], ["doc_a", "doc_b"]
+    )
+    cc = D.connected_components(edges).collect()
+    assert {r["component"] for r in cc} == {100}
+    assert len(cc) == 41
+
+
 def test_chunk_windows_cover_text_exactly(spark):
     df = spark.createDataFrame([(1, "a" * 450), (2, "xy")], ["doc_id", "text"])
     chunks = TX.chunk_windows(df, "doc_id", "text", size=200, overlap=50).collect()
