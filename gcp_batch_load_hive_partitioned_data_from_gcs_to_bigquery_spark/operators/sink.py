@@ -273,3 +273,51 @@ def read_landing_table(
         for name in PARTITION_COLS:
             df = df.filter(F.col(name) == vals[name])
     return df
+
+
+def list_table_partitions(spark: SparkSession, table_root: str) -> list[str]:
+    """Enumerate the table's hourly partitions as compact YYYYMMDDHH
+    strings — one metadata LIST over the Hive layout (no Spark job), the
+    same cost shape as the existence probe."""
+    from ..sources.probe import _glob_status
+
+    pattern = f"{table_root}/year=*/month=*/day=*/hour=*"
+    parts = []
+    for st in _glob_status(spark, pattern):
+        p = st.getPath()
+        hour = p.getName().split("=")[1]
+        day = p.getParent().getName().split("=")[1]
+        month = p.getParent().getParent().getName().split("=")[1]
+        year = p.getParent().getParent().getParent().getName().split("=")[1]
+        parts.append(f"{year}{month.zfill(2)}{day.zfill(2)}{hour.zfill(2)}")
+    return sorted(parts)
+
+
+def vacuum_partitions(
+    spark: SparkSession, table_root: str, retain_from: str
+) -> tuple[list[str], list[str]]:
+    """Retention maintenance: drop every hourly partition strictly older
+    than ``retain_from`` (compact YYYYMMDDHH). Deletion is a per-partition
+    directory remove — metadata-proportional to the number of expired
+    hours, never a table scan, so retention on a years-deep table costs
+    the same as on a fresh one. Returns (dropped, kept) partition lists.
+
+    The reference has no retention story (its cost model is "keep
+    everything, BigQuery storage is cheap" — README.md:96-109 of the
+    reference); an hourly landing table at 100 TB needs one.
+    """
+    from ..functions.partition import hive_path_from_bq_partition
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    dropped, kept = [], []
+    for part in list_table_partitions(spark, table_root):
+        if part < retain_from:
+            path = jvm.org.apache.hadoop.fs.Path(
+                f"{table_root}/{hive_path_from_bq_partition(part)}"
+            )
+            path.getFileSystem(conf).delete(path, True)
+            dropped.append(part)
+        else:
+            kept.append(part)
+    return dropped, kept

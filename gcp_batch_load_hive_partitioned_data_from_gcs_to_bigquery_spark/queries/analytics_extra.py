@@ -386,7 +386,90 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
 """
 
 
+def q_partition_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention maintenance on the landing table: land four hours,
+    vacuum everything older than hour 02, and report what remains per
+    partition. Deletion is per-partition directory removal — metadata
+    work proportional to the expired hours, never a table scan — which
+    is what keeps retention O(expired) on a years-deep hourly table.
+    (The reference keeps everything; retention is the missing lifecycle
+    op an at-scale landing table needs.)"""
+    from ..operators.sink import (
+        create_partitioned_table,
+        read_landing_table,
+        vacuum_partitions,
+        write_partition_overwrite,
+    )
+    from .catalog import _events_day1, _tmp
+
+    table_root = _tmp("vacuum")
+    create_partitioned_table(spark, table_root)
+    four_hours = _events_day1(spark, sf_dir).filter(F.hour("ts") < 4)
+    write_partition_overwrite(four_hours, table_root)
+    dropped, kept = vacuum_partitions(spark, table_root, retain_from="2024010102")
+    assert dropped == ["2024010100", "2024010101"], dropped  # invariant, not a test
+    back = spark.read.option("basePath", table_root).parquet(table_root)
+    return (
+        back.groupBy(
+            F.format_string("%04d%02d%02d%02d", "year", "month", "day", "hour").alias(
+                "partition"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("partition")
+    )
+
+
+ORACLE_VACUUM = """
+SELECT strftime(ts, '%Y%m%d%H') AS partition, CAST(count(*) AS BIGINT) AS n_rows
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 02:00:00' AND ts < TIMESTAMP '2024-01-01 04:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the events table in ONE aggregate pass:
+    per-column null rates, numeric min/max/mean, and value cardinalities
+    — the audit a pipeline runs after each load to catch schema drift
+    and silent corruption. All measures fold into a single partial
+    aggregate; the exchange moves one row."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user_id"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias("null_event_type"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.countDistinct("event_type").alias("card_event_type"),
+        F.countDistinct("user_id").alias("card_user_id"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
+
+
+ORACLE_PROFILE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS card_event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS card_user_id,
+       round(CAST(min(value) AS DOUBLE), 4) AS min_value,
+       round(CAST(max(value) AS DOUBLE), 4) AS max_value,
+       round(CAST(avg(value) AS DOUBLE), 4) AS mean_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM events
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "partition_vacuum_retention": q_partition_vacuum_retention,
+    "profile_table": q_profile_table,
     "source_schema_evolution": q_source_schema_evolution,
     "monitor_alert_threshold": q_monitor_alert_threshold,
     "window_rank_family": q_window_rank_family,
@@ -401,6 +484,8 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 
 ANALYTICS_ORACLES: dict[str, str] = {
     "source_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
+    "partition_vacuum_retention": ORACLE_VACUUM,
+    "profile_table": ORACLE_PROFILE,
     "monitor_alert_threshold": ORACLE_ALERT_THRESHOLD,
     "window_rank_family": ORACLE_RANK_FAMILY,
     "agg_grouping_sets": ORACLE_GROUPING_SETS,
