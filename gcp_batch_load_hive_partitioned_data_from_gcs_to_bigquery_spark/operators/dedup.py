@@ -109,10 +109,48 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"))
 
 
+def minhash_signatures_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signatures with an md5-derived hash family — the
+    cross-engine-reproducible twin of :func:`minhash_signatures`.
+
+    Slot i hashes a shingle as the first 28 bits of md5(md5(shingle)+"_"+i)
+    — a full re-hash per slot, so slots stay independent (no monotonic
+    (a*h+b) collapse), and every step (md5 hex, substring, base-16 parse)
+    exists verbatim in ANSI SQL/DuckDB. That makes the *entire*
+    MinHash-LSH pipeline oracle-checkable, where the xxhash64 family can
+    only get a rows-only check. ~2× the hash cost of xxhash64 — use the
+    fast family in production, this one to validate the algorithm."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_size))
+        ).alias("shingle"),
+    ).withColumn("m", F.md5("shingle"))
+    mins = [
+        F.min(
+            F.conv(F.substring(F.md5(F.concat(F.col("m"), F.lit(f"_{i}"))), 1, 7), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"))
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     num_bands: int = 16,
     threshold: float = 0.5,
+    num_hashes: int = 64,
+    hash_buckets: bool = True,
 ) -> DataFrame:
     """LSH banding over signatures → candidate pairs → estimated Jaccard.
 
@@ -130,20 +168,22 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
-    num_hashes = 64  # matches minhash_signatures default
     rows = num_hashes // num_bands
+
+    def _bucket(b):
+        # hash_buckets=True: 64-bit band bucket (compact shuffle key).
+        # False: the raw slice string IS the key — no collision term, so a
+        # SQL oracle can reproduce candidate generation exactly.
+        joined = F.concat_ws("_", F.slice("signature", b * rows + 1, rows))
+        return F.xxhash64(joined, b) if hash_buckets else joined
+
     banded = signatures.select(
         "doc_id",
         "signature",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws("_", F.slice("signature", b * rows + 1, rows)), b).alias(
-                        "bucket"
-                    ),
-                ),
+                lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select("doc_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

@@ -391,7 +391,64 @@ FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
 """
 
 
+def q_dedup_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash-LSH pipeline under a value-exact oracle: md5-family
+    signatures (32 slots — every hash step exists verbatim in SQL), exact
+    string band keys (8 bands × 4 rows, no bucket-hash collision term),
+    candidate pairs, and the equal-slot Jaccard estimate. The production
+    path (`dedup_minhash_lsh`) keeps the faster xxhash64 family and gets
+    a rows-only check; this query proves the algorithm end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures_md5(docs, "doc_id", "text", num_hashes=32)
+    pairs = D.minhash_lsh_pairs(
+        sigs, num_bands=8, threshold=0.3, num_hashes=32, hash_buckets=False
+    )
+    return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+ORACLE_MINHASH = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx
+),
+slots AS (
+  SELECT doc_id, md5(shingle) AS m, unnest(generate_series(0, 31)) AS slot FROM sh
+),
+sig AS (
+  SELECT doc_id, slot,
+         min(('0x' || substr(md5(m || '_' || slot), 1, 7))::BIGINT) AS mh
+  FROM slots GROUP BY doc_id, slot
+),
+bands AS (
+  SELECT doc_id, slot // 4 AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY slot) AS band_key
+  FROM sig GROUP BY doc_id, slot // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sa.slot = sb.slot
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, round(CAST(est_jaccard AS DOUBLE), 4) AS est_jaccard
+FROM est WHERE est_jaccard >= 0.3
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
+    "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_end_to_end": q_dedup_end_to_end,
     "text_unigram_nll": q_text_unigram_nll,
     "text_vocab_topk": q_text_vocab_topk,
@@ -406,6 +463,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
+    "dedup_minhash_oracle": ORACLE_MINHASH,
     "dedup_end_to_end": ORACLE_DEDUP_E2E,
     "text_unigram_nll": ORACLE_UNIGRAM_NLL,
     "text_vocab_topk": ORACLE_VOCAB_TOPK,
