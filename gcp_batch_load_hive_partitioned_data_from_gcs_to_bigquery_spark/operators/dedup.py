@@ -413,3 +413,74 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str, num_bits: int = 60) -> DataFrame:
+    """60-bit SimHash with an md5-derived token hash — the cross-engine-
+    reproducible twin of :func:`simhash` (which uses xxhash64 and can
+    only get a rows-only check). Token hash = first 15 hex chars of
+    md5(token) parsed base-16 (60 bits keeps the fingerprint inside a
+    signed 64-bit everywhere); same one-shuffle conditional-sum plan.
+    Term frequency weights bits exactly like the production variant
+    (duplicate tokens are NOT deduplicated)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(num_bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(num_bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j)
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs_md5(fingerprints: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """Block-LSH near pairs over 60-bit md5 SimHash: 4 blocks × 15 bits,
+    equality join on (block, value), exact Hamming verify — the same
+    plan as :func:`simhash_near_pairs` with block arithmetic that a SQL
+    oracle replicates bit-for-bit."""
+    from pyspark import StorageLevel
+
+    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
+    blocks = fingerprints.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("value"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.block"), F.col("bv.value"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

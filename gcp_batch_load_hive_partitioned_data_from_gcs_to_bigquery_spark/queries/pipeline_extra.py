@@ -447,8 +447,52 @@ FROM est WHERE est_jaccard >= 0.3
 """
 
 
+def q_dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SimHash pipeline under a value-exact oracle: 60-bit
+    md5-family fingerprints (term-frequency-weighted bit votes), 4×15-bit
+    block LSH candidates, exact Hamming verify (≤ 12). The production
+    path (`dedup_simhash`) keeps the 64-bit xxhash64 family with its
+    rows-only check; this proves the algorithm bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = D.simhash_md5(docs, "doc_id", "text")
+    pairs = D.simhash_near_pairs_md5(fps, max_hamming=12)
+    return pairs.select("doc_a", "doc_b", "hamming")
+
+
+ORACLE_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, LATERAL unnest(generate_series(0, 59)) AS t(j)
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS val
+  FROM fp, LATERAL unnest(generate_series(0, 3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM blocks a JOIN blocks b
+    ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 12
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
+    "dedup_simhash_oracle": q_dedup_simhash_oracle,
     "dedup_end_to_end": q_dedup_end_to_end,
     "text_unigram_nll": q_text_unigram_nll,
     "text_vocab_topk": q_text_vocab_topk,
@@ -464,6 +508,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
 
 PIPELINE_ORACLES: dict[str, str] = {
     "dedup_minhash_oracle": ORACLE_MINHASH,
+    "dedup_simhash_oracle": ORACLE_SIMHASH,
     "dedup_end_to_end": ORACLE_DEDUP_E2E,
     "text_unigram_nll": ORACLE_UNIGRAM_NLL,
     "text_vocab_topk": ORACLE_VOCAB_TOPK,
