@@ -283,3 +283,75 @@ def radius_search(
         .filter(F.col("cosine") >= min_cosine)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+def hyperplane_weights_md5(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix derived from md5("p_<p>_<i>")
+    parity — computed driver-side at plan-build time (hashlib.md5 equals
+    SQL md5 byte-for-byte), so a SQL oracle can regenerate the identical
+    planes and the whole LSH path becomes value-checkable. The matrix is
+    num_planes × dim literals (~tiny); it rides into the plan as
+    constants, never as data."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"p_{p}_{i}".encode()).hexdigest()[:7], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket_topk_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`lsh_bucket_topk` with md5-derived literal hyperplanes —
+    the oracle-checkable twin (xxhash64 planes cannot be reproduced in
+    SQL). Same plan shape: signature as int bucket, broadcast query
+    side, one bucket-equality join, per-query top-k window."""
+    weights = hyperplane_weights_md5(num_planes, dim)
+
+    def signature(vec):
+        sig = None
+        for p, w in enumerate(weights):
+            proj = F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return sig
+
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = c.withColumn("bucket", signature(F.col("c_vec")))
+    q = q.withColumn("bucket", signature(F.col("q_vec")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+        .select("query_id", "vec_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

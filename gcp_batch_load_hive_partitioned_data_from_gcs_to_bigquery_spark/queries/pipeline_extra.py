@@ -490,9 +490,62 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 12
 """
 
 
+def q_ann_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN under a value-exact oracle: ±1 planes derived
+    from md5("p_<p>_<i>") parity (computed driver-side with hashlib —
+    byte-identical to SQL md5), 6-bit signature buckets, bucket-equality
+    candidates, cosine top-3 per query. The xxhash64-plane production
+    path keeps its rows-only check + recall gate; this one proves the
+    bucketing algebra end-to-end."""
+    from ..operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.lsh_bucket_topk_md5(emb, queries, k=3, num_planes=6, dim=64)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+ORACLE_ANN_LSH = """
+WITH w AS (
+  SELECT p, j,
+         CASE WHEN ('0x' || substr(md5('p_' || p || '_' || (j - 1)), 1, 7))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS wt
+  FROM unnest(generate_series(0, 5)) AS tp(p),
+       unnest(generate_series(1, 64)) AS tj(j)
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+  SELECT vec_id, p, sum(v[j] * wt) AS pr
+  FROM vecs, w
+  GROUP BY vec_id, p
+),
+sig AS (
+  SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+q AS (SELECT s.vec_id AS query_id, v.v AS qv, s.bucket
+      FROM sig s JOIN vecs v ON v.vec_id = s.vec_id WHERE s.vec_id < 5),
+c AS (SELECT s.vec_id, v.v AS cv, s.bucket
+      FROM sig s JOIN vecs v ON v.vec_id = s.vec_id),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(CAST(cosine AS DOUBLE), 4) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
+    "ann_lsh_oracle": q_ann_lsh_oracle,
     "dedup_end_to_end": q_dedup_end_to_end,
     "text_unigram_nll": q_text_unigram_nll,
     "text_vocab_topk": q_text_vocab_topk,
@@ -509,6 +562,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
 PIPELINE_ORACLES: dict[str, str] = {
     "dedup_minhash_oracle": ORACLE_MINHASH,
     "dedup_simhash_oracle": ORACLE_SIMHASH,
+    "ann_lsh_oracle": ORACLE_ANN_LSH,
     "dedup_end_to_end": ORACLE_DEDUP_E2E,
     "text_unigram_nll": ORACLE_UNIGRAM_NLL,
     "text_vocab_topk": ORACLE_VOCAB_TOPK,
