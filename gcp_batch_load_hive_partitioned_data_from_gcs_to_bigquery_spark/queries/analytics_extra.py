@@ -467,6 +467,83 @@ FROM events
 """
 
 
+def q_stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (nation, keyed by user_id % 25) inside the streaming plan -
+    Spark re-resolves the static side per micro-batch, the canonical
+    enrichment shape for a landing pipeline that tags rows with dimension
+    attributes on the way in."""
+    import uuid
+
+    from .catalog import _FIXTURES, _events_day1, _tmp, EVENTS_SCHEMA
+
+    key = ("streamenrich", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("streamenrich")
+        _events_day1(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(root)
+        _FIXTURES[key] = root
+    nation = load_table(spark, sf_dir, "nation")
+    name = f"sjs_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(_FIXTURES[key])
+        .withColumn("nkey", (F.col("user_id") % 25).cast("int"))
+        .join(F.broadcast(nation), F.col("nkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+ORACLE_STREAM_JOIN_STATIC = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram of order totals: fixed-width bins via floor
+    division - the one-pass distribution profile behind a dashboard
+    histogram. Bin id is a narrow expression; one shuffle on the bin
+    key."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_width = 50_000
+    return (
+        orders.groupBy(
+            (F.floor(F.col("o_totalprice") / bin_width) * bin_width)
+            .cast("long")
+            .alias("bin_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+ORACLE_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(avg(o_totalprice) AS DOUBLE), 2) AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
@@ -480,6 +557,8 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "ann_radius_search": q_ann_radius_search,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_dedup_watermark": q_stream_dedup_watermark,
+    "stream_join_static": q_stream_join_static,
+    "agg_histogram": q_agg_histogram,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -495,4 +574,6 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "ann_radius_search": ORACLE_ANN_RADIUS,
     "stream_sliding_window": ORACLE_STREAM_SLIDING,
     "stream_dedup_watermark": ORACLE_STREAM_DEDUP,
+    "stream_join_static": ORACLE_STREAM_JOIN_STATIC,
+    "agg_histogram": ORACLE_HISTOGRAM,
 }
