@@ -544,6 +544,38 @@ ORDER BY 1
 """
 
 
+def q_udf_pandas_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (the SQL-inexpressible-in-one-builtin
+    aggregate shape): geometric mean of event values per type, computed
+    vectorized over Arrow batches. This is the engine's pandas_udf
+    surface (SURVEY §2.8) — use it only when no builtin composes; the
+    oracle uses the exp(avg(ln)) identity to verify the result."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: the module uses `from __future__ import
+    # annotations`, which stringifies type hints and defeats pandas_udf
+    # signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(geomean("value"), 4).alias("geo_mean"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_GEOMEAN = """
+SELECT event_type, round(CAST(exp(avg(ln(value))) AS DOUBLE), 4) AS geo_mean
+FROM events WHERE value > 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
@@ -559,6 +591,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "stream_dedup_watermark": q_stream_dedup_watermark,
     "stream_join_static": q_stream_join_static,
     "agg_histogram": q_agg_histogram,
+    "udf_pandas_geomean": q_udf_pandas_geomean,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -576,4 +609,5 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "stream_dedup_watermark": ORACLE_STREAM_DEDUP,
     "stream_join_static": ORACLE_STREAM_JOIN_STATIC,
     "agg_histogram": ORACLE_HISTOGRAM,
+    "udf_pandas_geomean": ORACLE_GEOMEAN,
 }
