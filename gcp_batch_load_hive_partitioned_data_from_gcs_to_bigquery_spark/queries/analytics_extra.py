@@ -576,6 +576,34 @@ ORDER BY event_type
 """
 
 
+def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles bounded by exact ones: per event type, the
+    Greenwald-Khanna approx median (accuracy 1/1000) must land within
+    1% of the exact percentile. Same stance as the distinct-count gate:
+    at scale you run the sketch; the gate keeps its error observable."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("approx_p50"),
+    )
+    return per_type.select(
+        "event_type",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        (
+            (F.abs(F.col("approx_p50") - F.col("exact_p50"))
+             / F.greatest(F.col("exact_p50"), F.lit(1e-9))) <= 0.01
+        ).cast("int").alias("approx_ok"),
+    ).orderBy("event_type")
+
+
+ORACLE_QUANTILE_GATE = """
+SELECT event_type,
+       round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS exact_p50,
+       1 AS approx_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
@@ -592,6 +620,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "stream_join_static": q_stream_join_static,
     "agg_histogram": q_agg_histogram,
     "udf_pandas_geomean": q_udf_pandas_geomean,
+    "approx_quantile_gate": q_approx_quantile_gate,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -610,4 +639,5 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "stream_join_static": ORACLE_STREAM_JOIN_STATIC,
     "agg_histogram": ORACLE_HISTOGRAM,
     "udf_pandas_geomean": ORACLE_GEOMEAN,
+    "approx_quantile_gate": ORACLE_QUANTILE_GATE,
 }
