@@ -119,3 +119,46 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "<EMAIL>" in out[1]["text_redacted"] and "<PHONE>" in out[1]["text_redacted"]
     assert "@" not in out[1]["text_redacted"]
     assert out[2]["n_emails"] == 0 and out[2]["text_redacted"] == "no pii here"
+
+
+def test_chunk_windows_reconstruct_original(spark):
+    """Dropping each chunk's overlap prefix (after the first) and
+    concatenating must reconstruct the original text exactly — the
+    coverage/no-gap/no-dup property, checked across boundary lengths."""
+    size, overlap = 100, 30
+    step = size - overlap
+    texts = [
+        (1, "x"),
+        (2, "a" * step),          # exactly one stride
+        (3, "b" * size),          # exactly one full chunk
+        (4, "c" * (size + 1)),    # one char past a chunk
+        (5, "d" * (3 * step)),    # multiple strides, no tail
+        (6, "é" * 150 + "ü" * 77),  # non-ascii chars count as chars
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import chunk_windows
+
+    rows = chunk_windows(df, "doc_id", "text", size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_start"])):
+        cur = by_doc.setdefault(r["doc_id"], "")
+        chunk = r["chunk"]
+        by_doc[r["doc_id"]] = cur + (chunk[overlap:] if cur else chunk)
+    expected = dict(texts)
+    assert by_doc == expected
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text changes nothing (placeholders
+    contain no scrubbable patterns)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "reach me: a.b@c.io / 555-123-4567 twice a.b@c.io")], ["doc_id", "text"]
+    )
+    once = pii_scrub(df, "doc_id", "text").select(
+        F.col("doc_id"), F.col("text_redacted").alias("text")
+    )
+    twice = pii_scrub(once, "doc_id", "text").collect()[0]
+    assert twice["n_emails"] == 0 and twice["n_phones"] == 0
+    assert twice["text_redacted"] == "reach me: <EMAIL> / <PHONE> twice <EMAIL>"
