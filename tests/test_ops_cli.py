@@ -1,0 +1,60 @@
+"""End-to-end drive of the ops CLI (scripts/ops.py) — the commands.sh
+parity surface: create table → probe → ingest one hour of raw TSV →
+backfill a range → list partitions → compact → vacuum."""
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo/scripts")
+
+from ops import main as ops_main  # noqa: E402
+
+SCHEMA = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+
+
+def _write_hour(root: str, partition: str, rows: list[str]) -> None:
+    hive = (
+        f"year={partition[:4]}/month={partition[4:6]}/"
+        f"day={partition[6:8]}/hour={partition[8:10]}"
+    )
+    d = os.path.join(root, hive)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part-0.tsv"), "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+
+
+def test_ops_cli_full_lifecycle(spark, tmp_path):
+    src = str(tmp_path / "raw")
+    tbl = str(tmp_path / "tbl")
+    _write_hour(src, "2024010100", ["1\t10\tclick\t1.5", "2\t11\tview\t2.0"])
+    _write_hour(src, "2024010101", ["3\t10\tclick\t0.5"])
+
+    assert ops_main(["create-table", tbl])["ok"] is True
+    assert ops_main(["probe", src, "2024010100"])["exists"] == 1
+    assert ops_main(["probe", src, "2024010223"])["exists"] == 0
+
+    r = ops_main(
+        ["ingest", src, tbl, "2024010100", "--schema", SCHEMA, "--option", "sep=\t"]
+    )
+    assert r["status"] == "SUCCESS", r
+
+    r = ops_main(
+        [
+            "backfill", src, tbl, "2024010100", "2024010103",
+            "--schema", SCHEMA, "--option", "sep=\t",
+        ]
+    )
+    # hour 00 and 01 ingest; hour 02 missing -> NOT_CREATED skip
+    assert r["statuses"] == {
+        "2024010100": "SUCCESS",
+        "2024010101": "SUCCESS",
+        "2024010102": "NOT_CREATED",
+    }
+
+    assert ops_main(["partitions", tbl])["partitions"] == ["2024010100", "2024010101"]
+    assert ops_main(["compact", tbl, "2024010100"])["n_files"] == 1
+    r = ops_main(["vacuum", tbl, "2024010101"])
+    assert r["dropped"] == ["2024010100"] and r["kept"] == ["2024010101"]
+
+    back = spark.read.option("basePath", tbl).parquet(tbl)
+    assert back.count() == 1  # only hour 01's single row survives
