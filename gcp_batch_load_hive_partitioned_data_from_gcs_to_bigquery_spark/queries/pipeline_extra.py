@@ -542,6 +542,48 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function, SURVEY §2.8 surface): expand
+    each document into 20-token windows via a LATERAL table-function
+    join — the one-row-to-many shape (sentence/window segmentation)
+    where a UDTF beats explode-of-array because the expansion logic is
+    imperative. Arrow-batched; the oracle replicates the windowing with
+    generate_series over the token array."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx INT, n_tokens INT, first_tok STRING, last_tok STRING")
+    class TokenWindows:
+        def eval(self, text: str):
+            if not text:
+                return
+            toks = text.split()
+            for w in range(0, len(toks), 20):
+                win = toks[w : w + 20]
+                yield (w // 20, len(win), win[0], win[-1])
+
+    spark.udtf.register("token_windows", TokenWindows)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.win_idx, t.n_tokens, t.first_tok, t.last_tok
+        FROM docs_udtf d, LATERAL token_windows(d.text) t
+        """
+    )
+
+
+ORACLE_UDTF_WINDOWS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents
+)
+SELECT doc_id, CAST(w AS INTEGER) AS win_idx,
+       CAST(least(20, len(words) - w * 20) AS INTEGER) AS n_tokens,
+       words[w * 20 + 1] AS first_tok,
+       words[least((w + 1) * 20, len(words))] AS last_tok
+FROM tok, LATERAL unnest(generate_series(0, (len(words) - 1) // 20)) AS t(w)
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
@@ -557,6 +599,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "text_chunk_windows": q_text_chunk_windows,
     "text_pii_scrub": q_text_pii_scrub,
     "dedup_connected_components": q_dedup_connected_components,
+    "udtf_token_windows": q_udtf_token_windows,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -574,4 +617,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_chunk_windows": ORACLE_CHUNKS,
     "text_pii_scrub": ORACLE_PII,
     "dedup_connected_components": ORACLE_CC,
+    "udtf_token_windows": ORACLE_UDTF_WINDOWS,
 }
