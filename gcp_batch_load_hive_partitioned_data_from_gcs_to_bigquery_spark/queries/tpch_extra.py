@@ -672,12 +672,52 @@ ORDER BY nationkey
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock (adapted: no partsupp, so per-part
+    "stock value" is one nation's suppliers' discounted lineitem revenue):
+    parts whose value exceeds 0.2% of the nation total. The HAVING-
+    against-a-global-scalar shape: per-part aggregate once, total as a
+    1-row broadcast cross join — no second scan, no correlated re-scan."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
+    )
+    total = per_part.agg((F.sum("part_value") * 0.002).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+ORACLE_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(CAST(v AS DOUBLE), 2) AS part_value
+FROM per_part
+WHERE v > (SELECT sum(v) * 0.002 FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
 EXTRA_QUERIES: dict[str, callable] = {
     "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_type_profit": q9_product_type_profit,
     "q10_returned_items": q10_returned_items,
+    "q11_important_stock": q11_important_stock,
     "q12_priority_class": q12_priority_class,
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
@@ -695,6 +735,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q8_market_share": ORACLE_Q8,
     "q9_product_type_profit": ORACLE_Q9,
     "q10_returned_items": ORACLE_Q10,
+    "q11_important_stock": ORACLE_Q11,
     "q12_priority_class": ORACLE_Q12,
     "q13_customer_distribution": ORACLE_Q13,
     "q15_top_supplier": ORACLE_Q15,
