@@ -153,7 +153,15 @@ def write_partition_overwrite(
     (
         out.write.format(fmt)
         .partitionBy(*PARTITION_COLS)
-        .mode("overwrite")  # dynamic overwrite: replaces only touched partitions
+        # Self-contained dynamic overwrite: the per-write option wins over
+        # whatever the ambient session sets. Under the default STATIC mode
+        # an overwrite deletes EVERY partition under the root — an O(table)
+        # destructive rewrite that breaks the idempotent-replace guarantee
+        # (README.md:34-39 of the reference). Pinning it here makes the
+        # sink replace only the partitions present in the batch regardless
+        # of session conf.
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .save(table_root)
     )
     return JobState.SUCCESS

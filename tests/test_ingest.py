@@ -86,6 +86,32 @@ def test_overwrite_touches_only_target_partition(spark, hive_csv_root, tmp_path)
     assert read_landing_table(spark, table_root, other).count() == before_other
 
 
+def test_overwrite_survives_static_session_conf(spark, events, tmp_path):
+    """Regression: the sink must pin partitionOverwriteMode=dynamic on the
+    WRITE itself. Under a vanilla SparkSession the session-level mode is
+    STATIC, and relying on ambient conf made each write wipe every other
+    partition in the table root (both round-1 red CORRECTNESS rows).
+    Simulate the vanilla session by forcing the session conf to static:
+    the per-write option must still win."""
+    table_root = str(tmp_path / "landing_static")
+    create_partitioned_table(spark, table_root)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        hour_a = events.filter(F.date_format("ts", "yyyyMMddHH") == PART)
+        hour_b = events.filter(F.date_format("ts", "yyyyMMddHH") == "2024010101")
+        assert write_partition_overwrite(hour_a, table_root) == JobState.SUCCESS
+        count_a = read_landing_table(spark, table_root, PART).count()
+        assert count_a > 0
+        assert write_partition_overwrite(hour_b, table_root) == JobState.SUCCESS
+        # hour A must survive hour B's overwrite even under static session conf
+        assert read_landing_table(spark, table_root, PART).count() == count_a
+        assert read_landing_table(spark, table_root, "2024010101").count() > 0
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_skip_missing_partition(spark, hive_csv_root, tmp_path):
     table_root = str(tmp_path / "landing3")
     create_partitioned_table(spark, table_root)
