@@ -2374,3 +2374,75 @@ QUERIES.update(PIPELINE_QUERIES)
 ORACLES.update(PIPELINE_ORACLES)
 QUERIES.update(ANALYTICS_QUERIES)
 ORACLES.update(ANALYTICS_ORACLES)
+
+# --- catalog ordering ---------------------------------------------------------
+# External correctness harnesses sweep the catalog in dict order and may be
+# count- or time-capped, so the front of the dict must exercise one
+# representative of EVERY operator family, not just the §2 parity block.
+# Layout: §2 parity block (scans/sinks/filters/functions) first, then one
+# representative per family (streaming, dedup, ANN, text, sampling,
+# multimodal, UDF/UDTF, grouping sets, window frames, maintenance, hardest
+# TPC-H shapes), then everything else in definition order.
+_DRIVER_WINDOW = [
+    # §2 parity block
+    "scan_hive_partitioned",
+    "scan_csv_tab_delimited",
+    "source_generic_format",
+    "source_json_lines",
+    "probe_partition_exists",
+    "sink_partition_overwrite",
+    "sink_skip_empty",
+    "sink_create_never",
+    "ddl_create_partitioned_table",
+    "sink_compact_partition",
+    "rollup_continuous_hourly",
+    "filter_require_partition",
+    "job_state_poll",
+    "backfill_range",
+    "filter_partition_eq",
+    "filter_rlike_status",
+    "filter_eq_severity",
+    "filter_switch_branch",
+    "project_job_fields",
+    "monitor_error_rollup",
+    "fn_partition_strings",
+    "fn_partition_roundtrip",
+    "fn_json_get",
+    "fn_trunc_hour",
+    "fn_uuid_last_hour",
+    # family representatives
+    "stream_hourly_ingest",
+    "stream_tumbling_window",
+    "stream_dedup_watermark",
+    "stream_stateful_totals",
+    "dedup_exact",
+    "dedup_minhash_oracle",
+    "dedup_simhash_oracle",
+    "dedup_connected_components",
+    "dedup_end_to_end",
+    "ann_cosine_topk",
+    "ann_lsh_oracle",
+    "text_quality",
+    "text_chunk_windows",
+    "text_unigram_nll",
+    "sample_hash_split",
+    "multimodal_image_meta",
+    "udf_pandas_geomean",
+    "udtf_token_windows",
+    "agg_grouping_sets",
+    "window_rank_family",
+    "partition_vacuum_retention",
+    "profile_table",
+    "q2_min_acctbal_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+]
+
+_missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
+if _missing:  # typo guard — fail loudly at import, not silently mis-order
+    raise RuntimeError(f"_DRIVER_WINDOW names unknown queries: {_missing}")
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _DRIVER_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_DRIVER_WINDOW)},
+}
