@@ -50,12 +50,18 @@ class TableNotFoundError(RuntimeError):
 def create_partitioned_table(spark: SparkSession, table_root: str) -> None:
     """Create the landing-table root directory (the DDL step,
     bq_create_table_ddl.sql:1-13 / commands.sh:17-26). Idempotent
-    (``CREATE TABLE IF NOT EXISTS``)."""
+    (``CREATE TABLE IF NOT EXISTS``). The root is also registered for
+    plan-level partition-filter enforcement — the DDL's
+    ``require_partition_filter=TRUE`` (bq_create_table_ddl.sql:12) is a
+    table property, so it attaches at create time."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.plans.guard import register_landing_root
+
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(table_root)
     fs = path.getFileSystem(conf)
     fs.mkdirs(path)
+    register_landing_root(table_root)
 
 
 def _table_exists(spark: SparkSession, table_root: str) -> bool:
@@ -280,6 +286,11 @@ def read_landing_table(
         vals = partition_values(partition)
         for name in PARTITION_COLS:
             df = df.filter(F.col(name) == vals[name])
+        # plan-level twin of the API guard: verify the filters actually
+        # reached the scan as partition pruning (driver-side, no job)
+        from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.plans.guard import assert_partition_filtered
+
+        df = assert_partition_filtered(df)
     return df
 
 
