@@ -2121,21 +2121,24 @@ GROUP BY e.event_type
 
 
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary decode plumbing: mapInPandas stub over binary
-    payloads (documents-as-media adapter). Real schema/batching; fake
-    deterministic decode (no codec libs in container)."""
+    """REAL image decode over mapInPandas: synthesize one spec-valid PNG
+    per document (id-derived dimensions, operators/multimodal.py
+    synthesize_png), then parse the PNG IHDR back out of the raw bytes.
+    The oracle recomputes the expected dimensions arithmetically from
+    doc_id, so a hash match proves the header parse extracted the true
+    encoded geometry — content, not plumbing."""
     docs = load_table(spark, sf_dir, "documents")
-    media = MM.documents_as_media(docs)
+    media = MM.documents_as_png_media(docs)
     meta = MM.decode_image_meta(media)
-    return meta.select("media_id", "n_bytes", "format_guess", "fake_width", "fake_height")
+    return meta.select("media_id", "format", "width", "height")
 
 
+# png_dims_for_id: width = 16 + id % 64, height = 16 + (id // 8) % 48
 ORACLE_MM_META = """
 SELECT doc_id AS media_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       'unknown' AS format_guess,
-       CAST(octet_length(encode(text)) % 1024 AS INT) AS fake_width,
-       CAST(octet_length(encode(text)) // 1024 % 1024 + 1 AS INT) AS fake_height
+       'png' AS format,
+       CAST(16 + doc_id % 64 AS INT) AS width,
+       CAST(16 + (doc_id // 8) % 48 AS INT) AS height
 FROM documents
 """
 
