@@ -23,10 +23,37 @@ def bq_partition_col(ts: Column | str) -> Column:
 
 
 def ts_from_bq_partition_col(partition: Column | str) -> Column:
-    """``YYYYMMDDHH`` column → timestamp. Permissive (null on mismatch) —
-    strict request-boundary validation stays Python-side, as in the
-    reference (ingestion/app.py:111)."""
-    return F.to_timestamp(partition, BQ_PARTITION_PATTERN)
+    """``YYYYMMDDHH`` column → timestamp. EXPLICITLY permissive (null on
+    mismatch) via ``try_to_timestamp``, independent of the session's ANSI
+    mode — under Spark 4's ANSI default a bare ``to_timestamp`` would
+    throw, under legacy mode it would null; pinning the semantic here
+    keeps behavior session-independent. Strict request-boundary
+    validation stays Python-side, as in the reference
+    (ingestion/app.py:111); ingest paths that must hard-fail on garbage
+    use :func:`ts_from_bq_partition_col_strict`."""
+    part_c = F.col(partition) if isinstance(partition, str) else partition
+    return F.try_to_timestamp(part_c, F.lit(BQ_PARTITION_PATTERN))
+
+
+def ts_from_bq_partition_col_strict(partition: Column | str) -> Column:
+    """Strict twin of :func:`ts_from_bq_partition_col`: a malformed
+    partition string FAILS the job instead of flowing through as null —
+    the column-level analogue of the reference's ``strptime`` raising on
+    garbage (ingestion/partition.py:11-12). Built on ``try_to_timestamp``
+    + ``raise_error`` so it works regardless of session ANSI mode; the
+    error message carries the offending value. Null input is rejected
+    too: a partition string that is absent is as wrong as one that is
+    malformed."""
+    part_c = F.col(partition) if isinstance(partition, str) else partition
+    parsed = F.try_to_timestamp(part_c, F.lit(BQ_PARTITION_PATTERN))
+    return F.when(parsed.isNotNull(), parsed).otherwise(
+        F.raise_error(
+            F.format_string(
+                "malformed partition string %s: expected YYYYMMDDHH",
+                F.coalesce(part_c, F.lit("NULL")),
+            )
+        ).cast("timestamp")
+    )
 
 
 def hive_path_col(ts: Column | str) -> Column:

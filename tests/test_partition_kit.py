@@ -82,3 +82,28 @@ def test_roundtrip_property(d):
     assert P.hive_path_from_bq_partition(
         P.bq_partition_from_datetime(d)
     ) == P.hive_path_from_datetime(truncated)
+
+
+def test_strict_partition_col_parses_and_raises(spark):
+    """Column-level strict parse: valid strings parse, garbage fails the
+    job (reference strptime parity, ingestion/partition.py:11-12) instead
+    of flowing through as null."""
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.functions.columns import (
+        ts_from_bq_partition_col,
+        ts_from_bq_partition_col_strict,
+    )
+
+    good = spark.createDataFrame([("2024010523",)], ["p"])
+    [row] = good.select(ts_from_bq_partition_col_strict("p").alias("ts")).collect()
+    assert row.ts == dt.datetime(2024, 1, 5, 23, 0)
+
+    for bad in ("2024-01-05", "garbage", None):
+        df = spark.createDataFrame([(bad,)], "p string")
+        # permissive twin: null through
+        [prow] = df.select(ts_from_bq_partition_col("p").alias("ts")).collect()
+        assert prow.ts is None
+        # strict twin: job fails
+        with pytest.raises(Exception, match="malformed partition string|RAISE_ERROR"):
+            df.select(ts_from_bq_partition_col_strict("p").alias("ts")).collect()

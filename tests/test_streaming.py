@@ -39,6 +39,37 @@ def test_stream_ingest_matches_batch_and_is_idempotent(spark, events, tmp_path):
     assert spark.read.option("basePath", table_root).parquet(table_root).count() == day1.count()
 
 
+def test_stream_ingest_survives_static_session_conf(spark, events, tmp_path):
+    """Micro-batches land in different hours; under a vanilla (static
+    overwrite) session each foreachBatch write must still replace only
+    its own partitions — the sink pins dynamic mode per-write, so a
+    later micro-batch cannot wipe an earlier one's hour."""
+    hour_a = events.filter(F.date_format("ts", "yyyyMMddHH") == "2024010100")
+    hour_b = events.filter(F.date_format("ts", "yyyyMMddHH") == "2024010101")
+    src = str(tmp_path / "static_src")
+    # one file per hour + maxFilesPerTrigger=1 → one micro-batch per hour
+    hour_a.coalesce(1).write.parquet(src + "/a")
+    hour_b.coalesce(1).write.parquet(src + "/b")
+    table_root = str(tmp_path / "static_table")
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        q = stream_hourly_ingest(
+            spark, src + "/*", table_root, EVENTS_SCHEMA,
+            checkpoint=str(tmp_path / "static_ckpt"), trigger_available_now=True,
+            options={"maxFilesPerTrigger": "1"},
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(key, prev)
+
+    back = spark.read.option("basePath", table_root).parquet(table_root)
+    assert back.filter(F.col("hour") == 0).count() == hour_a.count()
+    assert back.filter(F.col("hour") == 1).count() == hour_b.count()
+
+
 def test_hourly_counts_batch_window(spark, events):
     day1 = events.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
     out = hourly_counts(day1)
