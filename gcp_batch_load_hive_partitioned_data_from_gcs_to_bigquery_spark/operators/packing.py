@@ -1,0 +1,129 @@
+"""Sequence packing: documents → fixed token-budget training sequences.
+
+The step between a curated corpus and a training run: concatenate
+documents (in a deterministic order) into contiguous token streams and
+cut them every ``budget`` tokens, letting documents straddle sequence
+boundaries — "concat-and-split" packing, the standard high-utilization
+layout for LLM pretraining batches (every sequence is exactly full;
+nothing is padded away). The alternative greedy first-fit family needs
+sequential state; concat-and-split has a CLOSED FORM over a running
+token offset, which makes it expressible as pure Catalyst window + array
+expressions — no UDF, no iteration, no driver loop.
+
+Spark-first layout:
+
+* documents are sharded by an arithmetic id-hash (same reproducible
+  ``(key*K)%M`` family as :mod:`.sampling` — no ``rand()``, identical
+  across retries and engines);
+* ONE shuffle: ``Window.partitionBy(shard).orderBy(...)`` computes each
+  doc's exclusive running token offset inside its shard;
+* each doc spans packs ``floor(start/budget) .. floor((end-1)/budget)``
+  — emitted with ``explode(sequence(...))``, a narrow rowwise op;
+* per-(doc, pack) segment token counts are closed-form min/max
+  arithmetic.
+
+At 100 TB the shard count is the parallelism knob: packing is
+embarrassingly parallel across shards (one window partition each), and
+shard assignment is a narrow map. No global ordering is ever needed —
+determinism comes from the (shard, doc order) pair, not a total sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+# Knuth multiplicative hash — matches operators/sampling.py so shard
+# assignment is reproducible in any engine (DuckDB oracle included).
+_HASH_K = 2654435761
+
+
+def shard_for(key: Column, n_shards: int, salt: int = 0) -> Column:
+    """Deterministic shard id in ``[0, n_shards)`` from an integer key."""
+    return ((key + F.lit(salt)) * F.lit(_HASH_K)) % F.lit(n_shards)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 8,
+    salt: int = 0,
+) -> DataFrame:
+    """Assign every document its (shard, pack, offset) coordinates in the
+    packed token stream.
+
+    Input needs an integer id and a per-doc token count (compute it with
+    :func:`..operators.text.token_count` upstream so the tokenizer choice
+    stays a separate concern). Output: one row per (document, pack)
+    SEGMENT — a doc longer than the remaining space in its pack
+    contributes rows to consecutive packs:
+
+    ``shard, pack_id, doc_id, start_in_pack, seg_tokens, doc_start``
+
+    Invariants (tested): per-(shard, pack) sum(seg_tokens) == budget for
+    every pack except the last of each shard; segment counts sum back to
+    each doc's token count; coordinates are a pure function of
+    (ids, token counts, budget, n_shards, salt).
+    """
+    w = W.partitionBy("_shard").orderBy(F.col(id_col).asc())
+    tok = F.col(tokens_col).cast("long")
+
+    sharded = docs.select(
+        F.col(id_col),
+        tok.alias("_tok"),
+        shard_for(F.col(id_col).cast("long"), n_shards, salt).alias("_shard"),
+    ).filter(F.col("_tok") > 0)
+
+    # Exclusive running offset: where this doc's tokens begin in the
+    # shard's concatenated stream. ONE shuffle (the window), then narrow.
+    offs = sharded.withColumn(
+        "_start", F.coalesce(F.sum("_tok").over(w) - F.col("_tok"), F.lit(0))
+    ).withColumn("_end", F.col("_start") + F.col("_tok"))
+
+    first_pack = (F.col("_start") / budget).cast("long")
+    last_pack = ((F.col("_end") - 1) / budget).cast("long")
+
+    segs = offs.select(
+        F.col("_shard").alias("shard"),
+        F.col(id_col),
+        F.col("_start"),
+        F.col("_end"),
+        F.explode(F.sequence(first_pack, last_pack)).alias("pack_id"),
+    )
+    pack_lo = F.col("pack_id") * budget
+    pack_hi = pack_lo + budget
+    seg_start = F.greatest(F.col("_start"), pack_lo)
+    seg_end = F.least(F.col("_end"), pack_hi)
+    return segs.select(
+        "shard",
+        "pack_id",
+        id_col,
+        (seg_start - pack_lo).cast("int").alias("start_in_pack"),
+        (seg_end - seg_start).cast("int").alias("seg_tokens"),
+        (seg_start - F.col("_start")).cast("long").alias("doc_start"),
+    )
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-shard packing audit: pack count, token totals, fill ratio.
+    Fill is 1.0 for all but the final partial pack of each shard, so
+    utilization → 1 as shards grow — the whole point of packing."""
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum("seg_tokens").alias("pack_tokens"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return (
+        per_pack.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("pack_tokens").alias("total_tokens"),
+            F.sum("n_segments").alias("n_segments"),
+            F.round(F.sum("pack_tokens") / (F.count(F.lit(1)) * budget), 4).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -2422,7 +2422,7 @@ _DRIVER_WINDOW = [
     "dedup_minhash_oracle",
     "dedup_simhash_oracle",
     "dedup_connected_components",
-    "dedup_end_to_end",
+    "pack_sequences",
     "ann_cosine_topk",
     "ann_lsh_oracle",
     "text_quality",

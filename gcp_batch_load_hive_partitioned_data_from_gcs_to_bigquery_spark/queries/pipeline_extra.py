@@ -584,6 +584,85 @@ FROM tok, LATERAL unnest(generate_series(0, (len(words) - 1) // 20)) AS t(w)
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-split): documents concatenated per
+    shard in doc_id order and cut every 512 tokens; one output row per
+    (doc, pack) segment. Closed-form window arithmetic — one shuffle, no
+    UDF (operators/packing.py)."""
+    from ..operators.packing import pack_sequences
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=512, n_shards=8)
+
+
+_PACK_SEGS_SQL = r"""
+  toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+           CAST(((doc_id + 0) * 2654435761) % 8 AS BIGINT) AS shard
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0
+  ), offs AS (
+    -- DuckDB SUM(BIGINT) widens to HUGEINT; cast back for generate_series
+    SELECT doc_id, tok, shard,
+           CAST(COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok, 0) AS BIGINT) AS s
+    FROM toks
+  ), segs AS (
+    SELECT shard, doc_id, s, s + tok AS e,
+           unnest(generate_series(s // 512, (s + tok - 1) // 512)) AS pack_id
+    FROM offs
+  )
+"""
+
+ORACLE_PACK = f"""
+WITH {_PACK_SEGS_SQL}
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       doc_id,
+       CAST(GREATEST(s, pack_id * 512) - pack_id * 512 AS INT) AS start_in_pack,
+       CAST(LEAST(e, (pack_id + 1) * 512) - GREATEST(s, pack_id * 512) AS INT) AS seg_tokens,
+       CAST(GREATEST(s, pack_id * 512) - s AS BIGINT) AS doc_start
+FROM segs
+"""
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing audit: per-shard pack count, token totals, fill ratio —
+    every pack but the shard's last is exactly full, so fill → 1 at
+    scale."""
+    from ..operators.packing import pack_sequences, packing_stats
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing_stats(pack_sequences(docs, budget=512, n_shards=8), budget=512)
+
+
+ORACLE_PACK_EFFICIENCY = f"""
+WITH {_PACK_SEGS_SQL}, seg_rows AS (
+  SELECT shard, pack_id,
+         LEAST(e, (pack_id + 1) * 512) - GREATEST(s, pack_id * 512) AS seg_tokens
+  FROM segs
+), per_pack AS (
+  SELECT shard, pack_id, SUM(seg_tokens) AS pack_tokens, COUNT(*) AS n_segments
+  FROM seg_rows GROUP BY shard, pack_id
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_segments) AS BIGINT) AS n_segments,
+       ROUND(SUM(pack_tokens) / (COUNT(*) * 512.0), 4) AS fill_ratio
+FROM per_pack
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
@@ -600,6 +679,8 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "text_pii_scrub": q_text_pii_scrub,
     "dedup_connected_components": q_dedup_connected_components,
     "udtf_token_windows": q_udtf_token_windows,
+    "pack_sequences": q_pack_sequences,
+    "pack_efficiency": q_pack_efficiency,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -618,4 +699,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_pii_scrub": ORACLE_PII,
     "dedup_connected_components": ORACLE_CC,
     "udtf_token_windows": ORACLE_UDTF_WINDOWS,
+    "pack_sequences": ORACLE_PACK,
+    "pack_efficiency": ORACLE_PACK_EFFICIENCY,
 }
