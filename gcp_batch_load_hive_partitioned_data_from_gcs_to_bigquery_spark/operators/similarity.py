@@ -254,6 +254,94 @@ def lsh_bucket_topk(
     )
 
 
+def _probe_buckets(bucket, num_planes: int, probes: int):
+    """Multi-probe expansion: the bucket itself plus the ``probes``
+    nearest neighbor buckets at Hamming distance 1 (single sign-bit
+    flips). Probe buckets are pairwise distinct by construction, so no
+    candidate dedup is needed downstream."""
+    cols = [bucket]
+    for p in range(min(probes, num_planes)):
+        cols.append(bucket.bitwiseXOR(F.lit(1 << p)))
+    return F.array(*cols)
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    probes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    signature=None,
+) -> DataFrame:
+    """Multi-probe hyperplane LSH top-k: each query scores its own bucket
+    AND the ``probes`` buckets one sign-flip away. A true neighbor lands
+    in a different bucket only when some hyperplane separates it from the
+    query; flipping one bit at a time recovers exactly the
+    one-plane-straddle misses — the dominant loss mode — lifting recall
+    toward exact at ~(probes+1)× candidate cost, WITHOUT duplicating the
+    corpus into multiple tables (the classic recall fix, num_tables×
+    memory, is the expensive alternative at 100 TB).
+
+    Plan shape: corpus signature is a narrow map; the query side explodes
+    to (probes+1) rows per query and broadcasts; one bucket-equality
+    join; per-query top-k window. Probe buckets are distinct, so each
+    candidate pair appears at most once — no dropDuplicates shuffle."""
+    sig_fn = signature or (
+        lambda vec: hyperplane_signature(vec, num_planes, dim)
+    )
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = c.withColumn("bucket", sig_fn(F.col("c_vec")))
+    q = q.withColumn("bucket0", sig_fn(F.col("q_vec"))).select(
+        "query_id",
+        "q_vec",
+        F.explode(_probe_buckets(F.col("bucket0"), num_planes, probes)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+        .select("query_id", "vec_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def md5_signature(num_planes: int, dim: int):
+    """Signature column builder over md5-derived literal hyperplanes
+    (:func:`hyperplane_weights_md5`) — SQL-reproducible, for oracle
+    twins."""
+    weights = hyperplane_weights_md5(num_planes, dim)
+
+    def signature(vec):
+        sig = None
+        for p, w in enumerate(weights):
+            proj = F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return sig
+
+    return signature
+
+
 def radius_search(
     corpus: DataFrame,
     queries: DataFrame,

@@ -542,6 +542,70 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_ann_multiprobe_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k with md5-derived hyperplanes: queries probe
+    their own bucket plus all 6 single-bit-flip neighbor buckets,
+    recovering one-plane-straddle misses (operators/similarity.py
+    lsh_multiprobe_topk). Fully value-checked: the oracle regenerates the
+    identical planes, signatures, probe set, and ranking in SQL."""
+    from ..operators.similarity import lsh_multiprobe_topk, md5_signature
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_multiprobe_topk(
+        emb, queries, k=3, num_planes=6, dim=64, probes=6,
+        signature=md5_signature(6, 64),
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_ANN_MULTIPROBE = """
+WITH w AS (
+  SELECT p, j,
+         CASE WHEN ('0x' || substr(md5('p_' || p || '_' || (j - 1)), 1, 7))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS wt
+  FROM unnest(generate_series(0, 5)) AS tp(p),
+       unnest(generate_series(1, 64)) AS tj(j)
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+  SELECT vec_id, p, sum(v[j] * wt) AS pr
+  FROM vecs, w
+  GROUP BY vec_id, p
+),
+sig AS (
+  SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+q AS (SELECT s.vec_id AS query_id, v.v AS qv, s.bucket
+      FROM sig s JOIN vecs v ON v.vec_id = s.vec_id WHERE s.vec_id < 5),
+-- probe set: own bucket (t=0) + the 6 single-bit flips (t=1..6)
+probes AS (
+  SELECT query_id, qv,
+         CASE WHEN t = 0 THEN bucket
+              ELSE xor(bucket, CAST(1 << (t - 1) AS BIGINT)) END AS bucket
+  FROM q, unnest(generate_series(0, 6)) AS tt(t)
+),
+c AS (SELECT s.vec_id, v.v AS cv, s.bucket
+      FROM sig s JOIN vecs v ON v.vec_id = s.vec_id),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         list_dot_product(p.qv, c.cv)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+  FROM probes p JOIN c ON p.bucket = c.bucket AND c.vec_id <> p.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(CAST(cosine AS DOUBLE), 4) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def q_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4 table function, SURVEY §2.8 surface): expand
     each document into 20-token windows via a LATERAL table-function
@@ -681,6 +745,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "udtf_token_windows": q_udtf_token_windows,
     "pack_sequences": q_pack_sequences,
     "pack_efficiency": q_pack_efficiency,
+    "ann_multiprobe_oracle": q_ann_multiprobe_oracle,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -701,4 +766,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "udtf_token_windows": ORACLE_UDTF_WINDOWS,
     "pack_sequences": ORACLE_PACK,
     "pack_efficiency": ORACLE_PACK_EFFICIENCY,
+    "ann_multiprobe_oracle": ORACLE_ANN_MULTIPROBE,
 }

@@ -114,6 +114,25 @@ def test_ann_ivf_recall_vs_exact(spark, emb):
     assert _recall(approx, exact) >= 0.5
 
 
+def test_ann_multiprobe_dominates_single_bucket(spark, emb):
+    """Multi-probe scores a strict superset of the single-bucket
+    candidates (own bucket is probe 0), so its recall vs exact can only
+    be >= — and with all single-bit flips probed it must recover a
+    meaningfully higher fraction on near-orthogonal vectors."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=3)
+    single = SIM.lsh_bucket_topk(emb, queries, k=3, num_planes=4, dim=64)
+    multi = SIM.lsh_multiprobe_topk(emb, queries, k=3, num_planes=4, dim=64, probes=4)
+    r_single, r_multi = _recall(single, exact), _recall(multi, exact)
+    assert r_multi >= r_single
+    # near-orthogonal randoms: single-bucket@4planes ≈ 0.1-0.15 analytic;
+    # probing the 4 one-flip buckets roughly doubles it
+    assert r_multi >= 0.25
+    # still a top-k: at most k rows per query, ranks 1..k
+    per_q = multi.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_q <= 3
+
+
 def test_embedding_cosine_pairs_lsh_subset_of_exact(spark, emb):
     exact = SIM.embedding_cosine_pairs(emb, threshold=0.8)
     bucketed = SIM.embedding_cosine_pairs(emb, threshold=0.8, num_planes=4)
