@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import tokenize, word_shingles
+
 # Tiny deterministic marker sets; heuristic quality is secondary to the
 # operator shape (the oracle replicates the same rule).
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -202,4 +204,107 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 30) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(k)
+    )
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition/quality rule filter in the Gopher/C4 family: per-doc
+    word-level statistics plus a composite keep verdict. ALL features are
+    array-expression Catalyst — a narrow map over the corpus, zero
+    shuffle, zero UDF — which is what lets the filter run as a cheap
+    pre-pass over 100 TB before any expensive dedup:
+
+    * ``n_words`` — word count (min-length floor; fragments out)
+    * ``mean_word_len`` — degenerate tokenization / binary junk out
+    * ``distinct_word_frac`` — low distinct ratio = repetition loops
+    * ``top_word_frac`` — single-token domination (boilerplate, spam)
+    * ``dup_bigram_frac`` — repeated phrase fraction (template text)
+
+    top_word_frac is computed WITHOUT a shuffle: count each distinct
+    word's occurrences inside the row's own array (O(distinct·n) per
+    row — bounded and local) rather than exploding to a global groupBy.
+    """
+    words = tokenize(F.col(text_col))
+    n_words = F.size(words)
+    distinct_words = F.array_distinct(words)
+    bigrams = word_shingles(words, 2)
+    top_count = F.array_max(
+        F.transform(
+            distinct_words,
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    feats = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(
+            F.aggregate(words, F.lit(0), lambda s, w: s + F.length(w))
+            / n_words.cast("double"),
+            4,
+        ).alias("mean_word_len"),
+        F.round(F.size(distinct_words) / n_words.cast("double"), 4).alias(
+            "distinct_word_frac"
+        ),
+        F.round(top_count / n_words.cast("double"), 4).alias("top_word_frac"),
+        F.round(
+            (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+            / F.greatest(F.size(bigrams), F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_bigram_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("distinct_word_frac") >= 0.4)
+        & (F.col("top_word_frac") <= 0.15)
+        & (F.col("dup_bigram_frac") <= 0.3)
+    )
+    return feats.withColumn("keep", keep)
+
+
+def contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a held-out benchmark set — the screening step that
+    keeps eval data out of a pretraining corpus.
+
+    Shape: benchmark n-grams are DISTINCT'd then broadcast (benchmarks
+    are tiny next to the corpus); corpus docs explode to their n-grams
+    and left-join the broadcast set, then re-aggregate per doc on the
+    pre-explode partitioning. Per doc: total n-grams, contaminated
+    n-gram count, fraction, and the flag. At 100 TB the corpus is
+    touched once and never shuffled on n-gram keys."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(tokenize(F.col(text_col)), n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(tokenize(F.col(text_col)), n)).alias("gram"),
+    )
+    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contaminated_frac",
+            F.round(
+                F.col("n_contaminated")
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+                4,
+            ),
+        )
+        .withColumn("flagged", F.col("n_contaminated") > 0)
     )

@@ -606,6 +606,68 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-family repetition-rule filter: word stats + keep verdict
+    as a shuffle-free narrow map (operators/text.py gopher_rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.gopher_rules(docs, "doc_id", "text")
+
+
+ORACLE_GOPHER = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+), b AS (
+  SELECT doc_id, w,
+         list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM t
+), f AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_words,
+         round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 4) AS mean_word_len,
+         round(len(list_distinct(w)) * 1.0 / len(w), 4) AS distinct_word_frac,
+         round(list_max(list_transform(list_distinct(w),
+                 x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w), 4) AS top_word_frac,
+         round((len(bg) - len(list_distinct(bg))) * 1.0 / greatest(len(bg), 1), 4) AS dup_bigram_frac
+  FROM b
+)
+SELECT *,
+       (n_words >= 20 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND distinct_word_frac >= 0.4 AND top_word_frac <= 0.15
+        AND dup_bigram_frac <= 0.3) AS keep
+FROM f
+"""
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 5-word
+    shingle with a pseudo-benchmark subset (doc_id % 97 == 0). Benchmark
+    shingles broadcast; corpus touched once, re-aggregated per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return TX.contamination_screen(docs, benchmark, "doc_id", "text", n=5)
+
+
+ORACLE_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+), bench AS (
+  SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE doc_id % 97 = 0
+), grams AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(b.gram) AS BIGINT) AS n_contaminated,
+       round(count(b.gram) * 1.0 / greatest(count(*), 1), 4) AS contaminated_frac,
+       count(b.gram) > 0 AS flagged
+FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+GROUP BY g.doc_id
+"""
+
+
 def q_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4 table function, SURVEY §2.8 surface): expand
     each document into 20-token windows via a LATERAL table-function
@@ -746,6 +808,8 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "pack_sequences": q_pack_sequences,
     "pack_efficiency": q_pack_efficiency,
     "ann_multiprobe_oracle": q_ann_multiprobe_oracle,
+    "text_gopher_rules": q_text_gopher_rules,
+    "text_contamination": q_text_contamination,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -767,4 +831,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pack_sequences": ORACLE_PACK,
     "pack_efficiency": ORACLE_PACK_EFFICIENCY,
     "ann_multiprobe_oracle": ORACLE_ANN_MULTIPROBE,
+    "text_gopher_rules": ORACLE_GOPHER,
+    "text_contamination": ORACLE_CONTAMINATION,
 }

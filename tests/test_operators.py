@@ -188,3 +188,51 @@ def test_range_join_boundary_semantics(spark):
         r["pid"] for r in range_join_buckets(points, intervals, "ts", "start_ts", "end_ts").collect()
     )
     assert got == [1, 2]  # start inclusive, end exclusive, outside dropped
+
+
+def test_gopher_rules_flags_repetitive_docs(spark):
+    """Handcrafted corpus: clean prose keeps, repetition-loop and
+    one-word-spam docs drop; the filter is a shuffle-free narrow map."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import gopher_rules
+
+    clean = " ".join(f"word{i} term{i*7%13} item{i*3%11}" for i in range(10))
+    loop = "buy now click here " * 10            # dup bigrams, low distinct
+    spam = "spam " * 30                          # one token dominates
+    short = "too short"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, loop), (3, spam), (4, short)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs, "doc_id", "text").collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].dup_bigram_frac > 0.3
+    assert not out[3].keep and out[3].top_word_frac == 1.0
+    assert not out[4].keep and out[4].n_words < 20
+
+    plan = gopher_rules(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow map, no shuffle
+
+
+def test_contamination_screen_exact_overlap(spark):
+    """A doc embedding a benchmark 5-gram is flagged; disjoint docs are
+    not; the benchmark side is broadcast."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import contamination_screen
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over and more words here"),
+            (2, "completely unrelated content with different tokens entirely present"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in contamination_screen(docs, bench, n=5).collect()}
+    assert out[1].flagged and out[1].n_contaminated >= 1
+    assert not out[2].flagged and out[2].n_contaminated == 0
+
+    plan = (
+        contamination_screen(docs, bench, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
