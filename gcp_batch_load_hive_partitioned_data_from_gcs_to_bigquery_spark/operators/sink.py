@@ -263,6 +263,41 @@ def maintain_hourly_rollup(
     return write_partition_overwrite(rolled, rollup_root, ts_col=ts_col, partition=partition)
 
 
+def merge_upsert_partition(
+    spark: SparkSession,
+    table_root: str,
+    updates: DataFrame,
+    partition: str,
+    key_cols: list[str],
+) -> JobState:
+    """MERGE INTO semantics scoped to ONE hourly partition: rows in
+    ``updates`` replace current rows with the same key; unmatched keys
+    are inserted. The reference's WRITE_TRUNCATE replaces whole
+    partitions only — this is the finer-grained maintenance op a landing
+    table needs for late corrections without re-ingesting the hour.
+
+    Implementation is pure DataFrame algebra on top of the idempotent
+    sink: current ∖ keys(updates) (left-anti join) ∪ updates, then one
+    partition overwrite. The anti-join broadcasts when updates are small
+    (the common correction case); cost is one read + one write of the
+    single touched partition — O(hour), never O(table), exactly the
+    compaction cost shape. ``localCheckpoint`` materializes the merge
+    before the overwrite because the write replaces the very files being
+    read."""
+    current = read_landing_table(spark, table_root, partition)
+    data_cols = [c for c in current.columns if c not in PARTITION_COLS]
+    survivors = current.select(*data_cols).join(
+        F.broadcast(updates.select(*key_cols).distinct()), key_cols, "left_anti"
+    )
+    merged = (
+        survivors.unionByName(updates.select(*data_cols))
+        .localCheckpoint(eager=True)
+    )
+    return write_partition_overwrite(
+        merged, table_root, partition=partition, create_never=False
+    )
+
+
 def read_landing_table(
     spark: SparkSession,
     table_root: str,

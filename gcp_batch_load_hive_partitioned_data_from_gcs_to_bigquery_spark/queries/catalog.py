@@ -334,6 +334,113 @@ FROM events WHERE {_HOUR_PRED_SQL}
 """
 
 
+def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE: land one hour, then upsert a correction
+    batch (every even event_id's value doubled, plus two brand-new rows)
+    and read the hour back. Updates replace matched keys, inserts land,
+    unmatched rows survive untouched — the finer-grained correction op
+    the reference's whole-partition WRITE_TRUNCATE lacks."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        merge_upsert_partition,
+        read_landing_table,
+        write_partition_overwrite,
+    )
+
+    table_root = _tmp("merge")
+    create_partitioned_table(spark, table_root)
+    hour = _events_day1(spark, sf_dir).filter(F.date_format("ts", "yyyyMMddHH") == PART_HOUR)
+    write_partition_overwrite(hour, table_root)
+
+    updates = hour.filter(F.col("event_id") % 2 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    new_rows = spark.createDataFrame(
+        [
+            (10_000_001, "2024-01-01 00:10:00", 1, "merge_insert", 1.5, "{}"),
+            (10_000_002, "2024-01-01 00:20:00", 2, "merge_insert", 2.5, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merge_upsert_partition(
+        spark, table_root, updates.unionByName(new_rows), PART_HOUR, ["event_id"]
+    )
+    back = read_landing_table(spark, table_root, PART_HOUR)
+    return back.select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+ORACLE_MERGE_UPSERT = f"""
+WITH hour0 AS (SELECT * FROM events WHERE {_HOUR_PRED_SQL}),
+upd AS (
+  SELECT event_id, user_id, event_type, value * 2 AS value
+  FROM hour0 WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT * FROM (VALUES (10000001, 1, 'merge_insert', 1.5),
+                        (10000002, 2, 'merge_insert', 2.5)) v(event_id, user_id, event_type, value)
+)
+SELECT event_id, user_id, event_type, round(CAST(value AS DOUBLE), 2) AS value
+FROM (
+  SELECT event_id, user_id, event_type, value FROM hour0
+  WHERE event_id NOT IN (SELECT event_id FROM upd)
+  UNION ALL
+  SELECT * FROM upd
+)
+"""
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (``F.session_window``, the streaming-state
+    primitive, here in batch mode): per-user sessions close after 30
+    minutes of silence; window end = last event + gap. Same gap semantics
+    as the manual gaps-and-islands sessionize, but produced by the
+    engine's session-window operator — in Structured Streaming the exact
+    same expression runs incrementally with watermark-driven state
+    eviction."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return sess.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM s
+GROUP BY user_id, session_idx
+"""
+
+
 def q_rollup_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous hourly rollup (hypertable pattern): ingest three hours,
     maintain a per-hour aggregate table incrementally after each ingest —
@@ -2253,6 +2360,8 @@ QUERIES: dict[str, callable] = {
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_hourly_ingest": q_stream_hourly_ingest,
     "stream_stateful_totals": q_stream_stateful_totals,
+    "stream_session_window": q_stream_session_window,
+    "sink_merge_upsert": q_sink_merge_upsert,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_content_hash": q_dedup_content_hash,
@@ -2338,6 +2447,8 @@ ORACLES: dict[str, str] = {
     "stream_tumbling_window": ORACLE_STREAM,
     "stream_hourly_ingest": ORACLE_STREAM_INGEST,
     "stream_stateful_totals": ORACLE_STREAM_STATEFUL,
+    "stream_session_window": ORACLE_SESSION_WINDOW,
+    "sink_merge_upsert": ORACLE_MERGE_UPSERT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_content_hash": ORACLE_CONTENT_HASH,
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: engine-specific
