@@ -103,3 +103,21 @@ def split_counts(df: DataFrame, by: list[str]) -> DataFrame:
     """Audit aggregate for any of the above: row counts per group —
     the number a pipeline operator reconciles against its config."""
     return df.groupBy(*by).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def epoch_shuffle(df: DataFrame, key_col: str, epoch: int) -> DataFrame:
+    """Deterministic per-epoch global shuffle: every epoch is a different
+    but fully reproducible permutation, keyed by ``md5(key || '_' ||
+    epoch)`` — no ``rand()``, so retries, resumed jobs, and any other
+    engine (md5 is universal) derive the identical order.
+
+    The returned frame carries ``shuffle_key``; materialize the epoch
+    order with ``repartitionByRange(N, "shuffle_key")`` +
+    ``sortWithinPartitions("shuffle_key")`` — a range shuffle, NOT a
+    global single-node sort, so writing a shuffled epoch of a 100 TB
+    corpus stays fully parallel (readers consume files in filename order
+    for the total order)."""
+    return df.withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws("_", F.col(key_col).cast("string"), F.lit(str(epoch)))),
+    )

@@ -443,3 +443,23 @@ def lsh_bucket_topk_md5(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v|/127,
+    q_i = round(v_i / scale) ∈ [-127, 127]. The 4× memory cut that makes
+    a 100 TB embedding corpus broadcast- and cache-friendly for ANN;
+    reconstruction error is bounded by scale/2 per component. Pure array
+    expressions — narrow map, no shuffle, no UDF."""
+    v = with_double_embedding(df, vec_col)
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    return v.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x / scale).cast("int")
+        ).alias("q"),
+    )

@@ -668,6 +668,58 @@ GROUP BY g.doc_id
 """
 
 
+def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle: md5(doc_id || '_' || epoch)
+    as the order key — reproducible across retries and engines, different
+    permutation per epoch. Returns the first 10 docs of epoch 1's order
+    plus the same docs' epoch-2 keys (proving the permutation changes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    e1 = S.epoch_shuffle(docs.select("doc_id"), "doc_id", epoch=1)
+    e2 = S.epoch_shuffle(docs.select("doc_id"), "doc_id", epoch=2).withColumnRenamed(
+        "shuffle_key", "epoch2_key"
+    )
+    return (
+        e1.orderBy("shuffle_key")
+        .limit(10)
+        .join(e2, "doc_id")
+        .select("doc_id", "shuffle_key", "epoch2_key")
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = """
+WITH e1 AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || '_1') AS shuffle_key
+  FROM documents ORDER BY shuffle_key LIMIT 10
+)
+SELECT doc_id, shuffle_key, md5(doc_id::VARCHAR || '_2') AS epoch2_key
+FROM e1
+"""
+
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|v|/127): the
+    4x memory cut for embedding corpora. Narrow map, no shuffle; the
+    oracle recomputes scale and every quantized component in SQL."""
+    from ..operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb.filter(F.col("vec_id") < 200))
+
+
+ORACLE_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+  FROM v
+)
+SELECT vec_id, round(sc, 6) AS scale,
+       list_transform(e, x -> CAST(round(x / sc) AS INT)) AS q
+FROM s
+"""
+
+
 def q_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4 table function, SURVEY §2.8 surface): expand
     each document into 20-token windows via a LATERAL table-function
@@ -810,6 +862,8 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "ann_multiprobe_oracle": q_ann_multiprobe_oracle,
     "text_gopher_rules": q_text_gopher_rules,
     "text_contamination": q_text_contamination,
+    "sample_epoch_shuffle": q_sample_epoch_shuffle,
+    "emb_quantize_int8": q_emb_quantize_int8,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -833,4 +887,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ann_multiprobe_oracle": ORACLE_ANN_MULTIPROBE,
     "text_gopher_rules": ORACLE_GOPHER,
     "text_contamination": ORACLE_CONTAMINATION,
+    "sample_epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
+    "emb_quantize_int8": ORACLE_QUANTIZE,
 }

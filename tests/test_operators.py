@@ -236,3 +236,38 @@ def test_contamination_screen_exact_overlap(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_quantize_int8_reconstruction_error_bounded(spark, emb):
+    """q*scale must reconstruct every component within scale/2, and q
+    must stay in [-127, 127]; the whole op is a shuffle-free narrow map."""
+    out = SIM.quantize_int8(emb.limit(100))
+    joined = out.join(SIM.with_double_embedding(emb.limit(100)), "vec_id")
+    errs = joined.select(
+        F.array_max(
+            F.zip_with(
+                "embedding", "q",
+                lambda v, q: F.abs(v - q.cast("double") * F.col("scale")),
+            )
+        ).alias("max_err"),
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("max_q"),
+        "scale",
+    ).collect()
+    for r in errs:
+        assert r.max_q <= 127
+        # scale/2 quantization bound + 127*5e-7 for the 6-dp-rounded
+        # scale used in reconstruction (q was computed with exact scale)
+        assert r.max_err <= r.scale / 2 + 127 * 5e-7
+    plan = SIM.quantize_int8(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_epoch_shuffle_reproducible_and_distinct_per_epoch(spark, docs):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import epoch_shuffle
+
+    ids = docs.select("doc_id")
+    order1a = [r.doc_id for r in epoch_shuffle(ids, "doc_id", 1).orderBy("shuffle_key").limit(20).collect()]
+    order1b = [r.doc_id for r in epoch_shuffle(ids, "doc_id", 1).orderBy("shuffle_key").limit(20).collect()]
+    order2 = [r.doc_id for r in epoch_shuffle(ids, "doc_id", 2).orderBy("shuffle_key").limit(20).collect()]
+    assert order1a == order1b          # same epoch → identical permutation
+    assert order1a != order2           # different epoch → different permutation
