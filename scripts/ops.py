@@ -15,6 +15,8 @@ Usage:
                                       [--format csv] [--option k=v ...] [--cluster-by col]
   python scripts/ops.py compact       TABLE_ROOT PARTITION [--cluster-by col]
   python scripts/ops.py vacuum        TABLE_ROOT RETAIN_FROM
+  python scripts/ops.py merge         TABLE_ROOT PARTITION UPDATES_PATH --schema DDL
+                                      --key COL [--key COL ...] [--format parquet]
 
 PARTITION strings are compact YYYYMMDDHH (the reference's BQ decorator
 format); --schema takes DDL like "event_id LONG, ts TIMESTAMP, ...".
@@ -76,6 +78,15 @@ def main(argv: list[str] | None = None) -> dict:
     p = sub.add_parser("vacuum")
     p.add_argument("table_root")
     p.add_argument("retain_from")
+
+    p = sub.add_parser("merge")
+    p.add_argument("table_root")
+    p.add_argument("partition")
+    p.add_argument("updates_path")
+    p.add_argument("--schema", required=True, help='DDL, e.g. "a LONG, b STRING"')
+    p.add_argument("--key", action="append", required=True, metavar="COL")
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--option", action="append", default=[], metavar="K=V")
 
     args = ap.parse_args(argv)
 
@@ -154,6 +165,27 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.cmd == "vacuum":
         dropped, kept = vacuum_partitions(spark, args.table_root, args.retain_from)
         result = {"cmd": "vacuum", "dropped": dropped, "kept": kept}
+    elif args.cmd == "merge":
+        from pyspark.sql import types as T
+
+        from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import merge_upsert_partition
+
+        schema = T.StructType.fromDDL(args.schema)
+        updates = (
+            spark.read.format(args.format)
+            .schema(schema)
+            .options(**_parse_options(args.option))
+            .load(args.updates_path)
+        )
+        state = merge_upsert_partition(
+            spark, args.table_root, updates, args.partition, args.key
+        )
+        result = {
+            "cmd": "merge",
+            "partition": args.partition,
+            "n_updates": updates.count(),
+            "status": state.name,
+        }
     else:  # pragma: no cover
         raise SystemExit(f"unknown command {args.cmd}")
 

@@ -53,6 +53,20 @@ def test_ops_cli_full_lifecycle(spark, tmp_path):
 
     assert ops_main(["partitions", tbl])["partitions"] == ["2024010100", "2024010101"]
     assert ops_main(["compact", tbl, "2024010100"])["n_files"] == 1
+
+    # merge: correct event 1's value, insert event 9 into hour 00
+    upd_dir = str(tmp_path / "updates")
+    os.makedirs(upd_dir)
+    with open(os.path.join(upd_dir, "u.tsv"), "w") as fh:
+        fh.write("1\t10\tclick\t9.9\n9\t12\tmerge_new\t4.0\n")
+    r = ops_main(
+        ["merge", tbl, "2024010100", upd_dir, "--schema", SCHEMA,
+         "--key", "event_id", "--format", "csv", "--option", "sep=\t"]
+    )
+    assert r["status"] == "SUCCESS" and r["n_updates"] == 2
+    hour0 = spark.read.option("basePath", tbl).parquet(tbl + "/year=2024/month=01/day=01/hour=00")
+    got = {x.event_id: x.value for x in hour0.collect()}
+    assert got == {1: 9.9, 2: 2.0, 9: 4.0}
     r = ops_main(["vacuum", tbl, "2024010101"])
     assert r["dropped"] == ["2024010100"] and r["kept"] == ["2024010101"]
 
