@@ -604,6 +604,92 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 custom Python data source: register the deterministic
+    synthetic-events source (sources/pydatasource.py) and read it like a
+    native format. The reader declares its own input partitions, so the
+    generate runs executor-parallel — the modern extension point for
+    sources Spark lacks a reader for."""
+    from ..sources.pydatasource import SyntheticEventsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # idempotent re-register within a session
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "1000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("score"), 4).alias("sum_score"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+ORACLE_PY_DATASOURCE = """
+WITH g AS (
+  SELECT i AS id,
+         CAST((i * 2654435761) % 10 AS INT) AS bucket,
+         ((i * 2654435761) % 1000) / 1000.0 AS score
+  FROM unnest(generate_series(0, 999)) AS t(i)
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(score) AS DOUBLE), 4) AS sum_score,
+       min(id) AS min_id, max(id) AS max_id
+FROM g GROUP BY bucket
+"""
+
+
+def q_udf_cogroup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the two-sided Arrow surface, SURVEY
+    §2.8): events cogrouped per user with a per-user threshold frame;
+    the pandas kernel counts each user's above-threshold events. The
+    cogroup aligns both sides on the grouping key in one co-partitioned
+    shuffle — the shape for custom two-table per-key logic (asof merges,
+    interval matching) that no single builtin expresses."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    thresholds = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("threshold", (F.col("user_id") % 5) * 100.0 + 50.0)
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = int(left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0])
+        thr = float(right["threshold"].iloc[0]) if len(right) else float("inf")
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "threshold": [thr],
+                "n_events": [len(left)],
+                "n_above": [int((left["value"] > thr).sum()) if len(left) else 0],
+            }
+        )
+
+    out = (
+        ev.groupBy("user_id")
+        .cogroup(thresholds.groupBy("user_id"))
+        .applyInPandas(merge, "user_id long, threshold double, n_events long, n_above long")
+    )
+    return out
+
+
+ORACLE_COGROUP = """
+SELECT user_id,
+       CAST((user_id % 5) * 100.0 + 50.0 AS DOUBLE) AS threshold,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN value > (user_id % 5) * 100.0 + 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM events
+GROUP BY user_id
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
@@ -621,6 +707,8 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "agg_histogram": q_agg_histogram,
     "udf_pandas_geomean": q_udf_pandas_geomean,
     "approx_quantile_gate": q_approx_quantile_gate,
+    "source_python_datasource": q_source_python_datasource,
+    "udf_cogroup_threshold": q_udf_cogroup_threshold,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -640,4 +728,6 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "agg_histogram": ORACLE_HISTOGRAM,
     "udf_pandas_geomean": ORACLE_GEOMEAN,
     "approx_quantile_gate": ORACLE_QUANTILE_GATE,
+    "source_python_datasource": ORACLE_PY_DATASOURCE,
+    "udf_cogroup_threshold": ORACLE_COGROUP,
 }

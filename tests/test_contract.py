@@ -31,3 +31,32 @@ def test_rows_only_queries_are_the_documented_four():
         "dedup_minhash_lsh",
         "dedup_simhash",
     ]
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """Custom Python data source (Spark 4 API): executor-parallel input
+    partitions, deterministic content, idempotent re-read."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+        SyntheticEventsReader,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "100").option("numPartitions", "4").load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows1 = sorted((r.id, r.bucket, float(r.score)) for r in df.collect())
+    rows2 = sorted((r.id, r.bucket, float(r.score)) for r in df.collect())
+    assert rows1 == rows2
+    assert len(rows1) == 100
+    assert [r[0] for r in rows1] == list(range(100))  # no gaps, no dups
+
+    # partition boundary math: slices tile [0, rows) exactly
+    reader = SyntheticEventsReader(rows=10, num_partitions=4)
+    slices = [p.value for p in reader.partitions()]
+    assert slices == [(0, 3), (3, 6), (6, 9), (9, 10)]
