@@ -321,3 +321,34 @@ def audio_features_stub(media: DataFrame, window_bytes: int = 1024) -> DataFrame
             )
 
     return media.select("media_id", "content").mapInPandas(_kernel, AUDIO_FEATURE_SCHEMA)
+
+
+def decode_image_meta_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`decode_image_meta`: the kernel
+    consumes/produces raw ``pyarrow.RecordBatch`` — no pandas
+    materialization at all, the leanest Python batch path Spark offers
+    (skips the Arrow→pandas→Arrow round-trip, which matters when the
+    payload column is large binary). Same real header parse, same
+    output schema."""
+    import pyarrow as pa
+
+    media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+
+    def _kernel(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            contents = batch.column("content").to_pylist()
+            parsed = [parse_image_dims(bytes(b or b"")) for b in contents]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "n_bytes": pa.array(
+                        [len(b) if b is not None else 0 for b in contents], pa.int64()
+                    ),
+                    "format": pa.array([p[0] for p in parsed], pa.string()),
+                    "width": pa.array([p[1] for p in parsed], pa.int32()),
+                    "height": pa.array([p[2] for p in parsed], pa.int32()),
+                }
+            )
+
+    return media.select("media_id", "content").mapInArrow(_kernel, IMAGE_META_SCHEMA)

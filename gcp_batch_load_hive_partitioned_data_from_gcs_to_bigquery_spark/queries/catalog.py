@@ -2250,6 +2250,18 @@ FROM documents
 """
 
 
+def q_multimodal_meta_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow twin of multimodal_image_meta: identical real header
+    parse, but the kernel works on raw pyarrow RecordBatches (no pandas
+    round-trip) — the leanest Python batch path for large binary
+    columns. Same oracle as the mapInPandas variant: both must extract
+    the identical encoded geometry."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_png_media(docs)
+    meta = MM.decode_image_meta_arrow(media)
+    return meta.select("media_id", "format", "width", "height")
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-in/binary-out resize stub over mapInPandas: payload
     truncated/padded to the target byte budget (deterministic fake of a
@@ -2386,6 +2398,7 @@ QUERIES: dict[str, callable] = {
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_meta_arrow": q_multimodal_meta_arrow,
 }
 
 ORACLES: dict[str, str] = {
@@ -2467,6 +2480,7 @@ ORACLES: dict[str, str] = {
     "multimodal_image_meta": ORACLE_MM_META,
     "multimodal_frame_sample": ORACLE_MM_FRAMES,
     "multimodal_resize": ORACLE_MM_RESIZE,
+    "multimodal_meta_arrow": ORACLE_MM_META,
 }
 
 from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.tpch_extra import (  # noqa: E402
