@@ -263,6 +263,38 @@ def maintain_hourly_rollup(
     return write_partition_overwrite(rolled, rollup_root, ts_col=ts_col, partition=partition)
 
 
+def repair_rollup(
+    spark: SparkSession,
+    table_root: str,
+    rollup_root: str,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    ts_col: str = "ts",
+) -> list[str]:
+    """Catch-up maintenance: diff the landing table's partition list
+    against the rollup's and (re)derive ONLY the missing hours.
+
+    The crash-recovery twin of :func:`maintain_hourly_rollup`: if the
+    per-ingest maintenance call is skipped (job died between landing
+    write and rollup write, or a backfill wrote hours out-of-band), this
+    converges the rollup without touching any hour that is already
+    present. Cost is two metadata partition LISTs (no Spark job) plus
+    one pruned read + tiny write per MISSING hour — O(missing), never
+    O(table), so running it after every batch is safe at any scale.
+    Returns the list of repaired partitions.
+    """
+    landing = set(list_table_partitions(spark, table_root))
+    have = set(list_table_partitions(spark, rollup_root)) if _table_exists(
+        spark, rollup_root
+    ) else set()
+    missing = sorted(landing - have)
+    for part in missing:
+        maintain_hourly_rollup(
+            spark, table_root, rollup_root, part, group_cols, agg_exprs, ts_col=ts_col
+        )
+    return missing
+
+
 def merge_upsert_partition(
     spark: SparkSession,
     table_root: str,

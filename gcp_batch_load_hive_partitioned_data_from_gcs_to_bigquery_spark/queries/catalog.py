@@ -2306,6 +2306,166 @@ FROM (
 """
 
 
+def q_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave 8 bits of user_id and
+    event_id%256 into one BIGINT and lay rows out along the curve
+    (operators/zorder.py — the multi-column analogue of the reference's
+    cluster-key sort, bq_create_table_ddl.sql:8-9). The oracle recomputes
+    the identical bit-arithmetic in DuckDB, so every z-value is checked
+    bit-exactly."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zorder import cluster_zorder
+
+    ev = _events_day1(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.pmod(F.col("user_id"), F.lit(256)).alias("zx"),
+        F.pmod(F.col("event_id"), F.lit(256)).alias("zy"),
+    )
+    curved = cluster_zorder(ev, ["zx", "zy"], bits=8, num_files=8)
+    return (
+        curved.select("event_id", "user_id", "zval")
+        .orderBy("zval", "event_id")
+        .limit(100)
+    )
+
+
+def _zorder_oracle() -> str:
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zorder import zvalue_sql
+
+    zexpr = zvalue_sql(["(user_id % 256)", "(event_id % 256)"], bits=8)
+    return f"""
+SELECT event_id, user_id, {zexpr} AS zval
+FROM events
+WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+ORDER BY zval, event_id
+LIMIT 100
+"""
+
+
+ORACLE_CLUSTER_ZORDER = _zorder_oracle()
+
+
+def q_stats_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level zone map (operators/zonemap.py): per-hour
+    min/max/count stats over the landing layout — the catalog-persisted
+    skipping index (Delta add.stats / ORC stripe stats analogue). One
+    scan, map-side-combined groupBy on partition metadata columns."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import partition_zone_map
+
+    root = _parquet_fixture_root(spark, sf_dir)
+    zm = partition_zone_map(spark, root, ["user_id", "value"])
+    return zm.select(
+        "hour_partition",
+        "n_rows",
+        "min_user_id",
+        "max_user_id",
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+ORACLE_STATS_ZONE_MAP = """
+SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hour_partition,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+       round(CAST(min(value) AS DOUBLE), 4) AS min_value,
+       round(CAST(max(value) AS DOUBLE), 4) AS max_value
+FROM events
+WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_scan_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping (operators/zonemap.py): cluster one day of
+    events on user_id, then answer a narrow user_id range scan reading
+    ONLY the files whose min/max interval intersects the predicate. The
+    returned aggregate is layout-independent (the oracle is a plain
+    filtered GROUP BY); the skip RATIO is asserted in tests, where file
+    counts are controlled."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import with_partition_columns
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import skipping_scan
+
+    key = ("zm_clustered", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("fix_zm")
+        (
+            with_partition_columns(_events_day1(spark, sf_dir))
+            .repartitionByRange(8, F.col("user_id"))
+            .sortWithinPartitions("user_id")
+            .write.partitionBy("year", "month", "day", "hour")
+            .mode("overwrite")
+            .parquet(root)
+        )
+        _FIXTURES[key] = root
+    df, _read, _total = skipping_scan(spark, _FIXTURES[key], "user_id", 40, 49)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_SCAN_FILE_SKIPPING = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events
+WHERE ts < TIMESTAMP '2024-01-02 00:00:00' AND user_id BETWEEN 40 AND 49
+GROUP BY event_type
+"""
+
+
+def q_rollup_repair_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup catch-up repair (operators/sink.py repair_rollup): ingest
+    five hours, maintain the rollup for only two of them (simulating a
+    crash between landing write and rollup write), then diff-and-repair.
+    Exactly the three missing hours are derived — O(missing), never
+    O(table) — and the read-back of all five hours must equal a full
+    recompute."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        maintain_hourly_rollup,
+        read_landing_table,
+        repair_rollup,
+        write_partition_overwrite,
+    )
+
+    hours = [f"20240101{h:02d}" for h in range(5)]
+    table_root = _tmp("rr_landing")
+    rollup_root = _tmp("rr_rollup")
+    create_partitioned_table(spark, table_root)
+    ev = _events_day1(spark, sf_dir)
+    aggs = {"n_rows": "count(*)", "sum_value": "round(sum(value), 2)"}
+    for h in hours:
+        batch = ev.filter(F.date_format("ts", "yyyyMMddHH") == h)
+        write_partition_overwrite(batch, table_root)
+    # only hours 0 and 2 get their rollup maintained before the "crash"
+    for h in (hours[0], hours[2]):
+        maintain_hourly_rollup(spark, table_root, rollup_root, h, ["event_type"], aggs)
+    repaired = repair_rollup(spark, table_root, rollup_root, ["event_type"], aggs)
+    assert repaired == [hours[1], hours[3], hours[4]], repaired
+
+    frames = [
+        read_landing_table(spark, rollup_root, h).select(
+            F.lit(h).alias("hour_partition"), "event_type", "n_rows", "sum_value"
+        )
+        for h in hours
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+ORACLE_ROLLUP_REPAIR = """
+SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hour_partition,
+       event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-01 05:00:00'
+GROUP BY 1, 2
+"""
+
+
 # === registry ===============================================================
 
 QUERIES: dict[str, callable] = {
@@ -2321,6 +2481,10 @@ QUERIES: dict[str, callable] = {
     "ddl_create_partitioned_table": q_ddl_create_partitioned_table,
     "sink_compact_partition": q_sink_compact_partition,
     "rollup_continuous_hourly": q_rollup_continuous_hourly,
+    "rollup_repair_missing": q_rollup_repair_missing,
+    "cluster_zorder": q_cluster_zorder,
+    "stats_zone_map": q_stats_zone_map,
+    "scan_file_skipping": q_scan_file_skipping,
     "filter_require_partition": q_filter_require_partition,
     "job_state_poll": q_job_state_poll,
     "backfill_range": q_backfill_range,
@@ -2413,6 +2577,10 @@ ORACLES: dict[str, str] = {
     "ddl_create_partitioned_table": ORACLE_DDL_CREATE,
     "sink_compact_partition": ORACLE_SINK_COMPACT,
     "rollup_continuous_hourly": ORACLE_ROLLUP_CONTINUOUS,
+    "rollup_repair_missing": ORACLE_ROLLUP_REPAIR,
+    "cluster_zorder": ORACLE_CLUSTER_ZORDER,
+    "stats_zone_map": ORACLE_STATS_ZONE_MAP,
+    "scan_file_skipping": ORACLE_SCAN_FILE_SKIPPING,
     "filter_require_partition": ORACLE_REQUIRE_PARTITION,
     "job_state_poll": ORACLE_JOB_POLL,
     "backfill_range": ORACLE_BACKFILL,

@@ -1,0 +1,150 @@
+"""Layout operators: z-order clustering locality, zone-map file
+skipping, and rollup catch-up repair.
+
+These assert the SCALE properties, not just values (values are covered
+by the oracle rows cluster_zorder / stats_zone_map / scan_file_skipping
+/ rollup_repair_missing): z-ordered files must have tight per-file
+bounds on BOTH interleaved dimensions, and the skipping scan must
+actually read fewer files while returning identical rows.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import (
+    file_zone_map,
+    partition_zone_map,
+    skipping_scan,
+)
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zorder import cluster_zorder, zvalue_col, zvalue_sql
+
+
+def _grid(spark, n=64):
+    """n x n integer grid — two uniform dimensions, the adversarial case
+    for single-key clustering (sorting by x leaves y spans full-width)."""
+    return (
+        spark.range(n * n)
+        .select(
+            F.col("id").alias("rid"),
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+    )
+
+
+def test_zvalue_matches_reference_interleave(spark):
+    # hand-computed Morton values: (x=3 [11], y=5 [101]) with 4 bits
+    # -> bits x at even positions, y at odd: 100111 = 39
+    row = (
+        spark.range(1)
+        .select(F.lit(3).alias("x"), F.lit(5).alias("y"))
+        .select(zvalue_col(["x", "y"], bits=4))
+        .collect()[0]
+    )
+    assert row["zval"] == 39
+
+
+def test_zvalue_sql_twin_matches_spark(spark):
+    import duckdb
+
+    df = _grid(spark, 16).select("rid", zvalue_col(["x", "y"], bits=4))
+    got = {r["rid"]: r["zval"] for r in df.collect()}
+    con = duckdb.connect()
+    expr = zvalue_sql(["(rid % 16)", "(rid // 16)"], bits=4)
+    want = {
+        rid: z
+        for rid, z in con.execute(
+            f"SELECT rid, {expr} FROM (SELECT unnest(generate_series(0, 255)) AS rid)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_zorder_tightens_per_file_bounds_on_both_dims(spark):
+    n = 64
+    grid = _grid(spark, n)
+    zroot = tempfile.mkdtemp(prefix="sg_zorder_")
+    xroot = tempfile.mkdtemp(prefix="sg_xsort_")
+    cluster_zorder(grid, ["x", "y"], bits=8, num_files=16).write.mode(
+        "overwrite"
+    ).parquet(zroot)
+    # single-key layout: perfect for x, useless for y
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(xroot)
+
+    def mean_span(root, col):
+        zm = file_zone_map(spark, root, [col])
+        return (
+            zm.select(F.avg(F.col(f"max_{col}") - F.col(f"min_{col}")).alias("s"))
+            .collect()[0]["s"]
+        )
+
+    # x-sorted layout: y spans stay ~full-width (n-1)
+    assert mean_span(xroot, "y") > 0.9 * (n - 1)
+    # z-ordered: BOTH dims shrink to a fraction of full width
+    assert mean_span(zroot, "x") < 0.5 * (n - 1)
+    assert mean_span(zroot, "y") < 0.5 * (n - 1)
+
+
+def test_skipping_scan_reads_fewer_files_same_rows(spark):
+    n = 64
+    grid = _grid(spark, n)
+    root = tempfile.mkdtemp(prefix="sg_skip_")
+    cluster_zorder(grid, ["x", "y"], bits=8, num_files=16).write.mode(
+        "overwrite"
+    ).parquet(root)
+
+    df, files_read, files_total = skipping_scan(spark, root, "x", 10, 13)
+    assert files_total == 16
+    assert 0 < files_read < files_total  # zone map actually pruned
+    got = sorted(r["rid"] for r in df.collect())
+    want = sorted(r["rid"] for r in grid.filter(F.col("x").between(10, 13)).collect())
+    assert got == want
+
+
+def test_skipping_scan_empty_range(spark):
+    grid = _grid(spark, 8)
+    root = tempfile.mkdtemp(prefix="sg_skip0_")
+    grid.write.mode("overwrite").parquet(root)
+    df, files_read, files_total = skipping_scan(spark, root, "x", 1000, 2000)
+    assert files_read == 0 and files_total > 0
+    assert df.count() == 0
+
+
+def test_partition_zone_map_counts(spark, events):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import with_partition_columns
+
+    day1 = events.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    root = tempfile.mkdtemp(prefix="sg_pzm_")
+    with_partition_columns(day1).write.partitionBy(
+        "year", "month", "day", "hour"
+    ).mode("overwrite").parquet(root)
+    zm = partition_zone_map(spark, root, ["user_id"]).collect()
+    assert sum(r["n_rows"] for r in zm) == day1.count()
+    assert all(r["min_user_id"] <= r["max_user_id"] for r in zm)
+
+
+def test_repair_rollup_idempotent(spark, events):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        repair_rollup,
+        write_partition_overwrite,
+    )
+
+    table_root = tempfile.mkdtemp(prefix="sg_rr_t_")
+    rollup_root = tempfile.mkdtemp(prefix="sg_rr_r_")
+    create_partitioned_table(spark, table_root)
+    hours = ["2024010100", "2024010101"]
+    for h in hours:
+        batch = events.filter(F.date_format("ts", "yyyyMMddHH") == h)
+        write_partition_overwrite(batch, table_root)
+    aggs = {"n_rows": "count(*)"}
+    first = repair_rollup(spark, table_root, rollup_root, ["event_type"], aggs)
+    assert first == hours  # rollup did not exist: everything repaired
+    second = repair_rollup(spark, table_root, rollup_root, ["event_type"], aggs)
+    assert second == []  # converged: nothing to do, no work scheduled
