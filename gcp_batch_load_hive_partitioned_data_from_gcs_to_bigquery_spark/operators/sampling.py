@@ -121,3 +121,70 @@ def epoch_shuffle(df: DataFrame, key_col: str, epoch: int) -> DataFrame:
         "shuffle_key",
         F.md5(F.concat_ws("_", F.col(key_col).cast("string"), F.lit(str(epoch)))),
     )
+
+
+def temperature_weights(
+    df: DataFrame, domain_col: str, size_col: str, target_permille: int = 250
+) -> DataFrame:
+    """Temperature-sampled domain weights (the multilingual/domain
+    rebalancing step: sample domain d proportionally to size_d^alpha,
+    alpha=0.5 — upweights small domains, tempers head domains).
+
+    Output per domain: row count, total size, integer weight
+    wgt = round(sqrt(size)*1000), and a keep THRESHOLD in [0, 10000]
+    such that filtering on ``hash_bucket(key) < threshold`` yields an
+    expected ``target_permille/1000`` of the corpus distributed across
+    domains proportionally to wgt: threshold_d = 10000 * T * share_d /
+    n_d (capped), with T the target row total. Everything after the
+    sqrt is integer or a single shared double division, so thresholds
+    are exactly reproducible in any engine regardless of float
+    summation order — same design rule as the arithmetic-hash
+    membership itself.
+
+    One tiny aggregation (rows = distinct domains) + a broadcast of the
+    1-row totals: nothing here scales with corpus volume.
+    """
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).cast("long").alias("domain_size"),
+    )
+    per = per.withColumn(
+        "wgt", F.round(F.sqrt(F.col("domain_size")) * 1000).cast("long")
+    )
+    totals = per.agg(
+        F.sum("wgt").alias("total_wgt"), F.sum("n_docs").alias("total_docs")
+    )
+    target = F.expr(f"div(total_docs * {target_permille}, 1000)")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "threshold",
+            F.least(
+                F.lit(_BUCKETS).cast("long"),
+                F.floor(
+                    (target * F.lit(_BUCKETS) * F.col("wgt"))
+                    / (F.col("total_wgt") * F.col("n_docs"))
+                ).cast("long"),
+            ),
+        )
+        .drop("total_wgt", "total_docs")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    size_col: str,
+    key_col: str,
+    target_permille: int = 250,
+    salt: int = 0,
+) -> DataFrame:
+    """Apply :func:`temperature_weights`: broadcast-join the per-domain
+    thresholds back onto the corpus and keep rows whose hash bucket
+    falls under their domain's threshold. Narrow map + one broadcast —
+    the corpus is never shuffled."""
+    weights = temperature_weights(df, domain_col, size_col, target_permille).select(
+        domain_col, "threshold"
+    )
+    joined = df.join(F.broadcast(weights), domain_col)
+    return joined.filter(hash_bucket(F.col(key_col), salt) < F.col("threshold"))

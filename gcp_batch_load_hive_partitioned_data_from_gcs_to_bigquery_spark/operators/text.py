@@ -308,3 +308,38 @@ def contamination_screen(
         )
         .withColumn("flagged", F.col("n_contaminated") > 0)
     )
+
+
+def c4_line_filter(
+    df: DataFrame, id_col: str, lines_col: str, min_words: int = 3
+) -> DataFrame:
+    """C4-style LINE-level cleanup (Raffel et al. 2020 §2.2): within each
+    document, keep only lines that end in a terminal punctuation mark
+    and contain at least ``min_words`` words; drop lines mentioning
+    javascript (the boilerplate tell). Returns per-doc line counts, the
+    cleaned text (kept lines re-joined with newlines), and a doc-level
+    keep verdict (at least half the lines survive).
+
+    ``lines_col`` is an ``array<string>`` of lines. The whole filter is
+    higher-order array expressions — a narrow shuffle-free map, like
+    :func:`gopher_rules` the cheap pre-pass that runs over 100 TB before
+    any expensive dedup; the regex and word-count predicates evaluate
+    per-line INSIDE the row, never exploding the corpus.
+    """
+    lines = F.col(lines_col)
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (F.size(F.split(l, " ")) >= min_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_lines_kept") * 2 >= F.col("n_lines")) & (F.col("n_lines_kept") > 0),
+    )

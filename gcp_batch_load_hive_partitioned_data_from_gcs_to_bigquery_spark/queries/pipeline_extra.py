@@ -841,6 +841,111 @@ ORDER BY shard
 """
 
 
+def q_text_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleanup (operators/text.py c4_line_filter).
+    The synthetic documents are single-line word streams, so the query
+    first derives a deterministic line structure (8-word lines, a
+    terminal period on lines where (doc_id+i)%3>0 — identical arithmetic
+    in the oracle), then keeps only punctuation-terminated lines with
+    >= 3 words and re-joins the survivors. Whole pass is higher-order
+    array expressions: narrow, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i) % 3 > 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lined = docs.select("doc_id", lines.alias("lines"))
+    return TX.c4_line_filter(lined, "doc_id", "lines")
+
+
+ORACLE_C4_LINES = """
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS words
+  FROM documents WHERE doc_id < 200
+), l AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST(ceil(len(words) / 8.0) AS BIGINT) - 1),
+           i -> array_to_string(words[(i*8+1):(i*8+8)], ' ')
+                || CASE WHEN (doc_id + i) % 3 > 0 THEN '.' ELSE '' END
+         ) AS lines
+  FROM w
+), k AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines, s -> regexp_matches(s, '[.!?"]$')
+                             AND len(str_split(s, ' ')) >= 3
+                             AND NOT contains(lower(s), 'javascript')) AS kept
+  FROM l
+)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_lines_kept,
+       array_to_string(kept, chr(10)) AS clean_text,
+       (len(kept) * 2 >= n_lines AND len(kept) > 0) AS keep
+FROM k
+"""
+
+
+def q_sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) domain rebalancing (operators/sampling.py
+    temperature_mix): per-source integer weights ~ sqrt(total chars),
+    integer keep thresholds, then hash-membership downsampling. Sources
+    whose sample empties still appear (left join from the weight table),
+    so the mixture audit is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = S.temperature_weights(docs, "source", "n_chars")
+    mixed = S.temperature_mix(docs, "source", "n_chars", "doc_id")
+    kept = mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept_raw"))
+    return (
+        weights.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "domain_size",
+            "wgt",
+            "threshold",
+            F.coalesce(F.col("n_kept_raw"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS domain_size
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs, domain_size,
+         CAST(round(sqrt(domain_size) * 1000) AS BIGINT) AS wgt
+  FROM per
+), t AS (
+  SELECT CAST(sum(wgt) AS BIGINT) AS total_wgt,
+         CAST(sum(n_docs) AS BIGINT) AS total_docs
+  FROM w
+), th AS (
+  SELECT source, n_docs, domain_size, wgt,
+         LEAST(CAST(10000 AS BIGINT), CAST(floor(
+           ((total_docs * 250) // 1000) * 10000 * wgt
+           / (1.0 * total_wgt * n_docs)) AS BIGINT)) AS threshold
+  FROM w, t
+), kept AS (
+  SELECT d.source, count(*) AS n
+  FROM documents d JOIN th ON d.source = th.source
+  WHERE (d.doc_id * 2654435761) % 10000 < th.threshold
+  GROUP BY d.source
+)
+SELECT th.source, th.n_docs, th.domain_size, th.wgt, th.threshold,
+       CAST(coalesce(kept.n, 0) AS BIGINT) AS n_kept
+FROM th LEFT JOIN kept ON th.source = kept.source
+ORDER BY th.source
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
@@ -864,6 +969,8 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "text_contamination": q_text_contamination,
     "sample_epoch_shuffle": q_sample_epoch_shuffle,
     "emb_quantize_int8": q_emb_quantize_int8,
+    "text_c4_lines": q_text_c4_lines,
+    "sample_temperature_mix": q_sample_temperature_mix,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -889,4 +996,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_contamination": ORACLE_CONTAMINATION,
     "sample_epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "emb_quantize_int8": ORACLE_QUANTIZE,
+    "text_c4_lines": ORACLE_C4_LINES,
+    "sample_temperature_mix": ORACLE_TEMPERATURE_MIX,
 }

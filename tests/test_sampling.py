@@ -162,3 +162,56 @@ def test_pii_scrub_idempotent(spark):
     twice = pii_scrub(once, "doc_id", "text").collect()[0]
     assert twice["n_emails"] == 0 and twice["n_phones"] == 0
     assert twice["text_redacted"] == "reach me: <EMAIL> / <PHONE> twice <EMAIL>"
+
+
+def test_c4_line_filter_rules(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 3 lines: keep, drop (no terminal punct), drop (too short)
+            (1, ["the quick brown fox.", "no punctuation here", "hi there."]),
+            # javascript boilerplate dropped despite punct + length
+            (2, ["enable JavaScript to continue.", "a clean closing line."]),
+            (3, []),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    out = {r.doc_id: r for r in c4_line_filter(docs, "doc_id", "lines").collect()}
+    assert out[1].n_lines == 3 and out[1].n_lines_kept == 1
+    assert out[1].clean_text == "the quick brown fox."
+    assert not out[1].keep  # only 1/3 lines survived
+    assert out[2].n_lines_kept == 1 and out[2].keep
+    assert out[3].n_lines_kept == 0 and not out[3].keep
+    # narrow map: no exchange in the plan
+    plan = (
+        c4_line_filter(docs, "doc_id", "lines")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_temperature_mix_upweights_small_domains(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import (
+        temperature_mix,
+        temperature_weights,
+    )
+
+    rows = [(i, "big" if i < 900 else "small", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    w = {r.source: r for r in temperature_weights(df, "source", "n_chars").collect()}
+    # sqrt tempering: big is 9x larger but gets only 3x the weight
+    assert w["big"].wgt == 3 * w["small"].wgt
+    # per-domain keep RATE = target share / domain rows: the small
+    # domain's threshold (rate) is 3x the big one's
+    assert abs(w["small"].threshold - 3 * w["big"].threshold) <= 3  # floor slack
+    mixed = temperature_mix(df, "source", "n_chars", "doc_id")
+    first = sorted(r.doc_id for r in mixed.collect())
+    again = sorted(r.doc_id for r in mixed.collect())
+    assert first == again and len(first) > 0  # deterministic membership
+    kept = mixed.groupBy("source").count().collect()
+    rates = {r["source"]: r["count"] for r in kept}
+    # small domain keeps a ~3x higher FRACTION than big (tempered mixture)
+    assert rates.get("small", 0) / 100 > rates.get("big", 0) / 900
