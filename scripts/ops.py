@@ -79,6 +79,15 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("table_root")
     p.add_argument("retain_from")
 
+    p = sub.add_parser("repair-rollup")
+    p.add_argument("table_root")
+    p.add_argument("rollup_root")
+    p.add_argument("--group-by", action="append", required=True, metavar="COL")
+    p.add_argument(
+        "--agg", action="append", required=True, metavar="NAME=SQL",
+        help='aggregate output column, e.g. "n_rows=count(*)"',
+    )
+
     p = sub.add_parser("merge")
     p.add_argument("table_root")
     p.add_argument("partition")
@@ -165,6 +174,14 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.cmd == "vacuum":
         dropped, kept = vacuum_partitions(spark, args.table_root, args.retain_from)
         result = {"cmd": "vacuum", "dropped": dropped, "kept": kept}
+    elif args.cmd == "repair-rollup":
+        from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import repair_rollup
+
+        aggs = dict(kv.split("=", 1) for kv in args.agg)
+        repaired = repair_rollup(
+            spark, args.table_root, args.rollup_root, args.group_by, aggs
+        )
+        result = {"cmd": "repair-rollup", "repaired": repaired}
     elif args.cmd == "merge":
         from pyspark.sql import types as T
 

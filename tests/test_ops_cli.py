@@ -54,6 +54,19 @@ def test_ops_cli_full_lifecycle(spark, tmp_path):
     assert ops_main(["partitions", tbl])["partitions"] == ["2024010100", "2024010101"]
     assert ops_main(["compact", tbl, "2024010100"])["n_files"] == 1
 
+    # repair-rollup: no rollup exists yet -> both hours derived; rerun -> no-op
+    roll = str(tmp_path / "rollup")
+    r = ops_main(
+        ["repair-rollup", tbl, roll, "--group-by", "event_type",
+         "--agg", "n_rows=count(*)", "--agg", "sum_value=round(sum(value), 2)"]
+    )
+    assert r["repaired"] == ["2024010100", "2024010101"]
+    r = ops_main(
+        ["repair-rollup", tbl, roll, "--group-by", "event_type",
+         "--agg", "n_rows=count(*)", "--agg", "sum_value=round(sum(value), 2)"]
+    )
+    assert r["repaired"] == []
+
     # merge: correct event 1's value, insert event 9 into hour 00
     upd_dir = str(tmp_path / "updates")
     os.makedirs(upd_dir)

@@ -130,3 +130,47 @@ def test_sample_split_is_scan_plus_project(spark):
     # exactly one hash exchange (the audit groupBy); the only other
     # allowed exchange is the final orderBy's range partitioning
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_zorder_is_one_range_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zorder import cluster_zorder
+
+    df = spark.range(1000).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    plan = (
+        cluster_zorder(df, ["x", "y"], bits=8, num_files=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the curve layout costs exactly ONE exchange (range on zval); the
+    # within-partition sort must not add another
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning(zval" in plan.lower()
+    # z-value computation stays in codegen (no UDF / BatchEval nodes)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_broadcasts_weights(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import temperature_mix
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        F.lit(100).alias("n_chars"),
+    )
+    plan = (
+        temperature_mix(df, "source", "n_chars", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # thresholds join back via broadcast: the corpus side is never
+    # shuffled on the domain key
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
