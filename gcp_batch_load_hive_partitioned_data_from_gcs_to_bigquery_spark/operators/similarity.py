@@ -463,3 +463,96 @@ def quantize_int8(
             F.col(vec_col), lambda x: F.round(x / scale).cast("int")
         ).alias("q"),
     )
+
+
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: the centroids are
+    the ``nlist`` corpus vectors with the smallest ids (seed vectors, the
+    k-means|| init step without the iterations).
+
+    The cross-engine-reproducible twin of :func:`ivf_topk`: no random
+    k-means training, every arithmetic step (sequential sum of squared
+    diffs for assignment, cosine re-rank, (dist, cell) tie-breaks) exists
+    verbatim in ANSI SQL — so the ENTIRE IVF pipeline (assignment →
+    nprobe cell pruning → exact re-rank) is value-checkable by an
+    external oracle, where the k-means path can only get a rows-only
+    check. Quantization quality is worse than trained centroids; use the
+    k-means variant in production, this one to validate the algorithm.
+
+    Shape is identical to the production path: centroids broadcast
+    (nlist rows), assignment = broadcast join + one partial-agg min per
+    vector (no window over the corpus), probes broadcast, re-rank only
+    inside probed cells.
+    """
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+
+    # nlist seed rows via TakeOrdered, then rank inside that tiny set
+    seeds = c.orderBy("vec_id").limit(nlist)
+    cell_w = W.orderBy("vec_id")
+    centroids = seeds.select(
+        (F.row_number().over(cell_w) - 1).alias("cell"),
+        F.col("c_vec").alias("centroid"),
+    )
+
+    def _dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    # assignment: argmin centroid per vector as a lexicographic struct-min
+    # — single shuffle with map-side partial agg, no corpus-wide window
+    cj = c.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        F.struct(
+            _dist2(F.col("c_vec"), F.col("centroid")).alias("dist2"),
+            F.col("cell").alias("cell"),
+            F.col("c_vec").alias("c_vec"),
+        ).alias("dc"),
+    )
+    assigned = (
+        cj.groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.c_vec").alias("c_vec"))
+    )
+
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2", _dist2(F.col("q_vec"), F.col("centroid"))
+    )
+    probe_w = W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    probes = (
+        qc.withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+        .select("query_id", "vec_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1951,6 +1951,65 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
 
 
+def q_ann_ivf_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-quantizer IVF (operators/similarity.py
+    ivf_topk_fixed): seed-vector centroids, sequential-sum L2 assignment
+    with (dist, cell) tie-breaks, nprobe pruning, exact cosine re-rank —
+    every step reproduced verbatim in the DuckDB oracle, giving the IVF
+    *algorithm* a full value check (the k-means variant ann_ivf_topk
+    stays rows-only by nature)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.ivf_topk_fixed(emb, queries, k=3, nlist=8, nprobe=3)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+ORACLE_ANN_IVF = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv AS centroid
+  FROM c ORDER BY vec_id LIMIT 8
+),
+adist AS (
+  SELECT c.vec_id, c.cv, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(c.cv)),
+           i -> (c.cv[i] - cent.centroid[i]) * (c.cv[i] - cent.centroid[i])),
+           (a, b) -> a + b) AS dist2
+  FROM c, cent
+),
+assigned AS (
+  SELECT vec_id, cv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM adist
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < 5),
+qdist AS (
+  SELECT q.query_id, q.qv, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(q.qv)),
+           i -> (q.qv[i] - cent.centroid[i]) * (q.qv[i] - cent.centroid[i])),
+           (a, b) -> a + b) AS dist2
+  FROM q, cent
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM qdist
+  ) WHERE rn <= 3
+),
+s AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(p.qv, a.cv)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.cv, a.cv))) AS cosine
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM s)
+SELECT query_id, vec_id, round(CAST(cosine AS DOUBLE), 4) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact self-join mode — the oracle
     for the LSH-bucketed scale path)."""
@@ -2548,6 +2607,7 @@ QUERIES: dict[str, callable] = {
     "ann_knn_classify": q_ann_knn_classify,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_oracle": q_ann_ivf_oracle,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_label_centroids": q_embedding_label_centroids,
     # text analysis
@@ -2635,6 +2695,7 @@ ORACLES: dict[str, str] = {
     # hashing, rows-only checks by design.
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ann_cosine_topk": ORACLE_ANN,
+    "ann_ivf_oracle": ORACLE_ANN_IVF,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "embedding_label_centroids": ORACLE_EMB_CENTROIDS,

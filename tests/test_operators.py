@@ -271,3 +271,20 @@ def test_epoch_shuffle_reproducible_and_distinct_per_epoch(spark, docs):
     order2 = [r.doc_id for r in epoch_shuffle(ids, "doc_id", 2).orderBy("shuffle_key").limit(20).collect()]
     assert order1a == order1b          # same epoch → identical permutation
     assert order1a != order2           # different epoch → different permutation
+
+
+def test_ivf_fixed_exhaustive_probe_equals_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import cosine_topk, ivf_topk_fixed
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    # probing every cell removes the approximation: results must equal
+    # the brute-force baseline exactly (same tie-breaks, same arithmetic)
+    approx = ivf_topk_fixed(emb, queries, k=3, nlist=4, nprobe=4)
+    exact = cosine_topk(emb, queries, k=3)
+    a = {(r.query_id, r.rank): r.vec_id for r in approx.collect()}
+    e = {(r.query_id, r.rank): r.vec_id for r in exact.collect()}
+    assert a == e
