@@ -179,6 +179,8 @@ def compact_partition(
     partition: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """Size-tiered compaction of ONE hourly partition: rewrite its files
     into ``ceil(partition_bytes / target_file_bytes)`` outputs (min 1),
@@ -187,6 +189,13 @@ def compact_partition(
     periodic compaction restores the 128 MiB-1 GiB scan sweet spot without
     touching any other partition (the rewrite IS an idempotent partition
     overwrite). Returns the number of files written.
+
+    ``zorder_by`` (mutually exclusive with ``cluster_by``) lays the
+    partition out along the Morton curve of the named non-negative
+    integer columns instead of a lexicographic sort — the OPTIMIZE
+    ZORDER maintenance path: per-file min/max bounds tighten on EVERY
+    named column, so :mod:`.zonemap` skipping works for predicates on
+    any of them, not just the leading sort key.
 
     At 100 TB this runs per-partition and embarrassingly parallel across
     partitions; cost is one read+write of the compacted hour only.
@@ -210,7 +219,18 @@ def compact_partition(
     # localCheckpoint materializes the hour BEFORE the overwrite — we are
     # rewriting the exact files being read, so lineage must not re-scan
     # them during the write.
-    staged = df.select(*data_cols).coalesce(n_files).localCheckpoint(eager=True)
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    staged = df.select(*data_cols)
+    if zorder_by:
+        from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zorder import cluster_zorder
+
+        staged = cluster_zorder(staged, zorder_by, bits=zorder_bits, num_files=n_files).drop(
+            "zval"
+        )
+    else:
+        staged = staged.coalesce(n_files)
+    staged = staged.localCheckpoint(eager=True)
     write_partition_overwrite(
         staged,
         table_root,

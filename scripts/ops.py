@@ -74,6 +74,7 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("table_root")
     p.add_argument("partition")
     p.add_argument("--cluster-by", action="append", default=[], metavar="COL")
+    p.add_argument("--zorder-by", action="append", default=[], metavar="COL")
 
     p = sub.add_parser("vacuum")
     p.add_argument("table_root")
@@ -168,7 +169,11 @@ def main(argv: list[str] | None = None) -> dict:
         }
     elif args.cmd == "compact":
         n_files = compact_partition(
-            spark, args.table_root, args.partition, cluster_by=args.cluster_by or None
+            spark,
+            args.table_root,
+            args.partition,
+            cluster_by=args.cluster_by or None,
+            zorder_by=args.zorder_by or None,
         )
         result = {"cmd": "compact", "partition": args.partition, "n_files": n_files}
     elif args.cmd == "vacuum":

@@ -148,3 +148,41 @@ def test_repair_rollup_idempotent(spark, events):
     assert first == hours  # rollup did not exist: everything repaired
     second = repair_rollup(spark, table_root, rollup_root, ["event_type"], aggs)
     assert second == []  # converged: nothing to do, no work scheduled
+
+
+def test_compact_partition_zorder(spark, events):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        compact_partition,
+        create_partitioned_table,
+        read_landing_table,
+        write_partition_overwrite,
+    )
+
+    table_root = tempfile.mkdtemp(prefix="sg_zc_")
+    create_partitioned_table(spark, table_root)
+    hour = events.filter(F.date_format("ts", "yyyyMMddHH") == "2024010100")
+    write_partition_overwrite(hour, table_root)
+    before = sorted(r.event_id for r in read_landing_table(spark, table_root, "2024010100").collect())
+
+    with pytest.raises(ValueError):
+        compact_partition(
+            spark, table_root, "2024010100", cluster_by=["user_id"], zorder_by=["user_id"]
+        )
+
+    n = compact_partition(
+        spark,
+        table_root,
+        "2024010100",
+        target_file_bytes=2048,  # force several output files
+        zorder_by=["user_id", "event_id"],
+    )
+    after_df = read_landing_table(spark, table_root, "2024010100")
+    after = sorted(r.event_id for r in after_df.collect())
+    assert after == before  # content-preserving rewrite
+    assert "zval" not in after_df.columns  # layout key does not leak
+    if n > 1:
+        part_dir = f"{table_root}/year=2024/month=01/day=01/hour=00"
+        zm = file_zone_map(spark, part_dir, ["user_id"]).collect()
+        full = max(r["max_user_id"] for r in zm) - min(r["min_user_id"] for r in zm)
+        mean_span = sum(r["max_user_id"] - r["min_user_id"] for r in zm) / len(zm)
+        assert mean_span < full  # curve layout tightened per-file bounds
