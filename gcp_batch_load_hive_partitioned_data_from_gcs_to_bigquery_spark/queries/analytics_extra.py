@@ -171,27 +171,32 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import (
+        enable_ns_read,
+        normalize_ts,
+        stream_ts_field,
+    )
+
+    src_path = f"{sf_dir}/events.parquet"
     stream_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos-as-long (testdata quirk)
+            stream_ts_field(src_path),  # flavor varies per testdata regen
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enable_ns_read(spark, src_path)
     key = ("slidesrc", sf_dir)
     if key not in _FIXTURES:
         root = _tmp("slidesrc")
-        os.symlink(f"{sf_dir}/events.parquet", f"{root}/events.parquet")
+        os.symlink(src_path, f"{root}/events.parquet")
         _FIXTURES[key] = root
     name = "stream_sliding_counts"
     stream = (
-        spark.readStream.schema(stream_schema)
-        .parquet(_FIXTURES[key])
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_ts(spark.readStream.schema(stream_schema).parquet(_FIXTURES[key]))
         .withWatermark("ts", "40 minutes")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_rows"))

@@ -156,10 +156,12 @@ def q_source_generic_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """source_generic_format (ingestion/app.py:33): pass-through options
     dict into an arbitrary-format reader (parquet here)."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.hive_csv import read_generic
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import enable_ns_read, normalize_ts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = read_generic(spark, f"{sf_dir}/events.parquet", "parquet", options={"mergeSchema": "false"})
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = f"{sf_dir}/events.parquet"
+    enable_ns_read(spark, path)
+    df = read_generic(spark, path, "parquet", options={"mergeSchema": "false"})
+    df = normalize_ts(df)
     return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1729,27 +1731,32 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events parquet (availableNow trigger = bounded catch-up run),
     1-hour tumbling window with a 40-minute watermark (the reference's
     late-data grace, commands.sh:73), counts to a memory sink."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import (
+        enable_ns_read,
+        normalize_ts,
+        stream_ts_field,
+    )
+
+    src_path = f"{sf_dir}/events.parquet"
     stream_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos-as-long (testdata quirk)
+            stream_ts_field(src_path),  # flavor varies per testdata regen
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enable_ns_read(spark, src_path)
     # file-stream sources need a directory; link the single parquet file in
     import os
 
     stream_dir = _tmp("streamsrc")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    os.symlink(src_path, f"{stream_dir}/events.parquet")
     name = "stream_hourly_counts"
     stream = (
-        spark.readStream.schema(stream_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_ts(spark.readStream.schema(stream_schema).parquet(stream_dir))
         .withWatermark("ts", "40 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
