@@ -2316,6 +2316,39 @@ FROM documents
 """
 
 
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over mapInPandas: synthesize one spec-valid
+    16-bit PCM WAV per document (id-derived rate/channels/samples,
+    operators/multimodal.py synthesize_wav), then walk the RIFF chunk
+    list back out of the raw bytes. The oracle recomputes the expected
+    parameters arithmetically from doc_id, so a hash match proves the
+    chunk walk extracted the true encoded sample geometry."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_wav_media(docs)
+    meta = MM.decode_audio_meta(media)
+    return meta.select(
+        "media_id", "format", "channels", "sample_rate",
+        "bits_per_sample", "n_samples", "duration_ms",
+    )
+
+
+# wav_params_for_id: rate = (8000,16000,22050,44100)[id % 4],
+# channels = 1 + (id // 4) % 2, n_samples = 64 + id % 193
+ORACLE_MM_AUDIO = """
+SELECT doc_id AS media_id,
+       'wav' AS format,
+       CAST(1 + (doc_id // 4) % 2 AS INT) AS channels,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST(64 + doc_id % 193 AS BIGINT) AS n_samples,
+       CAST((64 + doc_id % 193) * 1000 //
+            (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 def q_multimodal_meta_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow twin of multimodal_image_meta: identical real header
     parse, but the kernel works on raw pyarrow RecordBatches (no pandas
@@ -2629,6 +2662,7 @@ QUERIES: dict[str, callable] = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_meta_arrow": q_multimodal_meta_arrow,
+    "multimodal_audio_meta": q_multimodal_audio_meta,
 }
 
 ORACLES: dict[str, str] = {
@@ -2716,6 +2750,7 @@ ORACLES: dict[str, str] = {
     "multimodal_frame_sample": ORACLE_MM_FRAMES,
     "multimodal_resize": ORACLE_MM_RESIZE,
     "multimodal_meta_arrow": ORACLE_MM_META,
+    "multimodal_audio_meta": ORACLE_MM_AUDIO,
 }
 
 from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.tpch_extra import (  # noqa: E402
