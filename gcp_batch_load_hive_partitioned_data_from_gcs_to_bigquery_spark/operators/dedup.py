@@ -145,6 +145,39 @@ def minhash_signatures_md5(
     return sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"))
 
 
+def band_signatures(
+    signatures: DataFrame,
+    num_bands: int,
+    num_hashes: int,
+    hash_buckets: bool = True,
+) -> DataFrame:
+    """Explode each signature into its LSH band keys:
+    (doc_id, signature, band, bucket), one row per band.
+
+    ``hash_buckets=True`` hashes the band slice to a compact 64-bit
+    shuffle key; ``False`` keeps the raw slice string as the key — no
+    collision term, so a SQL oracle can reproduce candidate generation
+    exactly."""
+    rows = num_hashes // num_bands
+
+    def _bucket(b):
+        joined = F.concat_ws("_", F.slice("signature", b * rows + 1, rows))
+        return F.xxhash64(joined, b) if hash_buckets else joined
+
+    return signatures.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     num_bands: int = 16,
@@ -168,25 +201,7 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
-    rows = num_hashes // num_bands
-
-    def _bucket(b):
-        # hash_buckets=True: 64-bit band bucket (compact shuffle key).
-        # False: the raw slice string IS the key — no collision term, so a
-        # SQL oracle can reproduce candidate generation exactly.
-        joined = F.concat_ws("_", F.slice("signature", b * rows + 1, rows))
-        return F.xxhash64(joined, b) if hash_buckets else joined
-
-    banded = signatures.select(
-        "doc_id",
-        "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = band_signatures(signatures, num_bands, num_hashes, hash_buckets)
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -218,6 +233,102 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "est_jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def incremental_near_dup_ids(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    num_bands: int = 16,
+    num_hashes: int = 64,
+    threshold: float = 0.5,
+    hash_buckets: bool = True,
+) -> DataFrame:
+    """Batch doc_ids that near-duplicate ANY existing corpus document —
+    the *incremental* dedup shape a continuously-ingesting pipeline
+    needs: never re-pair the corpus against itself, only the new batch
+    against the corpus.
+
+    Both sides are banded (:func:`band_signatures`) and joined on
+    (band, bucket); candidates are verified by the equal-slot Jaccard
+    estimate. Cost is O(batch bands + matching corpus buckets), not
+    O((corpus+batch)²) — and because an hourly batch is tiny relative to
+    the accumulated corpus, AQE broadcast-joins the banded batch against
+    the corpus band scan (no corpus shuffle at any scale). Persisting
+    ``band_signatures(corpus_sigs)`` as a table bucketed on ``bucket``
+    upgrades the corpus side from full scan to bucket-pruned reads.
+    Returns distinct ``(doc_id)`` of batch members to DROP."""
+    banded_c = band_signatures(corpus_sigs, num_bands, num_hashes, hash_buckets)
+    banded_b = band_signatures(batch_sigs, num_bands, num_hashes, hash_buckets)
+    est = F.aggregate(
+        F.zip_with("sig_b", "sig_c", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        banded_b.alias("b")
+        .join(
+            banded_c.alias("c"),
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("b.signature").alias("sig_b"),
+            F.col("c.signature").alias("sig_c"),
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def incremental_dedup_batch(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bands: int = 16,
+    num_hashes: int = 64,
+    threshold: float = 0.5,
+    md5_family: bool = False,
+) -> DataFrame:
+    """Full incremental-dedup pass over a new batch against an existing
+    corpus: (1) exact stage — drop batch docs whose sha256 content hash
+    already exists in the corpus (32-byte shuffle keys, never the text);
+    (2) near-dup stage — MinHash-band the remainder against the corpus
+    (:func:`incremental_near_dup_ids`). Returns the batch annotated with
+    ``dup_kind`` ('exact' | 'near' | NULL = keep) so callers can route
+    survivors to the sink and duplicates to an audit table. Both stages
+    broadcast the (small) batch side against the corpus scan under AQE.
+    """
+    sign = minhash_signatures_md5 if md5_family else minhash_signatures
+    corpus_hashes = content_hash(corpus, id_col, text_col).select("content_sha256").distinct()
+    batch_hashed = batch.withColumn("_sha", F.sha2(F.col(text_col), 256))
+    exact_ids = (
+        batch_hashed.join(
+            corpus_hashes, batch_hashed["_sha"] == corpus_hashes["content_sha256"], "left_semi"
+        )
+        .select(F.col(id_col).alias("doc_id"))
+        .distinct()
+    )
+    near_ids = incremental_near_dup_ids(
+        sign(corpus, id_col, text_col, num_hashes=num_hashes),
+        sign(batch, id_col, text_col, num_hashes=num_hashes),
+        num_bands=num_bands,
+        num_hashes=num_hashes,
+        threshold=threshold,
+        hash_buckets=not md5_family,
+    )
+    flags = (
+        exact_ids.withColumn("dup_kind", F.lit("exact"))
+        .unionByName(near_ids.withColumn("dup_kind", F.lit("near")))
+        .groupBy("doc_id")
+        # exact wins when both stages flag the same doc
+        .agg(F.min("dup_kind").alias("dup_kind"))
+    )
+    return batch.join(
+        flags, batch[id_col] == flags["doc_id"], "left"
+    ).select(batch["*"], flags["dup_kind"])
 
 
 # Per-row SimHash fold: one pass over the token-hash array carrying a

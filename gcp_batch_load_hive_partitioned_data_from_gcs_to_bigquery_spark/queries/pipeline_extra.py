@@ -447,6 +447,82 @@ FROM est WHERE est_jaccard >= 0.3
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-batch-vs-corpus dedup under a value-exact oracle:
+    documents with doc_id % 4 == 0 play the incoming hourly batch, the
+    rest the accumulated corpus. Stage 1 drops batch docs whose sha256
+    already exists in the corpus; stage 2 MinHash-bands the batch against
+    the corpus only (md5 family, 8 bands x 4 rows, est >= 0.3) — the
+    corpus is never self-paired, which is what makes continuous dedup
+    O(batch) instead of O(corpus^2) at 100 TB. Output: every batch doc
+    with its dup_kind ('exact' | 'near' | NULL = keep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = D.incremental_dedup_batch(
+        corpus, batch, "doc_id", "text",
+        num_bands=8, num_hashes=32, threshold=0.3, md5_family=True,
+    )
+    return out.select("doc_id", "dup_kind")
+
+
+ORACLE_DEDUP_INCREMENTAL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx
+),
+slots AS (
+  SELECT doc_id, md5(shingle) AS m, unnest(generate_series(0, 31)) AS slot FROM sh
+),
+sig AS (
+  SELECT doc_id, slot,
+         min(('0x' || substr(md5(m || '_' || slot), 1, 7))::BIGINT) AS mh
+  FROM slots GROUP BY doc_id, slot
+),
+bands AS (
+  SELECT doc_id, slot // 4 AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY slot) AS band_key
+  FROM sig GROUP BY doc_id, slot // 4
+),
+exact_ids AS (
+  SELECT DISTINCT b.doc_id
+  FROM documents b JOIN documents c
+    ON b.doc_id % 4 = 0 AND c.doc_id % 4 != 0 AND sha256(b.text) = sha256(c.text)
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_b, c.doc_id AS doc_c
+  FROM bands b JOIN bands c ON b.band = c.band AND b.band_key = c.band_key
+  WHERE b.doc_id % 4 = 0 AND c.doc_id % 4 != 0
+),
+est AS (
+  SELECT cand.doc_b, cand.doc_c,
+         sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_b
+  JOIN sig sb ON sb.doc_id = cand.doc_c AND sa.slot = sb.slot
+  GROUP BY cand.doc_b, cand.doc_c
+),
+near_ids AS (
+  SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.3
+),
+flags AS (
+  SELECT doc_id, min(dup_kind) AS dup_kind FROM (
+    SELECT doc_id, 'exact' AS dup_kind FROM exact_ids
+    UNION ALL
+    SELECT doc_id, 'near' AS dup_kind FROM near_ids
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, f.dup_kind
+FROM documents b LEFT JOIN flags f ON b.doc_id = f.doc_id
+WHERE b.doc_id % 4 = 0
+"""
+
+
 def q_dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL SimHash pipeline under a value-exact oracle: 60-bit
     md5-family fingerprints (term-frequency-weighted bit votes), 4×15-bit
@@ -949,6 +1025,7 @@ ORDER BY th.source
 PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
+    "dedup_incremental": q_dedup_incremental,
     "ann_lsh_oracle": q_ann_lsh_oracle,
     "dedup_end_to_end": q_dedup_end_to_end,
     "text_unigram_nll": q_text_unigram_nll,
@@ -976,6 +1053,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
 PIPELINE_ORACLES: dict[str, str] = {
     "dedup_minhash_oracle": ORACLE_MINHASH,
     "dedup_simhash_oracle": ORACLE_SIMHASH,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "ann_lsh_oracle": ORACLE_ANN_LSH,
     "dedup_end_to_end": ORACLE_DEDUP_E2E,
     "text_unigram_nll": ORACLE_UNIGRAM_NLL,

@@ -288,3 +288,28 @@ def test_ivf_fixed_exhaustive_probe_equals_bruteforce(spark):
     a = {(r.query_id, r.rank): r.vec_id for r in approx.collect()}
     e = {(r.query_id, r.rank): r.vec_id for r in exact.collect()}
     assert a == e
+
+
+def test_incremental_dedup_batch_flags(spark):
+    """Exact copy → 'exact', shared-shingle near-copy → 'near', novel doc
+    → NULL; the corpus itself is never flagged (only batch rows return)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely different corpus content about distributed query engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again today"),
+            (11, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+            (12, "zebra xylophone quartz vortex jigsaw plumb krypton onyx umbra fjord"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.incremental_dedup_batch(
+        corpus, batch, "doc_id", "text", num_bands=8, num_hashes=32, threshold=0.3
+    )
+    flags = {r.doc_id: r.dup_kind for r in out.collect()}
+    assert flags == {10: "exact", 11: "near", 12: None}
