@@ -293,10 +293,11 @@ def incremental_dedup_batch(
     md5_family: bool = False,
 ) -> DataFrame:
     """Full incremental-dedup pass over a new batch against an existing
-    corpus: (1) exact stage — drop batch docs whose sha256 content hash
+    corpus: (1) exact stage — flag batch docs whose sha256 content hash
     already exists in the corpus (32-byte shuffle keys, never the text);
-    (2) near-dup stage — MinHash-band the remainder against the corpus
-    (:func:`incremental_near_dup_ids`). Returns the batch annotated with
+    (2) near-dup stage — MinHash-band the WHOLE batch against the corpus
+    (:func:`incremental_near_dup_ids`); 'exact' takes precedence when
+    both stages flag a doc. Returns the batch annotated with
     ``dup_kind`` ('exact' | 'near' | NULL = keep) so callers can route
     survivors to the sink and duplicates to an audit table. Both stages
     broadcast the (small) batch side against the corpus scan under AQE.

@@ -347,7 +347,10 @@ def parse_wav_meta(buf: bytes) -> tuple[str, int | None, int | None, int | None,
         elif kind == b"data":
             data_len = size
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
-    if channels is None or data_len is None or not rate or not bits:
+    # `not channels` / `bits < 8` also reject corrupt fmt chunks whose
+    # channel count is 0 or whose sample width floors to 0 bytes — either
+    # would make the n_samples division crash the executor task.
+    if not channels or data_len is None or not rate or not bits or bits < 8:
         return bad
     n_samples = data_len // (channels * (bits // 8))
     return "wav", channels, rate, bits, n_samples, n_samples * 1000 // rate

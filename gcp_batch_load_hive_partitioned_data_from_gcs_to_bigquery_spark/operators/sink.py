@@ -170,6 +170,27 @@ def write_partition_overwrite(
         .mode("overwrite")
         .save(table_root)
     )
+
+    # Incremental zone-map maintenance: iff a persisted store exists for
+    # this root, refresh ONLY the hours this batch touched — the write
+    # knows exactly which partitions changed, so the stats update is
+    # O(batch), never the O(table) rescan the on-the-fly path pays.
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import (
+        has_zone_map,
+        part_key_expr,
+        refresh_zone_map,
+    )
+
+    if has_zone_map(spark, table_root):
+        if partition is not None:
+            touched = [partition]
+        else:
+            # distinct over the 4 partition columns of an hourly batch —
+            # map-side-combined, a handful of rows out.
+            touched = [
+                r["part_key"] for r in out.select(part_key_expr()).distinct().collect()
+            ]
+        refresh_zone_map(spark, table_root, partitions=touched)
     return JobState.SUCCESS
 
 

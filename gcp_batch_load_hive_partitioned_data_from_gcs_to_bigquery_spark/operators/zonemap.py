@@ -34,26 +34,79 @@ column, so a range predicate on ANY of them eliminates most files.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: Store directory for the persisted zone map, INSIDE the table root.
+#: The leading underscore makes Spark's file listing treat it as hidden
+#: (the ``_delta_log`` / ``_spark_metadata`` convention), so data scans
+#: of the root never pick the stats files up.
+ZONEMAP_DIRNAME = "_zonemap"
 
-def file_zone_map(spark: SparkSession, table_root: str, cols: list[str]) -> DataFrame:
+
+def zone_map_path(table_root: str) -> str:
+    """Location of the persisted zone-map store for ``table_root``."""
+    return f"{table_root.rstrip('/')}/{ZONEMAP_DIRNAME}"
+
+
+def part_key_expr() -> Column:
+    """``YYYYMMDDHH`` partition key derived from the Hive layout columns
+    — the join/overwrite key of the persisted store."""
+    return F.concat_ws(
+        "",
+        F.col("year").cast("string"),
+        F.lpad(F.col("month").cast("string"), 2, "0"),
+        F.lpad(F.col("day").cast("string"), 2, "0"),
+        F.lpad(F.col("hour").cast("string"), 2, "0"),
+    ).alias("part_key")
+
+
+def _partitions_predicate(partitions: list[str]) -> Column:
+    """OR of per-hour conjunctions on the raw partition columns — plain
+    equality predicates on metadata columns, so Catalyst partition
+    pruning limits the scan to exactly the named hours."""
+    pred: Column | None = None
+    for p in partitions:
+        c = (
+            (F.col("year") == int(p[0:4]))
+            & (F.col("month") == int(p[4:6]))
+            & (F.col("day") == int(p[6:8]))
+            & (F.col("hour") == int(p[8:10]))
+        )
+        pred = c if pred is None else (pred | c)
+    if pred is None:
+        return F.lit(False)
+    return pred
+
+
+def file_zone_map(
+    spark: SparkSession,
+    table_root: str,
+    cols: list[str],
+    partitions: list[str] | None = None,
+    with_part_key: bool = False,
+) -> DataFrame:
     """Per-FILE min/max/count stats for ``cols`` under ``table_root``.
 
     One scan, one groupBy on ``_metadata.file_path``. Output rows ≈
     file count — metadata-sized regardless of table volume.
+    ``partitions`` (``YYYYMMDDHH`` strings) restricts the scan to those
+    hours via partition pruning — the incremental-refresh path reads
+    ONLY the changed hours, never the table. ``with_part_key`` adds the
+    store's ``part_key`` overwrite key to the output.
     """
     df = spark.read.parquet(table_root)
+    if partitions is not None:
+        df = df.filter(_partitions_predicate(partitions))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
-    return (
-        df.select(F.col("_metadata.file_path").alias("file_path"), *cols)
-        .groupBy("file_path")
-        .agg(*aggs)
-    )
+    key_names = ["file_path", "part_key"] if with_part_key else ["file_path"]
+    keys = [F.col("_metadata.file_path").alias("file_path")]
+    if with_part_key:
+        keys.append(part_key_expr())
+    return df.select(*keys, *cols).groupBy(*key_names).agg(*aggs)
 
 
 def partition_zone_map(
@@ -82,12 +135,91 @@ def partition_zone_map(
     return df.groupBy(part).agg(*aggs)
 
 
+def _store_exists(spark: SparkSession, store: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(store)
+    return path.getFileSystem(conf).exists(path)
+
+
+def has_zone_map(spark: SparkSession, table_root: str) -> bool:
+    """Whether a persisted zone-map store exists for ``table_root``."""
+    return _store_exists(spark, zone_map_path(table_root))
+
+
+def load_zone_map(spark: SparkSession, table_root: str) -> DataFrame | None:
+    """The persisted per-file stats table, or ``None`` if never built."""
+    store = zone_map_path(table_root)
+    if not _store_exists(spark, store):
+        return None
+    zm = spark.read.parquet(store)
+    # partition-column type inference reads part_key back as an integer;
+    # normalize to the canonical 10-char YYYYMMDDHH string
+    return zm.withColumn("part_key", F.lpad(F.col("part_key").cast("string"), 10, "0"))
+
+
+def zone_map_columns(spark: SparkSession, table_root: str) -> list[str] | None:
+    """Data columns the persisted store carries stats for (from its own
+    schema — the store is self-describing), or ``None`` if no store."""
+    zm = load_zone_map(spark, table_root)
+    if zm is None:
+        return None
+    return [c[len("min_") :] for c in zm.columns if c.startswith("min_")]
+
+
+def refresh_zone_map(
+    spark: SparkSession,
+    table_root: str,
+    cols: list[str] | None = None,
+    partitions: list[str] | None = None,
+) -> None:
+    """(Re)build the persisted zone-map store for ``table_root``.
+
+    With ``partitions=None`` this is the one-time full build (one table
+    scan). With a list of ``YYYYMMDDHH`` hours it is the INCREMENTAL
+    maintenance path: scan only the named hours (partition-pruned), and
+    dynamic-partition-overwrite only those hours' stats rows — the store
+    is laid out ``part_key=YYYYMMDDHH/`` so a refresh never touches any
+    other hour's stats files. At 100 TB an hourly write refreshes one
+    hour's stats with one hour's scan — O(batch), never O(table).
+
+    ``cols=None`` re-uses the column list already recorded in the store
+    schema (required for incremental refresh so the schema stays stable).
+    """
+    if cols is None:
+        cols = zone_map_columns(spark, table_root)
+        if cols is None:
+            raise ValueError(
+                f"no zone-map store at {zone_map_path(table_root)!r}; "
+                "pass cols= for the initial build"
+            )
+    zm = file_zone_map(spark, table_root, cols, partitions=partitions, with_part_key=True)
+    (
+        zm.write.partitionBy("part_key")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(zone_map_path(table_root))
+    )
+
+
+def maybe_refresh_zone_map(
+    spark: SparkSession, table_root: str, partitions: list[str]
+) -> bool:
+    """Sink hook: incrementally refresh the touched hours' stats iff a
+    store exists (no-op otherwise). Returns whether a refresh ran."""
+    if not has_zone_map(spark, table_root):
+        return False
+    refresh_zone_map(spark, table_root, partitions=partitions)
+    return True
+
+
 def skipping_scan(
     spark: SparkSession,
     table_root: str,
     col: str,
     lo,
     hi,
+    use_store: bool = True,
 ) -> tuple[DataFrame, int, int]:
     """Scan ``table_root`` for rows with ``col BETWEEN lo AND hi``,
     reading only files whose zone-map interval intersects ``[lo, hi]``.
@@ -97,10 +229,21 @@ def skipping_scan(
     file, metadata scale (see module docstring); the data itself never
     moves to the driver. NULL-only files have NULL min/max and are
     skipped, which is correct for a range predicate.
+
+    When a persisted store (:func:`refresh_zone_map`) carries stats for
+    ``col``, the candidate list comes from the STORE — a metadata-sized
+    read, no table scan at all; otherwise falls back to computing the
+    stats on the fly (one full scan, the pre-store behavior).
     """
-    zm = file_zone_map(spark, table_root, [col]).select(
-        "file_path", f"min_{col}", f"max_{col}"
-    )
+    zm = None
+    if use_store:
+        stored = load_zone_map(spark, table_root)
+        if stored is not None and f"min_{col}" in stored.columns:
+            zm = stored.select("file_path", f"min_{col}", f"max_{col}")
+    if zm is None:
+        zm = file_zone_map(spark, table_root, [col]).select(
+            "file_path", f"min_{col}", f"max_{col}"
+        )
     rows = zm.collect()
     files_total = len(rows)
     keep = [

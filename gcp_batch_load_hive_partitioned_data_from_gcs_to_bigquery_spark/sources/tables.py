@@ -53,7 +53,9 @@ def timestamp_flavor(path: str, col: str = "ts") -> str:
     footer metadata only, never a data scan."""
     import pyarrow.parquet as pq
 
-    field = next(f for f in pq.read_schema(path) if f.name == col)
+    field = next((f for f in pq.read_schema(path) if f.name == col), None)
+    if field is None:
+        raise ValueError(f"column {col!r} not present in parquet schema of {path}")
     if str(field.type) == "timestamp[ns]":
         return "ns"
     return "ntz" if field.type.tz is None else "tz"

@@ -116,6 +116,72 @@ def test_skipping_scan_empty_range(spark):
     assert df.count() == 0
 
 
+def test_zone_map_store_incremental_refresh(spark, events):
+    """A partition write must update ONLY that partition's stats rows in
+    the persisted store: untouched hours' stats FILES are byte-identical
+    (same path, same mtime) and the touched hour's stats reflect the new
+    data — the O(batch) maintenance contract."""
+    import os
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        write_partition_overwrite,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import (
+        load_zone_map,
+        refresh_zone_map,
+        skipping_scan,
+        zone_map_path,
+    )
+
+    day1 = events.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    root = tempfile.mkdtemp(prefix="sg_zmstore_")
+    write_partition_overwrite(day1, root, create_never=False)
+    refresh_zone_map(spark, root, cols=["user_id", "value"])
+
+    store = zone_map_path(root)
+
+    def stats_files():
+        out = {}
+        for dirpath, _dirs, files in os.walk(store):
+            for f in files:
+                if f.startswith("part-"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before_files = stats_files()
+    before_rows = {
+        r["part_key"]: r for r in load_zone_map(spark, root).collect()
+    }
+    assert len(before_rows) >= 2  # several hours present
+
+    # overwrite ONE hour with shifted user_ids; the sink hook must
+    # refresh exactly that hour's stats
+    target = sorted(before_rows)[0]
+    hour_df = day1.filter(F.hour("ts") == int(target[8:10])).withColumn(
+        "user_id", F.col("user_id") + 10_000
+    )
+    write_partition_overwrite(hour_df, root, partition=target)
+
+    after_files = stats_files()
+    untouched_before = {p: m for p, m in before_files.items() if f"part_key={target}" not in p}
+    untouched_after = {p: m for p, m in after_files.items() if f"part_key={target}" not in p}
+    assert untouched_before == untouched_after  # other hours' stats files untouched
+
+    after_rows = {r["part_key"]: r for r in load_zone_map(spark, root).collect()}
+    assert set(after_rows) == set(before_rows)
+    assert after_rows[target]["min_user_id"] >= 10_000  # touched hour updated
+    for pk in before_rows:
+        if pk != target:
+            assert after_rows[pk]["min_user_id"] == before_rows[pk]["min_user_id"]
+
+    # skipping scan consults the store: only the rewritten hour's files
+    # can contain user_id >= 10_000
+    df, files_read, files_total = skipping_scan(spark, root, "user_id", 10_000, 10**9)
+    assert files_read < files_total
+    assert df.count() == hour_df.count()
+
+
 def test_partition_zone_map_counts(spark, events):
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import with_partition_columns
 
