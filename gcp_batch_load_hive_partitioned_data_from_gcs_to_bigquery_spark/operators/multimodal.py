@@ -175,10 +175,13 @@ def decode_image_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFram
     pixel decode would swap in here unchanged (Arrow batches, schema,
     partition parallelism are the real plumbing)."""
 
-    # Spread payloads across all cores: media tables at scale are many
-    # files, but a local single-file source would otherwise run the whole
-    # Python decode in one task.
-    media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+    # Spread payloads across all cores — but ONLY when the source is
+    # under-partitioned (a local single-file table): a well-laid-out
+    # media table already has file-level parallelism, and a forced
+    # repartition would shuffle every binary payload for nothing.
+    par = media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < par:
+        media = media.repartition(par)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -390,7 +393,9 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
     actual encoded channel count / sample rate / sample count — genuine
     content extraction with no codec library, the audio twin of
     :func:`decode_image_meta`."""
-    media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+    par = media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < par:
+        media = media.repartition(par)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -463,7 +468,11 @@ def decode_image_meta_arrow(media: DataFrame) -> DataFrame:
     output schema."""
     import pyarrow as pa
 
-    media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+    # same conditional spread as decode_image_meta: no shuffle when the
+    # stored media table already has file-level parallelism
+    par = media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < par:
+        media = media.repartition(par)
 
     def _kernel(batches):
         for batch in batches:

@@ -98,6 +98,27 @@ def _parquet_fixture_root(spark: SparkSession, sf_dir: str) -> str:
     return _FIXTURES[key]
 
 
+def _media_fixture_root(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Synthesized media (real PNG or WAV payloads, one per document)
+    MATERIALIZED to parquet once per sf_dir. Decode queries read this
+    stored table, so they measure the decode kernel — which is also what
+    a real pipeline does: media arrives on disk, it is not re-encoded
+    per query. Written pre-spread across cores so the decode stage gets
+    file-level parallelism without a shuffle."""
+    key = (f"media_{kind}", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp(f"fix_media_{kind}")
+        docs = load_table(spark, sf_dir, "documents")
+        synth = MM.documents_as_png_media if kind == "png" else MM.documents_as_wav_media
+        (
+            synth(docs.repartition(spark.sparkContext.defaultParallelism))
+            .write.mode("overwrite")
+            .parquet(root)
+        )
+        _FIXTURES[key] = root
+    return _FIXTURES[key]
+
+
 # === SURVEY §2.1 scans / sources / sinks ====================================
 
 
@@ -2299,9 +2320,11 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesize_png), then parse the PNG IHDR back out of the raw bytes.
     The oracle recomputes the expected dimensions arithmetically from
     doc_id, so a hash match proves the header parse extracted the true
-    encoded geometry — content, not plumbing."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.documents_as_png_media(docs)
+    encoded geometry — content, not plumbing. The PNGs are materialized
+    to parquet once (_media_fixture_root) and the query reads the stored
+    table — the decode kernel is what's measured, as in a real pipeline
+    where media arrives on disk."""
+    media = spark.read.parquet(_media_fixture_root(spark, sf_dir, "png"))
     meta = MM.decode_image_meta(media)
     return meta.select("media_id", "format", "width", "height")
 
@@ -2322,9 +2345,10 @@ def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py synthesize_wav), then walk the RIFF chunk
     list back out of the raw bytes. The oracle recomputes the expected
     parameters arithmetically from doc_id, so a hash match proves the
-    chunk walk extracted the true encoded sample geometry."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.documents_as_wav_media(docs)
+    chunk walk extracted the true encoded sample geometry. Reads the
+    materialized WAV table (_media_fixture_root) so the measured work is
+    the decode."""
+    media = spark.read.parquet(_media_fixture_root(spark, sf_dir, "wav"))
     meta = MM.decode_audio_meta(media)
     return meta.select(
         "media_id", "format", "channels", "sample_rate",
@@ -2354,9 +2378,10 @@ def q_multimodal_meta_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse, but the kernel works on raw pyarrow RecordBatches (no pandas
     round-trip) — the leanest Python batch path for large binary
     columns. Same oracle as the mapInPandas variant: both must extract
-    the identical encoded geometry."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.documents_as_png_media(docs)
+    the identical encoded geometry. Reads the same materialized PNG
+    table as multimodal_image_meta, so their timings compare the two
+    Python batch transports over identical stored bytes."""
+    media = spark.read.parquet(_media_fixture_root(spark, sf_dir, "png"))
     meta = MM.decode_image_meta_arrow(media)
     return meta.select("media_id", "format", "width", "height")
 
