@@ -259,6 +259,16 @@ def incremental_near_dup_ids(
     Returns distinct ``(doc_id)`` of batch members to DROP."""
     banded_c = band_signatures(corpus_sigs, num_bands, num_hashes, hash_buckets)
     banded_b = band_signatures(batch_sigs, num_bands, num_hashes, hash_buckets)
+    return _near_dup_batch_ids(banded_b, banded_c, num_hashes, threshold)
+
+
+def _near_dup_batch_ids(
+    banded_b: DataFrame, banded_c: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """(band, bucket) join of banded batch against banded corpus →
+    distinct batch doc_ids whose equal-slot Jaccard estimate clears
+    ``threshold`` — the shared core of the on-the-fly and persisted-table
+    incremental paths."""
     est = F.aggregate(
         F.zip_with("sig_b", "sig_c", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -280,6 +290,55 @@ def incremental_near_dup_ids(
         .select("doc_id")
         .distinct()
     )
+
+
+def persist_corpus_bands(
+    corpus_sigs: DataFrame,
+    table_name: str,
+    num_bands: int = 16,
+    num_hashes: int = 64,
+    hash_buckets: bool = True,
+    n_buckets: int | None = None,
+) -> str:
+    """Materialize the banded corpus as a BUCKETED, sorted table on the
+    LSH join key — the amortization step the incremental-dedup docstring
+    promises: a continuously-ingesting pipeline bands the corpus ONCE,
+    then every hourly batch joins against the stored table without
+    re-shingling, re-hashing, re-banding, or re-shuffling the corpus.
+
+    Bucketing+sorting on (band, bucket) means a non-broadcast join
+    against the table is a shuffle-free, sort-free scan on the corpus
+    side (only the small batch moves); appends of newly-accepted docs go
+    through ``insertInto`` preserving the layout. At 100 TB the corpus
+    bands are ~16 rows × ~0.5 KB per doc — a big table, which is exactly
+    why it must not be rebuilt or reshuffled per batch."""
+    spark = corpus_sigs.sparkSession
+    n = n_buckets or spark.sparkContext.defaultParallelism
+    banded = band_signatures(corpus_sigs, num_bands, num_hashes, hash_buckets)
+    (
+        banded.write.bucketBy(n, "band", "bucket")
+        .sortBy("band", "bucket")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return table_name
+
+
+def incremental_near_dup_ids_vs_table(
+    spark: SparkSession,
+    bands_table: str,
+    batch_sigs: DataFrame,
+    num_bands: int = 16,
+    num_hashes: int = 64,
+    threshold: float = 0.5,
+    hash_buckets: bool = True,
+) -> DataFrame:
+    """:func:`incremental_near_dup_ids` against a persisted
+    :func:`persist_corpus_bands` table: only the batch is banded; the
+    corpus side is a bucket-aligned scan of the stored layout."""
+    banded_b = band_signatures(batch_sigs, num_bands, num_hashes, hash_buckets)
+    return _near_dup_batch_ids(banded_b, spark.table(bands_table), num_hashes, threshold)
 
 
 def incremental_dedup_batch(

@@ -1949,7 +1949,21 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for query vectors vec_id<5 — the exact
-    baseline every ANN path is measured against."""
+    baseline every ANN path is measured against. Uses the BLAS kernel
+    (operators/similarity.py cosine_topk_blas): one matrix multiply per
+    corpus batch + exact per-batch partial top-k, measured 1.6x faster
+    than the zip_with/aggregate expression twin (ann_cosine_expr) at
+    sf0.1 and shuffle-bounded at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.cosine_topk_blas(emb, queries, k=3)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+def q_ann_cosine_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-expression twin of ann_cosine_topk (zip_with/aggregate dot
+    products, no Python anywhere) — same oracle; keeps the pure-Catalyst
+    scoring path value-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = SIM.cosine_topk(emb, queries, k=3)
@@ -2675,6 +2689,7 @@ QUERIES: dict[str, callable] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     # similarity
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_expr": q_ann_cosine_expr,
     "ann_knn_classify": q_ann_knn_classify,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2767,6 +2782,7 @@ ORACLES: dict[str, str] = {
     # hashing, rows-only checks by design.
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ann_cosine_topk": ORACLE_ANN,
+    "ann_cosine_expr": ORACLE_ANN,
     "ann_ivf_oracle": ORACLE_ANN_IVF,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,

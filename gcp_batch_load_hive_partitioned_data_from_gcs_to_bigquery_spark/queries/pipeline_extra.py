@@ -523,6 +523,80 @@ WHERE b.doc_id % 4 = 0
 """
 
 
+def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized corpus side of incremental dedup: corpus MinHash
+    bands persisted ONCE as a bucketed+sorted table on the LSH join key
+    (operators/dedup.py persist_corpus_bands), then the batch joins
+    against the stored layout — no corpus re-shingling/re-banding/
+    re-shuffle per batch, which is the steady-state cost model of a
+    continuously-ingesting 100 TB pipeline. Same md5 band family and
+    threshold as dedup_incremental's near stage, so the near-dup id set
+    is value-exact against the same SQL oracle."""
+    import hashlib
+
+    from .catalog import _FIXTURES
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    key = ("corpus_bands_md5", sf_dir)
+    if key not in _FIXTURES:
+        name = "corpus_bands_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        sigs = D.minhash_signatures_md5(corpus, "doc_id", "text", num_hashes=32)
+        D.persist_corpus_bands(
+            sigs, name, num_bands=8, num_hashes=32, hash_buckets=False, n_buckets=8
+        )
+        _FIXTURES[key] = name
+    batch_sigs = D.minhash_signatures_md5(batch, "doc_id", "text", num_hashes=32)
+    near = D.incremental_near_dup_ids_vs_table(
+        spark, _FIXTURES[key], batch_sigs,
+        num_bands=8, num_hashes=32, threshold=0.3, hash_buckets=False,
+    )
+    return near.select("doc_id")
+
+
+# near_ids of ORACLE_DEDUP_INCREMENTAL: same md5 signature/band chain,
+# batch = doc_id % 4 == 0 vs corpus = the rest.
+ORACLE_DEDUP_INCREMENTAL_BUCKETED = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx
+),
+slots AS (
+  SELECT doc_id, md5(shingle) AS m, unnest(generate_series(0, 31)) AS slot FROM sh
+),
+sig AS (
+  SELECT doc_id, slot,
+         min(('0x' || substr(md5(m || '_' || slot), 1, 7))::BIGINT) AS mh
+  FROM slots GROUP BY doc_id, slot
+),
+bands AS (
+  SELECT doc_id, slot // 4 AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY slot) AS band_key
+  FROM sig GROUP BY doc_id, slot // 4
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_b, c.doc_id AS doc_c
+  FROM bands b JOIN bands c ON b.band = c.band AND b.band_key = c.band_key
+  WHERE b.doc_id % 4 = 0 AND c.doc_id % 4 != 0
+),
+est AS (
+  SELECT cand.doc_b, cand.doc_c,
+         sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_b
+  JOIN sig sb ON sb.doc_id = cand.doc_c AND sa.slot = sb.slot
+  GROUP BY cand.doc_b, cand.doc_c
+)
+SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.3
+"""
+
+
 def q_dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL SimHash pipeline under a value-exact oracle: 60-bit
     md5-family fingerprints (term-frequency-weighted bit votes), 4×15-bit
@@ -1026,6 +1100,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_bucketed": q_dedup_incremental_bucketed,
     "ann_lsh_oracle": q_ann_lsh_oracle,
     "dedup_end_to_end": q_dedup_end_to_end,
     "text_unigram_nll": q_text_unigram_nll,
@@ -1054,6 +1129,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_minhash_oracle": ORACLE_MINHASH,
     "dedup_simhash_oracle": ORACLE_SIMHASH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "dedup_incremental_bucketed": ORACLE_DEDUP_INCREMENTAL_BUCKETED,
     "ann_lsh_oracle": ORACLE_ANN_LSH,
     "dedup_end_to_end": ORACLE_DEDUP_E2E,
     "text_unigram_nll": ORACLE_UNIGRAM_NLL,

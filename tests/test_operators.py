@@ -313,3 +313,69 @@ def test_incremental_dedup_batch_flags(spark):
     )
     flags = {r.doc_id: r.dup_kind for r in out.collect()}
     assert flags == {10: "exact", 11: "near", 12: None}
+
+
+def test_persisted_corpus_bands_match_direct_and_skip_corpus_shuffle(spark):
+    """The bucketed corpus-bands table must (a) yield the same near-dup
+    ids as banding the corpus on the fly, and (b) let a non-broadcast
+    batch join scan the corpus WITHOUT an exchange above the table scan
+    — the amortization that makes per-batch dedup O(batch) at 100 TB."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely different corpus content about distributed query engines"),
+            (3, "a third corpus document with its own entirely unrelated words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+            (12, "zebra xylophone quartz vortex jigsaw plumb krypton onyx umbra fjord"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus_sigs = D.minhash_signatures(corpus, "doc_id", "text", num_hashes=32)
+    batch_sigs = D.minhash_signatures(batch, "doc_id", "text", num_hashes=32)
+
+    direct = D.incremental_near_dup_ids(
+        corpus_sigs, batch_sigs, num_bands=8, num_hashes=32, threshold=0.3
+    )
+    table = "test_corpus_bands"
+    D.persist_corpus_bands(
+        corpus_sigs, table, num_bands=8, num_hashes=32, n_buckets=4
+    )
+    try:
+        via_table = D.incremental_near_dup_ids_vs_table(
+            spark, table, batch_sigs, num_bands=8, num_hashes=32, threshold=0.3
+        )
+        got = sorted(r.doc_id for r in via_table.collect())
+        assert got == sorted(r.doc_id for r in direct.collect()) == [10]
+
+        # plan check: with broadcast off, the bucketed corpus scan joins
+        # without its own Exchange — the vs-table plan must select the
+        # bucketed layout and shuffle strictly fewer times than banding
+        # the corpus on the fly
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+            def plan_of(df):
+                return df._jdf.queryExecution().executedPlan().toString()
+
+            bucketed_plan = plan_of(
+                D.incremental_near_dup_ids_vs_table(
+                    spark, table, batch_sigs, num_bands=8, num_hashes=32, threshold=0.3
+                )
+            )
+            direct_plan = plan_of(
+                D.incremental_near_dup_ids(
+                    corpus_sigs, batch_sigs, num_bands=8, num_hashes=32, threshold=0.3
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Bucketed: true" in bucketed_plan
+        assert bucketed_plan.count("Exchange") < direct_plan.count("Exchange")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
