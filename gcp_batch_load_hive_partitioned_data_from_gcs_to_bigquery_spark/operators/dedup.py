@@ -314,6 +314,17 @@ def persist_corpus_bands(
     why it must not be rebuilt or reshuffled per batch."""
     spark = corpus_sigs.sparkSession
     n = n_buckets or spark.sparkContext.defaultParallelism
+    # A managed-table directory can outlive the metastore that created it
+    # (each session gets a fresh local metastore); saveAsTable refuses to
+    # reuse such an orphaned location, so drop both the entry and the dir.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse.rstrip('/')}/{table_name.lower()}")
+    fs = loc.getFileSystem(hconf)
+    if fs.exists(loc):
+        fs.delete(loc, True)
     banded = band_signatures(corpus_sigs, num_bands, num_hashes, hash_buckets)
     (
         banded.write.bucketBy(n, "band", "bucket")

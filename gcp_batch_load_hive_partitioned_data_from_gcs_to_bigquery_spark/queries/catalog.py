@@ -2830,6 +2830,15 @@ ORACLES.update(ANALYTICS_ORACLES)
 # sampling and text-pipeline families, merge/zone-map maintenance, the
 # remaining sources and streams, and TPC-H q7-q22. Everything previously green
 # stays covered by pytest and the local scripts/check_correctness.py sweep.
+#
+# Still never driver-checked after this window (rotate these in next round):
+# rollup_repair_missing, topk_orders, set_except, set_intersect, set_union,
+# distinct_users_by_type, stream_session_window, dedup_content_hash,
+# dedup_ngram_jaccard, ann_knn_classify, dedup_embedding_cosine,
+# embedding_label_centroids, text_token_counts, text_corpus_stats,
+# text_lang_id, text_fingerprint, text_ngram_freq, multimodal_frame_sample,
+# multimodal_resize, plus the new ann_cosine_expr and
+# dedup_incremental_bucketed.
 _DRIVER_WINDOW = [
     # LLM-pipeline core: incremental dedup + ANN variants
     "dedup_incremental",

@@ -174,3 +174,39 @@ def test_temperature_mix_broadcasts_weights(spark):
     # shuffled on the domain key
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q7_dims_broadcast_dates_pushed(spark):
+    plan = _plan(spark, "q7_volume_shipping")
+    # ship-date range reaches the lineitem scan; nation pair filter
+    # reaches both nation scans; every dim joins by broadcast
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "Or(EqualTo(n_name," in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q8_selective_dims_pushed_no_smj(spark):
+    plan = _plan(spark, "q8_market_share")
+    # the two most selective predicates prune at the scans, so the
+    # lineitem pipeline never widens past the surviving part/region keys
+    assert "EqualTo(p_type," in plan
+    assert "EqualTo(r_name," in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q9_part_name_pushed_no_smj(spark):
+    plan = _plan(spark, "q9_product_type_profit")
+    assert "StringContains(p_name," in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q22_anti_join_and_pushdown(spark):
+    plan = _plan(spark, "q22_dormant_customers")
+    # NOT EXISTS stays an anti-join (never a cross/inner + filter) and
+    # both selective predicates reach the scans
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "GreaterThan(c_acctbal,0.0)" in plan
