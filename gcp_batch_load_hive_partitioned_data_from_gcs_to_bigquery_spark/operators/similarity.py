@@ -254,6 +254,123 @@ def ivf_topk(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    codebook_size: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k — the memory-compression
+    scale path: each d-dim vector is stored as ``m`` one-byte codes
+    (here 8 bytes instead of 512), and queries score codes via ADC
+    (asymmetric distance computation) lookup tables instead of touching
+    raw vectors. At 100 TB this is the difference between the index
+    fitting in executor memory or not (FAISS's IVF-PQ storage layout).
+
+    Deterministic seed codebooks (the ``codebook_size`` lowest-id corpus
+    vectors, split into ``m`` subspaces — same device as the IVF oracle
+    variant's seed quantizer) make the WHOLE pipeline reproducible in
+    ANSI SQL, so encode→ADC→rank is value-checkable against a DuckDB
+    oracle; swap in k-means-trained codebooks per subspace for recall.
+
+    Plan shape: codebooks and the query set ride in kernel closures
+    (broadcast-small); the corpus streams ONCE through an Arrow-batched
+    encode+score kernel that emits per-batch partial top-k under the
+    total order (adc_dist asc, vec_id asc) — exact w.r.t. the quantized
+    distances, with a metadata-sized final ranking shuffle exactly like
+    :func:`cosine_topk_blas`. Returns (query_id, vec_id, adc_dist, rank).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    seed_rows = (
+        with_double_embedding(
+            corpus.filter(F.col(id_col) < codebook_size).orderBy(id_col), vec_col
+        )
+        .select(vec_col)
+        .collect()
+    )
+    C = np.array([r[0] for r in seed_rows], dtype=np.float64)  # cb×d
+    d = C.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = [C[:, s * sub : (s + 1) * sub] for s in range(m)]  # m × (cb×sub)
+
+    q_rows = (
+        with_double_embedding(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    # ADC tables: for each query and subspace, distance to every centroid
+    # — Qn×m×cb doubles, tiny, computed once on the driver
+    adc = np.stack(
+        [
+            ((Q[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for s in range(m)
+        ],
+        axis=1,
+    )  # q×m×cb
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if V.size == 0:
+                continue
+            # encode: per subspace, nearest centroid (ties → lowest code,
+            # numpy argmin picks the first = lowest index)
+            codes = np.stack(
+                [
+                    ((V[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                    for s in range(m)
+                ],
+                axis=1,
+            )  # b×m
+            outs = []
+            for j, qid in enumerate(q_ids):
+                # ADC score: sum of per-subspace table lookups
+                s_dist = adc[j][np.arange(m)[None, :], codes].sum(axis=1)  # b
+                mask = ids != qid
+                cand_ids, cand_d = ids[mask], s_dist[mask]
+                order = np.lexsort((cand_ids, cand_d))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": cand_ids[order], "adc_dist": cand_d[order]}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = with_double_embedding(corpus, vec_col).select(id_col, vec_col).mapInPandas(
+        _kernel, out_schema
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,

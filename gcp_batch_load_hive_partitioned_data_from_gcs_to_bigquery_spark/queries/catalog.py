@@ -1960,6 +1960,66 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
 
 
+def q_ann_pq_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under a value-exact oracle: deterministic
+    seed codebooks (16 lowest-id vectors, 8 subspaces of 8 dims), encode
+    every corpus vector to 8 one-byte codes, score queries by ADC lookup
+    tables, rank by quantized distance. Proves encode→ADC→rank
+    end-to-end; production swaps in k-means codebooks per subspace."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.pq_topk(emb, queries, k=3, m=8, codebook_size=16)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 4).alias("adc_dist"), "rank"
+    )
+
+
+ORACLE_ANN_PQ = """
+WITH cb AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+enc_d AS (
+  SELECT v.vec_id, t.s, cb.cid,
+         sum(pow(v.vv[t.s * 8 + u.i] - cb.cv[t.s * 8 + u.i], 2)) AS d2
+  FROM v
+  CROSS JOIN cb
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) t
+  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) u
+  GROUP BY v.vec_id, t.s, cb.cid
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT q.query_id, t.s, cb.cid,
+         sum(pow(q.qv[t.s * 8 + u.i] - cb.cv[t.s * 8 + u.i], 2)) AS d2
+  FROM q
+  CROSS JOIN cb
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) t
+  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) u
+  GROUP BY q.query_id, t.s, cb.cid
+),
+score AS (
+  SELECT qd.query_id, c.vec_id, sum(qd.d2) AS adc_dist
+  FROM codes c JOIN qd ON c.s = qd.s AND c.cid = qd.cid
+  WHERE c.vec_id <> qd.query_id
+  GROUP BY qd.query_id, c.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM score
+)
+SELECT query_id, vec_id, round(CAST(adc_dist AS DOUBLE), 4) AS adc_dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def q_ann_cosine_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-expression twin of ann_cosine_topk (zip_with/aggregate dot
     products, no Python anywhere) — same oracle; keeps the pure-Catalyst
@@ -2690,6 +2750,7 @@ QUERIES: dict[str, callable] = {
     # similarity
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_expr": q_ann_cosine_expr,
+    "ann_pq_oracle": q_ann_pq_oracle,
     "ann_knn_classify": q_ann_knn_classify,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2783,6 +2844,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_cosine_expr": ORACLE_ANN,
+    "ann_pq_oracle": ORACLE_ANN_PQ,
     "ann_ivf_oracle": ORACLE_ANN_IVF,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
@@ -2837,7 +2899,7 @@ ORACLES.update(ANALYTICS_ORACLES)
 # dedup_ngram_jaccard, ann_knn_classify, dedup_embedding_cosine,
 # embedding_label_centroids, text_token_counts, text_corpus_stats,
 # text_lang_id, text_fingerprint, text_ngram_freq, multimodal_frame_sample,
-# multimodal_resize, plus the new ann_cosine_expr and
+# multimodal_resize, plus the new ann_cosine_expr, ann_pq_oracle and
 # dedup_incremental_bucketed.
 _DRIVER_WINDOW = [
     # LLM-pipeline core: incremental dedup + ANN variants

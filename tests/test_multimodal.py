@@ -177,3 +177,73 @@ def test_decode_audio_meta_end_to_end(spark):
             "wav", channels, rate, 16,
         )
         assert (row.n_samples, row.duration_ms) == (n, n * 1000 // rate)
+
+
+# --- parser robustness: arbitrary bytes must never crash an executor ---------
+# (the decode kernels run inside tasks; an unhandled exception on one
+# malformed payload kills the whole stage — fuzz the full byte space,
+# including inputs that carry valid magics but corrupt structure)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _with_magics(draw_bytes):
+    return st.one_of(
+        draw_bytes,
+        draw_bytes.map(lambda b: b"\x89PNG\r\n\x1a\n" + b),
+        draw_bytes.map(lambda b: b"\xff\xd8" + b),
+        draw_bytes.map(lambda b: b"GIF89a" + b),
+        draw_bytes.map(lambda b: b"RIFF" + b),
+        draw_bytes.map(lambda b: b"RIFF" + b[:4] + b"WAVE" + b[4:]),
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(buf=_with_magics(st.binary(max_size=256)))
+def test_parse_image_dims_never_raises(buf):
+    fmt, w, h = parse_image_dims(buf)
+    assert fmt in ("png", "jpeg", "gif", "unknown")
+    assert (w is None) == (h is None)
+    if w is not None:
+        assert w >= 0 and h >= 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(buf=_with_magics(st.binary(max_size=256)))
+def test_parse_wav_meta_never_raises(buf):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        parse_wav_meta,
+    )
+
+    out = parse_wav_meta(buf)
+    assert out[0] in ("wav", "unknown")
+    if out[0] == "unknown":
+        assert out[1:] == (None, None, None, None, None)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    channels=st.integers(min_value=0, max_value=8),
+    bits=st.integers(min_value=0, max_value=64),
+    rate=st.integers(min_value=0, max_value=48000),
+)
+def test_parse_wav_meta_corrupt_fmt_chunk(channels, bits, rate):
+    """fmt chunks with zero channels / sub-byte sample widths / zero rate
+    must degrade to 'unknown', never divide by zero."""
+    fmt_body = struct.pack("<HHIIHH", 1, channels, rate, rate * 2, 4, bits)
+    data = b"\x00" * 32
+    buf = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        parse_wav_meta,
+    )
+
+    out = parse_wav_meta(buf)
+    if channels and rate and bits >= 8:
+        assert out[0] == "wav"
+    else:
+        assert out[0] == "unknown"
