@@ -413,6 +413,48 @@ FROM (
 """
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous incremental dedup (streaming/dedup_stream.py): two
+    document drops replayed file-by-file through a foreachBatch stream;
+    each micro-batch dedups against the accumulated corpus (exact sha +
+    MinHash bands), survivors append, duplicates audit. Engine-hash near
+    stage → rows-only check; batch/stream equivalence is pinned exactly
+    in tests/test_streaming.py. Returns the audit table."""
+    import shutil
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.dedup_stream import (
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_key = ("stream_dedup_src", sf_dir)
+    if src_key not in _FIXTURES:
+        import os
+
+        src = _tmp("stream_dedup_src")
+        for i, part in enumerate(
+            (docs.filter(F.col("doc_id") % 4 != 0), docs.filter(F.col("doc_id") % 4 == 0))
+        ):
+            sub = _tmp(f"stream_dedup_stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(sub)
+            name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i:04d}.parquet")
+            os.rename(os.path.join(sub, name), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _FIXTURES[src_key] = src
+    # fresh corpus/audit/checkpoint per invocation: the corpus append is
+    # stateful by design, so re-runs start from an empty corpus
+    corpus_root, audit_root, ckpt = _tmp("sd_corpus"), _tmp("sd_audit"), _tmp("sd_ckpt")
+    for d in (corpus_root, audit_root, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    q = stream_incremental_dedup(
+        spark, _FIXTURES[src_key], corpus_root, audit_root, docs.schema,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(audit_root).select("doc_id", "dup_kind").orderBy("doc_id")
+
+
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (``F.session_window``, the streaming-state
     primitive, here in batch mode): per-user sessions close after 30
@@ -2740,6 +2782,7 @@ QUERIES: dict[str, callable] = {
     "stream_hourly_ingest": q_stream_hourly_ingest,
     "stream_stateful_totals": q_stream_stateful_totals,
     "stream_session_window": q_stream_session_window,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
     "sink_merge_upsert": q_sink_merge_upsert,
     # dedup
     "dedup_exact": q_dedup_exact,
@@ -2899,8 +2942,8 @@ ORACLES.update(ANALYTICS_ORACLES)
 # dedup_ngram_jaccard, ann_knn_classify, dedup_embedding_cosine,
 # embedding_label_centroids, text_token_counts, text_corpus_stats,
 # text_lang_id, text_fingerprint, text_ngram_freq, multimodal_frame_sample,
-# multimodal_resize, plus the new ann_cosine_expr, ann_pq_oracle and
-# dedup_incremental_bucketed.
+# multimodal_resize, plus the new ann_cosine_expr, ann_pq_oracle,
+# dedup_incremental_bucketed and stream_incremental_dedup.
 _DRIVER_WINDOW = [
     # LLM-pipeline core: incremental dedup + ANN variants
     "dedup_incremental",

@@ -135,3 +135,66 @@ def test_transform_with_state_gated_or_works(spark, tmp_path):
     }
     got = {r.user_id: (r.n_events, r.sum_value) for r in out.collect()}
     assert got == exact
+
+
+def test_stream_incremental_dedup_grows_corpus_and_audits_dups(spark, tmp_path):
+    """Two micro-batches replayed file-by-file: batch 0 seeds the corpus,
+    batch 1 carries an exact copy, a near-copy, and a novel doc. The
+    stream must append only the novel doc and audit the two duplicates
+    with the same flags batch-mode incremental_dedup_batch assigns."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import (
+        incremental_dedup_batch,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.dedup_stream import (
+        stream_incremental_dedup,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    t_a = "the quick brown fox jumps over the lazy dog again and again today"
+    t_b = "completely different corpus content about distributed query engines"
+    batch0 = [(1, t_a), (2, t_b)]
+    batch1 = [
+        (10, t_a),  # exact dup of 1
+        (11, "completely different corpus content about distributed query planners"),  # near 2
+        (12, "zebra xylophone quartz vortex jigsaw plumb krypton onyx umbra fjord"),  # novel
+    ]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate((batch0, batch1)):
+        sub = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(sub)
+        part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # arrival order
+
+    corpus_root = str(tmp_path / "corpus")
+    audit_root = str(tmp_path / "audit")
+    q = stream_incremental_dedup(
+        spark, src, corpus_root, audit_root, schema,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    corpus_ids = sorted(r.doc_id for r in spark.read.parquet(corpus_root).collect())
+    assert corpus_ids == [1, 2, 12]
+    audit = {r.doc_id: r.dup_kind for r in spark.read.parquet(audit_root).collect()}
+
+    # equivalence with sequential batch-mode application
+    b0 = spark.createDataFrame(batch0, schema)
+    b1 = spark.createDataFrame(batch1, schema)
+    expected = {
+        r.doc_id: r.dup_kind
+        for r in incremental_dedup_batch(
+            b0, b1, "doc_id", "text", num_bands=8, num_hashes=32, threshold=0.3
+        ).collect()
+        if r.dup_kind is not None
+    }
+    assert audit == expected == {10: "exact", 11: "near"}
