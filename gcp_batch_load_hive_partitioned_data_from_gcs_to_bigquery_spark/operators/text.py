@@ -343,3 +343,84 @@ def c4_line_filter(
         "keep",
         (F.col("n_lines_kept") * 2 >= F.col("n_lines")) & (F.col("n_lines_kept") > 0),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+    vocab_limit: int = 10_000,
+) -> DataFrame:
+    """Learn BPE merge rules from the corpus — the tokenizer-TRAINING
+    step (`vocab_topk` builds the pre-token vocabulary; this learns the
+    subword merges).
+
+    Scale shape (how real tokenizer trainers work): the corpus
+    collapses ONCE into a (word, count) frequency table — a distributed
+    lowercase/split/groupBy whose output is VOCAB-sized, not
+    corpus-sized — then the iterative merge loop runs on the driver over
+    the ``vocab_limit`` most frequent words. At 100 TB the corpus pass
+    is the only distributed stage (one shuffle on the word key,
+    map-side combined); the merge loop's input is bounded by
+    ``vocab_limit`` regardless of corpus size, exactly like training a
+    production tokenizer on a frequency dict.
+
+    Deterministic end to end: words tie-break (count desc, word asc),
+    merges tie-break (pair count desc, pair lexicographic asc) — no RNG,
+    so re-runs and engine ports reproduce byte-identical merge tables.
+    Iterative pair-merging is not expressible in one SQL query; the
+    operator is verified against a pure-Python reference implementation
+    in tests. Returns (merge_rank, left, right, merged, pair_count).
+    """
+    word_rows = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(vocab_limit)
+        .collect()
+    )
+    word_freq = {r["w"]: r["n"] for r in word_rows}
+    merges = _bpe_merge_loop(word_freq, n_merges)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_merge_loop(
+    word_freq: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Classic BPE training loop over a word-frequency dict (pure
+    Python, driver-side, bounded by the vocab size): repeatedly merge
+    the most frequent adjacent symbol pair. Returns
+    [(left, right, pair_count), ...] in merge order."""
+    words: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in word_freq.items() if len(w) >= 2
+    ]
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, c in words:
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((a, b, c))
+        merged = a + b
+        for i, (sym, cnt) in enumerate(words):
+            j, new = 0, []
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == a and sym[j + 1] == b:
+                    new.append(merged)
+                    j += 2
+                else:
+                    new.append(sym[j])
+                    j += 1
+            words[i] = (new, cnt)
+    return out

@@ -317,6 +317,17 @@ LIMIT 30
 """
 
 
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer MERGE training (operators/text.py bpe_train_merges):
+    one distributed word-frequency pass (vocab-sized output), then the
+    classic BPE merge loop over the frequency dict — deterministic
+    tie-breaks, no RNG. Iterative merging isn't one SQL query →
+    rows-only check; the algorithm is pinned against a hand-checkable
+    reference trace in tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bpe_train_merges(docs, "text", n_merges=20).orderBy("merge_rank")
+
+
 def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature-extraction plumbing (STUB kernel): one row per
     256-byte window of each opaque payload via Arrow-batched
@@ -1105,6 +1116,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_end_to_end": q_dedup_end_to_end,
     "text_unigram_nll": q_text_unigram_nll,
     "text_vocab_topk": q_text_vocab_topk,
+    "text_bpe_merges": q_text_bpe_merges,
     "multimodal_audio_frames": q_multimodal_audio_frames,
     "scan_csv_badrecords": q_scan_csv_badrecords,
     "sample_hash_split": q_sample_hash_split,

@@ -22,7 +22,10 @@ def test_all_queries_callable_and_named():
         assert name == name.lower() and " " not in name
 
 
-def test_rows_only_queries_are_the_documented_four():
+def test_rows_only_queries_are_the_documented_set():
+    """Only the engine-hash variants (xxhash64 families), the iterative
+    BPE trainer, and the stateful stream are rows-only; everything else
+    must carry a DuckDB oracle."""
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = sorted(set(qs) - set(os_))
     assert rows_only == [
@@ -30,6 +33,8 @@ def test_rows_only_queries_are_the_documented_four():
         "ann_lsh_topk",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "stream_incremental_dedup",
+        "text_bpe_merges",
     ]
 
 

@@ -413,3 +413,29 @@ def test_pq_topk_recall_and_determinism(spark):
     # coarse 16-centroid codebooks on 64-dim data: recall@10 well above
     # chance (10/total) — the contract is "usable candidate generator"
     assert hits >= 0.2 * len(a)
+
+
+def test_bpe_train_merges_matches_reference_loop(spark):
+    """Distributed word-count + driver merge loop must reproduce the
+    classic BPE trace on a hand-checkable corpus, deterministically."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], ["doc_id", "text"]
+    )
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train_merges(df, "text", n_merges=3).orderBy("merge_rank").collect()
+    ]
+    # aaab x3, ab x2: (a,a)=6 first, then (a,b)=3+2, then (aa,ab)=3
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 5),
+        (3, "aa", "ab", "aaab", 3),
+    ]
+    # determinism on real data
+    docs = load_table(spark, SF_DIR, "documents")
+    a = bpe_train_merges(docs, "text", n_merges=10).collect()
+    b = bpe_train_merges(docs, "text", n_merges=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 10
