@@ -424,3 +424,77 @@ def _bpe_merge_loop(
                     j += 1
             words[i] = (new, cnt)
     return out
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply learned BPE merges (:func:`bpe_train_merges`) to the corpus
+    — the tokenizer ENCODE side. Returns (id, tokens array<string>).
+
+    Scale shape: the greedy merge walk runs once per DISTINCT word, not
+    per occurrence — `distinct words` is vocab-sized while the corpus is
+    not, so the Python kernel's work is bounded regardless of corpus
+    volume. The (word → subtokens) dictionary then joins back to the
+    position-exploded corpus (broadcast when vocab-sized, shuffle on the
+    word key beyond that) and documents reassemble with one groupBy on
+    the id — the same join-back-a-dictionary shape as the zone map and
+    corpus-bands stores.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _encode_word(w: str) -> list[str]:
+        sym = list(w)
+        while len(sym) >= 2:
+            best, best_rank = None, None
+            for i, pair in enumerate(zip(sym, sym[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            sym[best : best + 2] = [sym[best] + sym[best + 1]]
+        return sym
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("w", T.StringType()),
+            T.StructField("subtokens", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"w": pdf["w"], "subtokens": [_encode_word(w) for w in pdf["w"]]}
+            )
+
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    vocab = words.select("w").distinct().mapInPandas(_kernel, enc_schema)
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .select("doc_id", "pos", "subtokens")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("subtokens")))
+                    ),
+                    lambda s: s["subtokens"],
+                )
+            ).alias("tokens")
+        )
+        .select(F.col("doc_id").alias(id_col), "tokens")
+    )

@@ -608,6 +608,30 @@ SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.3
 """
 
 
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE with learned merges (operators/text.py
+    bpe_encode): train 20 merges on the corpus, then tokenize every
+    document — the greedy walk runs once per DISTINCT word (vocab-sized
+    Python work), the dictionary joins back by broadcast, documents
+    reassemble with one id groupBy. Merge learning is iterative →
+    rows-only check; greedy order and per-word roundtrip are pinned in
+    tests/test_operators.py."""
+    from ..operators.text import bpe_encode, bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges(docs, "text", n_merges=20).orderBy("merge_rank").collect()
+    ]
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("tokens_head"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL SimHash pipeline under a value-exact oracle: 60-bit
     md5-family fingerprints (term-frequency-weighted bit votes), 4×15-bit
@@ -1117,6 +1141,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "text_unigram_nll": q_text_unigram_nll,
     "text_vocab_topk": q_text_vocab_topk,
     "text_bpe_merges": q_text_bpe_merges,
+    "text_bpe_encode": q_text_bpe_encode,
     "multimodal_audio_frames": q_multimodal_audio_frames,
     "scan_csv_badrecords": q_scan_csv_badrecords,
     "sample_hash_split": q_sample_hash_split,

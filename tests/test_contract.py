@@ -34,6 +34,7 @@ def test_rows_only_queries_are_the_documented_set():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "stream_incremental_dedup",
+        "text_bpe_encode",
         "text_bpe_merges",
     ]
 

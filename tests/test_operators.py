@@ -439,3 +439,35 @@ def test_bpe_train_merges_matches_reference_loop(spark):
     b = bpe_train_merges(docs, "text", n_merges=10).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 10
+
+
+def test_bpe_encode_roundtrip_and_greedy_order(spark):
+    """Encode must (a) reassemble each word exactly (concat of subtokens
+    == word), (b) apply merges in learned-rank order (lowest rank first,
+    the HF/GPT-2 greedy rule), (c) preserve word order within docs."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import bpe_encode, bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab"), (2, "ab baa")], ["doc_id", "text"]
+    )
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges(df, "text", n_merges=3).orderBy("merge_rank").collect()
+    ]
+    out = {r.doc_id: r.tokens for r in bpe_encode(df, "doc_id", "text", merges).collect()}
+    # merges: (a,a) -> (a,b) -> (aa,ab); greedy on "aaab": aa|ab then aaab
+    assert out[1] == ["aaab", "aaab", "aaab", "ab", "ab"]
+    # "baa": (a,a) applies, (b,aa) never learned -> ["b","aa"]
+    assert out[2] == ["ab", "b", "aa"]
+    # roundtrip on real corpus: concat(tokens) per doc == normalized text
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    real_merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges(docs, "text", n_merges=20).orderBy("merge_rank").collect()
+    ]
+    enc = bpe_encode(docs, "doc_id", "text", real_merges)
+    joined = enc.join(docs, "doc_id").select(
+        F.concat_ws("", "tokens").alias("rebuilt"),
+        F.regexp_replace(F.trim(F.lower("text")), r"\s+", "").alias("norm"),
+    )
+    assert joined.filter(F.col("rebuilt") != F.col("norm")).count() == 0
