@@ -127,3 +127,76 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def pack_first_fit_nosplit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 8,
+    salt: int = 0,
+) -> DataFrame:
+    """First-fit-decreasing packing that NEVER splits a document — the
+    other production packing mode (finetuning / eval batches, where a
+    truncated document is a corrupted example; contrast with
+    :func:`pack_sequences`' concat-and-split for pretraining).
+
+    FFD is inherently sequential, so the sequential state is confined to
+    one SHARD: documents hash-shard deterministically (same
+    ``(key*K)%M`` family as everywhere else), and each shard's bin walk
+    runs in one Arrow-batched ``applyInPandas`` group — embarrassingly
+    parallel across shards, no global ordering, byte-stable across
+    re-runs. Documents longer than ``budget`` get ``pack_id = -1``
+    (overflow audit rows) instead of silently truncating.
+
+    Returns (shard, pack_id, doc_id, n_tokens). Within a shard, FFD
+    order is (n_tokens desc, doc_id asc) — the classic ~11/9·OPT bound
+    with a deterministic tie-break.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def _ffd(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (shard,) = key
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per pack
+        assigned = []
+        for _, row in pdf.iterrows():
+            n = int(row["n_tokens"])
+            if n > budget:
+                assigned.append(-1)
+                continue
+            for b, rem in enumerate(bins):
+                if rem >= n:
+                    bins[b] = rem - n
+                    assigned.append(b)
+                    break
+            else:
+                bins.append(budget - n)
+                assigned.append(len(bins) - 1)
+        return pd.DataFrame(
+            {
+                "shard": int(shard),
+                "pack_id": assigned,
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+            }
+        )
+
+    staged = docs.select(
+        shard_for(F.col(id_col), n_shards, salt).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    return staged.groupBy("shard").applyInPandas(_ffd, out_schema)

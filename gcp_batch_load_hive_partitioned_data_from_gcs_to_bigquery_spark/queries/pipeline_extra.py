@@ -632,6 +632,23 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+
+def q_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split FFD packing (operators/packing.py pack_first_fit_nosplit):
+    whitespace token counts -> hash-sharded first-fit-decreasing bins,
+    sequential state confined to one applyInPandas group per shard.
+    Greedy bin walk is not one SQL query -> rows-only; budget/exactness/
+    determinism are pinned in tests/test_packing.py."""
+    from ..operators.packing import pack_first_fit_nosplit
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = pack_first_fit_nosplit(docs, budget=256, n_shards=8)
+    return out.orderBy("shard", "pack_id", "doc_id")
+
+
 def q_dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL SimHash pipeline under a value-exact oracle: 60-bit
     md5-family fingerprints (term-frequency-weighted bit votes), 4×15-bit
@@ -1142,6 +1159,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "text_vocab_topk": q_text_vocab_topk,
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
+    "pack_first_fit": q_pack_first_fit,
     "multimodal_audio_frames": q_multimodal_audio_frames,
     "scan_csv_badrecords": q_scan_csv_badrecords,
     "sample_hash_split": q_sample_hash_split,

@@ -33,6 +33,7 @@ def test_rows_only_queries_are_the_documented_set():
         "ann_lsh_topk",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "pack_first_fit",
         "stream_incremental_dedup",
         "text_bpe_encode",
         "text_bpe_merges",

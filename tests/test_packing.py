@@ -89,3 +89,36 @@ def test_stats_fill_ratio(spark):
         assert 0 < r.fill_ratio <= 1.0
         # all packs full except possibly the last one of the shard
         assert r.total_tokens > (r.n_packs - 1) * BUDGET
+
+
+def test_first_fit_nosplit_respects_budget_and_is_exact(spark):
+    """No pack over budget, no document split or lost, oversized docs
+    audited as overflow, deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.packing import pack_first_fit_nosplit
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        # lengths 1..120 with one oversized outlier
+        F.when(F.col("id") == 7, 10_000).otherwise(F.col("id") % 120 + 1).alias("n_tokens"),
+    )
+    out = pack_first_fit_nosplit(docs, budget=128, n_shards=4).cache()
+    # every doc exactly once
+    assert out.count() == 200
+    assert out.select("doc_id").distinct().count() == 200
+    # overflow audited, never packed
+    overflow = out.filter(F.col("pack_id") == -1).collect()
+    assert [r.doc_id for r in overflow] == [7]
+    # no (shard, pack) exceeds the budget
+    over = (
+        out.filter(F.col("pack_id") >= 0)
+        .groupBy("shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .filter(F.col("fill") > 128)
+        .count()
+    )
+    assert over == 0
+    # deterministic
+    again = pack_first_fit_nosplit(docs, budget=128, n_shards=4)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
