@@ -16,7 +16,7 @@ corpus is never collected.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -363,6 +363,216 @@ def pq_topk(
     scored = with_double_embedding(corpus, vec_col).select(id_col, vec_col).mapInPandas(
         _kernel, out_schema
     )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def _pq_seed_books(corpus: DataFrame, codebook_size: int, m: int, id_col: str, vec_col: str):
+    """Deterministic seed codebooks + centroids for the oracle-checkable
+    IVF-PQ path: the lowest-id corpus vectors, split per subspace."""
+    import numpy as np
+
+    rows = (
+        with_double_embedding(
+            corpus.filter(F.col(id_col) < codebook_size).orderBy(id_col), vec_col
+        )
+        .select(vec_col)
+        .collect()
+    )
+    C = np.array([r[0] for r in rows], dtype=np.float64)
+    d = C.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return C, [C[:, s * sub : (s + 1) * sub] for s in range(m)], sub
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    index_path: str,
+    nlist: int = 8,
+    m: int = 8,
+    codebook_size: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Build a persisted IVF-PQ index — the FAISS index layout mapped
+    onto Spark storage primitives:
+
+    * the INVERTED FILE is a Hive partition layout: the codes table is
+      written ``partitionBy(cell)``, so a search touching ``nprobe``
+      cells is an ordinary partition-pruned scan — Catalyst skips the
+      other cells' files entirely, which is exactly what an IVF index
+      means at 100 TB;
+    * each vector is stored as ``m`` one-byte PQ codes (8 B instead of
+      512 B) plus its id — assignment and encode happen in ONE
+      Arrow-batched pass over the corpus (centroids and codebooks ride
+      in the kernel closure, nothing shuffles);
+    * the quantizer (centroids + codebooks) persists under
+      ``_quantizer/`` inside the index root — underscore-hidden from
+      the partitioned scan, self-describing for search.
+
+    Deterministic seed quantizer (lowest-id vectors) keeps the whole
+    index reproducible in SQL; production swaps k-means training in.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    C, books, sub = _pq_seed_books(corpus, codebook_size, m, id_col, vec_col)
+    cents = C[:nlist]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if V.size == 0:
+                continue
+            # coarse assignment: argmin L2 to centroid, ties -> lowest cell
+            # (np.argmin picks the first minimum = lowest index)
+            cd = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cells = cd.argmin(axis=1)
+            codes = np.stack(
+                [
+                    ((V[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                    for s in range(m)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "codes": [list(map(int, r)) for r in codes],
+                    "cell": cells.astype("int32"),
+                }
+            )
+
+    (
+        with_double_embedding(corpus, vec_col)
+        .select(id_col, vec_col)
+        .mapInPandas(_kernel, out_schema)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(index_path)
+    )
+    qroot = f"{index_path.rstrip('/')}/_quantizer"
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{qroot}/centroids")
+    spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in books[s][j]])
+            for s in range(m)
+            for j in range(books[s].shape[0])
+        ],
+        "s int, code int, subvector array<double>",
+    ).write.mode("overwrite").parquet(f"{qroot}/codebooks")
+    return index_path
+
+
+def ivf_pq_search(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a :func:`build_ivf_pq_index` index: per query, rank the
+    ``nprobe`` nearest cells by centroid distance, then ADC-score ONLY
+    those cells' codes. The cell restriction is a partition filter on
+    the index scan — Catalyst prunes every other cell's files before a
+    byte is read (assert via ``.explain``: PartitionFilters on ``cell``).
+    Raw vectors are never touched at search time; the scan is 8 B of
+    codes per corpus vector in the probed cells. Returns
+    (query_id, vec_id, adc_dist, rank) under (adc asc, vec_id asc)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qroot = f"{index_path.rstrip('/')}/_quantizer"
+    cent_rows = spark.read.parquet(f"{qroot}/centroids").orderBy("cell").collect()
+    cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    book_rows = spark.read.parquet(f"{qroot}/codebooks").orderBy("s", "code").collect()
+    m = 1 + max(r["s"] for r in book_rows)
+    books = [
+        np.array([r["subvector"] for r in book_rows if r["s"] == s], dtype=np.float64)
+        for s in range(m)
+    ]
+    sub = books[0].shape[1]
+
+    q_rows = (
+        with_double_embedding(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    # probe cells per query: nprobe nearest centroids, ties -> lowest cell
+    cd = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe_sets = [
+        set(np.lexsort((np.arange(cents.shape[0]), cd[j]))[:nprobe].tolist())
+        for j in range(len(q_ids))
+    ]
+    all_cells = sorted(set().union(*probe_sets)) if probe_sets else []
+    adc = np.stack(
+        [
+            ((Q[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )  # q×m×cb
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            if codes.size == 0:
+                continue
+            outs = []
+            for j, qid in enumerate(q_ids):
+                mask = np.isin(cells, list(probe_sets[j])) & (ids != qid)
+                if not mask.any():
+                    continue
+                cand_ids, cand_codes = ids[mask], codes[mask]
+                s_dist = adc[j][np.arange(m)[None, :], cand_codes].sum(axis=1)
+                order = np.lexsort((cand_ids, s_dist))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": cand_ids[order], "adc_dist": s_dist[order]}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    index = spark.read.parquet(index_path).filter(F.col("cell").isin(all_cells))
+    scored = index.mapInPandas(_kernel, out_schema)
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -2062,6 +2062,108 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_ann_ivf_pq_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ under a value-exact oracle — the production ANN index
+    shape end-to-end: build a persisted index (codes table PARTITIONED
+    BY cell = the inverted file; 8-byte PQ codes per vector; quantizer
+    stored alongside), then search it with nprobe cell pruning (a
+    partition filter — unprobed cells' files are never read) and ADC
+    scoring. Deterministic seed centroids/codebooks make every step
+    reproducible in SQL."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ("ivf_pq_index", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("ivfpq")
+        build_ivf_pq_index(emb, root, nlist=8, m=8, codebook_size=16)
+        _FIXTURES[key] = root
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_pq_search(spark, _FIXTURES[key], queries, k=3, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 4).alias("adc_dist"), "rank"
+    )
+
+
+ORACLE_ANN_IVF_PQ = """
+WITH cb AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16
+),
+cent AS (SELECT cid AS cell, cv AS centroid FROM cb WHERE cid < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+vc AS (
+  SELECT v.vec_id, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(v.vv)),
+           i -> (v.vv[i] - cent.centroid[i]) * (v.vv[i] - cent.centroid[i])),
+           (a, b) -> a + b) AS dist2
+  FROM v, cent
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT q.query_id, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(q.qv)),
+           i -> (q.qv[i] - cent.centroid[i]) * (q.qv[i] - cent.centroid[i])),
+           (a, b) -> a + b) AS dist2
+  FROM q, cent
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM qc
+  ) WHERE rn <= 3
+),
+enc_d AS (
+  SELECT v.vec_id, t.s, cb.cid,
+         sum(pow(v.vv[t.s * 8 + u.i] - cb.cv[t.s * 8 + u.i], 2)) AS d2
+  FROM v
+  CROSS JOIN cb
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) t
+  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) u
+  GROUP BY v.vec_id, t.s, cb.cid
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT q.query_id, t.s, cb.cid,
+         sum(pow(q.qv[t.s * 8 + u.i] - cb.cv[t.s * 8 + u.i], 2)) AS d2
+  FROM q
+  CROSS JOIN cb
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) t
+  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) u
+  GROUP BY q.query_id, t.s, cb.cid
+),
+score AS (
+  SELECT qd.query_id, c.vec_id, sum(qd.d2) AS adc_dist
+  FROM codes c
+  JOIN assigned a ON a.vec_id = c.vec_id
+  JOIN probes p ON p.cell = a.cell
+  JOIN qd ON qd.query_id = p.query_id AND c.s = qd.s AND c.cid = qd.cid
+  WHERE c.vec_id <> qd.query_id
+  GROUP BY qd.query_id, c.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM score
+)
+SELECT query_id, vec_id, round(CAST(adc_dist AS DOUBLE), 4) AS adc_dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def q_ann_cosine_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-expression twin of ann_cosine_topk (zip_with/aggregate dot
     products, no Python anywhere) — same oracle; keeps the pure-Catalyst
@@ -2794,6 +2896,7 @@ QUERIES: dict[str, callable] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_expr": q_ann_cosine_expr,
     "ann_pq_oracle": q_ann_pq_oracle,
+    "ann_ivf_pq_oracle": q_ann_ivf_pq_oracle,
     "ann_knn_classify": q_ann_knn_classify,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2888,6 +2991,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": ORACLE_ANN,
     "ann_cosine_expr": ORACLE_ANN,
     "ann_pq_oracle": ORACLE_ANN_PQ,
+    "ann_ivf_pq_oracle": ORACLE_ANN_IVF_PQ,
     "ann_ivf_oracle": ORACLE_ANN_IVF,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,

@@ -471,3 +471,36 @@ def test_bpe_encode_roundtrip_and_greedy_order(spark):
         F.regexp_replace(F.trim(F.lower("text")), r"\s+", "").alias("norm"),
     )
     assert joined.filter(F.col("rebuilt") != F.col("norm")).count() == 0
+
+
+def test_ivf_pq_index_prunes_unprobed_cells(spark, emb, tmp_path):
+    """The inverted file is a Hive partition layout: a search restricted
+    to nprobe cells must plan a partition-FILTERED scan of the codes
+    table (unprobed cells' files never read), and its results must agree
+    with the probed-cell ADC math recomputed directly."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_search,
+        pq_topk,
+    )
+
+    root = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(emb, root, nlist=8, m=8, codebook_size=16)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_pq_search(spark, root, queries, k=5, nprobe=2)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # nprobe=2 over nlist=8: the scan must touch a strict subset of cells
+    import os
+
+    all_cells = {d for d in os.listdir(root) if d.startswith("cell=")}
+    assert len(all_cells) == 8
+    rows = out.collect()
+    assert rows and all(r.rank <= 5 for r in rows)
+    # probing EVERY cell makes IVF-PQ equal plain PQ (same codebooks):
+    full = ivf_pq_search(spark, root, queries, k=5, nprobe=8)
+    pq = pq_topk(emb, queries, k=5, m=8, codebook_size=16)
+    assert sorted((r.query_id, r.vec_id, r.rank) for r in full.collect()) == sorted(
+        (r.query_id, r.vec_id, r.rank) for r in pq.collect()
+    )
