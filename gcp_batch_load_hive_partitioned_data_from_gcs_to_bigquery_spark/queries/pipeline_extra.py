@@ -901,11 +901,19 @@ FROM e1
 def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (scale = max|v|/127): the
     4x memory cut for embedding corpora. Narrow map, no shuffle; the
-    oracle recomputes scale and every quantized component in SQL."""
+    oracle recomputes scale and every quantized component in SQL. The
+    ``q`` codes are serialized to a comma-joined string so external
+    harnesses can canonicalize the row (pandas can't sort/hash raw
+    list cells); the operator itself keeps the array<int> shape."""
     from ..operators.similarity import quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_int8(emb.filter(F.col("vec_id") < 200))
+    out = quantize_int8(emb.filter(F.col("vec_id") < 200))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string"))).alias("q_codes"),
+    )
 
 
 ORACLE_QUANTIZE = """
@@ -917,7 +925,7 @@ WITH v AS (
   FROM v
 )
 SELECT vec_id, round(sc, 6) AS scale,
-       list_transform(e, x -> CAST(round(x / sc) AS INT)) AS q
+       array_to_string(list_transform(e, x -> CAST(round(x / sc) AS INT)), ',') AS q_codes
 FROM s
 """
 
