@@ -314,17 +314,39 @@ def persist_corpus_bands(
     why it must not be rebuilt or reshuffled per batch."""
     spark = corpus_sigs.sparkSession
     n = n_buckets or spark.sparkContext.defaultParallelism
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _delete_dir(path_str: str) -> None:
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
     # A managed-table directory can outlive the metastore that created it
     # (each session gets a fresh local metastore); saveAsTable refuses to
     # reuse such an orphaned location, so drop both the entry and the dir.
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse.rstrip('/')}/{table_name.lower()}")
-    fs = loc.getFileSystem(hconf)
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    if spark.catalog.tableExists(table_name):
+        # The table is known to THIS metastore: resolve its real location
+        # from the catalog (correct for qualified names and non-default
+        # LOCATIONs — never a guessed warehouse path), drop, then sweep
+        # any leftover dir (drop of a managed table deletes it; external
+        # leftovers would otherwise wedge the saveAsTable below).
+        locs = [
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+            if r["col_name"] == "Location"
+        ]
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        for loc in locs:
+            _delete_dir(loc)
+    elif table_name.isidentifier():
+        # Not in the metastore: the only dir we may own is the default
+        # managed location of an UNQUALIFIED simple name directly under
+        # the warehouse root — for qualified/exotic names no path is
+        # derivable, so nothing is deleted.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        _delete_dir(f"{warehouse}/{table_name.lower()}")
     banded = band_signatures(corpus_sigs, num_bands, num_hashes, hash_buckets)
     (
         banded.write.bucketBy(n, "band", "bucket")

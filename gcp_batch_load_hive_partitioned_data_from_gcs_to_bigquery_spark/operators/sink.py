@@ -156,6 +156,29 @@ def write_partition_overwrite(
         # min/max stats enable block skipping on the cluster keys.
         out = out.sortWithinPartitions(*cluster_by)
 
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import (
+        has_zone_map,
+        part_key_expr,
+        refresh_zone_map,
+    )
+
+    # Incremental zone-map maintenance happens after the write, but the
+    # touched-hour set is fixed BEFORE it: with dynamic partitions the
+    # batch is pinned with localCheckpoint so (a) the upstream lineage
+    # is evaluated once — not once for the write and again for the
+    # distinct — and (b) the hours refreshed are exactly the hours
+    # written even if the lineage is nondeterministic. The checkpoint
+    # materializes one hourly batch to executor storage, O(batch).
+    refresh_store = has_zone_map(spark, table_root)
+    touched: list[str] | None = [partition] if partition is not None else None
+    if refresh_store and touched is None:
+        out = out.localCheckpoint(eager=True)
+        # distinct over the 4 partition columns of an hourly batch —
+        # map-side-combined, a handful of rows out.
+        touched = [
+            r["part_key"] for r in out.select(part_key_expr()).distinct().collect()
+        ]
+
     (
         out.write.format(fmt)
         .partitionBy(*PARTITION_COLS)
@@ -171,25 +194,10 @@ def write_partition_overwrite(
         .save(table_root)
     )
 
-    # Incremental zone-map maintenance: iff a persisted store exists for
-    # this root, refresh ONLY the hours this batch touched — the write
-    # knows exactly which partitions changed, so the stats update is
-    # O(batch), never the O(table) rescan the on-the-fly path pays.
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import (
-        has_zone_map,
-        part_key_expr,
-        refresh_zone_map,
-    )
-
-    if has_zone_map(spark, table_root):
-        if partition is not None:
-            touched = [partition]
-        else:
-            # distinct over the 4 partition columns of an hourly batch —
-            # map-side-combined, a handful of rows out.
-            touched = [
-                r["part_key"] for r in out.select(part_key_expr()).distinct().collect()
-            ]
+    # Refresh ONLY the hours this batch touched (set computed above) —
+    # the stats update is O(batch), never the O(table) rescan the
+    # on-the-fly path pays.
+    if refresh_store:
         refresh_zone_map(spark, table_root, partitions=touched)
     return JobState.SUCCESS
 

@@ -439,10 +439,13 @@ def bpe_encode(
     per occurrence — `distinct words` is vocab-sized while the corpus is
     not, so the Python kernel's work is bounded regardless of corpus
     volume. The (word → subtokens) dictionary then joins back to the
-    position-exploded corpus (broadcast when vocab-sized, shuffle on the
-    word key beyond that) and documents reassemble with one groupBy on
-    the id — the same join-back-a-dictionary shape as the zone map and
-    corpus-bands stores.
+    position-exploded corpus — the join strategy is left to AQE, which
+    broadcasts the dictionary when its runtime size is under the
+    broadcast threshold and falls back to a shuffle on the word key for
+    long-tail distinct-word sets (no forced hint: the distinct-word set
+    of a large corpus is unbounded) — and documents reassemble with one
+    groupBy on the id, the same join-back-a-dictionary shape as the zone
+    map and corpus-bands stores.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -483,7 +486,7 @@ def bpe_encode(
     ).filter(F.col("w") != "")
     vocab = words.select("w").distinct().mapInPandas(_kernel, enc_schema)
     return (
-        words.join(F.broadcast(vocab), "w")
+        words.join(vocab, "w")
         .select("doc_id", "pos", "subtokens")
         .groupBy("doc_id")
         .agg(

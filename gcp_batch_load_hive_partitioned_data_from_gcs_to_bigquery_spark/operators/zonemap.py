@@ -213,6 +213,37 @@ def maybe_refresh_zone_map(
     return True
 
 
+def _norm_file_path(p: str) -> str:
+    """Normalize a file URI/path to its plain path component so store
+    entries (``file:///x`` from ``_metadata.file_path``) compare equal
+    to Hadoop listing output (``file:/x`` or bare ``/x``)."""
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(p).path) or p
+
+
+def _data_file_paths(spark: SparkSession, table_root: str) -> set[str]:
+    """Driver-side recursive listing of the table's DATA files (hidden
+    ``_``/``.`` entries such as ``_zonemap`` and ``_SUCCESS`` excluded,
+    matching Spark's own listing convention). Metadata-scale: one string
+    per file, no data read — the same O(files) budget the skipping scan
+    already spends collecting the stats rows."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(table_root)
+    fs = root.getFileSystem(conf)
+    root_path = _norm_file_path(root.toUri().getPath())
+    out: set[str] = set()
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        p = it.next().getPath().toUri().getPath()
+        rel = p[len(root_path) :].lstrip("/") if p.startswith(root_path) else p
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.add(p)
+    return out
+
+
 def skipping_scan(
     spark: SparkSession,
     table_root: str,
@@ -232,19 +263,26 @@ def skipping_scan(
 
     When a persisted store (:func:`refresh_zone_map`) carries stats for
     ``col``, the candidate list comes from the STORE — a metadata-sized
-    read, no table scan at all; otherwise falls back to computing the
-    stats on the fly (one full scan, the pre-store behavior).
+    read, no table scan at all. The store is trusted only after a
+    COVERAGE CHECK: its file set must exactly match a live listing of
+    the table's data files (a write that bypassed the sink hook, or a
+    crash between the data write and the refresh, leaves the store
+    missing/retaining files). On any mismatch — and when there is no
+    store — the stats are computed on the fly (one full scan, the
+    pre-store behavior), so a stale store can never silently drop rows.
     """
-    zm = None
+    rows = None
     if use_store:
         stored = load_zone_map(spark, table_root)
         if stored is not None and f"min_{col}" in stored.columns:
-            zm = stored.select("file_path", f"min_{col}", f"max_{col}")
-    if zm is None:
-        zm = file_zone_map(spark, table_root, [col]).select(
+            stored_rows = stored.select("file_path", f"min_{col}", f"max_{col}").collect()
+            store_files = {_norm_file_path(r["file_path"]) for r in stored_rows}
+            if store_files == _data_file_paths(spark, table_root):
+                rows = stored_rows
+    if rows is None:
+        rows = file_zone_map(spark, table_root, [col]).select(
             "file_path", f"min_{col}", f"max_{col}"
-        )
-    rows = zm.collect()
+        ).collect()
     files_total = len(rows)
     keep = [
         r["file_path"]

@@ -63,12 +63,17 @@ def stream_incremental_dedup(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        try:
+        # Existence is probed through the Hadoop FS, not by catching read
+        # errors: only a genuinely absent corpus degrades to "everything
+        # survives"; corrupt files / permission / transient FS failures
+        # propagate and fail the micro-batch rather than silently skipping
+        # dedup and appending duplicates.
+        jpath = sess._jvm.org.apache.hadoop.fs.Path(corpus_root)
+        fs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             corpus = sess.read.schema(schema).parquet(corpus_root)
-            # empty-dir probe: touching the schema is free; a missing or
-            # empty corpus degrades to "everything survives"
             has_corpus = len(corpus.take(1)) > 0
-        except Exception:
+        else:
             has_corpus = False
         if not has_corpus:
             corpus = sess.createDataFrame([], schema)
