@@ -43,6 +43,16 @@ BENCH_QUERIES = [
     "multimodal_image_meta",
 ]
 
+# Added round 4 — NOT part of the 22-query baseline set BENCH_r01/BASELINE.md
+# totals were recorded over, so they are benched and reported per-query but
+# kept out of the baseline-comparable total (value). The pair shares one
+# fixture and one oracle: the delta between them is the zone-map
+# file-skipping payoff (skip must beat full).
+EXTRA_QUERIES_R4 = [
+    "scan_file_skipping",
+    "scan_zonemap_full",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,14 +82,16 @@ def main() -> None:
     # measures the query, not the noise.
     timings: dict[str, float] = {}
     for _pass in range(3):
-        for name in BENCH_QUERIES:
+        for name in BENCH_QUERIES + EXTRA_QUERIES_R4:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             t = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
 
-    total = round(sum(timings.values()), 3)
+    # value = the 22-query set BASELINE.md totals compare against;
+    # grand_total additionally includes the post-baseline additions.
+    total = round(sum(timings[q] for q in BENCH_QUERIES), 3)
     print(
         json.dumps(
             {
@@ -88,6 +100,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "baseline_comparable_queries": len(BENCH_QUERIES),
+                "grand_total": round(sum(timings.values()), 3),
             }
         )
     )

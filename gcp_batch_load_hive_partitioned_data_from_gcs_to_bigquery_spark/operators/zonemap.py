@@ -147,6 +147,28 @@ def has_zone_map(spark: SparkSession, table_root: str) -> bool:
     return _store_exists(spark, zone_map_path(table_root))
 
 
+#: Driver-side snapshot of each persisted store's rows (the Delta-snapshot
+#: caching pattern): the store is metadata-sized, re-reading it per scan is
+#: pure overhead, and staleness is handled by the skipping scan's coverage
+#: check — any file-set mismatch drops the entry; refresh_zone_map always
+#: invalidates. Keyed by store path.
+_STORE_CACHE: dict[str, list] = {}
+
+
+def _cached_store_rows(spark: SparkSession, table_root: str) -> list | None:
+    """Collected rows of the persisted store (None if no store exists),
+    served from the driver cache when warm."""
+    store = zone_map_path(table_root)
+    if store in _STORE_CACHE:
+        return _STORE_CACHE[store]
+    zm = load_zone_map(spark, table_root)
+    if zm is None:
+        return None
+    rows = zm.collect()
+    _STORE_CACHE[store] = rows
+    return rows
+
+
 def load_zone_map(spark: SparkSession, table_root: str) -> DataFrame | None:
     """The persisted per-file stats table, or ``None`` if never built."""
     store = zone_map_path(table_root)
@@ -200,6 +222,7 @@ def refresh_zone_map(
         .mode("overwrite")
         .parquet(zone_map_path(table_root))
     )
+    _STORE_CACHE.pop(zone_map_path(table_root), None)
 
 
 def maybe_refresh_zone_map(
@@ -227,13 +250,28 @@ def _data_file_paths(spark: SparkSession, table_root: str) -> set[str]:
     ``_``/``.`` entries such as ``_zonemap`` and ``_SUCCESS`` excluded,
     matching Spark's own listing convention). Metadata-scale: one string
     per file, no data read — the same O(files) budget the skipping scan
-    already spends collecting the stats rows."""
+    already spends collecting the stats rows. Local paths walk the OS
+    directly (a py4j round-trip per file would dominate the scan);
+    remote filesystems go through the Hadoop FS client."""
+    import os
+    from urllib.parse import urlparse
+
+    parsed = urlparse(table_root)
+    if parsed.scheme in ("", "file"):
+        root_path = _norm_file_path(table_root)
+        out: set[str] = set()
+        for dirpath, dirnames, filenames in os.walk(root_path):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            for f in filenames:
+                if not f.startswith(("_", ".")):
+                    out.add(os.path.join(dirpath, f))
+        return out
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(table_root)
     fs = root.getFileSystem(conf)
     root_path = _norm_file_path(root.toUri().getPath())
-    out: set[str] = set()
+    out = set()
     it = fs.listFiles(root, True)
     while it.hasNext():
         p = it.next().getPath().toUri().getPath()
@@ -273,12 +311,16 @@ def skipping_scan(
     """
     rows = None
     if use_store:
-        stored = load_zone_map(spark, table_root)
-        if stored is not None and f"min_{col}" in stored.columns:
-            stored_rows = stored.select("file_path", f"min_{col}", f"max_{col}").collect()
+        stored_rows = _cached_store_rows(spark, table_root)
+        if stored_rows and f"min_{col}" in stored_rows[0].__fields__:
             store_files = {_norm_file_path(r["file_path"]) for r in stored_rows}
             if store_files == _data_file_paths(spark, table_root):
                 rows = stored_rows
+            else:
+                # stale store (a write bypassed the sink hook, or a crash
+                # landed between data write and refresh): drop the cached
+                # snapshot and fall through to the on-the-fly scan.
+                _STORE_CACHE.pop(zone_map_path(table_root), None)
     if rows is None:
         rows = file_zone_map(spark, table_root, [col]).select(
             "file_path", f"min_{col}", f"max_{col}"

@@ -2543,7 +2543,7 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — the decode kernel is what's measured, as in a real pipeline
     where media arrives on disk."""
     media = spark.read.parquet(_media_fixture_root(spark, sf_dir, "png"))
-    meta = MM.decode_image_meta(media)
+    meta = MM.decode_image_meta_pandas(media)
     return meta.select("media_id", "format", "width", "height")
 
 
@@ -2718,27 +2718,25 @@ GROUP BY 1
 """
 
 
-def q_scan_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map file skipping (operators/zonemap.py): cluster one day of
-    events on user_id, then answer a narrow user_id range scan reading
-    ONLY the files whose min/max interval intersects the predicate. The
-    returned aggregate is layout-independent (the oracle is a plain
-    filtered GROUP BY); the skip RATIO is asserted in tests, where file
-    counts are controlled. The candidate-file list comes from the
-    PERSISTED zone-map store (refresh_zone_map, maintained incrementally
-    by the sink) — a metadata read, not a stats rescan."""
+def _zm_clustered_root(spark: SparkSession, sf_dir: str) -> str:
+    """The FULL events table in a realistic landing layout — hourly Hive
+    partitions × 16 user_id-range files per hour (the sink's
+    files_per_partition shape, ~11.5k files at sf0.1) — with a PERSISTED
+    zone-map store. Shared fixture behind the skipping scan and its
+    full-scan control twin: a narrow user_id predicate is exactly the
+    needle query partition pruning can NOT help with (the predicate is
+    not on time), so the zone map's file pruning is the only layer that
+    cuts the file list. Built once per process; bench passes 2+ measure
+    only the scans."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import with_partition_columns
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import (
-        refresh_zone_map,
-        skipping_scan,
-    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import refresh_zone_map
 
     key = ("zm_clustered", sf_dir)
     if key not in _FIXTURES:
         root = _tmp("fix_zm")
         (
-            with_partition_columns(_events_day1(spark, sf_dir))
-            .repartitionByRange(8, F.col("user_id"))
+            with_partition_columns(load_table(spark, sf_dir, "events"))
+            .repartitionByRange(16, F.col("user_id"))
             .sortWithinPartitions("user_id")
             .write.partitionBy("year", "month", "day", "hour")
             .mode("overwrite")
@@ -2746,7 +2744,38 @@ def q_scan_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         refresh_zone_map(spark, root, cols=["user_id"])
         _FIXTURES[key] = root
-    df, _read, _total = skipping_scan(spark, _FIXTURES[key], "user_id", 40, 49)
+    return _FIXTURES[key]
+
+
+def q_scan_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping (operators/zonemap.py): lay the events
+    table out hourly with user_id-range files, then answer a narrow
+    user_id range scan reading ONLY the files whose min/max interval
+    intersects the predicate (partition pruning cannot help — the
+    predicate is not on time). The
+    returned aggregate is layout-independent (the oracle is a plain
+    filtered GROUP BY); the skip RATIO is asserted in tests, where file
+    counts are controlled. The candidate-file list comes from the
+    PERSISTED zone-map store (refresh_zone_map, maintained incrementally
+    by the sink) — a metadata read, not a stats rescan. Benchmarked
+    against its control twin scan_zonemap_full to measure the payoff."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import skipping_scan
+
+    df, _read, _total = skipping_scan(spark, _zm_clustered_root(spark, sf_dir), "user_id", 40, 49)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_scan_zonemap_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control twin of scan_file_skipping: the SAME range aggregate over
+    the SAME clustered fixture with NO zone map — every file is listed
+    and opened; only parquet row-group stats prune inside each file.
+    Identical result (same oracle shape), so the bench delta between
+    the pair is purely the file-skipping win."""
+    root = _zm_clustered_root(spark, sf_dir)
+    df = spark.read.parquet(root).filter(F.col("user_id").between(40, 49))
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("value"), 2).alias("sum_value"),
@@ -2757,7 +2786,7 @@ ORACLE_SCAN_FILE_SKIPPING = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
        round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
 FROM events
-WHERE ts < TIMESTAMP '2024-01-02 00:00:00' AND user_id BETWEEN 40 AND 49
+WHERE user_id BETWEEN 40 AND 49
 GROUP BY event_type
 """
 
@@ -2832,6 +2861,7 @@ QUERIES: dict[str, callable] = {
     "cluster_zorder": q_cluster_zorder,
     "stats_zone_map": q_stats_zone_map,
     "scan_file_skipping": q_scan_file_skipping,
+    "scan_zonemap_full": q_scan_zonemap_full,
     "filter_require_partition": q_filter_require_partition,
     "job_state_poll": q_job_state_poll,
     "backfill_range": q_backfill_range,
@@ -2934,6 +2964,7 @@ ORACLES: dict[str, str] = {
     "cluster_zorder": ORACLE_CLUSTER_ZORDER,
     "stats_zone_map": ORACLE_STATS_ZONE_MAP,
     "scan_file_skipping": ORACLE_SCAN_FILE_SKIPPING,
+    "scan_zonemap_full": ORACLE_SCAN_FILE_SKIPPING,
     "filter_require_partition": ORACLE_REQUIRE_PARTITION,
     "job_state_poll": ORACLE_JOB_POLL,
     "backfill_range": ORACLE_BACKFILL,

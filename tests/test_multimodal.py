@@ -109,11 +109,12 @@ def test_map_in_arrow_twin_matches_pandas_kernel(spark):
 
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
         decode_image_meta_arrow,
+        decode_image_meta_pandas,
     )
 
     docs = spark.range(40).select(F.col("id").alias("doc_id"))
     media = documents_as_png_media(docs)
-    a = decode_image_meta(media).orderBy("media_id").collect()
+    a = decode_image_meta_pandas(media).orderBy("media_id").collect()
     b = decode_image_meta_arrow(media).orderBy("media_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
