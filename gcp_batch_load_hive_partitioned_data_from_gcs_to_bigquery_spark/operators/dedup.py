@@ -706,3 +706,67 @@ def simhash_near_pairs_md5(fingerprints: DataFrame, max_hamming: int = 12) -> Da
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+) -> DataFrame:
+    """CROSS-corpus line-level deduplication (the C4 §2.2 "discard any
+    line that occurs elsewhere in the dataset" rule, applied
+    first-occurrence-wins): a line survives only in the lexicographically
+    first (doc_id, position) where it appears; every later occurrence —
+    in the same document or any other — is dropped. This is the
+    boilerplate killer (nav bars, cookie banners, license footers repeat
+    across millions of pages) that per-document filters like
+    :func:`~..operators.text.c4_line_filter` cannot express.
+
+    Returns one row per document: ``n_lines``, ``n_lines_kept``, and
+    ``clean_text`` (survivors re-joined with newlines in original
+    order; empty string when nothing survives).
+
+    Scale shape (100 TB): posexplode is narrow; the first-occurrence
+    winner per distinct line is ONE groupBy with a map-side-combined
+    ``min(struct(doc_id, pos))`` — the shuffle carries one row per
+    distinct line; the survivors join is keyed on the same line value
+    (AQE reuses the exchange); document reassembly is one groupBy on
+    the id. No windows over the corpus, no driver state. Top-frequency
+    lines (the skew risk) collapse to one combiner row per partition
+    before the shuffle, so a line occurring in millions of documents
+    costs its occurrence count only in the narrow explode stage.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    )
+    winners = exploded.groupBy("line").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("w")
+    )
+    survivors = (
+        exploded.join(winners, "line")
+        .filter((F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos")))
+        .select("doc_id", "pos", "line")
+    )
+    counts = df.select(
+        F.col(id_col).alias("doc_id"), F.size(F.col(lines_col)).alias("n_lines")
+    )
+    kept = survivors.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        counts.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

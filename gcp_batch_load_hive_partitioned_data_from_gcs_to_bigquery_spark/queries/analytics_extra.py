@@ -518,6 +518,72 @@ GROUP BY n_name
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (click→purchase attribution): two
+    watermarked event streams join on user with a 30-minute event-time
+    band — the canonical funnel/attribution shape, and the one §2.7
+    stateful form the static-join query can't express. The physical plan
+    is a StreamingSymmetricHashJoin: both sides buffer in keyed state,
+    matches emit as they meet, watermarks bound state retention. The
+    bounded availableNow run processes the backlog in one batch, so the
+    join's output is the complete deterministic match set and a plain
+    SQL interval self-join is an exact oracle (watermarks then only
+    govern state cleanup, never row drops)."""
+    import uuid
+
+    from .catalog import _FIXTURES, _tmp, EVENTS_SCHEMA
+
+    key = ("streamss", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("streamss")
+        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(root)
+        _FIXTURES[key] = root
+
+    def _side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(_FIXTURES[key])
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "40 minutes")
+        )
+
+    joined = (
+        _side("click", "click")
+        .join(
+            _side("purchase", "buy"),
+            (F.col("click_user_id") == F.col("buy_user_id"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "inner",
+        )
+        .select("click_event_id", "buy_event_id", F.col("click_user_id").alias("user_id"))
+    )
+    name = f"sss_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT a.event_id AS click_event_id, b.event_id AS buy_event_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric histogram of order totals: fixed-width bins via floor
     division - the one-pass distribution profile behind a dashboard
@@ -709,6 +775,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "stream_sliding_window": q_stream_sliding_window,
     "stream_dedup_watermark": q_stream_dedup_watermark,
     "stream_join_static": q_stream_join_static,
+    "stream_stream_join": q_stream_stream_join,
     "agg_histogram": q_agg_histogram,
     "udf_pandas_geomean": q_udf_pandas_geomean,
     "approx_quantile_gate": q_approx_quantile_gate,
@@ -730,6 +797,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "stream_sliding_window": ORACLE_STREAM_SLIDING,
     "stream_dedup_watermark": ORACLE_STREAM_DEDUP,
     "stream_join_static": ORACLE_STREAM_JOIN_STATIC,
+    "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "agg_histogram": ORACLE_HISTOGRAM,
     "udf_pandas_geomean": ORACLE_GEOMEAN,
     "approx_quantile_gate": ORACLE_QUANTILE_GATE,

@@ -1100,6 +1100,52 @@ FROM k
 """
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-corpus line dedup (operators/dedup.py line_dedup — the C4
+    §2.2 "line occurs elsewhere in the dataset" rule): derive the same
+    deterministic 8-word line structure as text_c4_lines, then keep each
+    distinct line only at its first (doc_id, pos) occurrence anywhere in
+    the corpus and re-join survivors per document. One map-side-combined
+    groupBy per distinct line + one reassembly groupBy — no windows over
+    the corpus. The oracle replays first-occurrence-wins with a
+    row_number over (line → doc_id, pos)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    lined = docs.select("doc_id", lines.alias("lines"))
+    return D.line_dedup(lined, "doc_id", "lines")
+
+
+ORACLE_DEDUP_LINES = """
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS words
+  FROM documents WHERE doc_id < 300
+), ln AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(words[(i*8+1):(i*8+8)], ' ') AS line
+  FROM w, LATERAL unnest(generate_series(0, CAST(ceil(len(words) / 8.0) AS BIGINT) - 1)) AS t(i)
+), win AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM ln
+), kept AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM win WHERE rn = 1 GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(ceil(len(words) / 8.0) AS INT) AS n_lines FROM w
+)
+SELECT b.doc_id, b.n_lines,
+       COALESCE(k.n_lines_kept, 0) AS n_lines_kept,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM base b LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def q_sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha=0.5) domain rebalancing (operators/sampling.py
     temperature_mix): per-source integer weights ~ sqrt(total chars),
@@ -1185,6 +1231,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "sample_epoch_shuffle": q_sample_epoch_shuffle,
     "emb_quantize_int8": q_emb_quantize_int8,
     "text_c4_lines": q_text_c4_lines,
+    "dedup_lines": q_dedup_lines,
     "sample_temperature_mix": q_sample_temperature_mix,
 }
 
@@ -1214,5 +1261,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "sample_epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "emb_quantize_int8": ORACLE_QUANTIZE,
     "text_c4_lines": ORACLE_C4_LINES,
+    "dedup_lines": ORACLE_DEDUP_LINES,
     "sample_temperature_mix": ORACLE_TEMPERATURE_MIX,
 }

@@ -504,3 +504,22 @@ def test_ivf_pq_index_prunes_unprobed_cells(spark, emb, tmp_path):
     assert sorted((r.query_id, r.vec_id, r.rank) for r in full.collect()) == sorted(
         (r.query_id, r.vec_id, r.rank) for r in pq.collect()
     )
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """Cross-corpus line dedup: a line survives only at its first
+    (doc_id, pos) anywhere — later docs AND later repeats inside the
+    same doc lose it; untouched docs pass through byte-identical."""
+    rows = [
+        (1, ["alpha beta", "common line", "alpha beta"]),  # in-doc repeat
+        (2, ["common line", "unique two"]),                # cross-doc dup
+        (3, ["solo three"]),                               # untouched
+        (4, ["common line"]),                              # loses everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    got = {r.doc_id: r for r in D.line_dedup(df, "doc_id", "lines").collect()}
+    assert (got[1].n_lines, got[1].n_lines_kept) == (3, 2)
+    assert got[1].clean_text == "alpha beta\ncommon line"
+    assert got[2].clean_text == "unique two"
+    assert (got[3].n_lines_kept, got[3].clean_text) == (1, "solo three")
+    assert (got[4].n_lines_kept, got[4].clean_text) == (0, "")
