@@ -210,3 +210,13 @@ def test_q22_anti_join_and_pushdown(spark):
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "GreaterThan(c_acctbal,0.0)" in plan
+
+
+def test_dedup_lines_pushdown_no_cartesian(spark):
+    """Cross-corpus line dedup: the doc_id filter reaches every scan of
+    the documents table, and the survivors join is a keyed equi-join —
+    never a cartesian/nested-loop (which at 100 TB would be corpus^2)."""
+    plan = _plan(spark, "dedup_lines")
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300)]" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
