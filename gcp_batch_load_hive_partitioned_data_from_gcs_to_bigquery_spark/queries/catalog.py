@@ -2256,6 +2256,49 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semdedup): cluster the embedding
+    space with the deterministic seed quantizer, then drop every vector
+    with a more-canonical (lower-id) same-cell neighbor at cosine >= 0.3
+    — paraphrase-level dedup that content hashing cannot see. Pairwise
+    work is confined within cells (O(sum cell^2), the LSH-bucket bound);
+    the oracle replays assignment, pairing, and verdict verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.semdedup(emb, nlist=8, min_cosine=0.3)
+    return out.select("vec_id", "cell", "keep")
+
+
+ORACLE_DEDUP_SEMANTIC = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv AS centroid
+  FROM c ORDER BY vec_id LIMIT 8
+),
+adist AS (
+  SELECT c.vec_id, c.cv, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(c.cv)),
+           i -> (c.cv[i] - cent.centroid[i]) * (c.cv[i] - cent.centroid[i])),
+           (a, b) -> a + b) AS dist2
+  FROM c, cent
+),
+assigned AS (
+  SELECT vec_id, cv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM adist
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.cv, b.cv)
+          / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))) >= 0.3
+)
+SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS keep
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact self-join mode — the oracle
     for the LSH-bucketed scale path)."""
@@ -2932,6 +2975,7 @@ QUERIES: dict[str, callable] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_oracle": q_ann_ivf_oracle,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_semantic": q_dedup_semantic,
     "embedding_label_centroids": q_embedding_label_centroids,
     # text analysis
     "text_token_counts": q_text_token_counts,
@@ -3026,6 +3070,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_oracle": ORACLE_ANN_IVF,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
+    "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "embedding_label_centroids": ORACLE_EMB_CENTROIDS,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
     "text_corpus_stats": ORACLE_TEXT_CORPUS,

@@ -523,3 +523,19 @@ def test_line_dedup_first_occurrence_wins(spark):
     assert got[2].clean_text == "unique two"
     assert (got[3].n_lines_kept, got[3].clean_text) == (1, "solo three")
     assert (got[4].n_lines_kept, got[4].clean_text) == (0, "")
+
+
+def test_semdedup_drops_planted_twin_keeps_canonical(spark, emb):
+    """SemDeDup: an exact-copy embedding with a HIGHER id must be
+    dropped (same cell, cosine 1.0 to its twin); the lower-id original
+    must be kept; every input row appears exactly once in the verdict."""
+    twin = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
+    )
+    base = emb.select("vec_id", "embedding")
+    corpus = base.unionByName(twin)
+    out = {r.vec_id: r for r in SIM.semdedup(corpus, nlist=8, min_cosine=0.3).collect()}
+    assert len(out) == corpus.count()
+    assert out[7].keep is True
+    assert out[100007].keep is False
+    assert out[7].cell == out[100007].cell
