@@ -16,7 +16,8 @@ collects, no Python row loops — so they scale to 100 TB document sets:
 Design notes for scale: every self-join goes through a shuffle keyed on
 the shingle/band/block value, which Spark distributes; skew (a shingle
 present in millions of docs) is handled by dropping top-frequency shingles
-(stop-shingles) before the join — standard practice in web-scale dedup.
+(stop-shingles) before the join — :func:`ngram_jaccard_pairs`'
+``max_shingle_df`` — standard practice in web-scale dedup.
 """
 
 from __future__ import annotations
@@ -527,12 +528,23 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over n-word shingles via explode + self-join.
 
     Quadratic in per-shingle document frequency — at 100 TB use this only
-    to VERIFY candidates from MinHash/SimHash, or drop stop-shingles
-    first. Returns (doc_a, doc_b, jaccard).
+    to VERIFY candidates from MinHash/SimHash, or cap the frequency with
+    ``max_shingle_df``. Returns (doc_a, doc_b, jaccard).
+
+    ``max_shingle_df`` drops STOP-SHINGLES — shingles present in more
+    than that many documents (boilerplate: license headers, nav bars) —
+    before the self-join, the standard web-scale-dedup skew guard: a
+    shingle in k docs contributes k² join rows, so one viral phrase
+    otherwise dominates the whole job. The document-frequency pass is
+    one map-side-combined groupBy, and the filter join is keyed on the
+    same shingle column as the self-join that follows. Sizes (and hence
+    Jaccard) are then computed over the FILTERED shingle space —
+    document that choice when comparing against unfiltered scores.
 
     The exploded shingle set feeds both self-join sides plus the size
     aggregate — persisted so tokenization runs once, not three times."""
@@ -541,7 +553,16 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(tokenize(F.col(text_col)), n))).alias("shingle"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("shingle_df"))
+            .filter(F.col("shingle_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -539,3 +539,29 @@ def test_semdedup_drops_planted_twin_keeps_canonical(spark, emb):
     assert out[7].keep is True
     assert out[100007].keep is False
     assert out[7].cell == out[100007].cell
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """max_shingle_df drops boilerplate shingles before the self-join:
+    docs sharing ONLY a viral boilerplate phrase stop pairing, while a
+    genuinely-duplicated pair (sharing rare shingles) still scores."""
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (1, f"unique alpha text body one {boiler}"),
+        (2, f"different beta words entirely here {boiler}"),
+        (3, f"unique alpha text body one {boiler}"),  # true dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unfiltered = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.05).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=2
+        ).collect()
+    }
+    assert (1, 2) in unfiltered  # boilerplate-only pair scores without the cap
+    assert (1, 2) not in capped and (2, 3) not in capped
+    assert (1, 3) in capped  # the true duplicate survives
