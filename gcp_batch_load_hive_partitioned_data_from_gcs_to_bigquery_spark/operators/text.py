@@ -14,6 +14,7 @@ so the hot path stays inside whole-stage codegen at 100 TB:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import tokenize, word_shingles
@@ -500,4 +501,50 @@ def bpe_encode(
             ).alias("tokens")
         )
         .select(F.col("doc_id").alias(id_col), "tokens")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic keyword-extraction
+    / topic-signal operator (score = tf · ln(N / df)).
+
+    Shuffle story at 100 TB: term frequency is computed IN-ROW with
+    higher-order array expressions (the :func:`gopher_rules` trick — no
+    corpus explode for tf); the only corpus-wide aggregations are the
+    document-frequency groupBy (map-side-combined, vocab-sized output)
+    and the corpus count (single row, broadcast back); the scoring join
+    is keyed on the term like the df groupBy before it, and the final
+    top-k window partitions by document — per-doc state, never a global
+    sort.
+    """
+    words = tokenize(F.col(text_col))
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.array_distinct(words),
+                lambda w: F.struct(
+                    w.alias("term"),
+                    F.size(F.filter(words, lambda x: x == w)).alias("tf"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
+    doc_freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        terms.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "term_rank")
     )

@@ -317,6 +317,44 @@ LIMIT 30
 """
 
 
+def q_text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (operators/text.py
+    tfidf_top_terms): in-row term frequency (no corpus explode for tf),
+    one vocab-sized document-frequency groupBy, broadcast corpus count,
+    per-doc top-k window. The oracle replays tf, df, ln(N/df), and the
+    (score desc, term asc) rank verbatim."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return TX.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+ORACLE_TFIDF_TERMS = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents WHERE doc_id < 200
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+  FROM (SELECT doc_id, unnest(words) AS term FROM docs)
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(n.n_docs / df.df) AS tfidf
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, round(CAST(tfidf AS DOUBLE), 6) AS tfidf, CAST(term_rank AS INT) AS term_rank
+FROM ranked WHERE term_rank <= 5
+"""
+
+
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer MERGE training (operators/text.py bpe_train_merges):
     one distributed word-frequency pass (vocab-sized output), then the
@@ -1211,6 +1249,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_end_to_end": q_dedup_end_to_end,
     "text_unigram_nll": q_text_unigram_nll,
     "text_vocab_topk": q_text_vocab_topk,
+    "text_tfidf_terms": q_text_tfidf_terms,
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
     "pack_first_fit": q_pack_first_fit,
@@ -1244,6 +1283,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_end_to_end": ORACLE_DEDUP_E2E,
     "text_unigram_nll": ORACLE_UNIGRAM_NLL,
     "text_vocab_topk": ORACLE_VOCAB_TOPK,
+    "text_tfidf_terms": ORACLE_TFIDF_TERMS,
     "multimodal_audio_frames": ORACLE_AUDIO_FRAMES,
     "scan_csv_badrecords": ORACLE_BADRECORDS,
     "sample_hash_split": ORACLE_SAMPLE_SPLIT,
