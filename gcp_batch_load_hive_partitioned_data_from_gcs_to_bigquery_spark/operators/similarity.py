@@ -196,7 +196,14 @@ def ivf_topk(
     pass; the cell id becomes the shuffle/partition key, so a query reads
     ~``nprobe/nlist`` of the corpus instead of all of it. Centroids are
     tiny (nlist × dim) and ride along as a broadcast join — the corpus is
-    never collected."""
+    never collected.
+
+    Assignment deliberately stays on ``model.transform`` — a SHUFFLE-FREE
+    narrow map (JVM BLAS argmin per row) — rather than the oracle twin's
+    broadcast-crossJoin + struct-min groupBy (:func:`ivf_topk_fixed`),
+    which pays one corpus shuffle; the twin uses that shape only because
+    its centroids are a DataFrame whose arithmetic must exist verbatim
+    in SQL. At 100 TB the asymmetry is the optimization."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
