@@ -3175,11 +3175,12 @@ _DRIVER_WINDOW = [
     "scan_hive_partitioned",
     "fn_partition_roundtrip",
     "join_asof",
-    "agg_grouping_sets",
-    "q2_min_acctbal_supplier",
-    "q17_small_quantity_revenue",
-    "dedup_connected_components",
-    "udtf_token_windows",
+    # new in round 4 — no driver row yet
+    "dedup_lines",
+    "dedup_semantic",
+    "text_tfidf_terms",
+    "stream_stream_join",
+    "scan_zonemap_full",
 ]
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
