@@ -584,6 +584,76 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming (Spark 4 multiple-stateful-operator
+    support): a windowed aggregation DOWNSTREAM of a stream-stream
+    interval join in one continuous plan — hourly attribution counts,
+    the funnel-dashboard shape that previously required two jobs with an
+    intermediate sink. Two stateful operators share the pipeline
+    (SymmetricHashJoin state + window aggregation state) with watermark
+    propagation between them; the bounded availableNow run flushes every
+    window, so the batch SQL rollup is an exact oracle."""
+    import uuid
+
+    from .catalog import _FIXTURES, _tmp, EVENTS_SCHEMA
+
+    key = ("streamss", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("streamss")
+        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(root)
+        _FIXTURES[key] = root
+
+    def _side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(_FIXTURES[key])
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "40 minutes")
+        )
+
+    agg = (
+        _side("click", "click")
+        .join(
+            _side("purchase", "buy"),
+            (F.col("click_user_id") == F.col("buy_user_id"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "inner",
+        )
+        .groupBy(F.window("click_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+    )
+    name = f"scs_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_attributed",
+    )
+
+
+ORACLE_STREAM_CHAINED = """
+SELECT strftime(date_trunc('hour', a.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_attributed
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric histogram of order totals: fixed-width bins via floor
     division - the one-pass distribution profile behind a dashboard
@@ -776,6 +846,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "stream_dedup_watermark": q_stream_dedup_watermark,
     "stream_join_static": q_stream_join_static,
     "stream_stream_join": q_stream_stream_join,
+    "stream_chained_stateful": q_stream_chained_stateful,
     "agg_histogram": q_agg_histogram,
     "udf_pandas_geomean": q_udf_pandas_geomean,
     "approx_quantile_gate": q_approx_quantile_gate,
@@ -798,6 +869,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "stream_dedup_watermark": ORACLE_STREAM_DEDUP,
     "stream_join_static": ORACLE_STREAM_JOIN_STATIC,
     "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
+    "stream_chained_stateful": ORACLE_STREAM_CHAINED,
     "agg_histogram": ORACLE_HISTOGRAM,
     "udf_pandas_geomean": ORACLE_GEOMEAN,
     "approx_quantile_gate": ORACLE_QUANTILE_GATE,
