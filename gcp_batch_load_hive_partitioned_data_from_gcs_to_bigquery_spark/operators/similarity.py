@@ -398,6 +398,98 @@ def _pq_seed_books(corpus: DataFrame, codebook_size: int, m: int, id_col: str, v
     return C, [C[:, s * sub : (s + 1) * sub] for s in range(m)], sub
 
 
+def _pq_encode_kernel(cents, books, m: int, sub: int, id_col: str, vec_col: str):
+    """Arrow-batched assignment+encode kernel shared by index build and
+    append: argmin-L2 coarse cell (ties → lowest cell: np.argmin picks
+    the first minimum) plus per-subspace nearest-codebook-entry codes.
+    Centroids/codebooks ride in the closure — nothing shuffles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if V.size == 0:
+                continue
+            cd = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cells = cd.argmin(axis=1)
+            codes = np.stack(
+                [
+                    ((V[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                    for s in range(m)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "codes": [list(map(int, r)) for r in codes],
+                    "cell": cells.astype("int32"),
+                }
+            )
+
+    return _kernel, out_schema
+
+
+def _load_pq_quantizer(spark: SparkSession, index_path: str):
+    """(centroids, codebooks, m, sub) from the index's ``_quantizer/``
+    store — metadata-sized (nlist×dim + m×codebook×sub doubles)."""
+    import numpy as np
+
+    qroot = f"{index_path.rstrip('/')}/_quantizer"
+    cent_rows = spark.read.parquet(f"{qroot}/centroids").orderBy("cell").collect()
+    cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    book_rows = spark.read.parquet(f"{qroot}/codebooks").orderBy("s", "code").collect()
+    m = 1 + max(r["s"] for r in book_rows)
+    books = [
+        np.array([r["subvector"] for r in book_rows if r["s"] == s], dtype=np.float64)
+        for s in range(m)
+    ]
+    return cents, books, m, books[0].shape[1]
+
+
+def append_ivf_pq_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """INCREMENTAL index maintenance — the reason the inverted file is a
+    partition layout: new vectors are encoded with the STORED quantizer
+    (no retrain, no rebuild, no touch of existing codes) and appended
+    into their cells' partitions. At 100 TB an hourly embedding batch
+    costs one narrow encode pass over the batch plus appends into the
+    affected cell directories — O(batch), never O(index) — the same
+    amortization contract as persist_corpus_bands and the zone-map
+    refresh. Centroids stay fixed between rebuilds (the FAISS
+    ``add``-after-``train`` contract); periodic retrain-and-rebuild
+    handles drift."""
+    spark = new_vectors.sparkSession
+    cents, books, m, sub = _load_pq_quantizer(spark, index_path)
+    kernel, out_schema = _pq_encode_kernel(cents, books, m, sub, id_col, vec_col)
+    (
+        with_double_embedding(new_vectors, vec_col)
+        .select(id_col, vec_col)
+        .mapInPandas(kernel, out_schema)
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(index_path)
+    )
+    return index_path
+
+
 def build_ivf_pq_index(
     corpus: DataFrame,
     index_path: str,
@@ -434,45 +526,11 @@ def build_ivf_pq_index(
     C, books, sub = _pq_seed_books(corpus, codebook_size, m, id_col, vec_col)
     cents = C[:nlist]
 
-    out_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
-            T.StructField("cell", T.IntegerType()),
-        ]
-    )
-
-    def _kernel(batches):
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if V.size == 0:
-                continue
-            # coarse assignment: argmin L2 to centroid, ties -> lowest cell
-            # (np.argmin picks the first minimum = lowest index)
-            cd = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            cells = cd.argmin(axis=1)
-            codes = np.stack(
-                [
-                    ((V[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2)
-                    .sum(axis=2)
-                    .argmin(axis=1)
-                    for s in range(m)
-                ],
-                axis=1,
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "codes": [list(map(int, r)) for r in codes],
-                    "cell": cells.astype("int32"),
-                }
-            )
-
+    kernel, out_schema = _pq_encode_kernel(cents, books, m, sub, id_col, vec_col)
     (
         with_double_embedding(corpus, vec_col)
         .select(id_col, vec_col)
-        .mapInPandas(_kernel, out_schema)
+        .mapInPandas(kernel, out_schema)
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(index_path)
@@ -514,16 +572,7 @@ def ivf_pq_search(
     import pandas as pd
     from pyspark.sql import types as T
 
-    qroot = f"{index_path.rstrip('/')}/_quantizer"
-    cent_rows = spark.read.parquet(f"{qroot}/centroids").orderBy("cell").collect()
-    cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
-    book_rows = spark.read.parquet(f"{qroot}/codebooks").orderBy("s", "code").collect()
-    m = 1 + max(r["s"] for r in book_rows)
-    books = [
-        np.array([r["subvector"] for r in book_rows if r["s"] == s], dtype=np.float64)
-        for s in range(m)
-    ]
-    sub = books[0].shape[1]
+    cents, books, m, sub = _load_pq_quantizer(spark, index_path)
 
     q_rows = (
         with_double_embedding(queries, vec_col)

@@ -2088,6 +2088,36 @@ def q_ann_ivf_pq_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ maintenance (operators/similarity.py
+    append_ivf_pq_index): build the index on the first 400 vectors, then
+    APPEND the remaining 100 — encoded with the STORED quantizer, no
+    retrain, no rebuild, appended into their cells' partitions
+    (O(batch), never O(index)). The search result over the appended
+    index must be IDENTICAL to a from-scratch full build (same seed
+    quantizer: vec_id < 16 lives in the build subset), so this query
+    shares ann_ivf_pq_oracle's SQL verbatim — a hash match proves the
+    append path byte-equivalent to a rebuild."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ("ivf_pq_index_appended", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("ivfpqapp")
+        build_ivf_pq_index(emb.filter(F.col("vec_id") < 400), root, nlist=8, m=8, codebook_size=16)
+        append_ivf_pq_index(emb.filter(F.col("vec_id") >= 400), root)
+        _FIXTURES[key] = root
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_pq_search(spark, _FIXTURES[key], queries, k=3, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 4).alias("adc_dist"), "rank"
+    )
+
+
 ORACLE_ANN_IVF_PQ = """
 WITH cb AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16
@@ -2970,6 +3000,7 @@ QUERIES: dict[str, callable] = {
     "ann_cosine_expr": q_ann_cosine_expr,
     "ann_pq_oracle": q_ann_pq_oracle,
     "ann_ivf_pq_oracle": q_ann_ivf_pq_oracle,
+    "ann_ivf_pq_append": q_ann_ivf_pq_append,
     "ann_knn_classify": q_ann_knn_classify,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -3067,6 +3098,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_expr": ORACLE_ANN,
     "ann_pq_oracle": ORACLE_ANN_PQ,
     "ann_ivf_pq_oracle": ORACLE_ANN_IVF_PQ,
+    "ann_ivf_pq_append": ORACLE_ANN_IVF_PQ,
     "ann_ivf_oracle": ORACLE_ANN_IVF,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
