@@ -45,12 +45,15 @@ BENCH_QUERIES = [
 
 # Added round 4 — NOT part of the 22-query baseline set BENCH_r01/BASELINE.md
 # totals were recorded over, so they are benched and reported per-query but
-# kept out of the baseline-comparable total (value). The pair shares one
+# kept out of the baseline-comparable total (value). The scan pair shares one
 # fixture and one oracle: the delta between them is the zone-map
-# file-skipping payoff (skip must beat full).
+# file-skipping payoff (skip must beat full). The dedup pair are the round-4
+# corpus operators (C4 cross-corpus line dedup, SemDeDup).
 EXTRA_QUERIES_R4 = [
     "scan_file_skipping",
     "scan_zonemap_full",
+    "dedup_lines",
+    "dedup_semantic",
 ]
 
 

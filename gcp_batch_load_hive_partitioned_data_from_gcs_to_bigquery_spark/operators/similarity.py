@@ -1076,23 +1076,27 @@ def semdedup(
             F.col("c_vec").alias("c_vec"),
         ).alias("dc"),
     )
+    # Norms are computed ONCE per vector here — inside the O(Σ cell²)
+    # pair join each row would otherwise recompute both sides' norms,
+    # tripling the dominant expression cost of the whole operator.
     assigned = (
         cj.groupBy("vec_id")
         .agg(F.min("dc").alias("m"))
         .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.c_vec").alias("c_vec"))
+        .withColumn("c_norm", _norm(F.col("c_vec")))
     )
-    a = assigned.select("vec_id", "cell", "c_vec")
+    a = assigned.select("vec_id", "cell", "c_vec", "c_norm")
     b = assigned.select(
         F.col("vec_id").alias("b_vec_id"),
         F.col("cell").alias("b_cell"),
         F.col("c_vec").alias("b_vec"),
+        F.col("c_norm").alias("b_norm"),
     )
     dropped = (
         a.join(b, (F.col("cell") == F.col("b_cell")) & (F.col("b_vec_id") < F.col("vec_id")))
         .withColumn(
             "cosine",
-            _dot(F.col("c_vec"), F.col("b_vec"))
-            / (_norm(F.col("c_vec")) * _norm(F.col("b_vec"))),
+            _dot(F.col("c_vec"), F.col("b_vec")) / (F.col("c_norm") * F.col("b_norm")),
         )
         .filter(F.col("cosine") >= min_cosine)
         .select("vec_id")

@@ -2291,10 +2291,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     space with the deterministic seed quantizer, then drop every vector
     with a more-canonical (lower-id) same-cell neighbor at cosine >= 0.3
     — paraphrase-level dedup that content hashing cannot see. Pairwise
-    work is confined within cells (O(sum cell^2), the LSH-bucket bound);
-    the oracle replays assignment, pairing, and verdict verbatim."""
+    work is confined within cells (O(sum cell^2), the LSH-bucket bound),
+    so nlist is sized to keep cells small — 64 here (~31 vectors/cell at
+    sf0.1), exactly how the paper scales clusters with the corpus; the
+    oracle replays assignment, pairing, and verdict verbatim."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = SIM.semdedup(emb, nlist=8, min_cosine=0.3)
+    out = SIM.semdedup(emb, nlist=64, min_cosine=0.3)
     return out.select("vec_id", "cell", "keep")
 
 
@@ -2302,7 +2304,7 @@ ORACLE_DEDUP_SEMANTIC = """
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
 cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv AS centroid
-  FROM c ORDER BY vec_id LIMIT 8
+  FROM c ORDER BY vec_id LIMIT 64
 ),
 adist AS (
   SELECT c.vec_id, c.cv, cent.cell,
