@@ -185,6 +185,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 64,
     hash_buckets: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding over signatures → candidate pairs → estimated Jaccard.
 
@@ -192,6 +193,17 @@ def minhash_lsh_pairs(
     sharing any band bucket become candidates (one shuffle on the band
     key). Estimated Jaccard = fraction of equal signature slots; pairs
     below ``threshold`` are dropped. Returns (doc_a, doc_b, est_jaccard).
+
+    ``max_bucket_size`` is the HOT-BUCKET guard (the band-join sibling of
+    :func:`ngram_jaccard_pairs`' ``max_shingle_df``): a bucket holding k
+    documents contributes k² candidate rows, so at web scale one
+    boilerplate-heavy bucket (empty docs, templated pages) can dominate
+    the whole job quadratically. Buckets larger than the cap are dropped
+    before the join — one map-side-combined (band, bucket) count plus a
+    filter join on the same key the self-join shuffles on. Mass
+    duplicates inside an oversized bucket are near-identical texts that
+    exact/content-hash dedup already catches; what the cap costs is
+    recall ONLY on pairs whose every shared band is oversized.
 
     The signature frame feeds BOTH sides of the self-join; without
     materialization the whole upstream shingle+hash pipeline would run
@@ -203,6 +215,14 @@ def minhash_lsh_pairs(
 
     signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     banded = band_signatures(signatures, num_bands, num_hashes, hash_buckets)
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bucket_size"))
+            .filter(F.col("bucket_size") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(small, ["band", "bucket"])
 
     left = banded.alias("a")
     right = banded.alias("b")

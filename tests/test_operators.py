@@ -565,3 +565,26 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert (1, 2) in unfiltered  # boilerplate-only pair scores without the cap
     assert (1, 2) not in capped and (2, 3) not in capped
     assert (1, 3) in capped  # the true duplicate survives
+
+
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """max_bucket_size drops oversized band buckets before the quadratic
+    self-join: a mass-duplicate clique (identical text -> identical
+    signatures -> one bucket per band) stops pairing once its bucket
+    exceeds the cap, while a small genuine near-dup pair still scores."""
+    clique = [(i, "lorem ipsum dolor sit amet boiler plate words here") for i in range(20)]
+    pair = [
+        (100, "completely different rare unique content alpha beta gamma delta"),
+        (101, "completely different rare unique content alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(clique + pair, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, "doc_id", "text", num_hashes=32, shingle_size=3)
+    uncapped = D.minhash_lsh_pairs(sigs, num_bands=8, threshold=0.5, num_hashes=32)
+    capped = D.minhash_lsh_pairs(
+        sigs, num_bands=8, threshold=0.5, num_hashes=32, max_bucket_size=10
+    )
+    un = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    cp = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in un and (100, 101) in cp  # small pair survives the cap
+    assert any(a < 20 and b < 20 for a, b in un)  # clique pairs exist uncapped
+    assert not any(a < 20 and b < 20 for a, b in cp)  # clique suppressed by cap
