@@ -199,11 +199,10 @@ def ivf_topk(
     never collected.
 
     Assignment deliberately stays on ``model.transform`` — a SHUFFLE-FREE
-    narrow map (JVM BLAS argmin per row) — rather than the oracle twin's
-    broadcast-crossJoin + struct-min groupBy (:func:`ivf_topk_fixed`),
-    which pays one corpus shuffle; the twin uses that shape only because
-    its centroids are a DataFrame whose arithmetic must exist verbatim
-    in SQL. At 100 TB the asymmetry is the optimization."""
+    narrow map (JVM BLAS argmin per row). The deterministic twin
+    (:func:`ivf_topk_fixed`) now matches this shape with a Python-side
+    BLAS argmin kernel (:func:`_assign_cells_blas`): O(N) assignment
+    rows, no corpus shuffle, no N×nlist intermediate."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -929,6 +928,81 @@ def quantize_int8(
     )
 
 
+def _assign_cells_blas(
+    c: DataFrame, centroid_rows, chunk: int = 256
+) -> DataFrame:
+    """Coarse-quantizer cell assignment as a BLAS argmin mapInPandas
+    kernel: O(N) output rows instead of the O(N·nlist) intermediate a
+    ``crossJoin(broadcast(centroids)) + groupBy struct-min`` materializes.
+
+    At the SemDeDup paper's own cluster-scaling rule (11k clusters for
+    440M vectors) the crossJoin shape is an 11,000× row blowup evaluating
+    a 64-dim distance expression per row — the assignment, not the
+    per-cell pair join, becomes the dominant cost. Here each Arrow batch
+    computes squared L2 distances to the broadcast centroid matrix via
+    the quadratic form ``|x|² - 2x·cᵀ + |c|²`` (one GEMM per centroid
+    chunk, chunked so the work array stays ``batch×chunk``) and emits one
+    ``(vec_id, cell, c_vec)`` row per vector. Ties on distance keep the
+    LOWEST cell — same tie-break as the lexicographic struct-min it
+    replaces, because the running minimum only updates on strictly
+    smaller distance.
+
+    ``centroid_rows``: list of (cell, centroid) pairs, cell = 0..nlist-1,
+    already sorted by cell. Input ``c`` must have columns
+    ``(vec_id, c_vec)`` with c_vec array<double>.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent = np.array([list(v) for _, v in centroid_rows], dtype=np.float64)
+    cent_sq = (cent**2).sum(axis=1)
+
+    id_field = c.schema["vec_id"]
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", id_field.dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("c_vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["c_vec"]), dtype=np.float64)  # b×d
+            x_sq = (X**2).sum(axis=1)
+            best = np.full(len(X), np.inf)
+            best_cell = np.zeros(len(X), dtype=np.int32)
+            for lo in range(0, len(cent), chunk):
+                sub, sub_sq = cent[lo : lo + chunk], cent_sq[lo : lo + chunk]
+                d = x_sq[:, None] - 2.0 * (X @ sub.T) + sub_sq[None, :]  # b×chunk
+                local = d.argmin(axis=1)
+                local_min = d[np.arange(len(X)), local]
+                upd = local_min < best  # strict: earlier (lower) cell wins ties
+                best[upd] = local_min[upd]
+                best_cell[upd] = local[upd] + lo
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": best_cell,
+                    "c_vec": pdf["c_vec"],
+                }
+            )
+
+    return c.select("vec_id", "c_vec").mapInPandas(_kernel, out_schema)
+
+
+def _seed_centroid_rows(c: DataFrame, nlist: int):
+    """nlist deterministic seed centroids: the corpus vectors with the
+    smallest ids, cell = rank by vec_id. One bounded collect (nlist rows,
+    the broadcast-small side) — the k-means|| init step without the
+    iterations."""
+    rows = c.orderBy("vec_id").limit(nlist).collect()
+    return [(i, list(r["c_vec"])) for i, r in enumerate(rows)]
+
+
 def ivf_topk_fixed(
     corpus: DataFrame,
     queries: DataFrame,
@@ -952,9 +1026,12 @@ def ivf_topk_fixed(
     k-means variant in production, this one to validate the algorithm.
 
     Shape is identical to the production path: centroids broadcast
-    (nlist rows), assignment = broadcast join + one partial-agg min per
-    vector (no window over the corpus), probes broadcast, re-rank only
-    inside probed cells.
+    (nlist rows), corpus assignment = BLAS argmin mapInPandas kernel
+    emitting O(N) rows (see :func:`_assign_cells_blas` — no N×nlist
+    intermediate, no corpus-wide window), probes broadcast, re-rank only
+    inside probed cells. The QUERY-side assignment keeps the tiny
+    crossJoin (Q×nlist rows, both sides broadcast-small) because the
+    oracle needs its nprobe ranking verbatim in SQL.
     """
     c = with_double_embedding(corpus, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
@@ -963,12 +1040,10 @@ def ivf_topk_fixed(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
 
-    # nlist seed rows via TakeOrdered, then rank inside that tiny set
-    seeds = c.orderBy("vec_id").limit(nlist)
-    cell_w = W.orderBy("vec_id")
-    centroids = seeds.select(
-        (F.row_number().over(cell_w) - 1).alias("cell"),
-        F.col("c_vec").alias("centroid"),
+    # nlist seed rows, collected once (bounded, broadcast-small)
+    centroid_rows = _seed_centroid_rows(c, nlist)
+    centroids = corpus.sparkSession.createDataFrame(
+        centroid_rows, "cell int, centroid array<double>"
     )
 
     def _dist2(a, b):
@@ -978,21 +1053,7 @@ def ivf_topk_fixed(
             lambda s, v: s + v,
         )
 
-    # assignment: argmin centroid per vector as a lexicographic struct-min
-    # — single shuffle with map-side partial agg, no corpus-wide window
-    cj = c.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        F.struct(
-            _dist2(F.col("c_vec"), F.col("centroid")).alias("dist2"),
-            F.col("cell").alias("cell"),
-            F.col("c_vec").alias("c_vec"),
-        ).alias("dc"),
-    )
-    assigned = (
-        cj.groupBy("vec_id")
-        .agg(F.min("dc").alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.c_vec").alias("c_vec"))
-    )
+    assigned = _assign_cells_blas(c, centroid_rows)
 
     qc = q.crossJoin(F.broadcast(centroids)).withColumn(
         "dist2", _dist2(F.col("q_vec"), F.col("centroid"))
@@ -1046,44 +1107,26 @@ def semdedup(
     Scale shape (100 TB): pairwise cosine is confined INSIDE cells —
     O(Σ cell²) exactly like the LSH bucket join, bounded by growing
     ``nlist`` with the corpus (the paper runs 11k clusters over
-    LAION-440M ⇒ ~40k-vector cells). Assignment is a broadcast-centroid
-    join + one map-side-combined struct-min per vector; the pair join
-    shuffles on the cell key only; no corpus-wide window, no driver
-    state.
+    LAION-440M ⇒ ~40k-vector cells). Assignment is a BLAS argmin
+    mapInPandas kernel over the broadcast centroid matrix emitting O(N)
+    rows (:func:`_assign_cells_blas`) — at the paper's nlist scaling the
+    old crossJoin+struct-min assignment materialized N×nlist rows and
+    dominated the whole operator; the pair join shuffles on the cell key
+    only; no corpus-wide window, no driver state beyond the nlist-row
+    centroid collect.
     """
     c = with_double_embedding(corpus, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
     )
-    seeds = c.orderBy("vec_id").limit(nlist)
-    cell_w = W.orderBy("vec_id")
-    centroids = seeds.select(
-        (F.row_number().over(cell_w) - 1).alias("cell"),
-        F.col("c_vec").alias("centroid"),
-    )
+    centroid_rows = _seed_centroid_rows(c, nlist)
 
-    def _dist2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-
-    cj = c.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        F.struct(
-            _dist2(F.col("c_vec"), F.col("centroid")).alias("dist2"),
-            F.col("cell").alias("cell"),
-            F.col("c_vec").alias("c_vec"),
-        ).alias("dc"),
-    )
     # Norms are computed ONCE per vector here — inside the O(Σ cell²)
     # pair join each row would otherwise recompute both sides' norms,
-    # tripling the dominant expression cost of the whole operator.
-    assigned = (
-        cj.groupBy("vec_id")
-        .agg(F.min("dc").alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.c_vec").alias("c_vec"))
-        .withColumn("c_norm", _norm(F.col("c_vec")))
+    # tripling the dominant expression cost of the whole operator. The
+    # norm stays a Catalyst expression (not numpy) so the cosine math is
+    # bit-identical to the SQL oracle's.
+    assigned = _assign_cells_blas(c, centroid_rows).withColumn(
+        "c_norm", _norm(F.col("c_vec"))
     )
     a = assigned.select("vec_id", "cell", "c_vec", "c_norm")
     b = assigned.select(

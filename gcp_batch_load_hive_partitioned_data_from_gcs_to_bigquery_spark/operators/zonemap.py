@@ -149,23 +149,69 @@ def has_zone_map(spark: SparkSession, table_root: str) -> bool:
 
 #: Driver-side snapshot of each persisted store's rows (the Delta-snapshot
 #: caching pattern): the store is metadata-sized, re-reading it per scan is
-#: pure overhead, and staleness is handled by the skipping scan's coverage
-#: check — any file-set mismatch drops the entry; refresh_zone_map always
-#: invalidates. Keyed by store path.
-_STORE_CACHE: dict[str, list] = {}
+#: pure overhead. Each entry is ``(fingerprint, rows)`` where the
+#: fingerprint is the store's own file listing (path, mtime, length) — a
+#: cache hit is honored only while the on-disk store is byte-identical, so
+#: a refresh from ANOTHER session/process is picked up on the next scan
+#: (this process's refresh_zone_map also invalidates eagerly). Bounded to
+#: ``_STORE_CACHE_MAX`` roots, evicted FIFO: at ~800 k files a snapshot is
+#: ~100 MB, and an unbounded process-global dict would pin one per table
+#: root forever. Keyed by store path.
+_STORE_CACHE: dict[str, tuple[frozenset, list]] = {}
+_STORE_CACHE_MAX = 8
+
+
+def _store_fingerprint(spark: SparkSession, store: str) -> frozenset:
+    """Identity of the on-disk store: frozenset of (path, mtime, length)
+    over the store's own files. Metadata-scale (one stat per stats file ≈
+    one per partition), no data read. Any refresh — incremental overwrite
+    of one hour or a full rebuild, from any process — changes it."""
+    import os
+    from urllib.parse import urlparse
+
+    parsed = urlparse(store)
+    if parsed.scheme in ("", "file"):
+        root_path = _norm_file_path(store)
+        out = set()
+        for dirpath, _dirnames, filenames in os.walk(root_path):
+            for f in filenames:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out.add((p, st.st_mtime_ns, st.st_size))
+        return frozenset(out)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store)
+    fs = root.getFileSystem(conf)
+    out = set()
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        s = it.next()
+        out.add((s.getPath().toUri().getPath(), s.getModificationTime(), s.getLen()))
+    return frozenset(out)
 
 
 def _cached_store_rows(spark: SparkSession, table_root: str) -> list | None:
     """Collected rows of the persisted store (None if no store exists),
-    served from the driver cache when warm."""
+    served from the driver cache while the store's on-disk fingerprint is
+    unchanged; re-collected (and re-cached) after any refresh."""
     store = zone_map_path(table_root)
-    if store in _STORE_CACHE:
-        return _STORE_CACHE[store]
+    if not _store_exists(spark, store):
+        _STORE_CACHE.pop(store, None)
+        return None
+    fp = _store_fingerprint(spark, store)
+    hit = _STORE_CACHE.get(store)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     zm = load_zone_map(spark, table_root)
-    if zm is None:
+    if zm is None:  # store vanished between the exists check and the read
+        _STORE_CACHE.pop(store, None)
         return None
     rows = zm.collect()
-    _STORE_CACHE[store] = rows
+    _STORE_CACHE.pop(store, None)
+    while len(_STORE_CACHE) >= _STORE_CACHE_MAX:
+        _STORE_CACHE.pop(next(iter(_STORE_CACHE)))
+    _STORE_CACHE[store] = (fp, rows)
     return rows
 
 

@@ -591,8 +591,12 @@ def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     the funnel-dashboard shape that previously required two jobs with an
     intermediate sink. Two stateful operators share the pipeline
     (SymmetricHashJoin state + window aggregation state) with watermark
-    propagation between them; the bounded availableNow run flushes every
-    window, so the batch SQL rollup is an exact oracle."""
+    propagation between them. In append output mode only CLOSED windows
+    emit: a window [start, start+1h) is flushed once the final watermark
+    — least(max click ts, max purchase ts) - 40 min, the min across both
+    watermarked inputs — reaches its end. The last partial hour of data
+    therefore never emits under availableNow, and the batch oracle
+    applies the same window_end <= watermark predicate."""
     import uuid
 
     from .catalog import _FIXTURES, _tmp, EVENTS_SCHEMA
@@ -644,12 +648,20 @@ def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_CHAINED = """
+WITH wm AS (
+  SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+               max(ts) FILTER (WHERE event_type = 'purchase'))
+         - INTERVAL 40 MINUTE AS w
+  FROM events
+)
 SELECT strftime(date_trunc('hour', a.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(count(*) AS BIGINT) AS n_attributed
 FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+CROSS JOIN wm
 WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND date_trunc('hour', a.ts) + INTERVAL 1 HOUR <= wm.w
 GROUP BY 1
 """
 

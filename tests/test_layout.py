@@ -182,6 +182,77 @@ def test_zone_map_store_incremental_refresh(spark, events):
     assert df.count() == hour_df.count()
 
 
+def test_zone_map_cache_detects_foreign_refresh(spark, events):
+    """A store refreshed by ANOTHER process must be picked up by a reader
+    whose driver cache still holds the old snapshot: the cache hit is
+    fingerprint-gated on the store's own file listing, so the stale
+    snapshot is discarded and the scan prunes with the NEW stats."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import zonemap as ZM
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        write_partition_overwrite,
+    )
+
+    day1 = events.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    root = tempfile.mkdtemp(prefix="sg_zmforeign_")
+    write_partition_overwrite(day1, root, create_never=False)
+    ZM.refresh_zone_map(spark, root, cols=["user_id"])
+    store = ZM.zone_map_path(root)
+
+    # warm this process's cache, then capture the (now about-to-be-stale)
+    # snapshot entry
+    df, files_read, files_total = ZM.skipping_scan(spark, root, "user_id", 0, 10**9)
+    assert store in ZM._STORE_CACHE
+    stale_entry = ZM._STORE_CACHE[store]
+
+    # "another process": rewrite one hour with shifted ids and refresh the
+    # store on disk; then restore the stale cache entry, as if the refresh
+    # had happened outside this process entirely
+    target = sorted(
+        r["part_key"] for r in ZM.load_zone_map(spark, root).collect()
+    )[0]
+    hour_df = day1.filter(F.hour("ts") == int(target[8:10])).withColumn(
+        "user_id", F.col("user_id") + 10_000
+    )
+    write_partition_overwrite(hour_df, root, partition=target)  # sink hook refreshes
+    ZM._STORE_CACHE[store] = stale_entry
+
+    # the cached reader must notice the fingerprint change, re-collect,
+    # and prune with the new stats — finding every shifted row while
+    # still store-pruned (not the full-scan fallback)
+    df, files_read, files_total = ZM.skipping_scan(spark, root, "user_id", 10_000, 10**9)
+    assert df.count() == hour_df.count()
+    assert 0 < files_read < files_total
+    assert ZM._STORE_CACHE[store][0] == ZM._store_fingerprint(spark, store)
+    assert ZM._STORE_CACHE[store][0] != stale_entry[0]
+
+
+def test_zone_map_cache_bounded(spark, events):
+    """The driver cache evicts FIFO past _STORE_CACHE_MAX entries — it
+    must never grow one ~O(files) snapshot per table root forever."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import zonemap as ZM
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        write_partition_overwrite,
+    )
+
+    day1 = events.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    root = tempfile.mkdtemp(prefix="sg_zmbound_")
+    write_partition_overwrite(day1, root, create_never=False)
+    ZM.refresh_zone_map(spark, root, cols=["user_id"])
+
+    saved = dict(ZM._STORE_CACHE)
+    try:
+        ZM._STORE_CACHE.clear()
+        for i in range(ZM._STORE_CACHE_MAX):
+            ZM._STORE_CACHE[f"/fake/store/{i}"] = (frozenset(), [])
+        assert ZM._cached_store_rows(spark, root) is not None
+        assert len(ZM._STORE_CACHE) <= ZM._STORE_CACHE_MAX
+        assert ZM.zone_map_path(root) in ZM._STORE_CACHE  # newest kept
+        assert "/fake/store/0" not in ZM._STORE_CACHE  # oldest evicted
+    finally:
+        ZM._STORE_CACHE.clear()
+        ZM._STORE_CACHE.update(saved)
+
+
 def test_partition_zone_map_counts(spark, events):
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import with_partition_columns
 
