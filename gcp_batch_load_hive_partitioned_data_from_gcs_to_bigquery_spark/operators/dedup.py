@@ -349,18 +349,22 @@ def persist_corpus_bands(
     # reuse such an orphaned location, so drop both the entry and the dir.
     if spark.catalog.tableExists(table_name):
         # The table is known to THIS metastore: resolve its real location
-        # from the catalog (correct for qualified names and non-default
-        # LOCATIONs — never a guessed warehouse path), drop, then sweep
-        # any leftover dir (drop of a managed table deletes it; external
-        # leftovers would otherwise wedge the saveAsTable below).
-        locs = [
-            r["data_type"]
-            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
-            if r["col_name"] == "Location"
-        ]
+        # and type from the catalog (correct for qualified names and
+        # non-default LOCATIONs — never a guessed warehouse path), drop,
+        # then sweep any leftover dir ONLY for MANAGED tables. Spark
+        # deliberately leaves an EXTERNAL table's data intact on drop —
+        # a name collision with an external table must not destroy
+        # shared data this function does not own (saveAsTable below will
+        # then refuse if the external location blocks it, which is the
+        # correct failure).
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+        locs = [r["data_type"] for r in desc if r["col_name"] == "Location"]
+        types = [r["data_type"] for r in desc if r["col_name"] == "Type"]
+        managed = bool(types) and types[0].strip().upper() == "MANAGED"
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        for loc in locs:
-            _delete_dir(loc)
+        if managed:
+            for loc in locs:
+                _delete_dir(loc)
     elif table_name.isidentifier():
         # Not in the metastore: the only dir we may own is the default
         # managed location of an UNQUALIFIED simple name directly under

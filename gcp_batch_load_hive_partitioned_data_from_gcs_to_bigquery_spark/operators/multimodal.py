@@ -167,7 +167,7 @@ def documents_as_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_kernel, schema)
 
 
-def decode_image_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def decode_image_meta(media: DataFrame) -> DataFrame:
     """Default image metadata decode: delegates to the ``mapInArrow``
     kernel (:func:`decode_image_meta_arrow`), measured faster than the
     pandas transport on identical stored bytes (0.495 s vs 0.549 s
@@ -179,7 +179,7 @@ def decode_image_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFram
     return decode_image_meta_arrow(media)
 
 
-def decode_image_meta_pandas(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def decode_image_meta_pandas(media: DataFrame) -> DataFrame:
     """REAL metadata decode over mapInPandas: parse PNG/JPEG/GIF headers
     from the binary payload (:func:`parse_image_dims`) and return actual
     encoded dimensions. Pure-Python header reads — no codec library — so

@@ -137,3 +137,57 @@ class JobRegistry:
         if thread is not None:
             thread.join(timeout)
         return self.status(job_id)
+
+    def submit_with_retry(
+        self,
+        meta: LoadJobMetadata,
+        action: Callable[[], JobState],
+        attempts: int = 3,
+        deadline_s: float = 540.0,
+    ) -> LoadJobMetadata:
+        """Bounded retry + per-attempt deadline around :meth:`submit` —
+        the reference's scheduler/workflow retry policy
+        (``--max-retry-attempts 3 --attempt-deadline 540s``,
+        commands.sh:76-77; idempotent ``http.default_retry`` on the
+        ingest call, workflow.yaml:49-52). Retrying a partition ingest is
+        safe for the same reason the reference cites: the write is
+        partition-OVERWRITE, so a re-run replaces, never duplicates.
+
+        Each attempt runs under an attempt-scoped job id
+        (``{job_id}#a{N}``) so the per-attempt records stay inspectable
+        and a timed-out attempt's zombie thread can never clobber the
+        canonical record. An attempt still RUNNING at its deadline has
+        its Spark job group cancelled and counts as FAILURE. The
+        canonical ``meta.job_id`` record tracks the loop: RUNNING while
+        attempts proceed, then the final attempt's terminal state.
+        Synchronous by design — the retry loop IS the workflow's poll
+        loop, not a background job.
+        """
+        with self._lock:
+            self._jobs[meta.job_id] = meta.with_status(JobState.RUNNING)
+        last = meta.with_status(
+            JobState.FAILURE, error_msg="no attempts made (attempts < 1)"
+        )
+        for i in range(1, attempts + 1):
+            att = replace(meta, job_id=f"{meta.job_id}#a{i}")
+            self.submit(att, action)
+            got = self.wait(att.job_id, timeout=deadline_s)
+            if got.status == JobState.RUNNING:
+                # attempt deadline exceeded: cancel the runaway Spark jobs
+                # and record the attempt as failed (its thread only ever
+                # writes the attempt-scoped record, not the canonical one)
+                if self._spark is not None:
+                    self._spark.sparkContext.cancelJobGroup(att.job_id)
+                got = got.with_status(
+                    JobState.FAILURE,
+                    error_msg=f"attempt {i}/{attempts} exceeded deadline of {deadline_s}s",
+                )
+                with self._lock:
+                    self._jobs[att.job_id] = got
+            last = got
+            if got.status == JobState.SUCCESS:
+                break
+        final = replace(last, job_id=meta.job_id)
+        with self._lock:
+            self._jobs[meta.job_id] = final
+        return final

@@ -330,6 +330,10 @@ def q_monitor_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # Intentional unpartitioned window (the WindowExec warning in bench
+    # logs is accepted): the frame is the HOURLY aggregate, bounded at
+    # ~24·days rows regardless of table volume — 720 rows over the 30-day
+    # test corpus, never O(events).
     w = W.orderBy("hour_start")
     flagged = hourly.select(
         F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),

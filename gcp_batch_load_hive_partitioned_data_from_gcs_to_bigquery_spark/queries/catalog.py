@@ -3142,79 +3142,79 @@ ORACLES.update(ANALYTICS_ORACLES)
 # --- catalog ordering ---------------------------------------------------------
 # External correctness harnesses sweep the catalog in dict order and may be
 # count- or time-capped, so the front of the dict rotates per round toward
-# queries that have never had a hard driver check. Rounds 1-3 covered the §2
-# parity block, one representative per family, and the r3 rotation
-# (121/153 ever-green after r3). This round's window closes the books: the
-# 27 keys that have never had a driver row (set-ops/top-k, the remaining
-# dedup/ANN/text/multimodal singles, BPE, FFD packing, rollup repair, the
-# session-window + continuous-dedup streams), the re-shaped
-# emb_quantize_int8 (r3 ERR was the harness failing to canonicalize its
-# array<int> column; the codes are now a comma-joined string), and ~20
-# previously-green canaries spread across families — including the four
-# bench-provisional queries (q3, sample_hash_split, text_chunk_windows,
-# text_quality) so their correctness stays pinned while the bench is
-# re-proven. After this window every oracle-bearing catalog key has a
-# driver row in some round.
+# queries that most need a fresh driver row. Rounds 1-4 covered the §2
+# parity block, one representative per family, and two closing rotations;
+# after round 4, 158/160 keys had a driver row. This round's window leads
+# with the LAST two never-checked keys (ann_ivf_pq_append,
+# stream_chained_stateful — the r4 additions left out of the r4 rotation;
+# stream_chained_stateful's oracle was corrected this round to count only
+# closed windows, verified locally at sf0.01 AND sf0.1), then every key
+# whose implementation changed this round (BLAS argmin cell assignment in
+# the IVF/semdedup family; zone-map store cache fingerprinting; the
+# corpus-bands managed-only sweep behind the incremental-dedup keys), then
+# previously-green canaries spread across families. After this window all
+# 160 keys have a driver row in some round. Gate (per r4 ADVICE): every
+# key below was re-verified with scripts/check_correctness.py at sf0.1
+# before this rotation landed.
 _DRIVER_WINDOW = [
-    # never driver-checked: set ops / top-k / distinct (SURVEY §2.6 kit)
-    "topk_orders",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "distinct_users_by_type",
-    # never driver-checked: maintenance + streaming remainder (§2.7/§4)
-    "rollup_repair_missing",
-    "stream_session_window",
-    "stream_incremental_dedup",
-    # never driver-checked: dedup / embedding family
-    "dedup_content_hash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_incremental_bucketed",
-    # never driver-checked: ANN family
-    "ann_cosine_expr",
-    "ann_pq_oracle",
+    # the last two keys with no driver row in any round
+    "ann_ivf_pq_append",
+    "stream_chained_stateful",
+    # implementation changed this round: BLAS argmin assignment kernel
+    "dedup_semantic",
+    "ann_ivf_oracle",
     "ann_ivf_pq_oracle",
-    "ann_knn_classify",
-    "embedding_label_centroids",
-    # never driver-checked: text basics + BPE
-    "text_token_counts",
-    "text_corpus_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_ngram_freq",
-    "text_bpe_merges",
-    "text_bpe_encode",
-    # never driver-checked: multimodal + packing
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pack_first_fit",
-    # r3 ERR, re-shaped output (array<int> -> comma-joined string)
-    "emb_quantize_int8",
-    # canaries: previously green, one per family
-    "sink_partition_overwrite",
-    "dedup_minhash_oracle",
-    "q21_waiting_suppliers",
+    "ann_pq_oracle",
+    "ann_ivf_topk",
+    # implementation changed this round: zone-map store cache fingerprint
+    "scan_file_skipping",
+    "scan_zonemap_full",
+    # implementation changed this round: corpus-bands managed-only sweep
+    "dedup_incremental_bucketed",
+    "dedup_incremental",
+    "stream_incremental_dedup",
+    # signature touched this round (batch_size_hint removal)
     "multimodal_image_meta",
-    "window_rank_family",
+    "multimodal_meta_arrow",
+    # registry gained submit_with_retry (shared state machine)
+    "job_state_poll",
+    # comment-only touch, kept pinned
+    "monitor_alert_threshold",
+    # canaries: previously green, spread across families
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",
-    "sample_hash_split",
-    "text_chunk_windows",
-    "text_quality",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "stream_hourly_ingest",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
     "scan_hive_partitioned",
+    "scan_csv_tab_delimited",
+    "sink_partition_overwrite",
+    "sink_create_never",
+    "stream_hourly_ingest",
+    "stream_session_window",
+    "stream_stream_join",
     "fn_partition_roundtrip",
     "join_asof",
-    # new in round 4 — no driver row yet
+    "join_range_buckets",
+    "window_rank_family",
+    "agg_grouping_sets",
+    "topk_orders",
+    "dedup_exact",
+    "dedup_content_hash",
+    "dedup_minhash_oracle",
     "dedup_lines",
-    "dedup_semantic",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_cosine_expr",
+    "text_quality",
     "text_tfidf_terms",
-    "stream_stream_join",
-    "scan_zonemap_full",
+    "text_chunk_windows",
+    "sample_hash_split",
+    "pack_sequences",
+    "emb_quantize_int8",
+    "udf_pandas_geomean",
 ]
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]

@@ -229,3 +229,34 @@ def test_compact_partition_reduces_files_preserves_content(spark, events, tmp_pa
         .select("event_id", "user_id", "value").collect()
     )
     assert got == expected
+
+
+def test_scheme_prefixed_root_roundtrip(spark, hive_csv_root, events):
+    """The reference is object-store-native (gs:// roots feed glob/probe/
+    scan directly, ingestion/partition.py:25-27). Pin that contract with a
+    scheme-prefixed URI root: glob_path_all must preserve the scheme, and
+    probe + partition-pruned scan must behave identically through the
+    Hadoop FS abstraction (file:// locally, gs://-shaped in production)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.functions.partition import (
+        glob_path_all,
+        hive_path_from_bq_partition,
+    )
+
+    uri_root = "file://" + hive_csv_root
+
+    pattern = glob_path_all(uri_root, hive_path_from_bq_partition(PART))
+    assert pattern.startswith("file://")
+    assert "/year=2024/month=01/day=01/hour=00/" in pattern
+
+    # probe goes through Path.getFileSystem — scheme selects the FS client
+    assert partition_exists(spark, uri_root, PART) == 1
+    assert partition_exists(spark, uri_root, MISSING) == 0
+
+    # scheme-prefixed scan: same rows, partition pruning intact
+    df = read_hive_partition(
+        spark, uri_root, PART, schema=EVENTS_SCHEMA, options=CSV_OPTS
+    )
+    expected = events.filter(F.date_format("ts", "yyyyMMddHH") == PART).count()
+    assert df.count() == expected > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -91,3 +91,62 @@ def test_idempotent_double_submit():
     time.sleep(0.05)
     assert len(runs) == 1
     assert reg.status("jd").status == JobState.SUCCESS
+
+
+def test_retry_succeeds_after_failures():
+    """submit_with_retry mirrors the scheduler's --max-retry-attempts 3
+    (commands.sh:76-77): FAILURE attempts are retried under fresh
+    attempt-scoped ids until SUCCESS."""
+    reg = JobRegistry()
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(f"transient #{calls['n']}")
+        return JobState.SUCCESS
+
+    final = reg.submit_with_retry(_meta("jr1"), flaky, attempts=3, deadline_s=30)
+    assert final.status == JobState.SUCCESS
+    assert final.job_id == "jr1"
+    assert calls["n"] == 3
+    # canonical record reflects the outcome; per-attempt records inspectable
+    assert reg.status("jr1").status == JobState.SUCCESS
+    assert reg.status("jr1#a1").status == JobState.FAILURE
+    assert "transient #1" in reg.status("jr1#a1").error_msg
+    assert reg.status("jr1#a2").status == JobState.FAILURE
+    assert reg.status("jr1#a3").status == JobState.SUCCESS
+
+
+def test_retry_exhausts_attempts():
+    reg = JobRegistry()
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    final = reg.submit_with_retry(_meta("jr2"), always_fails, attempts=3, deadline_s=30)
+    assert final.status == JobState.FAILURE
+    assert "permanent" in final.error_msg
+    assert reg.status("jr2").status == JobState.FAILURE
+    for i in (1, 2, 3):
+        assert reg.status(f"jr2#a{i}").status == JobState.FAILURE
+
+
+def test_retry_deadline_exceeded_is_failure():
+    """An attempt still RUNNING at --attempt-deadline counts as FAILURE;
+    the stuck attempt's thread can never clobber the canonical record."""
+    reg = JobRegistry()
+    release = threading.Event()
+
+    def stuck():
+        release.wait(10)
+        return JobState.SUCCESS
+
+    final = reg.submit_with_retry(_meta("jr3"), stuck, attempts=2, deadline_s=0.2)
+    assert final.status == JobState.FAILURE
+    assert "exceeded deadline" in final.error_msg
+    assert reg.status("jr3").status == JobState.FAILURE
+    # let the zombie threads finish: the canonical record must not flip
+    release.set()
+    time.sleep(0.3)
+    assert reg.status("jr3").status == JobState.FAILURE

@@ -588,3 +588,26 @@ def test_minhash_lsh_hot_bucket_cap(spark):
     assert (100, 101) in un and (100, 101) in cp  # small pair survives the cap
     assert any(a < 20 and b < 20 for a, b in un)  # clique pairs exist uncapped
     assert not any(a < 20 and b < 20 for a, b in cp)  # clique suppressed by cap
+
+
+def test_persist_corpus_bands_spares_external_table_data(spark, tmp_path):
+    """A name collision with an EXTERNAL table must not destroy the
+    external location's data: Spark leaves external data intact on DROP,
+    and persist_corpus_bands only sweeps MANAGED leftovers."""
+    ext_loc = tmp_path / "shared_external_data"
+    spark.createDataFrame([(1, "precious")], ["k", "v"]).write.parquet(str(ext_loc))
+    table = "test_bands_ext_collision"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (k INT, v STRING) USING parquet LOCATION '{ext_loc}'")
+    try:
+        corpus = spark.createDataFrame([(1, "alpha beta gamma delta words")], ["doc_id", "text"])
+        sigs = D.minhash_signatures(corpus, "doc_id", "text", num_hashes=32)
+        D.persist_corpus_bands(sigs, table, num_bands=8, num_hashes=32, n_buckets=2)
+        # the external dir and its data survived the collision
+        assert any(p.suffix == ".parquet" for p in ext_loc.iterdir())
+        got = spark.read.parquet(str(ext_loc)).collect()
+        assert got == [(1, "precious")] or [tuple(r) for r in got] == [(1, "precious")]
+        # and the new managed bands table is usable
+        assert spark.table(table).count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
