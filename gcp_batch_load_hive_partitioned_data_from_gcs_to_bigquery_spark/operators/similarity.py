@@ -1150,3 +1150,80 @@ def semdedup(
         assigned.join(dropped, "vec_id", "left")
         .select("vec_id", "cell", F.col("_drop").isNull().alias("keep"))
     )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized ANN top-k: score int8 codes (:func:`quantize_int8`)
+    with an integer GEMM instead of float vectors — the 4× memory-traffic
+    cut that lets a 100 TB embedding corpus stream through scoring at
+    cache-friendly width. The production follow-up (exact float rescore
+    of the shortlist via id point-lookups against the store) is the
+    standard two-stage pattern; scoring itself is what moves the bytes.
+
+    Exactness of the APPROXIMATION: integer dot products are exact
+    (|dot| ≤ 127²·d, exactly representable in float64), and the score
+    ``(dot · c_scale) · q_scale`` uses the published 6-decimal scales in
+    a fixed multiply order — so every value, tie-break (score desc,
+    vec_id asc), and rank is reproducible verbatim in ANSI SQL and the
+    whole quantized pipeline is value-checkable by an external oracle.
+
+    Same shape as :func:`cosine_topk_blas`: queries collected once
+    (broadcast-small) into int64 matrices in the kernel closure; each
+    corpus Arrow batch emits only its partial top-k per query, so the
+    final window ranks partitions×Q×k candidate rows, never N×Q.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cq = quantize_int8(corpus, id_col, vec_col)
+    qq = quantize_int8(queries, id_col, vec_col)
+
+    q_rows = qq.collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Qm = np.array([list(r["q"]) for r in q_rows], dtype=np.int64).T  # d×Q
+    q_scale = np.array([r["scale"] for r in q_rows], dtype=np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array(list(pdf["q"]), dtype=np.int64)  # b×d, int codes
+            c_scale = pdf["scale"].to_numpy(dtype=np.float64)
+            dots = (C @ Qm).astype(np.float64)  # b×Q, exact integers
+            scores = (dots * c_scale[:, None]) * q_scale[None, :]
+            outs = []
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid  # exclude self-match
+                cand_ids, cand_s = ids[mask], scores[mask, j]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": cand_ids[order], "score": cand_s[order]}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = cq.select(F.col(id_col), "scale", "q").mapInPandas(_kernel, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )

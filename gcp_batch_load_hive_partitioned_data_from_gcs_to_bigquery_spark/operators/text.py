@@ -548,3 +548,132 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= k)
         .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "term_rank")
     )
+
+
+def _bloom_build(keys, n_bits: int, n_hashes: int):
+    """Driver-side Bloom bitmap over ``keys`` (list of strings): numpy
+    uint64 words, double hashing ``pos_i = (h1 + i·h2) mod n_bits`` with
+    two fixed-key :func:`pandas.util.hash_array` passes — deterministic
+    across processes (unlike Python's seeded ``hash``), vectorized in
+    both build and probe. Returns ``(bitmap, n_bits)``."""
+    import numpy as np
+    import pandas as pd
+
+    bitmap = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
+    if keys:
+        arr = np.array(keys, dtype=object)
+        h1 = pd.util.hash_array(arr, hash_key="0123456789abcdef", categorize=False)
+        h2 = pd.util.hash_array(arr, hash_key="fedcba9876543210", categorize=False)
+        for i in range(n_hashes):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+            np.bitwise_or.at(bitmap, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+    return bitmap, n_bits
+
+
+def _bloom_probe(values, bitmap, n_bits: int, n_hashes: int):
+    """Vectorized membership probe: boolean numpy mask (True = maybe in
+    the set; false positives possible, false negatives impossible)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    arr = np.array(list(values), dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key="0123456789abcdef", categorize=False)
+    h2 = pd.util.hash_array(arr, hash_key="fedcba9876543210", categorize=False)
+    hit = np.ones(len(arr), dtype=bool)
+    for i in range(n_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+        hit &= (bitmap[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return hit
+
+
+def contamination_screen_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bits_per_key: int = 12,
+    n_hashes: int = 6,
+) -> DataFrame:
+    """Bloom-prefiltered twin of :func:`contamination_screen` — same
+    output, built for the benchmark-suite-is-big case.
+
+    The exact variant broadcasts the benchmark's DISTINCT n-gram
+    STRINGS and left-joins every corpus gram against them. At 100 TB
+    with a real eval suite (tens of millions of grams) that broadcast
+    is GBs of strings and every corpus gram pays a hash-table probe
+    inside the join. Here the gram set is compiled ONCE, driver-side,
+    into a Bloom BITMAP (``bits_per_key`` bits/gram ≈ 1.5 bytes — a
+    ~30× smaller ship than the strings; 12 bits × 6 hashes ⇒ ~0.1% FP)
+    carried in the kernel closure like the query matrix in
+    ``cosine_topk_blas``. Corpus grams stream through a vectorized
+    mapInPandas probe that drops non-members MAP-SIDE, so only
+    candidates (true hits + ~0.1% FPs) reach the exact confirm
+    semi-join that restores exactness — the join's probe side shrinks
+    from every-gram-in-the-corpus to approximately-the-contaminated
+    ones. Per-doc totals come from ``size()`` on the un-exploded array
+    (no second pass over exploded grams); the final per-doc merge joins
+    two doc-count-sized aggregates.
+
+    False positives cannot leak into the result (confirm join is
+    exact); false negatives are impossible by Bloom construction — so
+    the output is bit-identical to :func:`contamination_screen`, and
+    the same SQL oracle checks both.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    grams_expr = word_shingles(tokenize(F.col(text_col)), n)
+
+    bench_grams = benchmark.select(
+        F.explode(grams_expr).alias("gram")
+    ).distinct()
+    bench_keys = [r["gram"] for r in bench_grams.collect()]
+    bitmap, n_bits = _bloom_build(bench_keys, max(64, bits_per_key * max(len(bench_keys), 1)), n_hashes)
+
+    id_field = docs.schema[id_col]
+    probe_schema = T.StructType(
+        [T.StructField(id_col, id_field.dataType), T.StructField("gram", T.StringType())]
+    )
+
+    def _probe_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mask = _bloom_probe(pdf["gram"], bitmap, n_bits, n_hashes)
+            out = pdf[mask]
+            if len(out):
+                yield out
+
+    doc_grams = docs.select(F.col(id_col), F.explode(grams_expr).alias("gram"))
+    candidates = doc_grams.mapInPandas(_probe_kernel, probe_schema)
+    # exact confirm: kill Bloom false positives; gram-level inner join,
+    # then per-doc hit counts (candidate rows only — tiny at this point)
+    hits = (
+        candidates.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(grams_expr), F.lit(0)).cast("long").alias("n_grams"),
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contaminated_frac",
+            F.round(
+                F.col("n_contaminated")
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+                4,
+            ),
+        )
+        .withColumn("flagged", F.col("n_contaminated") > 0)
+    )

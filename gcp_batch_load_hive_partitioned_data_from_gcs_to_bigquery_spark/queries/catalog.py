@@ -3160,6 +3160,10 @@ _DRIVER_WINDOW = [
     # the last two keys with no driver row in any round
     "ann_ivf_pq_append",
     "stream_chained_stateful",
+    # NEW this round (never skip a new key's first rotation — r4 lesson):
+    # bloom-prefiltered decontamination + int8-GEMM ANN, both sf0.1-gated
+    "text_contamination_bloom",
+    "ann_int8_topk",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3199,8 +3203,6 @@ _DRIVER_WINDOW = [
     "join_asof",
     "join_range_buckets",
     "window_rank_family",
-    "agg_grouping_sets",
-    "topk_orders",
     "dedup_exact",
     "dedup_content_hash",
     "dedup_minhash_oracle",

@@ -887,6 +887,19 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.contamination_screen(docs, benchmark, "doc_id", "text", n=5)
 
 
+def q_text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination twin (operators/text.py
+    contamination_screen_bloom): benchmark grams compiled to a ~1.5
+    byte/gram Bloom bitmap shipped in the probe kernel's closure; corpus
+    grams drop map-side, only candidates reach the exact confirm join.
+    Bit-identical to text_contamination by construction (no false
+    negatives; false positives killed by the confirm join), so the same
+    SQL oracle value-checks the whole bloom path."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return TX.contamination_screen_bloom(docs, benchmark, "doc_id", "text", n=5)
+
+
 ORACLE_CONTAMINATION = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
@@ -952,6 +965,45 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string"))).alias("q_codes"),
     )
+
+
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN top-k (operators/similarity.py int8_topk): int8
+    codes scored by integer GEMM in a mapInPandas kernel, partial top-k
+    per Arrow batch, metadata-sized final window — the 4× memory-traffic
+    scale path. Integer dots are exact and the scale arithmetic uses the
+    published 6-decimal scales in fixed multiply order, so the DuckDB
+    oracle reproduces every score, tie-break, and rank verbatim."""
+    from ..operators.similarity import int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return int8_topk(emb, queries, k=3)
+
+
+ORACLE_ANN_INT8 = """
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc FROM c
+), qz AS (
+  SELECT vec_id, round(sc, 6) AS scale6,
+         list_transform(e, x -> CAST(round(x / sc) AS DOUBLE)) AS qv
+  FROM s
+), qs AS (
+  SELECT vec_id, scale6, qv FROM qz WHERE vec_id < 5
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         (list_dot_product(c.qv, q.qv) * c.scale6) * q.scale6 AS score
+  FROM qz c JOIN qs q ON c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
 
 
 ORACLE_QUANTIZE = """
@@ -1267,8 +1319,10 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "ann_multiprobe_oracle": q_ann_multiprobe_oracle,
     "text_gopher_rules": q_text_gopher_rules,
     "text_contamination": q_text_contamination,
+    "text_contamination_bloom": q_text_contamination_bloom,
     "sample_epoch_shuffle": q_sample_epoch_shuffle,
     "emb_quantize_int8": q_emb_quantize_int8,
+    "ann_int8_topk": q_ann_int8_topk,
     "text_c4_lines": q_text_c4_lines,
     "dedup_lines": q_dedup_lines,
     "sample_temperature_mix": q_sample_temperature_mix,
@@ -1298,8 +1352,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ann_multiprobe_oracle": ORACLE_ANN_MULTIPROBE,
     "text_gopher_rules": ORACLE_GOPHER,
     "text_contamination": ORACLE_CONTAMINATION,
+    "text_contamination_bloom": ORACLE_CONTAMINATION,
     "sample_epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "emb_quantize_int8": ORACLE_QUANTIZE,
+    "ann_int8_topk": ORACLE_ANN_INT8,
     "text_c4_lines": ORACLE_C4_LINES,
     "dedup_lines": ORACLE_DEDUP_LINES,
     "sample_temperature_mix": ORACLE_TEMPERATURE_MIX,

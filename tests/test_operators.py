@@ -238,6 +238,35 @@ def test_contamination_screen_exact_overlap(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_contamination_bloom_matches_exact_even_with_forced_fps(spark, docs):
+    """The bloom-prefiltered twin must be bit-identical to the exact
+    screen. Run it once at sane sizing AND once with a deliberately
+    starved bitmap (1 bit/key, 1 hash → massive false-positive rate) to
+    prove the confirm join kills every FP; false negatives are
+    impossible by Bloom construction."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import (
+        contamination_screen,
+        contamination_screen_bloom,
+    )
+
+    corpus = docs.limit(120)
+    bench = corpus.filter(F.col("doc_id") % 7 == 0)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    exact = canon(contamination_screen(corpus, bench, n=5))
+    assert canon(contamination_screen_bloom(corpus, bench, n=5)) == exact
+    assert (
+        canon(
+            contamination_screen_bloom(
+                corpus, bench, n=5, bits_per_key=1, n_hashes=1
+            )
+        )
+        == exact
+    )
+
+
 def test_quantize_int8_reconstruction_error_bounded(spark, emb):
     """q*scale must reconstruct every component within scale/2, and q
     must stay in [-127, 127]; the whole op is a shuffle-free narrow map."""
@@ -611,3 +640,32 @@ def test_persist_corpus_bands_spares_external_table_data(spark, tmp_path):
         assert spark.table(table).count() > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_int8_topk_matches_numpy_reference(spark, emb):
+    """int8_topk must equal an independently-computed quantized scoring
+    reference: same codes (round(v/scale)), same fixed-order scale
+    arithmetic, same (score desc, vec_id asc) tie-break."""
+    import numpy as np
+
+    corpus = emb.limit(200)
+    queries = corpus.filter(F.col("vec_id") < 4)
+    got = [
+        (r.query_id, r.vec_id, r.rank)
+        for r in SIM.int8_topk(corpus, queries, k=3).collect()
+    ]
+
+    rows = corpus.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = np.array([[float(x) for x in r.embedding] for r in rows], dtype=np.float64)
+    sc = np.abs(V).max(axis=1) / 127.0
+    Q = np.round(V / sc[:, None])  # codes, float64 holding exact ints
+    sc6 = np.round(sc, 6)
+    want = []
+    for qi in np.where(ids < 4)[0]:
+        score = (Q @ Q[qi]) * sc6 * sc6[qi]
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], -score[mask]))[:3]
+        for rank, j in enumerate(order, 1):
+            want.append((int(ids[qi]), int(ids[mask][order[rank - 1]]), rank))
+    assert sorted(got) == sorted(want)
