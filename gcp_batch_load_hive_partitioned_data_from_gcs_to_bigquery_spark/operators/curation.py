@@ -1,0 +1,94 @@
+"""End-to-end corpus-curation funnel: language ID → quality filter →
+exact dedup → train/val/test split, as ONE Spark job.
+
+This is the composition a real LLM training-data pipeline runs over the
+whole corpus before expensive near-dup/contamination passes (the
+reference delegates all processing to its warehouse — README.md:77,92
+describe only downstream monitoring queries — so this composite is part
+of the beyond-reference LLM-pipeline surface).
+
+Designed for 100 TB, the key observation is that every per-document
+verdict here (language, Gopher quality) is a pure function of the text
+itself, so the whole funnel needs exactly ONE wide shuffle:
+
+1. A narrow map computes (lang_ok, quality_ok) per row — all Catalyst
+   array/string expressions from operators/text.py, zero UDFs, inside
+   whole-stage codegen.
+2. ONE groupBy(text) both deduplicates (min doc_id = keeper) and
+   carries the flags (constant within a group, bool_or is exact) and
+   copy counts. At scale, group on sha2(text,256) so shuffle rows carry
+   32 bytes, not documents (exact_dedup_keepers documents the same
+   trade).
+3. Funnel totals and split counts aggregate the grouped (distinct-text)
+   table — metadata-sized relative to the corpus.
+
+No join-backs, no second corpus scan, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import hash_split
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import (
+    gopher_keep_col,
+    lang_pred_col,
+)
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_weights: dict[str, float] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Run the full curation funnel and return its audit table:
+
+    ``(stage, n_docs)`` rows for ``1_input`` (corpus size), ``2_lang``
+    (docs whose predicted language is determined), ``3_quality`` (of
+    those, docs passing the Gopher repetition/quality rules),
+    ``4_dedup`` (distinct surviving texts = kept documents), and one
+    ``5_split_<name>`` row per split of the keepers.
+
+    Dedup keeps min(id) per distinct text. Flags are functions of the
+    text alone, so every copy of a text shares its verdict and the
+    keeper's flags equal the group's (bool_or is exact, not a guess).
+    """
+    weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    flagged = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        (lang_pred_col(F.col(text_col)) != "und").alias("lang_ok"),
+        gopher_keep_col(F.col(text_col)).alias("quality_ok"),
+    )
+    grouped = flagged.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_id"),
+        F.bool_or("lang_ok").alias("lang_ok"),
+        F.bool_or("quality_ok").alias("quality_ok"),
+    )
+    survivor = F.col("lang_ok") & F.col("quality_ok")
+    funnel = grouped.agg(
+        F.sum("n_copies").alias("n_input"),
+        F.sum(F.when(F.col("lang_ok"), F.col("n_copies")).otherwise(0)).alias(
+            "n_lang"
+        ),
+        F.sum(F.when(survivor, F.col("n_copies")).otherwise(0)).alias("n_quality"),
+        F.count(F.when(survivor, F.lit(1))).alias("n_dedup"),
+    )
+    funnel_rows = funnel.select(
+        F.expr(
+            "stack(4, '1_input', n_input, '2_lang', n_lang,"
+            " '3_quality', n_quality, '4_dedup', n_dedup) AS (stage, n_docs)"
+        )
+    )
+    keepers = grouped.filter(survivor).select("keeper_id")
+    split_rows = (
+        hash_split(keepers, "keeper_id", weights, salt=salt)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.concat(F.lit("5_split_"), F.col("split")).alias("stage"), "n_docs")
+    )
+    return funnel_rows.unionByName(split_rows).orderBy("stage")

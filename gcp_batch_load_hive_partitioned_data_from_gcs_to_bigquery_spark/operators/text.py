@@ -74,10 +74,12 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-hit language heuristic: most marker hits wins; ties and
-    zero hits → 'und' (undetermined). CJK check first (any Han char)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+def lang_pred_col(text: Column) -> Column:
+    """Column-level stopword-hit language heuristic: most marker hits
+    wins; ties and zero hits → 'und' (undetermined). CJK check first
+    (any Han char). Pure Catalyst expression so composite pipelines
+    (operators/curation.py) can evaluate it inside one narrow map."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
     hits = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
         for lang, markers in _LANG_MARKERS.items()
@@ -89,9 +91,16 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         better = hits[lang] > best_hits
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(better, hits[lang]).otherwise(best_hits)
-    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
-    pred = F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+    has_cjk = text.rlike(r"[一-鿿]")
+    return F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language heuristic: most marker hits wins; ties and
+    zero hits → 'und' (undetermined). CJK check first (any Han char)."""
+    return df.select(
+        F.col(id_col), lang_pred_col(F.col(text_col)).alias("pred_lang")
+    )
 
 
 def ngram_freq(df: DataFrame, text_col: str, n: int = 2, top_k: int = 20) -> DataFrame:
@@ -225,7 +234,23 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     word's occurrences inside the row's own array (O(distinct·n) per
     row — bounded and local) rather than exploding to a global groupBy.
     """
-    words = tokenize(F.col(text_col))
+    feats = df.select(F.col(id_col), *_gopher_feature_cols(F.col(text_col)))
+    keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("distinct_word_frac") >= 0.4)
+        & (F.col("top_word_frac") <= 0.15)
+        & (F.col("dup_bigram_frac") <= 0.3)
+    )
+    return feats.withColumn("keep", keep)
+
+
+def _gopher_feature_cols(text: Column) -> list[Column]:
+    """The five Gopher feature expressions (aliased), shared between
+    gopher_rules and gopher_keep_col so composite pipelines can't drift
+    from the standalone filter."""
+    words = tokenize(text)
     n_words = F.size(words)
     distinct_words = F.array_distinct(words)
     bigrams = word_shingles(words, 2)
@@ -235,8 +260,7 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda w: F.size(F.filter(words, lambda x: x == w)),
         )
     )
-    feats = df.select(
-        F.col(id_col),
+    return [
         n_words.alias("n_words"),
         F.round(
             F.aggregate(words, F.lit(0), lambda s, w: s + F.length(w))
@@ -252,16 +276,23 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / F.greatest(F.size(bigrams), F.lit(1)).cast("double"),
             4,
         ).alias("dup_bigram_frac"),
+    ]
+
+
+def gopher_keep_col(text: Column) -> Column:
+    """Column-level Gopher keep verdict: the same rounded feature
+    expressions as :func:`gopher_rules` combined with the same
+    thresholds, as one boolean Column — lets a curation pipeline apply
+    the filter inside a single narrow select with no join back."""
+    f_nw, f_mwl, f_dwf, f_twf, f_dbf = _gopher_feature_cols(text)
+    return (
+        (f_nw >= 20)
+        & (f_mwl >= 2.0)
+        & (f_mwl <= 12.0)
+        & (f_dwf >= 0.4)
+        & (f_twf <= 0.15)
+        & (f_dbf <= 0.3)
     )
-    keep = (
-        (F.col("n_words") >= 20)
-        & (F.col("mean_word_len") >= 2.0)
-        & (F.col("mean_word_len") <= 12.0)
-        & (F.col("distinct_word_frac") >= 0.4)
-        & (F.col("top_word_frac") <= 0.15)
-        & (F.col("dup_bigram_frac") <= 0.3)
-    )
-    return feats.withColumn("keep", keep)
 
 
 def contamination_screen(

@@ -1292,7 +1292,103 @@ ORDER BY th.source
 """
 
 
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation funnel (operators/curation.py): language ID →
+    Gopher quality rules → exact dedup → 80/10/10 split, audited as
+    (stage, n_docs) rows — the composite a training-data pipeline runs
+    over the raw corpus. One narrow flag pass + ONE content-keyed
+    shuffle computes the entire funnel (flags are pure functions of the
+    text, so the dedup groupBy carries them exactly); the oracle replays
+    every stage in SQL."""
+    from ..operators.curation import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_funnel(docs, "doc_id", "text")
+
+
+# Stage twins: the lang CASE mirrors ORACLE_LANG_ID (catalog.py), the
+# quality CTE mirrors ORACLE_GOPHER, the split CASE mirrors
+# ORACLE_SAMPLE_SPLIT — divergence in any stage twin fails this key too.
+ORACLE_CURATION = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, text,
+    (CASE WHEN list_contains(toks,'der') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'und') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'die') THEN 1 ELSE 0 END) AS h_de,
+    (CASE WHEN list_contains(toks,'the') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'and') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'of') THEN 1 ELSE 0 END) AS h_en,
+    (CASE WHEN list_contains(toks,'el') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'la') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'los') THEN 1 ELSE 0 END) AS h_es,
+    (CASE WHEN list_contains(toks,'le') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'et') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks,'les') THEN 1 ELSE 0 END) AS h_fr
+  FROM t
+), lg AS (
+  SELECT doc_id,
+    (CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+          WHEN h_de > 0 AND h_en <= h_de AND h_es <= h_de AND h_fr <= h_de THEN 'de'
+          WHEN h_en > 0 AND h_en > h_de AND h_es <= h_en AND h_fr <= h_en THEN 'en'
+          WHEN h_es > 0 AND h_es > h_de AND h_es > h_en AND h_fr <= h_es THEN 'es'
+          WHEN h_fr > 0 AND h_fr > h_de AND h_fr > h_en AND h_fr > h_es THEN 'fr'
+          ELSE 'und' END) != 'und' AS lang_ok
+  FROM h
+), b AS (
+  SELECT doc_id, toks AS w,
+         list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) AS bg
+  FROM t
+), gf AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_words,
+         round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 4) AS mean_word_len,
+         round(len(list_distinct(w)) * 1.0 / len(w), 4) AS distinct_word_frac,
+         round(list_max(list_transform(list_distinct(w),
+                 x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w), 4) AS top_word_frac,
+         round((len(bg) - len(list_distinct(bg))) * 1.0 / greatest(len(bg), 1), 4) AS dup_bigram_frac
+  FROM b
+), q AS (
+  SELECT doc_id,
+         (n_words >= 20 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+          AND distinct_word_frac >= 0.4 AND top_word_frac <= 0.15
+          AND dup_bigram_frac <= 0.3) AS quality_ok
+  FROM gf
+), flags AS (
+  SELECT d.doc_id, d.text, lg.lang_ok, q.quality_ok
+  FROM documents d JOIN lg USING (doc_id) JOIN q USING (doc_id)
+), grouped AS (
+  SELECT text, count(*) AS n_copies, min(doc_id) AS keeper_id,
+         bool_or(lang_ok) AS lang_ok, bool_or(quality_ok) AS quality_ok
+  FROM flags GROUP BY text
+), funnel AS (
+  SELECT sum(n_copies) AS n_input,
+         sum(CASE WHEN lang_ok THEN n_copies ELSE 0 END) AS n_lang,
+         sum(CASE WHEN lang_ok AND quality_ok THEN n_copies ELSE 0 END) AS n_quality,
+         count(CASE WHEN lang_ok AND quality_ok THEN 1 END) AS n_dedup
+  FROM grouped
+), splits AS (
+  SELECT CASE WHEN (keeper_id * 2654435761) % 10000 < 1000 THEN '5_split_test'
+              WHEN (keeper_id * 2654435761) % 10000 < 9000 THEN '5_split_train'
+              ELSE '5_split_val' END AS stage,
+         count(*) AS n_docs
+  FROM grouped WHERE lang_ok AND quality_ok
+  GROUP BY 1
+)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+  SELECT '1_input' AS stage, n_input AS n_docs FROM funnel
+  UNION ALL SELECT '2_lang', n_lang FROM funnel
+  UNION ALL SELECT '3_quality', n_quality FROM funnel
+  UNION ALL SELECT '4_dedup', n_dedup FROM funnel
+  UNION ALL SELECT stage, n_docs FROM splits
+) ORDER BY stage
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
+    "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
     "dedup_incremental": q_dedup_incremental,
@@ -1329,6 +1425,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
+    "corpus_curation_pipeline": ORACLE_CURATION,
     "dedup_minhash_oracle": ORACLE_MINHASH,
     "dedup_simhash_oracle": ORACLE_SIMHASH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

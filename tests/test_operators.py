@@ -669,3 +669,55 @@ def test_int8_topk_matches_numpy_reference(spark, emb):
         for rank, j in enumerate(order, 1):
             want.append((int(ids[qi]), int(ids[mask][order[rank - 1]]), rank))
     assert sorted(got) == sorted(want)
+
+
+def test_curation_funnel_handcrafted(spark):
+    """Handcrafted corpus where every funnel stage is countable by hand:
+    6 docs → 5 with a determined language → 4 passing quality → 3
+    distinct texts → split rows summing to the keeper count."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.curation import curation_funnel
+
+    prose = "the quick brown fox and the lazy dog of " + " ".join(
+        f"word{i} item{i*5%7}" for i in range(8)
+    )
+    prose2 = "the old ship and the grey sea of " + " ".join(
+        f"note{i} card{i*3%5}" for i in range(8)
+    )
+    spam = "the and of " + "spam " * 30           # en, fails top_word_frac
+    und = " ".join(f"zz{i} qq{i}" for i in range(15))  # no markers -> und
+    docs = spark.createDataFrame(
+        [(1, prose), (2, prose), (3, prose2), (4, spam), (5, und), (6, prose)],
+        ["doc_id", "text"],
+    )
+    out = {r.stage: r.n_docs for r in curation_funnel(docs, "doc_id", "text").collect()}
+    assert out["1_input"] == 6
+    assert out["2_lang"] == 5          # doc 5 is 'und'
+    assert out["3_quality"] == 4       # spam fails gopher
+    assert out["4_dedup"] == 2         # {prose(x3), prose2} -> 2 distinct texts
+    split_total = sum(v for k, v in out.items() if k.startswith("5_split_"))
+    assert split_total == 2
+
+
+def test_curation_funnel_matches_standalone_operators(spark, docs):
+    """Funnel totals must equal recomposition from the standalone
+    operators (lang_id, gopher_rules, exact_dedup_keepers) — guards the
+    shared-expression refactor against drift."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.curation import curation_funnel
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import gopher_rules, lang_id
+
+    out = {r.stage: r.n_docs for r in curation_funnel(docs, "doc_id", "text").collect()}
+    lang = lang_id(docs, "doc_id", "text")
+    goph = gopher_rules(docs, "doc_id", "text").select("doc_id", "keep")
+    flags = (
+        docs.select("doc_id", "text")
+        .join(lang, "doc_id")
+        .join(goph, "doc_id")
+        .withColumn("lang_ok", F.col("pred_lang") != "und")
+    )
+    assert out["1_input"] == docs.count()
+    assert out["2_lang"] == flags.filter("lang_ok").count()
+    surv = flags.filter("lang_ok AND keep")
+    assert out["3_quality"] == surv.count()
+    assert out["4_dedup"] == surv.select("text").distinct().count()
+    split_total = sum(v for k, v in out.items() if k.startswith("5_split_"))
+    assert split_total == out["4_dedup"]
