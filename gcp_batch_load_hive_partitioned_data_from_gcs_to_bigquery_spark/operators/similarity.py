@@ -1227,3 +1227,88 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+# Johnson-Lindenstrauss sign source: a two-round multiply-xor mix over
+# the flat matrix index, mod 2^31 so every intermediate fits SIGNED
+# 64-bit (the SQL oracle replays it in DuckDB BIGINTs — max product
+# (2^31-1)*2246822519 < 2^63). A plain LCG is NOT good enough here: its
+# low bits alternate and even mid bits leave adjacent output columns
+# ~0.97-correlated, destroying the distance-preservation guarantee. The
+# mixed version's max |column corr| (0.32 at 64×16) matches a truly
+# random ±1 matrix (~0.36 baseline).
+_JL_M = 2_147_483_648  # 2^31
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int):
+    """The deterministic ±1 projection matrix (in_dim × out_dim,
+    float64), rebuilt identically on every executor — nothing shipped
+    or stored. Bit 1 of mix(i*out_dim + j + 1) picks the sign."""
+    import numpy as np
+
+    idx = np.arange(in_dim * out_dim, dtype=np.int64).reshape(in_dim, out_dim)
+    h = (idx + 1) * np.int64(2654435761) % np.int64(_JL_M)
+    h = h ^ (h // np.int64(65536))
+    h = h * np.int64(2246822519) % np.int64(_JL_M)
+    h = h ^ (h // np.int64(8192))
+    bit = (h // np.int64(2)) % np.int64(2)
+    return np.where(bit == 0, 1.0, -1.0)
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    in_dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress each embedding
+    from in_dim to out_dim with a deterministic ±1 sign matrix (Achlioptas
+    2003 — database-friendly projections), preserving pairwise distances
+    within (1±ε) whp. The standard pre-pass that makes downstream ANN /
+    clustering / dedup O(out_dim) instead of O(in_dim) per comparison.
+
+    Scale shape: the sign matrix is (in_dim × out_dim) — a closure
+    constant, rebuilt identically on every executor from the LCG, nothing
+    shipped or stored. Each Arrow batch projects as ONE (batch × in_dim)
+    @ (in_dim × out_dim) BLAS matmul (the cosine_topk_blas pattern). The
+    whole operator is a narrow map: zero shuffle, no driver state, no
+    collect — at 100 TB it pipelines with the scan.
+
+    Emits (id, dim, proj) with the RAW dot product in ``proj`` —
+    normalization (/sqrt(out_dim)) and display rounding are left to the
+    caller/query so engine-specific rounding stays in one place.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    R = jl_sign_matrix(in_dim, out_dim)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("proj", T.DoubleType()),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            P = X @ R  # batch × out_dim, one BLAS call
+            n, k = P.shape
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, k),
+                    "dim": np.tile(np.arange(k, dtype=np.int32), n),
+                    "proj": P.ravel(),
+                }
+            )
+
+    return with_double_embedding(df.select(id_col, vec_col), vec_col).mapInPandas(
+        _kernel, out_schema
+    )

@@ -3161,9 +3161,12 @@ _DRIVER_WINDOW = [
     "ann_ivf_pq_append",
     "stream_chained_stateful",
     # NEW this round (never skip a new key's first rotation — r4 lesson):
-    # bloom-prefiltered decontamination + int8-GEMM ANN, both sf0.1-gated
+    # bloom-prefiltered decontamination, int8-GEMM ANN, and the
+    # end-to-end curation funnel — all verified at sf0.1 before landing
     "text_contamination_bloom",
     "ann_int8_topk",
+    "corpus_curation_pipeline",
+    "emb_random_projection",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3189,7 +3192,6 @@ _DRIVER_WINDOW = [
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q9_product_type_profit",
-    "q13_customer_distribution",
     "q18_large_orders",
     "q21_waiting_suppliers",
     "scan_hive_partitioned",
@@ -3216,7 +3218,6 @@ _DRIVER_WINDOW = [
     "sample_hash_split",
     "pack_sequences",
     "emb_quantize_int8",
-    "udf_pandas_geomean",
 ]
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]

@@ -1387,8 +1387,51 @@ SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
 """
 
 
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→16 sign projection (operators/
+    similarity.py jl_project): deterministic LCG ±1 matrix rebuilt in
+    every executor's kernel closure, one BLAS matmul per Arrow batch,
+    zero shuffle. Output normalized by 1/sqrt(16)=1/4 (exact binary
+    scaling, so Spark's and the oracle's divisions are bit-identical)
+    and rounded to 4 decimals for the hash compare."""
+    from ..operators.similarity import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    proj = jl_project(emb, "vec_id", "embedding", out_dim=16, in_dim=64)
+    return proj.select(
+        "vec_id", "dim", F.round(F.col("proj") / 4.0, 4).alias("proj")
+    )
+
+
+# Same multiply-xor mix as similarity.jl_sign_matrix; i is the 1-based
+# input dimension, j the 0-based output dimension, flat index
+# (i-1)*16 + j + 1. Every intermediate fits DuckDB's signed BIGINT.
+ORACLE_JL_PROJECTION = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150
+), dims AS (
+  SELECT CAST(range AS BIGINT) AS dim FROM range(16)
+), s1 AS (
+  SELECT in_dim, dim,
+         (((in_dim - 1) * 16 + dim + 1) * 2654435761) % 2147483648 AS h
+  FROM dims, LATERAL unnest(generate_series(1, 64)) AS t(in_dim)
+), s2 AS (
+  SELECT in_dim, dim, (xor(h, h // 65536) * 2246822519) % 2147483648 AS h FROM s1
+), sgn AS (
+  SELECT in_dim, dim,
+         CASE WHEN (xor(h, h // 8192) // 2) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM s2
+)
+SELECT e.vec_id, CAST(sgn.dim AS INT) AS dim,
+       round(sum(CAST(e.embedding[sgn.in_dim] AS DOUBLE) * sgn.s) / 4.0, 4) AS proj
+FROM e, sgn
+GROUP BY e.vec_id, sgn.dim
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
+    "emb_random_projection": q_emb_random_projection,
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
     "dedup_incremental": q_dedup_incremental,
@@ -1426,6 +1469,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
 
 PIPELINE_ORACLES: dict[str, str] = {
     "corpus_curation_pipeline": ORACLE_CURATION,
+    "emb_random_projection": ORACLE_JL_PROJECTION,
     "dedup_minhash_oracle": ORACLE_MINHASH,
     "dedup_simhash_oracle": ORACLE_SIMHASH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

@@ -721,3 +721,49 @@ def test_curation_funnel_matches_standalone_operators(spark, docs):
     assert out["4_dedup"] == surv.select("text").distinct().count()
     split_total = sum(v for k, v in out.items() if k.startswith("5_split_"))
     assert split_total == out["4_dedup"]
+
+
+def test_jl_projection_preserves_distances_and_stays_narrow(spark, emb):
+    """JL sign projection: (1) matches a pure-numpy reference exactly,
+    (2) approximately preserves pairwise squared distances after the
+    1/sqrt(k) normalization (the property that makes it usable as an
+    ANN/clustering pre-pass), (3) compiles to a narrow plan — no
+    Exchange, no more than the input scan."""
+    import numpy as np
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        jl_project,
+        jl_sign_matrix,
+    )
+
+    out = jl_project(emb, "vec_id", "embedding", out_dim=16, in_dim=64)
+    got = out.toPandas().pivot(index="vec_id", columns="dim", values="proj")
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    R = jl_sign_matrix(64, 16)
+    want = X @ R
+    order = np.argsort(ids)
+    np.testing.assert_allclose(got.loc[ids[order]].to_numpy(), want[order], rtol=1e-12)
+
+    # sign matrix sanity: not the all-alternating low-bit pathology
+    assert 0.3 < (R > 0).mean() < 0.7
+    col_corr = np.corrcoef(R.T)
+    off_diag = col_corr[~np.eye(16, dtype=bool)]
+    assert np.abs(off_diag).max() < 0.5  # columns not pairwise collinear
+
+    # distance preservation on a sample of pairs (JL guarantee, loose tol)
+    P = want / np.sqrt(16.0)
+    rng_pairs = [(i, j) for i in range(0, 40, 7) for j in range(1, 40, 11) if i != j]
+    ratios = []
+    for i, j in rng_pairs:
+        d_orig = np.sum((X[i] - X[j]) ** 2)
+        d_proj = np.sum((P[i] - P[j]) ** 2)
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    ratios = np.array(ratios)
+    assert 0.5 < np.median(ratios) < 1.5  # concentrated around 1
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow map: projection pipelines with the scan
