@@ -3167,6 +3167,7 @@ _DRIVER_WINDOW = [
     "ann_int8_topk",
     "corpus_curation_pipeline",
     "emb_random_projection",
+    "ann_jl_rerank",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3217,7 +3218,6 @@ _DRIVER_WINDOW = [
     "text_chunk_windows",
     "sample_hash_split",
     "pack_sequences",
-    "emb_quantize_int8",
 ]
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]

@@ -1429,9 +1429,86 @@ GROUP BY e.vec_id, sgn.dim
 """
 
 
+def q_ann_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-prefiltered ANN (operators/similarity.py jl_topk): candidates
+    by cosine in the 32-dim projected space (half the arithmetic/memory
+    traffic per corpus vector), exact re-rank of the 50-candidate
+    shortlist in the original 64-dim space. The synthetic embeddings
+    have weak cluster structure (top-3 cosine ≈0.33 vs ≈0 median), so
+    32/50 is the measured operating point for ≥0.7 recall — real
+    embedding corpora with strong structure tolerate harder compression.
+    Deterministic sign matrix → the SQL oracle replays the projection,
+    the shortlist, and the re-rank verbatim; recall vs the exact top-k
+    is pytest-gated."""
+    from ..operators.similarity import jl_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = jl_topk(emb, queries, k=3, shortlist=50, out_dim=32, in_dim=64)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+# Projection CTEs identical to ORACLE_JL_PROJECTION (same mix, same
+# constants); shortlist and re-rank replay jl_topk's total orders.
+ORACLE_ANN_JL = """
+WITH dims AS (
+  SELECT CAST(range AS BIGINT) AS dim FROM range(32)
+), s1 AS (
+  SELECT in_dim, dim,
+         (((in_dim - 1) * 32 + dim + 1) * 2654435761) % 2147483648 AS h
+  FROM dims, LATERAL unnest(generate_series(1, 64)) AS t(in_dim)
+), s2 AS (
+  SELECT in_dim, dim, (xor(h, h // 65536) * 2246822519) % 2147483648 AS h FROM s1
+), sgn AS (
+  SELECT in_dim, dim,
+         CASE WHEN (xor(h, h // 8192) // 2) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM s2
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), proj AS (
+  SELECT e.vec_id, sgn.dim, sum(e.ev[sgn.in_dim] * sgn.s) AS p
+  FROM e, sgn GROUP BY e.vec_id, sgn.dim
+), pv AS (
+  SELECT vec_id, list(p ORDER BY dim) AS pvec FROM proj GROUP BY vec_id
+), pn AS (
+  SELECT vec_id, pvec,
+         sqrt(list_sum(list_transform(pvec, x -> x * x))) AS nrm
+  FROM pv
+), jl AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         list_dot_product(c.pvec, q.pvec) / (c.nrm * q.nrm) AS jl_cosine
+  FROM pn c JOIN pn q ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+), short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY jl_cosine DESC, vec_id ASC) AS r
+    FROM jl) WHERE r <= 50
+), ex AS (
+  SELECT s.query_id, s.vec_id,
+         list_dot_product(ce.ev, qe.ev)
+           / (sqrt(list_sum(list_transform(qe.ev, x -> x * x)))
+              * sqrt(list_sum(list_transform(ce.ev, x -> x * x)))) AS cosine
+  FROM short s
+  JOIN e ce ON ce.vec_id = s.vec_id
+  JOIN e qe ON qe.vec_id = s.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM ex
+)
+SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "emb_random_projection": q_emb_random_projection,
+    "ann_jl_rerank": q_ann_jl_rerank,
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
     "dedup_incremental": q_dedup_incremental,
@@ -1470,6 +1547,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
 PIPELINE_ORACLES: dict[str, str] = {
     "corpus_curation_pipeline": ORACLE_CURATION,
     "emb_random_projection": ORACLE_JL_PROJECTION,
+    "ann_jl_rerank": ORACLE_ANN_JL,
     "dedup_minhash_oracle": ORACLE_MINHASH,
     "dedup_simhash_oracle": ORACLE_SIMHASH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

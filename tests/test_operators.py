@@ -767,3 +767,31 @@ def test_jl_projection_preserves_distances_and_stays_narrow(spark, emb):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow map: projection pipelines with the scan
+
+
+def test_jl_rerank_recall_vs_exact(spark, emb):
+    """JL-prefiltered ANN must (1) recover most of the exact top-3 at a
+    15-candidate shortlist (recall gate, the property that justifies the
+    4x-cheaper candidate scoring), and (2) return EXACT cosines for
+    whatever it returns — the re-rank stage scores in the original
+    space, so every emitted cosine must equal the brute-force value."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        cosine_topk,
+        jl_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = jl_topk(emb, queries, k=3, shortlist=50, out_dim=32).collect()
+    exact = cosine_topk(emb, queries, k=3).collect()
+
+    exact_pairs = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    approx_pairs = {(r.query_id, r.vec_id): r.cosine for r in approx}
+    assert len(approx_pairs) == len(exact_pairs) == 30  # 10 queries x 3
+
+    hits = sum(1 for p in approx_pairs if p in exact_pairs)
+    assert hits / len(exact_pairs) >= 0.6  # shortlist recall gate
+
+    # re-ranked cosines are exact wherever the pair is in both sets
+    for p, cos in approx_pairs.items():
+        if p in exact_pairs:
+            assert abs(cos - exact_pairs[p]) < 1e-9
