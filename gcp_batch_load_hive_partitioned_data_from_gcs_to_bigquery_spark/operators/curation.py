@@ -70,25 +70,41 @@ def curation_funnel(
         F.bool_or("quality_ok").alias("quality_ok"),
     )
     survivor = F.col("lang_ok") & F.col("quality_ok")
-    funnel = grouped.agg(
-        F.sum("n_copies").alias("n_input"),
-        F.sum(F.when(F.col("lang_ok"), F.col("n_copies")).otherwise(0)).alias(
-            "n_lang"
-        ),
-        F.sum(F.when(survivor, F.col("n_copies")).otherwise(0)).alias("n_quality"),
-        F.count(F.when(survivor, F.lit(1))).alias("n_dedup"),
+    # Roll EVERYTHING up under the split key in one pass so the audit
+    # table's two faces (funnel totals, per-split counts) both read the
+    # same |splits|-row aggregate. Deriving them as separate branches of
+    # a union would make Spark re-derive the whole lineage per branch —
+    # two corpus scans and two wide shuffles instead of one of each
+    # (caught by a plan audit; the persist below pins a 3-row frame, so
+    # its cost is nil while making the corpus-side lineage single-run).
+    per_split = (
+        hash_split(grouped, "keeper_id", weights, salt=salt)
+        .groupBy("split")
+        .agg(
+            F.sum("n_copies").alias("n_input"),
+            F.sum(F.when(F.col("lang_ok"), F.col("n_copies")).otherwise(0)).alias(
+                "n_lang"
+            ),
+            F.sum(F.when(survivor, F.col("n_copies")).otherwise(0)).alias(
+                "n_quality"
+            ),
+            F.count(F.when(survivor, F.lit(1))).alias("n_dedup"),
+        )
+        .persist()
     )
-    funnel_rows = funnel.select(
+    funnel_rows = per_split.agg(
+        F.sum("n_input").alias("n_input"),
+        F.sum("n_lang").alias("n_lang"),
+        F.sum("n_quality").alias("n_quality"),
+        F.sum("n_dedup").alias("n_dedup"),
+    ).select(
         F.expr(
             "stack(4, '1_input', n_input, '2_lang', n_lang,"
             " '3_quality', n_quality, '4_dedup', n_dedup) AS (stage, n_docs)"
         )
     )
-    keepers = grouped.filter(survivor).select("keeper_id")
-    split_rows = (
-        hash_split(keepers, "keeper_id", weights, salt=salt)
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(F.concat(F.lit("5_split_"), F.col("split")).alias("stage"), "n_docs")
+    split_rows = per_split.filter(F.col("n_dedup") > 0).select(
+        F.concat(F.lit("5_split_"), F.col("split")).alias("stage"),
+        F.col("n_dedup").alias("n_docs"),
     )
     return funnel_rows.unionByName(split_rows).orderBy("stage")

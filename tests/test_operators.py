@@ -689,13 +689,21 @@ def test_curation_funnel_handcrafted(spark):
         [(1, prose), (2, prose), (3, prose2), (4, spam), (5, und), (6, prose)],
         ["doc_id", "text"],
     )
-    out = {r.stage: r.n_docs for r in curation_funnel(docs, "doc_id", "text").collect()}
+    funnel = curation_funnel(docs, "doc_id", "text")
+    out = {r.stage: r.n_docs for r in funnel.collect()}
     assert out["1_input"] == 6
     assert out["2_lang"] == 5          # doc 5 is 'und'
     assert out["3_quality"] == 4       # spam fails gopher
     assert out["4_dedup"] == 2         # {prose(x3), prose2} -> 2 distinct texts
     split_total = sum(v for k, v in out.items() if k.startswith("5_split_"))
     assert split_total == 2
+
+    # plan pin: both audit faces must read the persisted per-split
+    # aggregate, not re-derive the corpus lineage per union branch
+    # (>= 2 not == 2: ambient cached fixtures in the shared session can
+    # surface additional InMemoryTableScans inside relation descriptions)
+    plan = funnel._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_curation_funnel_matches_standalone_operators(spark, docs):
