@@ -1,0 +1,97 @@
+"""Mergeable frequency sketches: distributed heavy hitters.
+
+``heavy_hitters`` finds the top-k most frequent values of a column
+without a full-domain aggregation. The naive top-k — groupBy(key).count
+over every distinct value — shuffles the whole domain; for token/n-gram
+domains that is billions of keys, most of which are singletons that
+exist only to be discarded. The sketch path bounds the shuffle to
+``capacity`` rows per partition regardless of domain size:
+
+1. Per-partition Misra-Gries summary (``mapInPandas``): each partition
+   compresses its stream to at most ``capacity`` (key, lower_bound)
+   pairs. Batch-merge rule (Agarwal et al. 2012, "Mergeable Summaries"):
+   add a batch's exact value_counts, and if more than ``capacity`` keys
+   remain, subtract the (capacity+1)-th largest count from all and drop
+   the non-positive — the classic MG decrement, vectorized in pandas.
+2. The union of summaries (≤ capacity × partitions rows — metadata, not
+   data) de-duplicates into a candidate set. MG guarantees every key
+   with true frequency > N_p/capacity survives partition p's summary,
+   so any key with GLOBAL frequency > N/capacity is in the candidate
+   set of at least one partition (it exceeds the local threshold
+   somewhere by pigeonhole).
+3. An exact confirm pass counts ONLY the candidates (broadcast
+   semi-join prunes map-side; the groupBy touches ≤ |candidates| keys)
+   and ranks top-k under (count DESC, key ASC).
+
+Provided the true k-th frequency exceeds N/capacity (a size-able
+condition: capacity = partitions × k × headroom), the result is EXACT —
+identical to the full aggregation — which is why the SQL oracle can
+value-check it. Same sketch-prune + exact-confirm shape as
+``text.contamination_screen_bloom``.
+
+This is also the hot-key detector for the skew tooling
+(operators/skew.py): run it on a join key before choosing a salt
+factor, at a fraction of the full-aggregation cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _mg_merge(counts: dict, batch_counts, capacity: int) -> dict:
+    """Merge exact batch counts into an MG summary of ≤ capacity keys."""
+    for key, n in batch_counts.items():
+        counts[key] = counts.get(key, 0) + int(n)
+    if len(counts) > capacity:
+        # subtract the (capacity+1)-th largest count from everything
+        dec = sorted(counts.values(), reverse=True)[capacity]
+        counts = {k: v - dec for k, v in counts.items() if v - dec > 0}
+    return counts
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    capacity: int = 400,
+) -> DataFrame:
+    """Exact top-k frequent values via MG-sketch candidate pruning +
+    exact confirm pass. Returns (key, n, rank); exact when the k-th true
+    frequency exceeds N/capacity (see module docstring)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keys = df.select(F.col(key_col).cast("string").alias("key"))
+
+    summary_schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("lb", T.LongType())]
+    )
+
+    def _mg_kernel(batches):
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf["key"].value_counts()
+            counts = _mg_merge(counts, vc.to_dict(), capacity)
+        if counts:
+            yield pd.DataFrame({"key": list(counts), "lb": list(counts.values())})
+
+    candidates = (
+        keys.mapInPandas(_mg_kernel, summary_schema).select("key").distinct()
+    )
+
+    confirmed = (
+        keys.join(F.broadcast(candidates), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("key"))
+    # Intentional unpartitioned window: the frame is the candidate set
+    # (≤ capacity × partitions rows), never the input.
+    return (
+        confirmed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("key", "n", "rank")
+    )

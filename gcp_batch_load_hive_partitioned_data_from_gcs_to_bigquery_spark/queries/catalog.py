@@ -3168,6 +3168,7 @@ _DRIVER_WINDOW = [
     "corpus_curation_pipeline",
     "emb_random_projection",
     "ann_jl_rerank",
+    "text_heavy_hitters",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3215,7 +3216,6 @@ _DRIVER_WINDOW = [
     "ann_cosine_expr",
     "text_quality",
     "text_tfidf_terms",
-    "text_chunk_windows",
     "sample_hash_split",
     "pack_sequences",
 ]

@@ -1505,10 +1505,41 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens via Misra-Gries candidate pruning + exact
+    confirm (operators/sketches.py heavy_hitters): per-partition
+    summaries bound the shuffle to capacity rows/partition regardless of
+    vocabulary size, then an exact count over only the candidates makes
+    the result identical to the full-domain aggregation (guarantee holds
+    while the 20th frequency exceeds N/capacity — trivially true for
+    stopwords at capacity=400). The oracle IS the full aggregation."""
+    from ..operators.dedup import tokenize
+    from ..operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    return heavy_hitters(words, "word", k=20, capacity=400)
+
+
+ORACLE_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS key
+  FROM documents
+), counted AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY key
+), ranked AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+  FROM counted
+)
+SELECT key, n, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 20
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "emb_random_projection": q_emb_random_projection,
     "ann_jl_rerank": q_ann_jl_rerank,
+    "text_heavy_hitters": q_text_heavy_hitters,
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
     "dedup_incremental": q_dedup_incremental,
@@ -1548,6 +1579,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_curation_pipeline": ORACLE_CURATION,
     "emb_random_projection": ORACLE_JL_PROJECTION,
     "ann_jl_rerank": ORACLE_ANN_JL,
+    "text_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "dedup_minhash_oracle": ORACLE_MINHASH,
     "dedup_simhash_oracle": ORACLE_SIMHASH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

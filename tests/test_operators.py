@@ -803,3 +803,40 @@ def test_jl_rerank_recall_vs_exact(spark, emb):
     for p, cos in approx_pairs.items():
         if p in exact_pairs:
             assert abs(cos - exact_pairs[p]) < 1e-9
+
+
+def test_heavy_hitters_exact_under_guarantee(spark, docs):
+    """Sketch-pruned top-k must equal the full-domain aggregation on the
+    corpus vocabulary (the guarantee condition holds: stopword counts
+    far exceed N/capacity)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import tokenize
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sketches import heavy_hitters
+
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    got = [(r.key, r.n, r.rank) for r in heavy_hitters(words, "word", k=10).collect()]
+    want = [
+        (r.word, r.n, i + 1)
+        for i, r in enumerate(
+            words.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("word"))
+            .limit(10)
+            .collect()
+        )
+    ]
+    assert got == want
+
+
+def test_heavy_hitters_starved_capacity_keeps_true_hitters(spark):
+    """Force a tiny capacity over a skewed stream: keys whose frequency
+    exceeds N/capacity MUST still be found with exact counts (the MG
+    pigeonhole guarantee); the long singleton tail must not displace
+    them."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sketches import heavy_hitters
+
+    rows = [("hot",)] * 300 + [("warm",)] * 150 + [(f"tail{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, ["key"]).repartition(4)
+    # N=950, capacity=8 -> threshold ~119: hot and warm are guaranteed
+    out = {r.key: (r.n, r.rank) for r in heavy_hitters(df, "key", k=2, capacity=8).collect()}
+    assert out["hot"] == (300, 1)
+    assert out["warm"] == (150, 2)
