@@ -23,6 +23,7 @@ present in millions of docs) is handled by dropping top-frequency shingles
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -814,4 +815,106 @@ def line_dedup(
             F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span audit (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §4.1),
+    approximated at a fixed gram width: a position is duplicated text
+    when a ``width``-token gram starting there also occurs EARLIER in
+    the corpus (global first-occurrence-wins, ordered by (doc_id, pos) —
+    the first copy is the keeper, exactly like :func:`line_dedup`).
+
+    Returns one row per document: ``n_tokens``, ``n_dup_occ`` (non-first
+    gram occurrences), and ``n_covered`` (tokens inside the UNION of the
+    duplicated [pos, pos+width-1] intervals — the token count ExactSubstr
+    would cut). The suffix-array original finds arbitrary-length repeats
+    >= a threshold; a fixed-width gram pass finds exactly the repeats
+    >= ``width`` tokens (any longer repeat is a run of overlapping
+    width-grams, which the interval union re-merges) — the semantics
+    match for spans >= width, at shuffle-join cost instead of a global
+    suffix sort.
+
+    Scale shape (100 TB): gram winners are ONE map-side-combined
+    min(struct) groupBy per distinct gram (hot boilerplate grams collapse
+    per-partition, same skew math as line_dedup). Interval coverage is
+    computed by gaps-and-islands over each document's OWN duplicate
+    occurrences (running-max window partitioned by doc — never global),
+    NOT by exploding width positions per occurrence: O(occurrences) rows
+    instead of O(occurrences × width).
+    """
+    words = tokenize(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("toks"),
+        F.size(words).alias("n_tokens"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            # sequence(0, -1) would DESCEND in Spark, so short docs get
+            # an explicit empty gram array instead
+            F.when(
+                F.size(F.col("toks")) >= width,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("toks")) - width),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i + 1, width), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    winners = grams.groupBy("gram").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("w")
+    )
+    dups = (
+        grams.join(winners, "gram")
+        .filter(
+            (F.col("doc_id") != F.col("w.doc_id")) | (F.col("pos") != F.col("w.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    # gaps-and-islands interval union per document
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dups.withColumn("end", F.col("pos") + width - 1)
+        .withColumn(
+            "prev_max_end",
+            F.max("end").over(w_ord.rowsBetween(W.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("pos") > F.col("prev_max_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(w_ord))
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            F.max("end").alias("e"),
+            F.count(F.lit(1)).alias("occ"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_dup_occ"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_covered"),
+        )
+    )
+    base = toks.select("doc_id", "n_tokens")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_occ"), F.lit(0)).alias("n_dup_occ"),
+        F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
     )

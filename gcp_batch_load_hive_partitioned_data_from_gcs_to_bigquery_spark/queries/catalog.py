@@ -3169,6 +3169,7 @@ _DRIVER_WINDOW = [
     "emb_random_projection",
     "ann_jl_rerank",
     "text_heavy_hitters",
+    "dedup_spans",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3205,7 +3206,6 @@ _DRIVER_WINDOW = [
     "stream_stream_join",
     "fn_partition_roundtrip",
     "join_asof",
-    "join_range_buckets",
     "window_rank_family",
     "dedup_exact",
     "dedup_content_hash",

@@ -1535,11 +1535,56 @@ SELECT key, n, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 20
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span audit (operators/dedup.py
+    span_dedup_stats): per document, how many 8-token grams also occur
+    earlier in the corpus and how many tokens sit inside the union of
+    those duplicated spans — the text an ExactSubstr pass would cut.
+    First-occurrence-wins global ordering; interval union computed by
+    per-document gaps-and-islands, never a corpus-wide window."""
+    from ..operators.dedup import span_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return span_dedup_stats(docs, "doc_id", "text", width=8)
+
+
+ORACLE_DEDUP_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(w[(i + 1):(i + 8)], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(0, len(w) - 8)) AS u(i)
+  WHERE len(w) >= 8
+), win AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g
+), dup AS (
+  SELECT doc_id, pos FROM win WHERE rn > 1
+), cov AS (
+  SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_covered
+  FROM dup, LATERAL unnest(generate_series(pos, pos + 7)) AS v(p)
+  GROUP BY doc_id
+), occ AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_occ FROM dup GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(len(w) AS INT) AS n_tokens FROM t
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(o.n_dup_occ, 0) AS BIGINT) AS n_dup_occ,
+       CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered
+FROM base b LEFT JOIN occ o USING (doc_id) LEFT JOIN cov c USING (doc_id)
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "emb_random_projection": q_emb_random_projection,
     "ann_jl_rerank": q_ann_jl_rerank,
     "text_heavy_hitters": q_text_heavy_hitters,
+    "dedup_spans": q_dedup_spans,
     "dedup_minhash_oracle": q_dedup_minhash_oracle,
     "dedup_simhash_oracle": q_dedup_simhash_oracle,
     "dedup_incremental": q_dedup_incremental,
@@ -1580,6 +1625,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "emb_random_projection": ORACLE_JL_PROJECTION,
     "ann_jl_rerank": ORACLE_ANN_JL,
     "text_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "dedup_spans": ORACLE_DEDUP_SPANS,
     "dedup_minhash_oracle": ORACLE_MINHASH,
     "dedup_simhash_oracle": ORACLE_SIMHASH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

@@ -840,3 +840,28 @@ def test_heavy_hitters_starved_capacity_keeps_true_hitters(spark):
     out = {r.key: (r.n, r.rank) for r in heavy_hitters(df, "key", k=2, capacity=8).collect()}
     assert out["hot"] == (300, 1)
     assert out["warm"] == (150, 2)
+
+
+def test_span_dedup_interval_union(spark):
+    """Handcrafted repeats: an 8-token phrase shared by two docs marks
+    exactly one duplicate occurrence (8 covered tokens) in the later
+    doc; a 9-token shared run produces two OVERLAPPING gram occurrences
+    that the interval union must merge to 9 covered tokens, not 16;
+    docs shorter than the gram width report zeros."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import span_dedup_stats
+
+    p = "p1 p2 p3 p4 p5 p6 p7 p8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 a4 {p} b1 b2 b3 b4"),   # first occurrence -> keeper
+            (2, f"c1 c2 {p} d1 d2 d3 d4"),          # one dup gram, 8 covered
+            (4, f"z1 {p} b1 z2"),                   # 9-token repeat of doc 1's run
+            (5, "too short"),                        # < width -> zeros
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in span_dedup_stats(docs, "doc_id", "text", width=8).collect()}
+    assert (out[1].n_dup_occ, out[1].n_covered) == (0, 0)   # keeper untouched
+    assert (out[2].n_dup_occ, out[2].n_covered) == (1, 8)
+    assert (out[4].n_dup_occ, out[4].n_covered) == (2, 9)   # merged, not 16
+    assert (out[5].n_tokens, out[5].n_dup_occ, out[5].n_covered) == (2, 0, 0)
