@@ -109,7 +109,11 @@ def _media_fixture_root(spark: SparkSession, sf_dir: str, kind: str) -> str:
     if key not in _FIXTURES:
         root = _tmp(f"fix_media_{kind}")
         docs = load_table(spark, sf_dir, "documents")
-        synth = MM.documents_as_png_media if kind == "png" else MM.documents_as_wav_media
+        synth = {
+            "png": MM.documents_as_png_media,
+            "wav": MM.documents_as_wav_media,
+            "mp4": MM.documents_as_mp4_media,
+        }[kind]
         (
             synth(docs.repartition(spark.sparkContext.defaultParallelism))
             .write.mode("overwrite")
@@ -2666,6 +2670,44 @@ FROM documents
 """
 
 
+def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video metadata decode over mapInPandas: synthesize one
+    minimal ISO-BMFF (MP4) container per document (id-derived movie
+    timescale/duration and track geometry, operators/multimodal.py
+    synthesize_mp4), then walk the big-endian nested box tree back out
+    of the raw bytes — the layout family (nested containers, fixed-point
+    fields, version-dependent offsets) that PNG chunks and RIFF lists
+    don't exercise. The oracle recomputes every field arithmetically
+    from doc_id, so a hash match proves the box walk extracted the true
+    encoded values. Reads the materialized MP4 table
+    (_media_fixture_root) so the measured work is the decode."""
+    media = spark.read.parquet(_media_fixture_root(spark, sf_dir, "mp4"))
+    meta = MM.decode_video_meta(media)
+    return meta.select(
+        "media_id", "format", "brand", "timescale",
+        "duration_units", "duration_ms", "width", "height",
+    )
+
+
+# mp4_params_for_id: timescale = (600,1000,24000,90000)[id % 4],
+# duration_units = 1200 + id % 4801, width = 320 + 16*(id % 8),
+# height = 240 + 16*(id % 5)
+ORACLE_MM_VIDEO = """
+SELECT doc_id AS media_id,
+       'mp4' AS format,
+       'isom' AS brand,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                            WHEN 2 THEN 24000 ELSE 90000 END AS INT) AS timescale,
+       CAST(1200 + doc_id % 4801 AS BIGINT) AS duration_units,
+       CAST((1200 + doc_id % 4801) * 1000 //
+            (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                             WHEN 2 THEN 24000 ELSE 90000 END) AS BIGINT) AS duration_ms,
+       CAST(320 + 16 * (doc_id % 8) AS INT) AS width,
+       CAST(240 + 16 * (doc_id % 5) AS INT) AS height
+FROM documents
+"""
+
+
 def q_multimodal_meta_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow twin of multimodal_image_meta: identical real header
     parse, but the kernel works on raw pyarrow RecordBatches (no pandas
@@ -3023,6 +3065,7 @@ QUERIES: dict[str, callable] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_meta_arrow": q_multimodal_meta_arrow,
     "multimodal_audio_meta": q_multimodal_audio_meta,
+    "multimodal_video_meta": q_multimodal_video_meta,
 }
 
 ORACLES: dict[str, str] = {
@@ -3117,6 +3160,7 @@ ORACLES: dict[str, str] = {
     "multimodal_resize": ORACLE_MM_RESIZE,
     "multimodal_meta_arrow": ORACLE_MM_META,
     "multimodal_audio_meta": ORACLE_MM_AUDIO,
+    "multimodal_video_meta": ORACLE_MM_VIDEO,
 }
 
 from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.tpch_extra import (  # noqa: E402
@@ -3170,6 +3214,7 @@ _DRIVER_WINDOW = [
     "ann_jl_rerank",
     "text_heavy_hitters",
     "dedup_spans",
+    "multimodal_video_meta",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3202,7 +3247,6 @@ _DRIVER_WINDOW = [
     "sink_partition_overwrite",
     "sink_create_never",
     "stream_hourly_ingest",
-    "stream_session_window",
     "stream_stream_join",
     "fn_partition_roundtrip",
     "join_asof",

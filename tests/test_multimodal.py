@@ -248,3 +248,54 @@ def test_parse_wav_meta_corrupt_fmt_chunk(channels, bits, rate):
         assert out[0] == "wav"
     else:
         assert out[0] == "unknown"
+
+
+def test_mp4_box_walk_roundtrip_and_corrupt_inputs():
+    """The ISO-BMFF parse must recover exactly the encoded values from
+    the synthesized container (v0 boxes), and must return the unknown
+    tuple -- never crash or loop -- on truncated, lying-size, or foreign
+    payloads (a corrupt-size box could otherwise spin the walk)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        mp4_params_for_id,
+        parse_mp4_meta,
+        synthesize_mp4,
+    )
+
+    for mid in (0, 3, 42, 4799):
+        ts, du, w, h = mp4_params_for_id(mid)
+        buf = synthesize_mp4(mid, ts, du, w, h)
+        assert parse_mp4_meta(buf) == ("mp4", "isom", ts, du, du * 1000 // ts, w, h)
+
+    bad = ("unknown", None, None, None, None, None, None)
+    ts, du, w, h = mp4_params_for_id(7)
+    good = synthesize_mp4(7, ts, du, w, h)
+    assert parse_mp4_meta(b"") == bad
+    assert parse_mp4_meta(b"RIFF....WAVE") == bad          # wrong family
+    assert parse_mp4_meta(good[:20]) == bad                # truncated mid-box
+    lying = bytearray(good)
+    lying[0:4] = (2 ** 31).to_bytes(4, "big")              # size exceeds buffer
+    assert parse_mp4_meta(bytes(lying)) == bad
+    zero = bytearray(good)
+    zero[0:4] = (0).to_bytes(4, "big")                     # size < 8: must not loop
+    assert parse_mp4_meta(bytes(zero)) == bad
+
+
+def test_decode_video_meta_distributed(spark):
+    """End-to-end over Spark: synthesize per-doc MP4s, decode the stored
+    bytes back, and check a sample against the id arithmetic."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        decode_video_meta,
+        documents_as_mp4_media,
+        mp4_params_for_id,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    media = documents_as_mp4_media(docs)
+    out = {r.media_id: r for r in decode_video_meta(media).collect()}
+    assert len(out) == 40
+    for mid, r in out.items():
+        ts, du, w, h = mp4_params_for_id(mid)
+        assert (r.format, r.brand, r.timescale, r.duration_units, r.width, r.height) == (
+            "mp4", "isom", ts, du, w, h,
+        )
