@@ -56,6 +56,18 @@ EXTRA_QUERIES_R4 = [
     "dedup_semantic",
 ]
 
+# Added round 5 — also outside the baseline-comparable total: the
+# end-to-end curation funnel, the Misra-Gries heavy-hitter top-k, the
+# ExactSubstr-style span audit, JL-prefiltered ANN, and the ISO-BMFF
+# video metadata decode.
+EXTRA_QUERIES_R5 = [
+    "corpus_curation_pipeline",
+    "text_heavy_hitters",
+    "dedup_spans",
+    "ann_jl_rerank",
+    "multimodal_video_meta",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,7 +97,7 @@ def main() -> None:
     # measures the query, not the noise.
     timings: dict[str, float] = {}
     for _pass in range(3):
-        for name in BENCH_QUERIES + EXTRA_QUERIES_R4:
+        for name in BENCH_QUERIES + EXTRA_QUERIES_R4 + EXTRA_QUERIES_R5:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

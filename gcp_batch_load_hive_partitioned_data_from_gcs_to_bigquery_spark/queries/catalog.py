@@ -3196,10 +3196,14 @@ ORACLES.update(ANALYTICS_ORACLES)
 # whose implementation changed this round (BLAS argmin cell assignment in
 # the IVF/semdedup family; zone-map store cache fingerprinting; the
 # corpus-bands managed-only sweep behind the incremental-dedup keys), then
-# previously-green canaries spread across families. After this window all
-# 160 keys have a driver row in some round. Gate (per r4 ADVICE): every
-# key below was re-verified with scripts/check_correctness.py at sf0.1
-# before this rotation landed.
+# previously-green canaries spread across families. The window further
+# leads with every NEW round-5 key (curation funnel, JL projection and
+# JL-rerank ANN, Misra-Gries heavy hitters, ExactSubstr span audit,
+# ISO-BMFF video meta, bloom decontamination, int8-GEMM top-k) — none
+# skips its first rotation. After this window all catalog keys have a
+# driver row in some round. Gate (per r4 ADVICE): every key below was
+# re-verified with scripts/check_correctness.py at sf0.1 before this
+# rotation landed.
 _DRIVER_WINDOW = [
     # the last two keys with no driver row in any round
     "ann_ivf_pq_append",
