@@ -847,6 +847,80 @@ GROUP BY user_id
 """
 
 
+
+
+def q_approx_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch set algebra (Spark's native Apache DataSketches
+    HLL: hll_sketch_agg / hll_union_agg / hll_sketch_estimate): distinct
+    click users, distinct purchase users, their UNION estimated by
+    merging the two sketches (never re-scanning the raw data — the
+    property that lets per-partition/per-day sketches roll up at 100 TB),
+    and their INTERSECTION by inclusion-exclusion. Gated by the exact
+    counts like approx_distinct_gate: the oracle checks exact values and
+    expects every gate flag true (union within 5%; intersection within
+    10% — inclusion-exclusion adds the absolute errors of three
+    estimates)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_type"
+    )
+    per_type = base.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    merged = per_type.agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("n_exact"))).alias(
+            "n_click"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("n_exact"))).alias(
+            "n_purchase"
+        ),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_union_approx"),
+    )
+    exact_union = base.agg(F.countDistinct("user_id").alias("n_union"))
+    exact_inter = (
+        base.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") == 2)
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = merged.crossJoin(exact_union).crossJoin(exact_inter)
+    inter_approx = F.col("n_click") + F.col("n_purchase") - F.col("n_union_approx")
+    return out.select(
+        F.col("n_click").cast("long").alias("n_click"),
+        F.col("n_purchase").cast("long").alias("n_purchase"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        (
+            (F.abs(F.col("n_union_approx") - F.col("n_union")) / F.col("n_union"))
+            <= 0.05
+        ).cast("int").alias("union_ok"),
+        ((F.abs(inter_approx - F.col("n_inter")) / F.col("n_inter")) <= 0.10)
+        .cast("int")
+        .alias("inter_ok"),
+    )
+
+
+ORACLE_HLL_SET_OPS = """
+WITH base AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_click FROM base WHERE event_type = 'click'
+), b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_purchase FROM base WHERE event_type = 'purchase'
+), u AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_union FROM base
+), i AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_inter
+  FROM (SELECT user_id FROM base GROUP BY user_id HAVING count(DISTINCT event_type) = 2)
+)
+SELECT a.n_click, b.n_purchase, u.n_union, i.n_inter,
+       1 AS union_ok, 1 AS inter_ok
+FROM a, b, u, i
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
@@ -857,6 +931,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "window_range_interval": q_window_range_interval,
     "source_orc": q_source_orc,
     "approx_distinct_gate": q_approx_distinct_gate,
+    "approx_hll_set_ops": q_approx_hll_set_ops,
     "ann_radius_search": q_ann_radius_search,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_dedup_watermark": q_stream_dedup_watermark,
@@ -880,6 +955,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "window_range_interval": ORACLE_RANGE_INTERVAL,
     "source_orc": ORACLE_SOURCE_ORC,
     "approx_distinct_gate": ORACLE_APPROX_GATE,
+    "approx_hll_set_ops": ORACLE_HLL_SET_OPS,
     "ann_radius_search": ORACLE_ANN_RADIUS,
     "stream_sliding_window": ORACLE_STREAM_SLIDING,
     "stream_dedup_watermark": ORACLE_STREAM_DEDUP,

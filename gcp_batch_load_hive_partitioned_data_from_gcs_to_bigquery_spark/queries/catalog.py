@@ -3219,6 +3219,7 @@ _DRIVER_WINDOW = [
     "text_heavy_hitters",
     "dedup_spans",
     "multimodal_video_meta",
+    "approx_hll_set_ops",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3249,7 +3250,6 @@ _DRIVER_WINDOW = [
     "scan_hive_partitioned",
     "scan_csv_tab_delimited",
     "sink_partition_overwrite",
-    "sink_create_never",
     "stream_hourly_ingest",
     "stream_stream_join",
     "fn_partition_roundtrip",
