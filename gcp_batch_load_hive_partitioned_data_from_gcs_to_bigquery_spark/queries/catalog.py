@@ -15,6 +15,7 @@ the comparison semantic rather than bitwise.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2670,6 +2671,64 @@ FROM documents
 """
 
 
+def _binary_files_fixture_root(spark: SparkSession, sf_dir: str) -> str:
+    """REAL loose .png files on disk (one per doc_id < 200) — the form
+    raw media actually arrives in at ingest time, before anything packs
+    it into parquet. Built once per sf_dir; ids live in the file NAMES,
+    dimensions in the file BYTES, so the reader must recover both."""
+    key = ("binary_png_files", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("fix_binfiles")
+        ids = [
+            r[0]
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id")
+            .collect()
+        ]
+        for i in ids:
+            w, h = MM.png_dims_for_id(int(i))
+            with open(os.path.join(root, f"media_{int(i)}.png"), "wb") as fh:
+                fh.write(MM.synthesize_png(int(i), w, h))
+        _FIXTURES[key] = root
+    return _FIXTURES[key]
+
+
+def q_source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingestion via Spark's built-in ``binaryFile`` source
+    (SURVEY §2.1 source_generic_format family): read a directory of
+    loose .png files (path/length/content per file), parse the media id
+    from the file NAME and the geometry from the file BYTES
+    (operators/multimodal.py decode_image_meta_pandas). The oracle
+    recomputes both from doc_id arithmetic, so a hash match proves the
+    file-level read path and the content parse agree with the on-disk
+    truth. At scale this is the entry stage before media is packed to
+    parquet; binaryFile gives file-granular partitioning for free."""
+    root = _binary_files_fixture_root(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(root)
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.png$", 1)
+            .cast("long")
+            .alias("media_id"),
+            "content",
+        )
+    )
+    meta = MM.decode_image_meta_pandas(files)
+    return meta.select("media_id", "format", "width", "height")
+
+
+ORACLE_BINARY_FILES = """
+SELECT doc_id AS media_id,
+       'png' AS format,
+       CAST(16 + doc_id % 64 AS INT) AS width,
+       CAST(16 + (doc_id // 8) % 48 AS INT) AS height
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video metadata decode over mapInPandas: synthesize one
     minimal ISO-BMFF (MP4) container per document (id-derived movie
@@ -3066,6 +3125,7 @@ QUERIES: dict[str, callable] = {
     "multimodal_meta_arrow": q_multimodal_meta_arrow,
     "multimodal_audio_meta": q_multimodal_audio_meta,
     "multimodal_video_meta": q_multimodal_video_meta,
+    "source_binary_files": q_source_binary_files,
 }
 
 ORACLES: dict[str, str] = {
@@ -3161,6 +3221,7 @@ ORACLES: dict[str, str] = {
     "multimodal_meta_arrow": ORACLE_MM_META,
     "multimodal_audio_meta": ORACLE_MM_AUDIO,
     "multimodal_video_meta": ORACLE_MM_VIDEO,
+    "source_binary_files": ORACLE_BINARY_FILES,
 }
 
 from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.tpch_extra import (  # noqa: E402
@@ -3220,6 +3281,7 @@ _DRIVER_WINDOW = [
     "dedup_spans",
     "multimodal_video_meta",
     "approx_hll_set_ops",
+    "source_binary_files",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3248,7 +3310,6 @@ _DRIVER_WINDOW = [
     "q18_large_orders",
     "q21_waiting_suppliers",
     "scan_hive_partitioned",
-    "scan_csv_tab_delimited",
     "sink_partition_overwrite",
     "stream_hourly_ingest",
     "stream_stream_join",
