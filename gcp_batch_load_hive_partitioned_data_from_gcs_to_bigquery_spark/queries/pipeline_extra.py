@@ -1029,7 +1029,13 @@ def q_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     generate_series over the token array."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="win_idx INT, n_tokens INT, first_tok STRING, last_tok STRING")
+    # useArrow: Spark 4's Arrow-optimized UDTF transport (ArrowEvalPython
+    # in the plan instead of row-pickling BatchEvalPython) — the only
+    # catalog key that would otherwise carry a row-at-a-time Python eval
+    @udtf(
+        returnType="win_idx INT, n_tokens INT, first_tok STRING, last_tok STRING",
+        useArrow=True,
+    )
     class TokenWindows:
         def eval(self, text: str):
             if not text:
