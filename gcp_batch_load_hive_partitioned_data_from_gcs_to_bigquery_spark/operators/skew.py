@@ -60,3 +60,44 @@ def key_skew_profile(df: DataFrame, key: str | Column, top_k: int = 10) -> DataF
         .orderBy(F.desc("n_rows"))
         .limit(top_k)
     )
+
+
+def auto_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_source: list[str] | None = None,
+    max_factor: int = 16,
+    mg_capacity: int = 64,
+) -> tuple[DataFrame, int]:
+    """Sketch-driven salting: measure the join key's hottest share with
+    the Misra-Gries heavy-hitter pass (operators/sketches.py — bounded
+    to mg_capacity rows per partition, never a full-domain aggregation)
+    and derive the salt factor from it before planning the join — the
+    user-space analogue of AQE's runtime skew split, available to joins
+    AQE cannot rewrite.
+
+    factor = clamp(ceil(top_share * max_factor), 1, max_factor): a key
+    carrying 100% of rows spreads over max_factor reducers; a uniform
+    key degenerates to factor 1 (= the plain join, no dim inflation).
+    The formula uses the CONFIRMED exact share (the sketch only prunes
+    candidates), so the chosen factor is deterministic and an external
+    oracle can recompute it from exact counts. Returns (joined, factor).
+
+    The sketch pass is one extra scan of the fact side's key column at
+    plan time. At 100 TB you run it once per key per ingest window and
+    cache the profile, not per query.
+    """
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sketches import heavy_hitters
+
+    import math
+
+    top = heavy_hitters(fact.select(on), on, k=1, capacity=mg_capacity).collect()
+    total = fact.count()
+    share = (top[0]["n"] / total) if (top and total) else 0.0
+    factor = max(1, min(max_factor, math.ceil(share * max_factor)))
+    joined = salted_join(
+        fact, dim, on=on, salt_factor=factor, how=how, salt_source=salt_source
+    )
+    return joined, factor

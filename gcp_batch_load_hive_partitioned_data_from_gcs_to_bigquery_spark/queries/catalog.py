@@ -2609,6 +2609,46 @@ GROUP BY e.event_type
 """
 
 
+def q_join_auto_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven salting (operators/skew.py auto_salted_join): the
+    Misra-Gries heavy-hitter pass measures the join key's hottest share
+    at plan time and derives the salt factor from it — user-space AQE
+    for joins the optimizer can't split. Result set identical to the
+    plain join; the chosen factor is a deterministic function of the
+    exact top share (the sketch only prunes candidates), so the oracle
+    recomputes it: ceil(top_share * 16) clamped to [1, 16]."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.skew import auto_salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("error", 0.0), ("signup", 5.0)],
+        "event_type string, weight double",
+    )
+    joined, factor = auto_salted_join(
+        ev, dim, on="event_type", salt_source=["event_id"], max_factor=16
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+    ).withColumn("salt_factor", F.lit(factor))
+
+
+ORACLE_AUTO_SALTED = """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0), ('error', 0.0), ('signup', 5.0)
+), top_share AS (
+  SELECT max(cnt) * 1.0 / sum(cnt) AS share
+  FROM (SELECT count(*) AS cnt FROM events GROUP BY event_type)
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(e.value * d.weight) AS DOUBLE), 2) AS weighted_value,
+       CAST(greatest(1, least(16, ceil((SELECT share FROM top_share) * 16))) AS INT)
+         AS salt_factor
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
 # === multimodal =============================================================
 
 
@@ -3069,6 +3109,7 @@ QUERIES: dict[str, callable] = {
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_skew_salted": q_join_skew_salted,
+    "join_auto_salted": q_join_auto_salted,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "agg_conditional_pivot": q_agg_conditional_pivot,
@@ -3173,6 +3214,7 @@ ORACLES: dict[str, str] = {
     "join_semi": ORACLE_JOIN_SEMI,
     "join_anti": ORACLE_JOIN_ANTI,
     "join_skew_salted": ORACLE_SKEW_SALTED,
+    "join_auto_salted": ORACLE_AUTO_SALTED,
     "agg_rollup": ORACLE_ROLLUP,
     "agg_cube": ORACLE_CUBE,
     "agg_conditional_pivot": ORACLE_PIVOT,
@@ -3282,6 +3324,7 @@ _DRIVER_WINDOW = [
     "multimodal_video_meta",
     "approx_hll_set_ops",
     "source_binary_files",
+    "join_auto_salted",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3304,7 +3347,6 @@ _DRIVER_WINDOW = [
     "monitor_alert_threshold",
     # canaries: previously green, spread across families
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q6_forecast_revenue",
     "q9_product_type_profit",
     "q18_large_orders",

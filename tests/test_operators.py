@@ -865,3 +865,27 @@ def test_span_dedup_interval_union(spark):
     assert (out[2].n_dup_occ, out[2].n_covered) == (1, 8)
     assert (out[4].n_dup_occ, out[4].n_covered) == (2, 9)   # merged, not 16
     assert (out[5].n_tokens, out[5].n_dup_occ, out[5].n_covered) == (2, 0, 0)
+
+
+def test_auto_salted_join_picks_factor_and_preserves_semantics(spark):
+    """The sketch-driven salt factor must equal ceil(top_share * 16)
+    clamped to [1, 16], and the salted result must equal the plain join
+    exactly (salting is layout, never semantics)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.skew import auto_salted_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+    joined, factor = auto_salted_join(ev, dim, on="event_type", salt_source=["event_id"])
+    import math
+
+    counts = {r.event_type: r.cnt for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    share = max(counts.values()) / sum(counts.values())
+    assert factor == max(1, min(16, math.ceil(share * 16)))
+
+    plain = ev.join(dim, "event_type").select("event_id", "weight")
+    salted = joined.select("event_id", "weight")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
