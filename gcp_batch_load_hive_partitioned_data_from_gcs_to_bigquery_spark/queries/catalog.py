@@ -2336,6 +2336,76 @@ FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 """
 
 
+def q_dedup_semantic_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-accelerated SemDeDup with exact verdicts (operators/
+    similarity.py semdedup_jl): cluster assignment and candidate pairing
+    run in the 32-dim projected space (half the arithmetic/memory
+    traffic), every candidate pair confirmed with the exact 64-dim
+    cosine before a drop — sketch-prune + exact-confirm, so drop rates
+    match the full-dim dedup_semantic and the projection only steers
+    clustering. The oracle replays projection, assignment, candidate
+    prune, and confirm verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.semdedup_jl(
+        emb, nlist=16, min_cosine=0.3, cand_cosine=0.05, out_dim=32, in_dim=64
+    )
+    return out.select("vec_id", "cell", "keep")
+
+
+# Projection CTEs identical to the JL oracles in pipeline_extra.py;
+# assignment over the PROJECTED vectors (16 projected seed centroids);
+# the pair predicate is candidate (projected cosine >= 0.05) AND
+# confirm (exact 64-dim cosine >= 0.3), mirroring semdedup_jl.
+ORACLE_DEDUP_SEMANTIC_JL = """
+WITH dims AS (
+  SELECT CAST(range AS BIGINT) AS dim FROM range(32)
+), s1 AS (
+  SELECT in_dim, dim,
+         (((in_dim - 1) * 32 + dim + 1) * 2654435761) % 2147483648 AS h
+  FROM dims, LATERAL unnest(generate_series(1, 64)) AS t(in_dim)
+), s2 AS (
+  SELECT in_dim, dim, (xor(h, h // 65536) * 2246822519) % 2147483648 AS h FROM s1
+), sgn AS (
+  SELECT in_dim, dim,
+         CASE WHEN (xor(h, h // 8192) // 2) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM s2
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), proj AS (
+  SELECT e.vec_id, sgn.dim, sum(e.ev[sgn.in_dim] * sgn.s) AS p
+  FROM e, sgn GROUP BY e.vec_id, sgn.dim
+), c AS (
+  SELECT pr.vec_id, list(pr.p ORDER BY pr.dim) AS pv, any_value(e.ev) AS ev
+  FROM proj pr JOIN e ON e.vec_id = pr.vec_id
+  GROUP BY pr.vec_id
+), cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, pv AS centroid
+  FROM c ORDER BY vec_id LIMIT 16
+), adist AS (
+  SELECT c.vec_id, c.pv, c.ev, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(c.pv)),
+           i -> (c.pv[i] - cent.centroid[i]) * (c.pv[i] - cent.centroid[i])),
+           (a, b) -> a + b) AS dist2
+  FROM c, cent
+), assigned AS (
+  SELECT vec_id, pv, ev, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM adist
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.pv, b.pv)
+          / (sqrt(list_dot_product(a.pv, a.pv)) * sqrt(list_dot_product(b.pv, b.pv))) >= 0.05
+    AND list_dot_product(a.ev, b.ev)
+          / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) >= 0.3
+)
+SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS keep
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact self-join mode — the oracle
     for the LSH-bucketed scale path)."""
@@ -3151,6 +3221,7 @@ QUERIES: dict[str, callable] = {
     "ann_ivf_oracle": q_ann_ivf_oracle,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_jl": q_dedup_semantic_jl,
     "embedding_label_centroids": q_embedding_label_centroids,
     # text analysis
     "text_token_counts": q_text_token_counts,
@@ -3250,6 +3321,7 @@ ORACLES: dict[str, str] = {
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
+    "dedup_semantic_jl": ORACLE_DEDUP_SEMANTIC_JL,
     "embedding_label_centroids": ORACLE_EMB_CENTROIDS,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
     "text_corpus_stats": ORACLE_TEXT_CORPUS,
@@ -3325,6 +3397,7 @@ _DRIVER_WINDOW = [
     "approx_hll_set_ops",
     "source_binary_files",
     "join_auto_salted",
+    "dedup_semantic_jl",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3359,7 +3432,6 @@ _DRIVER_WINDOW = [
     "join_asof",
     "window_rank_family",
     "dedup_exact",
-    "dedup_content_hash",
     "dedup_minhash_oracle",
     "dedup_lines",
     "dedup_ngram_jaccard",
