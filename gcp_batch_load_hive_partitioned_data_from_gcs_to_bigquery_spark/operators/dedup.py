@@ -918,3 +918,63 @@ def span_dedup_stats(
         F.coalesce(F.col("n_dup_occ"), F.lit(0)).alias("n_dup_occ"),
         F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| (Broder 1997's
+    containment measure). Jaccard misses nested duplication — a short
+    document fully quoted inside a long one scores low symmetric
+    Jaccard but containment ≈ 1 — so this is the detector for
+    quote-expansion, article-with-commentary, and subset-scrape dups.
+
+    Emits BOTH directions per overlapping pair (doc, other,
+    containment = fraction of ``doc``'s shingles also in ``other``),
+    threshold-filtered. Same scale shape as :func:`ngram_jaccard_pairs`
+    (one shingle self-join keyed on the shingle, map-side-combined size
+    aggregate, optional stop-shingle cap) — only the normalizer
+    differs, so the candidate-join cost is identical and the same
+    MinHash/LSH candidates can feed it at 100 TB.
+    """
+    from pyspark import StorageLevel
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(F.col(text_col)), n))
+        ).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("shingle_df"))
+            .filter(F.col("shingle_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc"), F.col("b.doc_id").alias("other"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = sizes.select(F.col("doc_id").alias("doc"), F.col("n_shingles").alias("size_doc"))
+    return (
+        common.join(F.broadcast(sz), "doc")
+        .withColumn("containment", F.col("n_common") / F.col("size_doc"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc", "other", "containment")
+    )

@@ -1991,6 +1991,42 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators/dedup.py
+    ngram_containment_pairs, Broder 1997): fraction of a document's
+    3-gram shingles found in another document — the nested-duplication
+    detector (short doc quoted inside a long one scores ~1 here but low
+    symmetric Jaccard). Both directions emitted; threshold 0.4."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
+    return pairs.select("doc", "other", F.round("containment", 4).alias("containment"))
+
+
+ORACLE_CONTAINMENT = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc, b.doc_id AS other, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc, other,
+       round(CAST(n_common AS DOUBLE) / s.n_sh, 4) AS containment
+FROM common JOIN sizes s ON s.doc_id = doc
+WHERE CAST(n_common AS DOUBLE) / s.n_sh >= 0.4
+"""
+
+
 # === similarity search ======================================================
 
 
@@ -3209,6 +3245,7 @@ QUERIES: dict[str, callable] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     # similarity
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_expr": q_ann_cosine_expr,
@@ -3312,6 +3349,7 @@ ORACLES: dict[str, str] = {
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: engine-specific
     # hashing, rows-only checks by design.
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_containment": ORACLE_CONTAINMENT,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_cosine_expr": ORACLE_ANN,
     "ann_pq_oracle": ORACLE_ANN_PQ,
@@ -3398,6 +3436,7 @@ _DRIVER_WINDOW = [
     "source_binary_files",
     "join_auto_salted",
     "dedup_semantic_jl",
+    "dedup_containment",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3433,7 +3472,6 @@ _DRIVER_WINDOW = [
     "window_rank_family",
     "dedup_exact",
     "dedup_minhash_oracle",
-    "dedup_lines",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_cosine_expr",

@@ -908,3 +908,20 @@ def test_semdedup_jl_confirm_matches_fulldim_drop_rate(spark, emb):
     drop_full = sum(1 for v in full.values() if not v) / len(full)
     drop_jl = sum(1 for v in jl.values() if not v) / len(jl)
     assert abs(drop_jl - drop_full) < 0.05  # measured 0.306 vs 0.308
+
+
+def test_containment_detects_nested_duplication(spark):
+    """A short doc fully quoted inside a long one: containment(short in
+    long) = 1.0 while symmetric Jaccard stays low — the case that
+    motivates the asymmetric measure."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_ = "intro words here " + short + " " + " ".join(f"tail{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+
+    cont = {(r.doc, r.other): r.containment
+            for r in D.ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.1).collect()}
+    assert cont[(1, 2)] == 1.0            # every shingle of the short doc is in the long one
+    assert cont[(2, 1)] < 0.2             # the long doc is NOT contained in the short one
+
+    jac = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).collect()
+    assert all(r.jaccard < 0.2 for r in jac)  # symmetric measure misses it
