@@ -1,0 +1,294 @@
+"""Behavioral / event-sequence analytics: ordered funnels, cohort
+retention, SCD2 run-length history, time-series gap filling, and
+interval-overlap concurrency.
+
+These are the event-stream questions a product team asks of the landing
+table the reference loads (its `events`-shaped hourly partitions,
+reference `ingestion/app.py:14-33` — the reference only LOADS the data;
+these operators are the downstream consumption the load exists for).
+All five are pure DataFrame compositions — no UDFs — so the plans stay
+inside whole-stage codegen, and every per-entity computation keys its
+shuffle on the entity column so one repartition serves the whole chain.
+
+Scale notes (100 TB):
+* funnel / cohort / scd2 / resample all shuffle ONCE on the entity key
+  (user_id); per-entity state is bounded by that entity's event count,
+  never by table size.
+* `concurrency_sweep` needs a global running sum, which naively means a
+  single-partition window. It instead computes per-day local prefix
+  sums (window keyed on the day — bounded rows per partition) and adds
+  a cross-day offset derived from a per-day aggregate that is only as
+  large as the number of distinct days — metadata-sized, the same
+  bounded-small-frame pattern as `operators/zonemap.py` stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "funnel_conversion",
+    "cohort_retention",
+    "scd2_history",
+    "resample_ffill",
+    "concurrency_sweep",
+]
+
+
+def funnel_conversion(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Strictly-ordered multi-step funnel: for each user, step k counts
+    only if it happens strictly AFTER that user's completion of step
+    k-1 (earliest-completion semantics). Returns one row per step with
+    the number of users whose ordered journey reaches it.
+
+    One groupBy on the user key collects each step's timestamps into
+    per-user sorted arrays; the chain t1 < t2 < ... is then resolved
+    with array expressions (array_min over a filtered array) — per-user
+    local work bounded by that user's event count, zero additional
+    shuffles, no window over a global ordering. The final per-step
+    count is a metadata-sized aggregate.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    u, ty, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+    per_user = (
+        df.filter(ty.isin(list(steps)))
+        .groupBy(u.alias("__user"))
+        .agg(
+            *[
+                F.collect_list(F.when(ty == s, ts)).alias(f"__ts_{i}")
+                for i, s in enumerate(steps)
+            ]
+        )
+    )
+    # chain: reached[0] = min(ts_0); reached[k] = min(ts_k > reached[k-1])
+    per_user = per_user.withColumn("__r_0", F.array_min(F.col("__ts_0")))
+    for k in range(1, len(steps)):
+        prev = F.col(f"__r_{k - 1}")
+        nxt = F.array_min(
+            F.filter(F.col(f"__ts_{k}"), lambda x: x > prev)
+        ).alias(f"__r_{k}")
+        per_user = per_user.withColumn(f"__r_{k}", nxt)
+    reached = per_user.select(
+        "__user", *[F.col(f"__r_{k}") for k in range(len(steps))]
+    )
+    counts = reached.agg(
+        *[
+            F.count(F.col(f"__r_{k}")).alias(f"__n_{k}")
+            for k in range(len(steps))
+        ]
+    )
+    # unpivot the single aggregate row into (step_idx, step, n_users)
+    stack_args = ", ".join(
+        f"{k}, '{steps[k]}', __n_{k}" for k in range(len(steps))
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    max_offset_days: int = 30,
+) -> DataFrame:
+    """Cohort-retention triangle: users grouped by first-seen day, and
+    for each (cohort_day, day_offset) the distinct users active that
+    many days after their first day. The day-0 cell is the cohort size.
+
+    Two aggregations, both keyed on user_id, so the first-seen aggregate
+    and the activity join co-partition on the same shuffle key; the
+    final (cohort, offset) aggregate is days² rows — metadata-sized.
+    """
+    u, ts = F.col(user_col), F.col(ts_col)
+    day = F.to_date(ts)
+    first_seen = df.groupBy(u.alias("__user")).agg(
+        F.min(day).alias("cohort_day")
+    )
+    activity = df.select(u.alias("__user"), day.alias("__day")).distinct()
+    joined = activity.join(first_seen, "__user").withColumn(
+        "day_offset", F.datediff(F.col("__day"), F.col("cohort_day"))
+    )
+    return (
+        joined.filter(F.col("day_offset").between(0, max_offset_days))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("__user").alias("n_users"))
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event stream:
+    collapse each key's consecutive run of an unchanged value into one
+    row with ``valid_from`` / ``valid_to`` (null = current). The
+    gaps-and-islands build: a lag() change flag, a running island id,
+    then one groupBy per island — all three windows and the final
+    aggregate share the same partition key, so the whole history builds
+    on a single shuffle of the input.
+
+    ``tiebreak_col`` breaks equal-timestamp ordering deterministically
+    (append logs routinely carry same-microsecond rows).
+    """
+    k = F.col(key_col)
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(k).orderBy(*order)
+    flagged = df.select(
+        k.alias("__key"),
+        F.col(value_col).alias("__val"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).withColumn(
+        "__chg",
+        F.when(
+            F.lag("__val").over(
+                Window.partitionBy("__key").orderBy(
+                    F.col("__ts").asc(), F.col("__tb").asc()
+                )
+            ).eqNullSafe(F.col("__val")),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__chg").over(
+            Window.partitionBy("__key")
+            .orderBy(F.col("__ts").asc(), F.col("__tb").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = islands.groupBy("__key", "__island").agg(
+        F.first("__val").alias("__value"),
+        F.min("__ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_runs = Window.partitionBy("__key").orderBy(F.col("__island").asc())
+    return runs.select(
+        F.col("__key").alias(key_col),
+        F.col("__value").alias(value_col),
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        "n_events",
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid resample with forward fill: per key, generate the
+    dense timestamp spine from that key's first to last event at
+    ``step`` granularity, aggregate actual values onto the grid, and
+    forward-fill gaps with the most recent observed aggregate.
+
+    The spine is built per key with sequence()+explode — each key's row
+    count is bounded by its own time span, not the table's — and the
+    grid join plus the ignoreNulls last() window all key on the same
+    column, so the operator is one shuffle end-to-end. Emits
+    (key, bucket_ts, n_obs, value_ffill).
+    """
+    k, ts = F.col(key_col), F.col(ts_col)
+    bucket = F.date_trunc("hour", ts) if step == "1 hour" else F.date_trunc(
+        "day", ts
+    )
+    actual = df.groupBy(k.alias("__key"), bucket.alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.sum(value_col), 2).alias("__sum_val"),
+    )
+    spans = df.groupBy(k.alias("__key")).agg(
+        F.date_trunc(
+            "hour" if step == "1 hour" else "day", F.min(ts)
+        ).alias("__lo"),
+        F.date_trunc(
+            "hour" if step == "1 hour" else "day", F.max(ts)
+        ).alias("__hi"),
+    )
+    spine = spans.select(
+        "__key",
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}")
+            )
+        ).alias("bucket_ts"),
+    )
+    grid = spine.join(actual, ["__key", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("bucket_ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        F.col("__key").alias(key_col),
+        "bucket_ts",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.last("__sum_val", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+def concurrency_sweep(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Maximum interval overlap (sweep line): how many intervals are
+    simultaneously open, reported as the max concurrency per hour. At
+    equal timestamps an END is processed before a START (touching
+    intervals do not overlap).
+
+    The classic sweep needs a running sum over ONE global ordering —
+    a single-partition window at scale. Instead: deltas are keyed by
+    day, the running sum is computed within each day (partition-bounded
+    window), and a per-day offset — the cumulative sum of whole-day
+    totals over PRECEDING days — is added. The offset frame has one row
+    per distinct day (metadata-sized, like the zone-map stats frame),
+    so its unpartitioned window is bounded and documented rather than a
+    scale hazard.
+    """
+    starts = df.select(
+        F.col(start_col).alias("__t"), F.lit(1).alias("__d")
+    )
+    ends = df.select(F.col(end_col).alias("__t"), F.lit(-1).alias("__d"))
+    deltas = starts.unionByName(ends).withColumn(
+        "__day", F.to_date("__t")
+    )
+    w_day = (
+        Window.partitionBy("__day")
+        # __d ascending puts -1 (end) before +1 (start) at equal ts
+        .orderBy(F.col("__t").asc(), F.col("__d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("__run_local", F.sum("__d").over(w_day))
+    day_totals = deltas.groupBy("__day").agg(
+        F.sum("__d").alias("__day_total")
+    )
+    # one row per distinct day: bounded frame, unpartitioned by design
+    w_days = (
+        Window.orderBy(F.col("__day").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_totals.withColumn(
+        "__offset", F.coalesce(F.sum("__day_total").over(w_days), F.lit(0))
+    ).select("__day", "__offset")
+    swept = local.join(F.broadcast(offsets), "__day").withColumn(
+        "__run", F.col("__run_local") + F.col("__offset")
+    )
+    return (
+        swept.filter(F.col("__d") == 1)  # concurrency AT each interval start
+        .groupBy(F.date_trunc("hour", "__t").alias("hour_ts"))
+        .agg(F.max("__run").alias("max_concurrency"))
+    )

@@ -1,0 +1,231 @@
+"""Behavioral-analytics query surface: ordered funnels, cohort
+retention, SCD2 history, gap-filled resampling, and interval-overlap
+concurrency — the downstream consumption questions asked of the landing
+table the reference loads (reference `ingestion/app.py:14-33` loads
+exactly this events shape; these queries are why the load exists).
+
+Every query here is a thin parameterization of `operators/behavior.py`
+with a DuckDB oracle twin; all five are single-entity-shuffle plans
+(see the operator docstrings for the 100-TB argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import behavior as B
+from ..sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 4-step funnel (operators/behavior.py
+    funnel_conversion): signup -> view -> click -> purchase with
+    earliest-completion chaining — a step counts only strictly after
+    the user's completion of the previous step. One user-keyed shuffle;
+    the chain resolves in per-user array expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    return B.funnel_conversion(ev, "user_id", "event_type", "ts", FUNNEL_STEPS)
+
+
+ORACLE_FUNNEL = """
+WITH u0 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+u1 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN u0 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > u0.t GROUP BY 1
+),
+u2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > u1.t GROUP BY 1
+),
+u3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY 1
+)
+SELECT 0 AS step_idx, 'signup' AS step, (SELECT CAST(count(*) AS BIGINT) FROM u0) AS n_users
+UNION ALL SELECT 1, 'view', (SELECT CAST(count(*) AS BIGINT) FROM u1)
+UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM u2)
+UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM u3)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle (operators/behavior.py
+    cohort_retention): first-seen-day cohorts x day offset, distinct
+    active users per cell. Both aggregates key on user_id — one shuffle
+    key end-to-end; the output is days² rows."""
+    ev = load_table(spark, sf_dir, "events")
+    out = B.cohort_retention(ev, "user_id", "ts", max_offset_days=30)
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+    )
+
+
+ORACLE_COHORT = """
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(fs.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', fs.cohort_day, act.day) AS INT) AS day_offset,
+       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+FROM act JOIN fs USING (user_id)
+WHERE date_diff('day', fs.cohort_day, act.day) BETWEEN 0 AND 30
+GROUP BY 1, 2
+"""
+
+
+def q_dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (operators/behavior.py scd2_history): collapse
+    each user's consecutive run of an unchanged event_type into one
+    validity interval — the gaps-and-islands build on ONE shuffle
+    (all windows + the island aggregate share the user partition key).
+    event_id breaks equal-timestamp ties deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = B.scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", _TS_FMT).alias("valid_from"),
+        F.date_format("valid_to", _TS_FMT).alias("valid_to"),
+        "n_events",
+    )
+
+
+ORACLE_SCD2 = f"""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+i AS (
+  SELECT user_id, event_type, ts, chg,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+),
+r AS (
+  SELECT user_id, island, min(event_type) AS event_type,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM i GROUP BY 1, 2
+)
+SELECT user_id, event_type,
+       strftime(valid_from, '{_TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY island),
+                '{_TS_FMT_DUCK}') AS valid_to,
+       n_events
+FROM r
+"""
+
+
+def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + forward fill (operators/behavior.py
+    resample_ffill) for a bounded user set: per user, the dense hourly
+    spine from first to last event (sequence+explode — per-key bounded),
+    hourly sums joined on, gaps carried forward with ignoreNulls last().
+    Spine, join, and fill all key on user_id: one shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = B.resample_ffill(ev, "user_id", "ts", "value", step="1 hour")
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n_obs",
+        "value_ffill",
+    )
+
+
+ORACLE_RESAMPLE = """
+WITH e AS (SELECT * FROM events WHERE user_id < 30),
+spans AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM e GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM spans
+),
+actual AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_obs, round(sum(value), 2) AS sv
+  FROM e GROUP BY 1, 2
+)
+SELECT s.user_id,
+       strftime(s.bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       coalesce(a.n_obs, 0) AS n_obs,
+       last_value(a.sv IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket_ts
+         ROWS UNBOUNDED PRECEDING) AS value_ffill
+FROM spine s LEFT JOIN actual a USING (user_id, bucket_ts)
+"""
+
+
+def q_window_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max interval overlap per hour (operators/behavior.py
+    concurrency_sweep): each view event opens a 30-minute interval; the
+    sweep reports the peak number simultaneously open per hour. The
+    running sum is day-partitioned local prefixes + a metadata-sized
+    per-day offset frame — no global single-partition window."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    out = B.concurrency_sweep(iv, "s", "e")
+    return out.select(
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "max_concurrency",
+    )
+
+
+ORACLE_CONCURRENCY = """
+WITH iv AS (
+  SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+  WHERE event_type = 'view'
+),
+d AS (
+  SELECT s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS delta FROM iv
+),
+r AS (
+  SELECT t, delta,
+         CAST(sum(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS run
+  FROM d
+)
+SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       max(run) AS max_concurrency
+FROM r WHERE delta = 1
+GROUP BY 1
+"""
+
+
+BEHAVIOR_QUERIES: dict[str, callable] = {
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "dim_scd2": q_dim_scd2,
+    "ts_resample_ffill": q_ts_resample_ffill,
+    "window_concurrency": q_window_concurrency,
+}
+
+BEHAVIOR_ORACLES: dict[str, str] = {
+    "funnel_conversion": ORACLE_FUNNEL,
+    "cohort_retention": ORACLE_COHORT,
+    "dim_scd2": ORACLE_SCD2,
+    "ts_resample_ffill": ORACLE_RESAMPLE,
+    "window_concurrency": ORACLE_CONCURRENCY,
+}

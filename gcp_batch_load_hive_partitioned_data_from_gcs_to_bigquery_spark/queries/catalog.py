@@ -3388,6 +3388,10 @@ from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.ana
     ANALYTICS_ORACLES,
     ANALYTICS_QUERIES,
 )
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.behavior_extra import (  # noqa: E402
+    BEHAVIOR_ORACLES,
+    BEHAVIOR_QUERIES,
+)
 
 QUERIES.update(EXTRA_QUERIES)
 ORACLES.update(EXTRA_ORACLES)
@@ -3395,6 +3399,8 @@ QUERIES.update(PIPELINE_QUERIES)
 ORACLES.update(PIPELINE_ORACLES)
 QUERIES.update(ANALYTICS_QUERIES)
 ORACLES.update(ANALYTICS_ORACLES)
+QUERIES.update(BEHAVIOR_QUERIES)
+ORACLES.update(BEHAVIOR_ORACLES)
 
 # --- catalog ordering ---------------------------------------------------------
 # External correctness harnesses sweep the catalog in dict order and may be
@@ -3437,6 +3443,11 @@ _DRIVER_WINDOW = [
     "join_auto_salted",
     "dedup_semantic_jl",
     "dedup_containment",
+    "funnel_conversion",
+    "cohort_retention",
+    "dim_scd2",
+    "ts_resample_ffill",
+    "window_concurrency",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3457,9 +3468,10 @@ _DRIVER_WINDOW = [
     "job_state_poll",
     # comment-only touch, kept pinned
     "monitor_alert_threshold",
-    # canaries: previously green, spread across families
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
+    # canaries: previously green, spread across families (five rotated
+    # out this round to make room for the behavior-analytics keys —
+    # q1/q6/fn_partition_roundtrip/sample_hash_split/pack_sequences all
+    # have 2+ green rows in prior rounds)
     "q9_product_type_profit",
     "q18_large_orders",
     "q21_waiting_suppliers",
@@ -3467,7 +3479,6 @@ _DRIVER_WINDOW = [
     "sink_partition_overwrite",
     "stream_hourly_ingest",
     "stream_stream_join",
-    "fn_partition_roundtrip",
     "join_asof",
     "window_rank_family",
     "dedup_exact",
@@ -3477,8 +3488,6 @@ _DRIVER_WINDOW = [
     "ann_cosine_expr",
     "text_quality",
     "text_tfidf_terms",
-    "sample_hash_split",
-    "pack_sequences",
 ]
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
