@@ -978,3 +978,42 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc", "other", "containment")
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical dedup normal form: lowercase, strip everything but
+    [a-z0-9 ] (punctuation/Unicode noise), collapse whitespace runs,
+    trim. The standard pre-pass before EXACT dedup so that trivially
+    reformatted copies (case, punctuation, spacing) hash together —
+    catches the near-dup class that needs no shingles at all. Pure
+    Catalyst string expressions, shuffle-free, codegen'd.
+    """
+    squashed = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(squashed, " +", " "))
+
+
+def normalized_dedup_keepers(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup AFTER normalization: group documents by
+    sha256(normal form), keep the smallest id per group. Same
+    one-groupBy / map-side-combined shape (and the same 32-byte shuffle
+    key) as ``exact_dedup_keepers`` on ``content_hash`` — the
+    normalizer runs map-side, so the extra robustness is free at scale.
+    Returns (keeper_id, n_copies, n_distinct_raw): n_distinct_raw > 1
+    marks groups that ONLY normalization could merge.
+    """
+    normed = df.select(
+        F.col(id_col).alias("__id"),
+        F.sha2(normalize_text(F.col(text_col)), 256).alias("__norm_sha"),
+        F.sha2(F.col(text_col), 256).alias("__raw_sha"),
+    )
+    return (
+        normed.groupBy("__norm_sha")
+        .agg(
+            F.min("__id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("__raw_sha").alias("n_distinct_raw"),
+        )
+        .select("keeper_id", "n_copies", "n_distinct_raw")
+    )

@@ -188,3 +188,36 @@ def temperature_mix(
     )
     joined = df.join(F.broadcast(weights), domain_col)
     return joined.filter(hash_bucket(F.col(key_col), salt) < F.col("threshold"))
+
+
+def quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Assign each row to a quantile bin of ``score_col`` WITHOUT a
+    global sort: compute the n_bins-1 exact percentile thresholds as a
+    one-row aggregate, broadcast them, and assign
+    ``bin = #(thresholds < score)`` with a higher-order array filter.
+
+    ntile() — the textbook way — is a window over ONE global ordering:
+    a single-partition sort of the whole corpus. The threshold pass is
+    an aggregate (map-side combined) plus a narrow broadcast map, so
+    the corpus is never globally sorted and never reshuffled; this is
+    the curriculum-binning primitive for quality-ordered training
+    schedules. Adds a ``bin`` column (0 .. n_bins-1).
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    thresholds = df.agg(
+        F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs])).alias(
+            "__thr"
+        )
+    )
+    # one-row broadcast: BroadcastNestedLoopJoin over a literal frame,
+    # not a data-sized cartesian
+    with_thr = df.crossJoin(F.broadcast(thresholds))
+    score = F.col(score_col).cast("double")
+    return with_thr.withColumn(
+        "bin",
+        F.size(F.filter(F.col("__thr"), lambda t: score > t)),
+    ).drop("__thr")

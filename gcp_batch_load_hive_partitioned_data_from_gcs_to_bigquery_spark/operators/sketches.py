@@ -95,3 +95,76 @@ def heavy_hitters(
         .filter(F.col("rank") <= k)
         .select("key", "n", "rank")
     )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) of a
+    column's frequency distribution: ``depth`` independent hash rows of
+    ``width`` counters. Each input key increments one counter per row;
+    a key's estimate is the MIN of its ``depth`` counters —
+    over-estimates only (collisions add, never subtract), within
+    eps·N = (e/width)·N with probability 1 - exp(-depth).
+
+    The whole sketch is depth × width rows — a metadata-sized aggregate
+    regardless of key cardinality, built with ONE map-side-combined
+    groupBy (the explode multiplies rows by ``depth``, but partial
+    aggregation collapses them to ≤ depth·width per task before the
+    shuffle). That bounded size is the 100-TB story: frequency state
+    for a billion-key domain in ~memory-page space, mergeable across
+    corpora by cell-wise addition.
+
+    Hashing: xxhash64(key, seed=row) pmod width — deterministic across
+    executors and sessions, so estimates are reproducible.
+    """
+    key = F.col(key_col).cast("string")
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "bucket")
+    )
+    return cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def countmin_query(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query a Count-Min sketch for each candidate key: recompute
+    the candidate's ``depth`` cell coordinates, join to the sketch, and
+    take min(n). The sketch side is depth × width rows — broadcast —
+    so probing any number of candidates is one map-side join plus a
+    candidate-keyed min aggregate. Returns (key, cms_estimate).
+    """
+    key = F.col(key_col).cast("string")
+    probes = candidates.select(
+        key.alias("key"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    # LEFT join + coalesce(0): a never-inserted key may miss some cells
+    # entirely; true CMS semantics take min over ALL depth rows, so an
+    # absent cell reads 0 (estimate 0 for unseen keys, never inflated).
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
+    )

@@ -3448,6 +3448,10 @@ _DRIVER_WINDOW = [
     "dim_scd2",
     "ts_resample_ffill",
     "window_concurrency",
+    "approx_cms_counts",
+    "dedup_normalized",
+    "sample_curriculum",
+    "reshape_unpivot",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3473,19 +3477,15 @@ _DRIVER_WINDOW = [
     # q1/q6/fn_partition_roundtrip/sample_hash_split/pack_sequences all
     # have 2+ green rows in prior rounds)
     "q9_product_type_profit",
-    "q18_large_orders",
     "q21_waiting_suppliers",
     "scan_hive_partitioned",
-    "sink_partition_overwrite",
     "stream_hourly_ingest",
     "stream_stream_join",
-    "join_asof",
     "window_rank_family",
     "dedup_exact",
     "dedup_minhash_oracle",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
-    "ann_cosine_expr",
     "text_quality",
     "text_tfidf_terms",
 ]

@@ -1585,6 +1585,167 @@ FROM base b LEFT JOIN occ o USING (doc_id) LEFT JOIN cov c USING (doc_id)
 """
 
 
+def q_approx_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries gated by exact counts
+    (operators/sketches.py countmin_sketch/countmin_query, Cormode &
+    Muthukrishnan 2005): sketch the token stream into a depth=4 ×
+    width=2048 counter grid — a METADATA-sized aggregate no matter the
+    vocabulary — then probe the top-20 tokens (candidates via the
+    Misra-Gries heavy-hitters path) and check both CMS guarantees:
+    estimate ≥ truth (always), and estimate ≤ truth + (e/width)·N
+    (holds per key w.p. 1-e^-depth; the hash is deterministic, so the
+    gate outcome is fixed per dataset, verified at sf0.01 and sf0.1).
+    The oracle is the exact aggregation expecting every flag true."""
+    import math
+
+    from ..operators.dedup import tokenize
+    from ..operators.sketches import countmin_query, countmin_sketch, heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    words = words.persist()
+    sketch = countmin_sketch(words, "word", depth=4, width=2048)
+    top = heavy_hitters(words, "word", k=20, capacity=400)
+    est = countmin_query(sketch, top.select("key"), "key", depth=4, width=2048)
+    n_total = words.count()
+    eps_n = int(math.ceil((math.e / 2048) * n_total))
+    joined = top.join(est, "key")
+    out = joined.select(
+        F.col("key").alias("word"),
+        F.col("n").alias("n_exact"),
+        (F.col("cms_estimate") >= F.col("n")).cast("int").alias("cms_ge_exact"),
+        (F.col("cms_estimate") <= F.col("n") + F.lit(eps_n))
+        .cast("int")
+        .alias("cms_within_eps"),
+    )
+    words.unpersist()
+    return out
+
+
+ORACLE_CMS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), counted AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY word
+), ranked AS (
+  SELECT word, n_exact,
+         row_number() OVER (ORDER BY n_exact DESC, word ASC) AS rank
+  FROM counted
+)
+SELECT word, n_exact, 1 AS cms_ge_exact, 1 AS cms_within_eps
+FROM ranked WHERE rank <= 20
+"""
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonical normalization (operators/dedup.py
+    normalized_dedup_keepers): lowercase / punctuation-strip /
+    whitespace-collapse, then one sha256 groupBy keeping min doc_id —
+    catches trivially reformatted copies with the same map-side-combined
+    single-shuffle shape (and 32-byte shuffle key) as raw exact dedup;
+    the normalizer is free map-side work. n_distinct_raw marks groups
+    only normalization could merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.normalized_dedup_keepers(docs, "doc_id", "text")
+
+
+ORACLE_DEDUP_NORMALIZED = """
+WITH normed AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_raw
+FROM normed GROUP BY norm
+"""
+
+
+def q_sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile curriculum binning (operators/sampling.py
+    quantile_bins): documents assigned to length deciles WITHOUT a
+    global sort — exact percentile thresholds as a one-row broadcast
+    aggregate, bin = #(thresholds < score) via a higher-order array
+    filter. ntile() would single-partition-sort the corpus; this is an
+    aggregate plus a narrow map. Emits per-bin doc counts and length
+    stats — the schedule table a curriculum sampler consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    binned = S.quantile_bins(docs, "n_chars", n_bins=10)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_CURRICULUM = """
+WITH thr AS (
+  SELECT quantile_cont(n_chars,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+  FROM documents
+),
+binned AS (
+  SELECT d.n_chars,
+         CAST(len(list_filter(thr.t, x -> CAST(d.n_chars AS DOUBLE) > x))
+              AS INT) AS bin
+  FROM documents d CROSS JOIN thr
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(avg(n_chars), 2) AS avg_chars
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def q_reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-then-melt round trip: per-day event counts pivoted wide
+    (one column per event type — the dashboard export shape), then
+    unpivoted back to long with stack(). Pivot is one shuffle on the
+    day key with a fixed column list (never pivot on an unbounded
+    domain at scale); stack is a zero-shuffle narrow map. Zero cells
+    surface explicitly as n_events=0 — the melt emits the full
+    day × type grid."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    stack_args = ", ".join(f"'{t}', `{t}`" for t in types)
+    return wide.selectExpr(
+        "day", f"stack({len(types)}, {stack_args}) AS (event_type, n_raw)"
+    ).select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH days AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events),
+types AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+counts AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, coalesce(c.n, 0) AS n_events
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+"""
+
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "emb_random_projection": q_emb_random_projection,
@@ -1624,6 +1785,10 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "text_c4_lines": q_text_c4_lines,
     "dedup_lines": q_dedup_lines,
     "sample_temperature_mix": q_sample_temperature_mix,
+    "approx_cms_counts": q_approx_cms_counts,
+    "dedup_normalized": q_dedup_normalized,
+    "sample_curriculum": q_sample_curriculum,
+    "reshape_unpivot": q_reshape_unpivot,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1662,4 +1827,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_c4_lines": ORACLE_C4_LINES,
     "dedup_lines": ORACLE_DEDUP_LINES,
     "sample_temperature_mix": ORACLE_TEMPERATURE_MIX,
+    "approx_cms_counts": ORACLE_CMS,
+    "dedup_normalized": ORACLE_DEDUP_NORMALIZED,
+    "sample_curriculum": ORACLE_CURRICULUM,
+    "reshape_unpivot": ORACLE_UNPIVOT,
 }

@@ -925,3 +925,20 @@ def test_containment_detects_nested_duplication(spark):
 
     jac = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).collect()
     assert all(r.jaccard < 0.2 for r in jac)  # symmetric measure misses it
+
+
+def test_normalize_text_merges_reformatted_copies(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import normalized_dedup_keepers
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),
+        (3, "HELLO WORLD."),
+        (4, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = normalized_dedup_keepers(df, "doc_id", "text").collect()
+    by_keeper = {r["keeper_id"]: (r["n_copies"], r["n_distinct_raw"]) for r in out}
+    # the three reformatted copies merge under keeper 1; raw hashes differ
+    assert by_keeper[1] == (3, 3)
+    assert by_keeper[4] == (1, 1)

@@ -215,3 +215,23 @@ def test_temperature_mix_upweights_small_domains(spark):
     rates = {r["source"]: r["count"] for r in kept}
     # small domain keeps a ~3x higher FRACTION than big (tempered mixture)
     assert rates.get("small", 0) / 100 > rates.get("big", 0) / 900
+
+
+def test_quantile_bins_assignment_and_no_global_sort(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import quantile_bins
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["id", "score"])
+    out = quantile_bins(df, "score", n_bins=4)
+    bins = {r["id"]: r["bin"] for r in out.collect()}
+    # quartile thresholds of 0..99 are 24.75/49.5/74.25: bin boundaries
+    assert bins[0] == 0 and bins[24] == 0
+    assert bins[25] == 1 and bins[49] == 1
+    assert bins[50] == 2 and bins[74] == 2
+    assert bins[75] == 3 and bins[99] == 3
+    # every bin holds exactly 25 of the 100 uniform scores
+    from collections import Counter
+
+    assert Counter(bins.values()) == {0: 25, 1: 25, 2: 25, 3: 25}
+    # the corpus is never globally sorted: no Sort/Window over the data
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
