@@ -66,6 +66,13 @@ EXTRA_QUERIES_R5 = [
     "dedup_spans",
     "ann_jl_rerank",
     "multimodal_video_meta",
+    # behavioral analytics + sketch/curriculum additions (also outside
+    # the baseline-comparable total)
+    "funnel_conversion",
+    "dim_scd2",
+    "window_concurrency",
+    "approx_cms_counts",
+    "dedup_normalized",
 ]
 
 

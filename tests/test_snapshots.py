@@ -1,0 +1,92 @@
+"""Snapshot-table invariants (operators/snapshots.py): manifest-last
+visibility, time travel, append vs overwrite semantics, and the
+manifest-pruned CDC fast path."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import (
+    read_snapshot,
+    snapshot_diff,
+    snapshot_versions,
+    write_snapshot,
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "snaps")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["id", "v"]).coalesce(1)
+
+
+def test_versions_and_time_travel(spark, root):
+    assert snapshot_versions(spark, root) == []
+    assert write_snapshot(spark, _df(spark, [(1, "a")]), root) == 1
+    assert write_snapshot(spark, _df(spark, [(2, "b")]), root) == 2
+    assert snapshot_versions(spark, root) == [1, 2]
+    assert read_snapshot(spark, root, 1).count() == 1
+    assert read_snapshot(spark, root, 2).count() == 2  # append accumulates
+    assert read_snapshot(spark, root).count() == 2  # latest default
+
+
+def test_uncommitted_data_dir_is_invisible(spark, root):
+    write_snapshot(spark, _df(spark, [(1, "a")]), root)
+    # simulate a crashed writer: data dir exists, manifest never landed
+    _df(spark, [(99, "zz")]).write.parquet(f"{root}/data/v00000002")
+    assert snapshot_versions(spark, root) == [1]
+    assert read_snapshot(spark, root).count() == 1
+    # the next commit skips over the orphan version number? No — it
+    # reuses manifest numbering (single-writer), and the orphan dir
+    # would collide. The writer must fail loudly, not silently merge.
+    with pytest.raises(Exception):
+        write_snapshot(spark, _df(spark, [(3, "c")]), root)
+
+
+def test_overwrite_is_logical_truncate_with_history(spark, root):
+    write_snapshot(spark, _df(spark, [(1, "a"), (2, "b")]), root)
+    write_snapshot(spark, _df(spark, [(9, "z")]), root, mode="overwrite")
+    assert read_snapshot(spark, root, 2).count() == 1  # truncated view
+    assert read_snapshot(spark, root, 1).count() == 2  # history intact
+
+
+def test_diff_fast_path_reads_only_delta_files(spark, root):
+    write_snapshot(spark, _df(spark, [(1, "a"), (2, "b")]), root)
+    write_snapshot(spark, _df(spark, [(3, "c")]), root)
+    d = snapshot_diff(spark, root, 1, 2, ["id"])
+    assert sorted((r["id"], r["change"]) for r in d.collect()) == [
+        (3, "inserted")
+    ]
+    v1_files = set(read_snapshot(spark, root, 1).inputFiles())
+    diff_files = set(d.inputFiles())
+    # append-only history: the diff never touches version-1 files
+    assert diff_files.isdisjoint(v1_files)
+    assert len(diff_files) >= 1
+
+
+def test_diff_slow_path_classifies_all_changes(spark, root):
+    write_snapshot(spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), root)
+    write_snapshot(
+        spark, _df(spark, [(1, "a"), (3, "CHANGED"), (4, "d")]), root,
+        mode="overwrite",
+    )
+    d = snapshot_diff(spark, root, 1, 2, ["id"])
+    got = sorted((r["id"], r["change"]) for r in d.collect())
+    # id 1 unchanged (same digest) -> absent; 2 deleted; 3 updated; 4 inserted
+    assert got == [(2, "deleted"), (3, "updated"), (4, "inserted")]
+
+
+def test_manifest_carries_exact_file_list(spark, root):
+    write_snapshot(spark, _df(spark, [(1, "a")]), root)
+    manifest = json.loads(
+        open(f"{root}/_manifest/v00000001.json").read()
+    )
+    assert manifest["version"] == 1
+    assert manifest["n_files"] == len(manifest["files"]) == 1
+    for f in manifest["files"]:
+        assert os.path.exists(f.replace("file:", ""))
