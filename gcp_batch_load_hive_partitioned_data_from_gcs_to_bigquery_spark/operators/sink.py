@@ -364,7 +364,19 @@ def merge_upsert_partition(
     single touched partition — O(hour), never O(table), exactly the
     compaction cost shape. ``localCheckpoint`` materializes the merge
     before the overwrite because the write replaces the very files being
-    read."""
+    read.
+
+    Merging into a partition that does not exist yet degenerates to a
+    plain insert (probe first — one metadata LIST, the empty-table read
+    would otherwise die on schema inference): that is what lets a
+    foreachBatch stream drive this op from a cold table
+    (q_stream_upsert_sink)."""
+    from ..sources.probe import partition_file_count
+
+    if partition_file_count(spark, table_root, partition) == 0:
+        return write_partition_overwrite(
+            updates, table_root, partition=partition, create_never=False
+        )
     current = read_landing_table(spark, table_root, partition)
     data_cols = [c for c in current.columns if c not in PARTITION_COLS]
     survivors = current.select(*data_cols).join(

@@ -50,14 +50,20 @@ def salted_join(
 
 def key_skew_profile(df: DataFrame, key: str | Column, top_k: int = 10) -> DataFrame:
     """Diagnostic: per-key row counts and share of total for the hottest
-    keys — the input to choosing a salt factor."""
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    keys — the input to choosing a salt factor. The top-k is an
+    orderBy+limit (TakeOrderedAndProject — per-partition heaps, never a
+    global sort materialization), deterministic under count ties via the
+    key-ascending tie-break."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(key_col.alias("__key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
     total = counts.agg(F.sum("n_rows").alias("total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .withColumn("share", F.round(F.col("n_rows") / F.col("total"), 4))
         .drop("total")
-        .orderBy(F.desc("n_rows"))
+        .orderBy(F.desc("n_rows"), F.asc("__key"))
         .limit(top_k)
     )
 

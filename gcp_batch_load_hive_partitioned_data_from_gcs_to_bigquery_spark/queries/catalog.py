@@ -3257,6 +3257,182 @@ GROUP BY 2
 """
 
 
+def _dpp_fixture_roots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Day-partitioned parquet copy of events plus a 30-row day-dimension
+    table (day, tag) with tag='keep' on exactly three days — the layout
+    dynamic partition pruning needs to show its work."""
+    key = ("dpp", sf_dir)
+    if key not in _FIXTURES:
+        fact_root = _tmp("dpp_fact")
+        dim_root = _tmp("dpp_dim")
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        ev.repartition("day").write.partitionBy("day").mode("overwrite").parquet(fact_root)
+        days = ev.select("day").distinct()
+        days.withColumn(
+            "tag",
+            F.when(
+                F.col("day").isin("2024-01-05", "2024-01-12", "2024-01-20"),
+                F.lit("keep"),
+            ).otherwise(F.lit("skip")),
+        ).coalesce(1).write.mode("overwrite").parquet(dim_root)
+        _FIXTURES[key] = (fact_root, dim_root)
+    return _FIXTURES[key]
+
+
+def q_scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact table partitioned by day joined
+    to a filtered day dimension. Catalyst injects the dim's surviving
+    day set as a runtime partition filter on the fact scan
+    (``dynamicpruning`` subquery in the plan, pinned by
+    tests/test_layout.py), so only 3 of 30 day directories are read —
+    the selective-dimension star join at 100 TB reads 10% of the fact
+    table without any static predicate on it."""
+    fact_root, dim_root = _dpp_fixture_roots(spark, sf_dir)
+    fact = spark.read.parquet(fact_root)
+    dim = spark.read.parquet(dim_root).filter(F.col("tag") == "keep")
+    return (
+        fact.join(dim, "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        # partition-column inference types `day` as DATE; emit the
+        # oracle's string form
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_DPP_JOIN = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events
+WHERE strftime(date_trunc('day', ts), '%Y-%m-%d')
+      IN ('2024-01-05', '2024-01-12', '2024-01-20')
+GROUP BY 1
+"""
+
+
+def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile (operators/skew.py key_skew_profile): the
+    10 hottest customer keys in orders with their share of total — the
+    measurement that drives `join_auto_salted`'s salt factor. Top-k is
+    orderBy+limit (per-partition heaps via TakeOrderedAndProject, no
+    global sort), ties broken key-ascending so the profile is
+    deterministic."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.skew import key_skew_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    prof = key_skew_profile(orders, "o_custkey", top_k=10)
+    return prof.select(
+        F.col("__key").alias("custkey"), "n_rows", "share"
+    )
+
+
+ORACLE_KEY_SKEW = """
+WITH counts AS (
+  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n_rows) AS total FROM counts)
+SELECT custkey, n_rows,
+       round(CAST(n_rows AS DOUBLE) / tot.total, 4) AS share
+FROM counts CROSS JOIN tot
+ORDER BY n_rows DESC, custkey ASC
+LIMIT 10
+"""
+
+
+def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE maintenance of the landing table: a file stream
+    over day-1 hours 0-2 drains through foreachBatch, each micro-batch
+    upserting its rows into the hour partitions it touches
+    (operators/sink.py merge_upsert_partition). Because the apply is a
+    KEYED merge, the result is identical no matter how the source files
+    split into batches — a batch boundary inside an hour re-merges
+    instead of clobbering the partition (the failure mode a
+    foreachBatch + whole-partition-overwrite sink would have). The
+    oracle recomputes the three hours from raw events."""
+    import uuid
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        merge_upsert_partition,
+        read_landing_table,
+    )
+
+    key = ("stream_upsert_src", sf_dir)
+    if key not in _FIXTURES:
+        src = _tmp("su_src")
+        (
+            _events_day1(spark, sf_dir)
+            .filter(F.hour("ts") < 3)
+            .repartition(6)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        _FIXTURES[key] = src
+
+    table_root = _tmp("su_table")
+    create_partitioned_table(spark, table_root)
+
+    def _apply(batch, batch_id):
+        hours = [
+            r["p"]
+            for r in batch.select(
+                F.date_format("ts", "yyyyMMddHH").alias("p")
+            ).distinct().collect()
+        ]
+        for part in sorted(hours):
+            rows = batch.filter(F.date_format("ts", "yyyyMMddHH") == part)
+            merge_upsert_partition(spark, table_root, rows, part, ["event_id"])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(_FIXTURES[key])
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .queryName(f"su_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    frames = [
+        read_landing_table(spark, table_root, f"20240101{h:02d}")
+        for h in range(3)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_STREAM_UPSERT = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts < TIMESTAMP '2024-01-01 03:00:00'
+GROUP BY 1
+"""
+
+
 # === registry ===============================================================
 
 QUERIES: dict[str, callable] = {
@@ -3275,6 +3451,9 @@ QUERIES: dict[str, callable] = {
     "rollup_repair_missing": q_rollup_repair_missing,
     "sink_time_travel": q_sink_time_travel,
     "snapshot_cdc_diff": q_snapshot_cdc_diff,
+    "scan_dpp_join": q_scan_dpp_join,
+    "profile_key_skew": q_profile_key_skew,
+    "stream_upsert_sink": q_stream_upsert_sink,
     "cluster_zorder": q_cluster_zorder,
     "stats_zone_map": q_stats_zone_map,
     "scan_file_skipping": q_scan_file_skipping,
@@ -3387,6 +3566,9 @@ ORACLES: dict[str, str] = {
     "rollup_repair_missing": ORACLE_ROLLUP_REPAIR,
     "sink_time_travel": ORACLE_TIME_TRAVEL,
     "snapshot_cdc_diff": ORACLE_CDC_DIFF,
+    "scan_dpp_join": ORACLE_DPP_JOIN,
+    "profile_key_skew": ORACLE_KEY_SKEW,
+    "stream_upsert_sink": ORACLE_STREAM_UPSERT,
     "cluster_zorder": ORACLE_CLUSTER_ZORDER,
     "stats_zone_map": ORACLE_STATS_ZONE_MAP,
     "scan_file_skipping": ORACLE_SCAN_FILE_SKIPPING,
@@ -3515,11 +3697,13 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # previously-green canaries spread across families. The window further
 # leads with every NEW round-5 key (curation funnel, JL projection and
 # JL-rerank ANN, Misra-Gries heavy hitters, ExactSubstr span audit,
-# ISO-BMFF video meta, bloom decontamination, int8-GEMM top-k) — none
-# skips its first rotation. After this window all catalog keys have a
-# driver row in some round. Gate (per r4 ADVICE): every key below was
-# re-verified with scripts/check_correctness.py at sf0.1 before this
-# rotation landed.
+# ISO-BMFF video meta, bloom decontamination, int8-GEMM top-k; later in
+# the round: the behavioral-analytics family, CMS/curriculum/normalized-
+# dedup/unpivot, snapshot time-travel + CDC, DPP join, skew profile,
+# streaming upsert sink) — none skips its first rotation. After this
+# window all catalog keys have a driver row in some round. Gate (per r4
+# ADVICE): every key below was re-verified with
+# scripts/check_correctness.py at sf0.1 before this rotation landed.
 _DRIVER_WINDOW = [
     # the last two keys with no driver row in any round
     "ann_ivf_pq_append",
@@ -3551,6 +3735,9 @@ _DRIVER_WINDOW = [
     "reshape_unpivot",
     "sink_time_travel",
     "snapshot_cdc_diff",
+    "scan_dpp_join",
+    "profile_key_skew",
+    "stream_upsert_sink",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3581,10 +3768,7 @@ _DRIVER_WINDOW = [
     "window_rank_family",
     "dedup_exact",
     "dedup_minhash_oracle",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
     "text_quality",
-    "text_tfidf_terms",
 ]
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]

@@ -260,3 +260,25 @@ def test_scheme_prefixed_root_roundtrip(spark, hive_csv_root, events):
     assert df.count() == expected > 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_merge_upsert_into_cold_partition_is_insert(spark, events, tmp_path):
+    """Merging into a partition that does not exist yet must degenerate
+    to a plain insert (probe-first path) instead of dying on the
+    empty-table schema inference."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        merge_upsert_partition,
+        read_landing_table,
+    )
+
+    root = str(tmp_path / "cold_merge")
+    create_partitioned_table(spark, root)
+    hour = events.filter(F.date_format("ts", "yyyyMMddHH") == "2024010100")
+    n = hour.count()
+    assert n > 0
+    merge_upsert_partition(spark, root, hour, "2024010100", ["event_id"])
+    assert read_landing_table(spark, root, "2024010100").count() == n
+    # second merge of the same rows is a no-op (idempotent upsert)
+    merge_upsert_partition(spark, root, hour, "2024010100", ["event_id"])
+    assert read_landing_table(spark, root, "2024010100").count() == n

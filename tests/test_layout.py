@@ -323,3 +323,24 @@ def test_compact_partition_zorder(spark, events):
         full = max(r["max_user_id"] for r in zm) - min(r["min_user_id"] for r in zm)
         mean_span = sum(r["max_user_id"] - r["min_user_id"] for r in zm) / len(zm)
         assert mean_span < full  # curve layout tightened per-file bounds
+
+
+def test_dpp_join_prunes_fact_partitions(spark):
+    """The day-dimension filter must reach the fact scan as a runtime
+    partition filter (dynamic partition pruning), so only the three
+    'keep' day directories are read."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.catalog import QUERIES
+
+    from .conftest import SF_DIR
+
+    out = QUERIES["scan_dpp_join"](spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the runtime filter must be attached to the fact scan's
+    # PartitionFilters (inputFiles() can't see it: DPP evaluates at
+    # execution, after the static file listing)
+    assert "dynamicpruningexpression" in plan.lower()
+    # and the pruned result matches a static day filter exactly
+    # partition-column inference types `day` as DATE — stringify
+    rows = {str(r["day"]): r["n_events"] for r in out.collect()}
+    assert set(rows) == {"2024-01-05", "2024-01-12", "2024-01-20"}
+    assert all(n > 0 for n in rows.values())
