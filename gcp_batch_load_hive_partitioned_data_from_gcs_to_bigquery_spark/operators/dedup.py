@@ -1017,3 +1017,60 @@ def normalized_dedup_keepers(
         )
         .select("keeper_id", "n_copies", "n_distinct_raw")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    block_prefix: int = 16,
+    max_block_size: int = 50,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with prefix blocking: candidate
+    pairs come only from documents sharing the first ``block_prefix``
+    normalized characters, then the JVM-side ``levenshtein`` confirms
+    ``distance <= max_distance``. Classic record-linkage blocking — the
+    O(n²) comparison is confined to within-block pairs, and
+    ``max_block_size`` caps any hot block (boilerplate prefixes) the
+    same way the LSH band join caps hot buckets, so worst-case work is
+    blocks × cap². Emits (doc, other, distance), doc < other.
+
+    Levenshtein runs in whole-stage codegen (no UDF); the length-delta
+    prefilter (|len(a)-len(b)| <= d, a lower bound on edit distance)
+    drops most survivors before the O(len²) DP evaluates.
+    """
+    normed = df.select(
+        F.col(id_col).alias("__id"),
+        normalize_text(F.col(text_col)).alias("__norm"),
+    ).withColumn("__block", F.substring("__norm", 1, block_prefix))
+    block_sizes = normed.groupBy("__block").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    capped = normed.join(
+        F.broadcast(
+            block_sizes.filter(F.col("__bn") <= max_block_size).select("__block")
+        ),
+        "__block",
+    )
+    a = capped.select(
+        F.col("__block"),
+        F.col("__id").alias("doc"),
+        F.col("__norm").alias("__na"),
+    )
+    b = capped.select(
+        F.col("__block"),
+        F.col("__id").alias("other"),
+        F.col("__norm").alias("__nb"),
+    )
+    pairs = a.join(b, "__block").filter(
+        (F.col("doc") < F.col("other"))
+        & (
+            F.abs(F.length("__na") - F.length("__nb")) <= max_distance
+        )
+    )
+    return (
+        pairs.withColumn("distance", F.levenshtein("__na", "__nb"))
+        .filter(F.col("distance") <= max_distance)
+        .select("doc", "other", "distance")
+    )

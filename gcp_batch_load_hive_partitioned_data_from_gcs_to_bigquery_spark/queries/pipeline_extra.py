@@ -1746,6 +1746,87 @@ LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
 
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with prefix blocking
+    (operators/dedup.py edit_distance_pairs): candidates share the
+    first 16 normalized chars (hot blocks capped at 50 docs — the LSH
+    hot-bucket cap pattern), then JVM-side levenshtein confirms
+    distance <= 5 after a length-delta lower-bound prefilter. The
+    record-linkage classic: O(n²) confined to within-block pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.edit_distance_pairs(
+        docs, "doc_id", "text", max_distance=5, block_prefix=16,
+        max_block_size=50,
+    )
+
+
+ORACLE_EDIT_DISTANCE = """
+WITH normed AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+blocked AS (
+  SELECT doc_id, norm, substring(norm, 1, 16) AS block FROM normed
+),
+kept AS (
+  SELECT b.* FROM blocked b
+  JOIN (SELECT block FROM blocked GROUP BY block HAVING count(*) <= 50)
+       ok USING (block)
+)
+SELECT a.doc_id AS doc, b.doc_id AS other,
+       CAST(levenshtein(a.norm, b.norm) AS INT) AS distance
+FROM kept a JOIN kept b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+ AND abs(length(a.norm) - length(b.norm)) <= 5
+WHERE levenshtein(a.norm, b.norm) <= 5
+"""
+
+
+def q_sample_estimate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based table statistics with an error gate: a 20%
+    deterministic hash sample (xxhash64 bucket — reproducible, no
+    rand()) estimates row count and value sum at 1/5 the scan work;
+    both estimates are gated within 6% of the exact figures. The
+    at-scale use: profile a 100 TB table from one-fifth of it, with
+    the gate making the error observable. The oracle checks the exact
+    figures and expects every gate flag true (hashing is
+    deterministic, so the outcome is fixed per dataset — verified at
+    sf0.01 and sf0.1)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(F.xxhash64(F.col("event_id")), F.lit(100))
+    sample = ev.filter(bucket < 20)
+    est = sample.agg(
+        (F.count(F.lit(1)) * 5).alias("est_rows"),
+        (F.sum("value") * 5).alias("est_sum"),
+    )
+    exact = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+    )
+    both = est.crossJoin(exact)
+    return both.select(
+        F.col("n_rows"),
+        F.round("sum_value", 2).alias("sum_value"),
+        (
+            (F.abs(F.col("est_rows") - F.col("n_rows")) / F.col("n_rows")) <= 0.06
+        ).cast("int").alias("rows_gate"),
+        (
+            (F.abs(F.col("est_sum") - F.col("sum_value")) / F.col("sum_value")) <= 0.06
+        ).cast("int").alias("sum_gate"),
+    )
+
+
+ORACLE_SAMPLE_ESTIMATE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+       1 AS rows_gate, 1 AS sum_gate
+FROM events
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "emb_random_projection": q_emb_random_projection,
@@ -1789,6 +1870,8 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_normalized": q_dedup_normalized,
     "sample_curriculum": q_sample_curriculum,
     "reshape_unpivot": q_reshape_unpivot,
+    "dedup_edit_distance": q_dedup_edit_distance,
+    "sample_estimate_count": q_sample_estimate_count,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1831,4 +1914,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_normalized": ORACLE_DEDUP_NORMALIZED,
     "sample_curriculum": ORACLE_CURRICULUM,
     "reshape_unpivot": ORACLE_UNPIVOT,
+    "dedup_edit_distance": ORACLE_EDIT_DISTANCE,
+    "sample_estimate_count": ORACLE_SAMPLE_ESTIMATE,
 }

@@ -942,3 +942,35 @@ def test_normalize_text_merges_reformatted_copies(spark):
     # the three reformatted copies merge under keeper 1; raw hashes differ
     assert by_keeper[1] == (3, 3)
     assert by_keeper[4] == (1, 1)
+
+
+def test_edit_distance_pairs_blocking_and_cap(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the dog"),
+        (2, "the quick brown fox jumps over the cat"),  # dist 3 from 1
+        (3, "a completely different document body"),
+        (4, "the quick brown fox jumps over the dog"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = edit_distance_pairs(df, "doc_id", "text", max_distance=3)
+    got = {(r["doc"], r["other"]): r["distance"] for r in out.collect()}
+    assert got[(1, 4)] == 0
+    assert got[(1, 2)] == 3 and got[(2, 4)] == 3
+    assert (1, 3) not in got and (2, 3) not in got
+    # hot-block cap: with max_block_size=1 every block is dropped
+    assert (
+        edit_distance_pairs(df, "doc_id", "text", max_block_size=1).count() == 0
+    )
+
+
+def test_edit_distance_blocking_misses_prefix_divergence(spark):
+    # documented blocking limitation: a distance-1 pair whose edit sits
+    # INSIDE the block prefix lands in different blocks and is not
+    # emitted — the recall/cost trade every blocking scheme makes
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(1, "xalpha beta gamma delta"), (2, "yalpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert edit_distance_pairs(df, "doc_id", "text", max_distance=3).count() == 0
