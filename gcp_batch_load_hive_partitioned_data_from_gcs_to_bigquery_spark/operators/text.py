@@ -708,3 +708,67 @@ def contamination_screen_bloom(
         )
         .withColumn("flagged", F.col("n_contaminated") > 0)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query — the lexical-search
+    scoring standard (Robertson-Spärck Jones / Okapi):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Shuffle story at 100 TB: nothing is exploded. Per-doc tf for each
+    QUERY term is computed in-row with higher-order array filters
+    (work bounded by |query|·doc_len, the :func:`tfidf_top_terms`
+    trick), so the corpus is touched in ONE narrow pass; the only
+    aggregates are a single metadata-sized row carrying N, avgdl, and
+    the per-query-term document frequencies (|query| columns),
+    broadcast back for scoring. Top-k is orderBy+limit —
+    per-partition heaps, no global sort materialization. Zero-score
+    docs (no query term present) are dropped.
+    """
+    words = tokenize(F.col(text_col))
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("dl"),
+        *[
+            F.size(F.filter(words, lambda x: x == F.lit(t))).alias(f"__tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf_{i}")
+        dfc = F.col(f"__df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        )
+        part = idf * tf * F.lit(k1 + 1) / (
+            tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.withColumn("__score", score)
+        .filter(F.col("__score") > 0)
+        .orderBy(F.desc("__score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("__score", 6).alias("bm25"))
+    )

@@ -3806,6 +3806,7 @@ _DRIVER_WINDOW = [
     "dedup_edit_distance",
     "sample_estimate_count",
     "rollup_mv_rewrite",
+    "text_bm25_topk",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3831,7 +3832,6 @@ _DRIVER_WINDOW = [
     "stream_stream_join",
     "window_rank_family",
     "dedup_exact",
-    "dedup_minhash_oracle",
     "text_quality",
 ]
 

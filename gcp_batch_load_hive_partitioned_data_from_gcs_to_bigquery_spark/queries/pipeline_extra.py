@@ -1827,6 +1827,52 @@ FROM events
 """
 
 
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {spark, query, join}
+    (operators/text.py bm25_topk): per-doc tf in-row via higher-order
+    array filters (nothing exploded — one narrow corpus pass), N /
+    avgdl / per-term document frequencies in ONE metadata-sized
+    aggregate row broadcast back, top-k via per-partition heaps. The
+    oracle replays the exact Okapi formula in SQL."""
+    from ..operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "query", "join"], k=10)
+
+
+ORACLE_BM25 = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS words,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+terms AS (SELECT unnest(['spark', 'query', 'join']) AS term),
+tf AS (
+  SELECT d.doc_id, d.dl, t.term,
+         len(list_filter(d.words, x -> x = t.term)) AS tf
+  FROM d CROSS JOIN terms t
+),
+dfreq AS (
+  SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS dfc
+  FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - dfreq.dfc + 0.5) / (dfreq.dfc + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "emb_random_projection": q_emb_random_projection,
@@ -1872,6 +1918,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "reshape_unpivot": q_reshape_unpivot,
     "dedup_edit_distance": q_dedup_edit_distance,
     "sample_estimate_count": q_sample_estimate_count,
+    "text_bm25_topk": q_text_bm25_topk,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1916,4 +1963,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "reshape_unpivot": ORACLE_UNPIVOT,
     "dedup_edit_distance": ORACLE_EDIT_DISTANCE,
     "sample_estimate_count": ORACLE_SAMPLE_ESTIMATE,
+    "text_bm25_topk": ORACLE_BM25,
 }

@@ -67,3 +67,31 @@ def test_python_datasource_partitioned_and_deterministic(spark):
     reader = SyntheticEventsReader(rows=10, num_partitions=4)
     slices = [p.value for p in reader.partitions()]
     assert slices == [(0, 3), (3, 6), (6, 9), (9, 10)]
+
+
+def test_every_oracle_parses_in_duckdb():
+    """Static guard: every oracle_sql() entry must at least PLAN in
+    DuckDB against the standard views — catches SQL drift (syntax,
+    renamed columns, bad casts) in seconds instead of at the driver's
+    full comparison run."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # noqa: BLE001
+            bad.append(f"{name}: {ex}")
+    assert not bad, "\n".join(bad)

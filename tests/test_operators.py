@@ -974,3 +974,22 @@ def test_edit_distance_blocking_misses_prefix_divergence(spark):
     rows = [(1, "xalpha beta gamma delta"), (2, "yalpha beta gamma delta")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     assert edit_distance_pairs(df, "doc_id", "text", max_distance=3).count() == 0
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "zebra apple apple apple"),  # rare term once
+        (2, "apple apple apple apple"),  # common term only
+        (3, "apple banana cherry date"),
+        (4, "apple zebra zebra extra"),  # rare term twice
+        (5, "no match here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, ["zebra", "apple"], k=5).collect()
+    ranked = [r["doc_id"] for r in out]
+    # doc 5 has no query term: excluded entirely
+    assert 5 not in ranked
+    # idf(zebra) >> idf(apple): both zebra docs beat the apple-only docs
+    assert set(ranked[:2]) == {1, 4}
