@@ -921,6 +921,39 @@ FROM a, b, u, i
 """
 
 
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) WITHOUT a window: the
+    min(struct(-n, value)) argmax trick — count per (group, value),
+    then one more map-side-combined aggregate picks the highest count
+    with a lexicographic tie-break. At scale this beats the
+    row_number()-over-window formulation: two hash aggregates on the
+    same key, no per-group sort, no window state. The oracle IS the
+    window formulation, proving the algebraic rewrite exact."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    picked = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("event_type"))).alias("__m")
+    )
+    return picked.select(
+        "user_id",
+        F.col("__m.event_type").alias("mode_type"),
+        (-F.col("__m.neg_n")).alias("n_mode"),
+    )
+
+
+ORACLE_AGG_MODE = """
+SELECT user_id, event_type AS mode_type, n AS n_mode FROM (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2)
+) WHERE rn = 1
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
@@ -943,6 +976,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "approx_quantile_gate": q_approx_quantile_gate,
     "source_python_datasource": q_source_python_datasource,
     "udf_cogroup_threshold": q_udf_cogroup_threshold,
+    "agg_mode": q_agg_mode,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -967,4 +1001,5 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "approx_quantile_gate": ORACLE_QUANTILE_GATE,
     "source_python_datasource": ORACLE_PY_DATASOURCE,
     "udf_cogroup_threshold": ORACLE_COGROUP,
+    "agg_mode": ORACLE_AGG_MODE,
 }

@@ -3807,6 +3807,7 @@ _DRIVER_WINDOW = [
     "sample_estimate_count",
     "rollup_mv_rewrite",
     "text_bm25_topk",
+    "agg_mode",
     # implementation changed this round: BLAS argmin assignment kernel
     "dedup_semantic",
     "ann_ivf_oracle",
@@ -3830,7 +3831,6 @@ _DRIVER_WINDOW = [
     "q21_waiting_suppliers",
     "scan_hive_partitioned",
     "stream_stream_join",
-    "window_rank_family",
     "dedup_exact",
     "text_quality",
 ]
