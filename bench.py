@@ -73,6 +73,8 @@ EXTRA_QUERIES_R5 = [
     "window_concurrency",
     "approx_cms_counts",
     "dedup_normalized",
+    "text_bm25_topk",
+    "agg_mode",
 ]
 
 
