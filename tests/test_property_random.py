@@ -1,0 +1,173 @@
+"""Seeded randomized property tests: behavioral operators vs
+brute-force Python oracles on adversarial random inputs (timestamp
+ties, midnight-spanning intervals, empty groups). One Spark job per
+test — the random cases ride in a single DataFrame.
+
+Seeded (numpy RandomState) rather than hypothesis-driven so failures
+reproduce exactly and CI time stays bounded.
+"""
+
+from collections import defaultdict
+from datetime import datetime, timedelta
+
+import numpy as np
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import behavior as B
+
+BASE = datetime(2024, 1, 1)
+
+
+def _rand_events(rng, n_users=40, n_events=600):
+    rows = []
+    types = ["signup", "view", "click", "purchase"]
+    for i in range(n_events):
+        u = int(rng.randint(1, n_users + 1))
+        t = BASE + timedelta(
+            # coarse minutes force frequent exact-timestamp ties
+            minutes=int(rng.randint(0, 60 * 60)) // 7 * 7
+        )
+        ty = types[int(rng.randint(0, len(types)))]
+        rows.append((i, u, ty, t, float(rng.randint(0, 100))))
+    return rows
+
+
+def test_funnel_matches_bruteforce(spark):
+    rng = np.random.RandomState(42)
+    rows = _rand_events(rng)
+    steps = ["signup", "view", "purchase"]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in B.funnel_conversion(df, "user_id", "event_type", "ts", steps).collect()
+    }
+
+    by_user = defaultdict(list)
+    for _, u, ty, t, _v in rows:
+        by_user[u].append((ty, t))
+    want = dict.fromkeys(steps, 0)
+    for evs in by_user.values():
+        reached = None
+        for k, s in enumerate(steps):
+            cand = [t for ty, t in evs if ty == s and (k == 0 or t > reached)]
+            if not cand:
+                break
+            reached = min(cand)
+            want[s] += 1
+    assert got == want
+
+
+def test_scd2_matches_bruteforce_runlength(spark):
+    rng = np.random.RandomState(7)
+    rows = _rand_events(rng, n_users=20, n_events=400)
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    out = B.scd2_history(df, "user_id", "event_type", "ts", "event_id")
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"], r["n_events"])
+        for r in out.collect()
+    )
+
+    by_user = defaultdict(list)
+    for eid, u, ty, t, _v in rows:
+        by_user[u].append((t, eid, ty))
+    want = []
+    for u, evs in by_user.items():
+        evs.sort()  # (ts, event_id) — the operator's declared order
+        runs = []
+        for t, _eid, ty in evs:
+            if runs and runs[-1][0] == ty:
+                runs[-1][2] += 1
+            else:
+                runs.append([ty, t, 1])
+        for ty, t0, n in runs:
+            want.append((u, ty, t0, n))
+    assert got == sorted(want)
+
+
+def test_concurrency_sweep_matches_bruteforce(spark):
+    rng = np.random.RandomState(13)
+    iv = []
+    for _ in range(300):
+        # starts cluster near midnight so intervals straddle days;
+        # coarse grid forces exact start==end ties
+        s = BASE + timedelta(minutes=int(rng.randint(0, 3 * 24 * 60)) // 10 * 10)
+        e = s + timedelta(minutes=int(rng.randint(1, 12)) * 10)
+        iv.append((s, e))
+    df = spark.createDataFrame(iv, ["s", "e"])
+    got = {
+        str(r["hour_ts"]): r["max_concurrency"]
+        for r in B.concurrency_sweep(df, "s", "e").collect()
+    }
+
+    # brute force: global sweep, end-before-start at equal timestamps
+    deltas = [(s, 1) for s, _ in iv] + [(e, -1) for _, e in iv]
+    deltas.sort(key=lambda p: (p[0], p[1]))
+    run = 0
+    want = {}
+    for t, d in deltas:
+        run += d
+        if d == 1:
+            h = t.replace(minute=0, second=0, microsecond=0)
+            key = str(h)
+            want[key] = max(want.get(key, 0), run)
+    assert got == want
+
+
+def test_resample_ffill_matches_bruteforce(spark):
+    rng = np.random.RandomState(99)
+    rows = []
+    for i in range(200):
+        k = int(rng.randint(1, 6))
+        t = BASE + timedelta(minutes=int(rng.randint(0, 48 * 60)))
+        rows.append((k, t, float(rng.randint(1, 10))))
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    got = {
+        (r["k"], str(r["bucket_ts"])): (r["n_obs"], r["value_ffill"])
+        for r in B.resample_ffill(df, "k", "ts", "value").collect()
+    }
+
+    by_key = defaultdict(list)
+    for k, t, v in rows:
+        by_key[k].append((t, v))
+    want = {}
+    for k, evs in by_key.items():
+        hours = [t.replace(minute=0, second=0, microsecond=0) for t, _ in evs]
+        lo, hi = min(hours), max(hours)
+        sums = defaultdict(float)
+        counts = defaultdict(int)
+        for t, v in evs:
+            h = t.replace(minute=0, second=0, microsecond=0)
+            sums[h] += v
+            counts[h] += 1
+        cur = None
+        h = lo
+        while h <= hi:
+            if counts[h]:
+                cur = round(sums[h], 2)
+            want[(k, str(h))] = (counts[h], cur)
+            h += timedelta(hours=1)
+    assert got == want
+
+
+def test_cms_never_undercounts_on_zipf_stream(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sketches import (
+        countmin_query,
+        countmin_sketch,
+    )
+
+    rng = np.random.RandomState(5)
+    keys = [f"k{int(z)}" for z in rng.zipf(1.5, 3000) if z < 10_000]
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    truth = defaultdict(int)
+    for k in keys:
+        truth[k] += 1
+    sketch = countmin_sketch(df, "key", depth=4, width=512)
+    cands = spark.createDataFrame([(k,) for k in truth], ["key"])
+    est = {
+        r["key"]: r["cms_estimate"]
+        for r in countmin_query(sketch, cands, "key", depth=4, width=512).collect()
+    }
+    assert all(est[k] >= n for k, n in truth.items())
