@@ -198,3 +198,57 @@ def test_stream_incremental_dedup_grows_corpus_and_audits_dups(spark, tmp_path):
         if r.dup_kind is not None
     }
     assert audit == expected == {10: "exact", 11: "near"}
+
+
+def test_checkpoint_resume_is_exactly_once(spark, events, tmp_path):
+    """Checkpoint recovery: a second query over the SAME checkpoint
+    must pick up exactly the files added after the first run — no
+    reprocessing, no loss. Deterministic split: run availableNow over
+    2 source files, add 4 more, resume. The final sink equals one
+    batch read of the full source, with zero duplicate event_ids."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = events.filter(F.hour("ts") == 0).coalesce(2)
+    first.write.mode("overwrite").parquet(src)
+
+    schema = events.schema
+
+    def run_once():
+        def _apply(batch, _bid):
+            batch.write.mode("append").parquet(sink)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == first.count()
+
+    # land 4 more files into the same source dir, resume from checkpoint
+    second = events.filter(F.hour("ts").isin(1, 2)).coalesce(4)
+    second.write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(sink)
+    want = events.filter(F.hour("ts") < 3)
+    assert got.count() == want.count()
+    # exactly-once: no event ingested twice across the resume
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+
+    # a FRESH checkpoint would reprocess everything — prove the
+    # checkpoint is what prevented it
+    shutil.rmtree(ckpt)
+    run_once()
+    assert spark.read.parquet(sink).count() == 2 * want.count()
