@@ -104,23 +104,32 @@ def cohort_retention(
     for each (cohort_day, day_offset) the distinct users active that
     many days after their first day. The day-0 cell is the cohort size.
 
-    Two aggregations, both keyed on user_id, so the first-seen aggregate
-    and the activity join co-partition on the same shuffle key; the
-    final (cohort, offset) aggregate is days² rows — metadata-sized.
+    ONE user-keyed aggregate collects each user's first day AND their
+    distinct active-day set together (collect_set — bounded by the
+    calendar, dates are 4 bytes), then an explode + the days²-sized
+    final aggregate. Two exchanges, one corpus scan. The obvious
+    formulation — distinct(user, day) then join to a first-seen
+    aggregate — shuffles the corpus twice on different keys and scans
+    it twice; this one-groupBy shape was adopted after a plan audit
+    showed exactly that.
     """
     u, ts = F.col(user_col), F.col(ts_col)
     day = F.to_date(ts)
-    first_seen = df.groupBy(u.alias("__user")).agg(
-        F.min(day).alias("cohort_day")
+    per_user = df.groupBy(u.alias("__user")).agg(
+        F.min(day).alias("cohort_day"),
+        F.collect_set(day).alias("__days"),
     )
-    activity = df.select(u.alias("__user"), day.alias("__day")).distinct()
-    joined = activity.join(first_seen, "__user").withColumn(
+    # each (user, day) is unique after collect_set: count(1) IS the
+    # distinct-user count per cell
+    exploded = per_user.select(
+        "cohort_day", F.explode("__days").alias("__day")
+    ).withColumn(
         "day_offset", F.datediff(F.col("__day"), F.col("cohort_day"))
     )
     return (
-        joined.filter(F.col("day_offset").between(0, max_offset_days))
+        exploded.filter(F.col("day_offset").between(0, max_offset_days))
         .groupBy("cohort_day", "day_offset")
-        .agg(F.countDistinct("__user").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
@@ -198,9 +207,10 @@ def resample_ffill(
 
     The spine is built per key with sequence()+explode — each key's row
     count is bounded by its own time span, not the table's — and the
-    grid join plus the ignoreNulls last() window all key on the same
-    column, so the operator is one shuffle end-to-end. Emits
-    (key, bucket_ts, n_obs, value_ffill).
+    spans aggregate, hourly aggregate, grid join, and ignoreNulls
+    last() window all key on the entity column (or entity+bucket), so
+    every exchange hashes the same key family and state stays
+    per-entity bounded. Emits (key, bucket_ts, n_obs, value_ffill).
     """
     k, ts = F.col(key_col), F.col(ts_col)
     bucket = F.date_trunc("hour", ts) if step == "1 hour" else F.date_trunc(
@@ -257,15 +267,26 @@ def concurrency_sweep(
     totals over PRECEDING days — is added. The offset frame has one row
     per distinct day (metadata-sized, like the zone-map stats frame),
     so its unpartitioned window is bounded and documented rather than a
-    scale hazard.
+    scale hazard. The per-day totals aggregate re-reads the delta
+    lineage — two passes over the source, both narrow.
     """
-    starts = df.select(
-        F.col(start_col).alias("__t"), F.lit(1).alias("__d")
-    )
-    ends = df.select(F.col(end_col).alias("__t"), F.lit(-1).alias("__d"))
-    deltas = starts.unionByName(ends).withColumn(
-        "__day", F.to_date("__t")
-    )
+    # explode, not union: a union's two branches would re-derive the
+    # source scan twice per consumer (the verify-skill union-lineage
+    # trap); the explode emits both deltas from ONE scan
+    deltas = df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("__t"), F.lit(1).alias("__d")
+                ),
+                F.struct(
+                    F.col(end_col).alias("__t"), F.lit(-1).alias("__d")
+                ),
+            )
+        ).alias("__x")
+    ).select(
+        F.col("__x.__t").alias("__t"), F.col("__x.__d").alias("__d")
+    ).withColumn("__day", F.to_date("__t"))
     w_day = (
         Window.partitionBy("__day")
         # __d ascending puts -1 (end) before +1 (start) at equal ts

@@ -728,7 +728,8 @@ def bm25_topk(
     Shuffle story at 100 TB: nothing is exploded. Per-doc tf for each
     QUERY term is computed in-row with higher-order array filters
     (work bounded by |query|·doc_len, the :func:`tfidf_top_terms`
-    trick), so the corpus is touched in ONE narrow pass; the only
+    trick), so the corpus is touched in two NARROW passes (the stats
+    aggregate and the scorer — nothing exploded in either); the only
     aggregates are a single metadata-sized row carrying N, avgdl, and
     the per-query-term document frequencies (|query| columns),
     broadcast back for scoring. Top-k is orderBy+limit —
