@@ -45,6 +45,7 @@ __all__ = [
     "read_snapshot",
     "snapshot_versions",
     "snapshot_diff",
+    "vacuum_snapshots",
 ]
 
 _MANIFEST_DIR = "_manifest"
@@ -212,3 +213,46 @@ def snapshot_diff(
         .when(F.col("__h_old") != F.col("__h_new"), F.lit("updated"))
         .alias("change"),
     ).filter(F.col("change").isNotNull())
+
+
+def vacuum_snapshots(
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 2,
+) -> dict:
+    """Retention: keep the last ``keep_last`` versions, delete manifests
+    of older versions and every data file no kept version references.
+    Immutability makes this safe-by-construction: a file referenced by
+    ANY kept manifest is never touched, so readers of kept versions are
+    unaffected; readers of vacuumed versions lose time travel — that is
+    the retention contract (same shape as the landing table's
+    vacuum_partition_retention). Returns counts for observability.
+
+    Metadata-only cost: the reachable-file set is the union of
+    ``keep_last`` manifests (driver-side, bounded by file counts in the
+    manifests, no Spark job); deletion is per-file FS calls.
+    """
+    versions = snapshot_versions(spark, root)
+    if len(versions) <= keep_last:
+        return {"kept": len(versions), "dropped_versions": 0, "deleted_files": 0}
+    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    reachable: set[str] = set()
+    for v in kept:
+        reachable.update(_read_manifest(spark, root, v)["files"])
+    jvm, fs, _ = _fs(spark, root)
+    deleted = 0
+    for v in dropped:
+        for f in _read_manifest(spark, root, v)["files"]:
+            if f not in reachable:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                if fs.exists(p):
+                    fs.delete(p, False)
+                    deleted += 1
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(_manifest_path(root, v)), False
+        )
+    return {
+        "kept": len(kept),
+        "dropped_versions": len(dropped),
+        "deleted_files": deleted,
+    }

@@ -90,3 +90,43 @@ def test_manifest_carries_exact_file_list(spark, root):
     assert manifest["n_files"] == len(manifest["files"]) == 1
     for f in manifest["files"]:
         assert os.path.exists(f.replace("file:", ""))
+
+
+def test_vacuum_keeps_reachable_files_and_drops_history(spark, root):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import vacuum_snapshots
+
+    write_snapshot(spark, _df(spark, [(1, "a")]), root)           # v1
+    write_snapshot(spark, _df(spark, [(2, "b")]), root)           # v2 = v1+delta
+    write_snapshot(spark, _df(spark, [(3, "c")]), root)           # v3 = v2+delta
+    stats = vacuum_snapshots(spark, root, keep_last=2)
+    assert stats["dropped_versions"] == 1
+    # v1's file is still referenced by v2/v3 (append history): nothing
+    # reachable may be deleted
+    assert stats["deleted_files"] == 0
+    assert snapshot_versions(spark, root) == [2, 3]
+    assert read_snapshot(spark, root, 3).count() == 3  # intact
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, 1)  # time travel to v1 is gone
+
+
+def test_vacuum_deletes_files_orphaned_by_overwrite(spark, root):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import vacuum_snapshots
+
+    write_snapshot(spark, _df(spark, [(1, "a")]), root)           # v1
+    write_snapshot(spark, _df(spark, [(9, "z")]), root, mode="overwrite")  # v2
+    write_snapshot(spark, _df(spark, [(8, "y")]), root)           # v3 = v2+delta
+    stats = vacuum_snapshots(spark, root, keep_last=2)
+    # v1's file is unreachable from v2/v3 after the overwrite: deleted
+    assert stats["dropped_versions"] == 1
+    assert stats["deleted_files"] == 1
+    assert read_snapshot(spark, root, 3).count() == 2
+    assert read_snapshot(spark, root, 2).count() == 1
+
+
+def test_vacuum_noop_when_history_short(spark, root):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import vacuum_snapshots
+
+    write_snapshot(spark, _df(spark, [(1, "a")]), root)
+    stats = vacuum_snapshots(spark, root, keep_last=2)
+    assert stats == {"kept": 1, "dropped_versions": 0, "deleted_files": 0}
+    assert snapshot_versions(spark, root) == [1]
