@@ -46,6 +46,7 @@ __all__ = [
     "snapshot_versions",
     "snapshot_diff",
     "vacuum_snapshots",
+    "compact_snapshot",
 ]
 
 _MANIFEST_DIR = "_manifest"
@@ -256,3 +257,23 @@ def vacuum_snapshots(
         "dropped_versions": len(dropped),
         "deleted_files": deleted,
     }
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_files: int = 4,
+) -> int:
+    """Rewrite the LATEST version's content into ``target_files`` files
+    and commit it as a new overwrite version — the small-files
+    compaction for a long append history (thousands of tiny commits →
+    one bounded file set), after which :func:`vacuum_snapshots`
+    reclaims the fragmented originals. Readers are never disturbed:
+    the compacted version has identical content under a new manifest,
+    and every prior version stays readable until vacuumed — the same
+    content-preserving rewrite contract as the landing table's
+    sink_compact_partition."""
+    current = read_snapshot(spark, root)
+    return write_snapshot(
+        spark, current.coalesce(target_files), root, mode="overwrite"
+    )

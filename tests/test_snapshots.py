@@ -130,3 +130,23 @@ def test_vacuum_noop_when_history_short(spark, root):
     stats = vacuum_snapshots(spark, root, keep_last=2)
     assert stats == {"kept": 1, "dropped_versions": 0, "deleted_files": 0}
     assert snapshot_versions(spark, root) == [1]
+
+
+def test_compact_preserves_content_and_vacuum_reclaims(spark, root):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import (
+        compact_snapshot,
+        vacuum_snapshots,
+    )
+
+    for i in range(5):  # five tiny commits -> fragmented history
+        write_snapshot(spark, _df(spark, [(i, f"v{i}")]), root)
+    before = sorted(read_snapshot(spark, root).collect())
+    v = compact_snapshot(spark, root, target_files=1)
+    assert sorted(read_snapshot(spark, root, v).collect()) == before
+    assert len(read_snapshot(spark, root, v).inputFiles()) == 1
+    # prior fragmented versions still readable until vacuumed
+    assert read_snapshot(spark, root, 5).count() == 5
+    stats = vacuum_snapshots(spark, root, keep_last=1)
+    assert stats["dropped_versions"] == 5
+    assert stats["deleted_files"] == 5  # all fragments unreachable now
+    assert sorted(read_snapshot(spark, root).collect()) == before
