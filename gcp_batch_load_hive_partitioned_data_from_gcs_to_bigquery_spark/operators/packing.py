@@ -200,3 +200,71 @@ def pack_first_fit_nosplit(
         F.col(tokens_col).cast("long").alias("n_tokens"),
     )
     return staged.groupBy("shard").applyInPandas(_ffd, out_schema)
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Assign each sequence to the smallest power-of-two length bucket
+    that holds it (the inference/serving batching strategy: batch
+    same-bucket sequences together and pad only to the bucket size, not
+    the global max). Adds ``bucket``; rows longer than ``max_bucket``
+    are clamped into the top bucket (they'd be truncated downstream).
+
+    The bucket is exact integer arithmetic — ``n`` itself when ``n`` is
+    a power of two (``n & (n-1) == 0``), else ``1 << bit_length(n)`` —
+    so a SQL oracle reproduces it bit-for-bit (no float log2 edge
+    cases). Narrow map, zero shuffles.
+    """
+    n = F.col(length_col).cast("long")
+    is_pow2 = (n.bitwiseAND(n - 1) == 0) & (n > 0)
+    # shiftleft() in the Python API only takes a literal bit count, so
+    # the column-valued shift goes through the SQL form.
+    pow2ceil = F.when(is_pow2, n).otherwise(
+        F.expr(
+            f"cast(shiftleft(1L, length(bin(cast({length_col} as bigint))))"
+            " as bigint)"
+        )
+    )
+    bucket = F.least(pow2ceil, F.lit(max_bucket))
+    return df.select(
+        F.col(id_col), n.alias("seq_len"), bucket.alias("bucket")
+    )
+
+
+def bucket_padding_stats(buckets: DataFrame) -> DataFrame:
+    """Per-bucket padding accounting over :func:`length_buckets` output:
+    documents, real tokens, padded slots (n_docs · bucket), and the
+    waste fraction — plus what the SAME rows would waste if padded to
+    the global maximum bucket instead (the no-bucketing baseline a
+    serving stack pays). One metadata-sized aggregation; the global max
+    is a broadcast one-row cross join, not a second pass."""
+    per = buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("seq_len").alias("real_tokens"),
+    )
+    gmax = per.agg(F.max("bucket").alias("__gmax"))
+    return (
+        per.crossJoin(F.broadcast(gmax))
+        .select(
+            "bucket",
+            "n_docs",
+            "real_tokens",
+            (F.col("n_docs") * F.col("bucket")).alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("real_tokens")
+                / (F.col("n_docs") * F.col("bucket")).cast("double"),
+                6,
+            ).alias("waste_frac"),
+            F.round(
+                F.lit(1.0)
+                - F.col("real_tokens")
+                / (F.col("n_docs") * F.col("__gmax")).cast("double"),
+                6,
+            ).alias("waste_frac_unbucketed"),
+        )
+    )

@@ -221,3 +221,72 @@ def quantile_bins(
         "bin",
         F.size(F.filter(F.col("__thr"), lambda t: score > t)),
     ).drop("__thr")
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    max_per_domain: int,
+) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb / CommonCrawl curation
+    step: no single host may contribute more than K documents, killing
+    SEO farms and mirror sites that would otherwise dominate the
+    mixture). Deterministic: within a domain, documents are ranked by
+    ``md5(key)`` — a reproducible uniform order with no RNG state — and
+    rows ranked past the cap are dropped. Adds ``domain_rank`` (1-based)
+    to the survivors.
+
+    Shuffle story at 100 TB: one hash-partition exchange on the domain
+    key feeding a per-domain row_number — the same single-shuffle shape
+    as any top-K-per-group. Head domains (a few-million-doc host) sort
+    within one task; for caps ≪ domain size, pre-prune first with a
+    per-domain approximate md5-threshold from a sample so the sort input
+    is O(cap), not O(domain) — the rank step here is unchanged by that
+    optimization.
+    """
+    from pyspark.sql import Window as W
+
+    order = F.md5(F.col(key_col).cast("string"))
+    w = W.partitionBy(domain_col).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= max_per_domain)
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    salt: int = 0,
+) -> DataFrame:
+    """Near-duplicate-aware train/val/test split: hash-splitting on the
+    raw document id leaks — two normalized-identical copies of one
+    document can land in train AND test, inflating eval. Here the split
+    key is the CLUSTER id (smallest doc id among documents sharing a
+    normalized content hash), so every copy of a document travels to the
+    same split by construction.
+
+    Plan: one groupBy on the 32-byte normalized sha (map-side combined)
+    to elect cluster ids, one shuffle join back on the same sha to tag
+    rows, then the usual shuffle-free hash_split on cluster_id. At
+    100 TB both exchanges hash-partition on the sha — collision-free,
+    skew-free keys (dup clusters are pathological-site-sized at worst,
+    and the join key cardinality is the distinct-document count).
+    """
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import normalize_text
+
+    normed = df.select(
+        F.col(id_col),
+        F.sha2(normalize_text(F.col(text_col)), 256).alias("__norm_sha"),
+    )
+    clusters = normed.groupBy("__norm_sha").agg(
+        F.min(id_col).alias("cluster_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    tagged = normed.join(clusters, "__norm_sha").select(
+        id_col, "cluster_id", "cluster_size"
+    )
+    return hash_split(tagged, "cluster_id", weights, salt)

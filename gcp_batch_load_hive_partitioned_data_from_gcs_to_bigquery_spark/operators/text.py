@@ -773,3 +773,140 @@ def bm25_topk(
         .limit(k)
         .select("doc_id", F.round("__score", 6).alias("bm25"))
     )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 "repetition removal") — excessive self-repetition is the
+    strongest single predictor of low-quality scraped text:
+
+    * ``top_word_char_frac`` — fraction of word characters belonging to
+      the most frequent word (ties resolved toward the larger character
+      mass, so the value is order-independent).
+    * ``dup_bigram_frac`` / ``dup_trigram_frac`` — fraction of n-gram
+      slots that are repeats of an earlier-seen n-gram
+      (``1 − distinct/total``).
+    * ``repetition_keep`` — the filter verdict (thresholds from the
+      Gopher paper scaled to short synthetic docs).
+
+    Shuffle story at 100 TB: every signal is a per-row higher-order
+    array expression (transform/filter/array_distinct) — zero shuffles,
+    zero UDFs, whole-stage codegen end to end. The per-row work is
+    O(distinct_words · doc_len) for the top-word scan, bounded by
+    document length, and embarrassingly parallel.
+    """
+    words = tokenize(F.col(text_col))
+    # Top word by (count, then char mass among tied counts) via a single
+    # run-length scan over the SORTED word array — O(L log L) per doc,
+    # not the O(distinct·L) a per-word filter scan costs (which turns
+    # quadratic on real 10k-token web documents). Within a run of equal
+    # words, (run, run·len) grows monotonically, so folding the max at
+    # every element is exact.
+    sorted_words = F.array_sort(words)
+    top = F.aggregate(
+        sorted_words,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("c"),
+            F.lit(0).cast("long").alias("chars"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            *(
+                lambda run: [
+                    F.greatest(acc["c"], run).alias("c"),
+                    F.when(
+                        (run > acc["c"])
+                        | ((run == acc["c"]) & (run * F.length(x) > acc["chars"])),
+                        run * F.length(x),
+                    )
+                    .otherwise(acc["chars"])
+                    .alias("chars"),
+                ]
+            )(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                )
+            ),
+        ),
+    )
+    total_chars = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+
+    def dup_frac(n: int) -> Column:
+        grams = word_shingles(words, n)
+        return F.when(
+            F.size(grams) > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    out = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.round(top["chars"] / total_chars.cast("double"), 6).alias(
+            "top_word_char_frac"
+        ),
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+    )
+    return out.withColumn(
+        "repetition_keep",
+        (
+            (F.col("top_word_char_frac") <= 0.2)
+            & (F.col("dup_bigram_frac") <= 0.35)
+            & (F.col("dup_trigram_frac") <= 0.2)
+        ).cast("int"),
+    )
+
+
+def normalize_unicode(
+    df: DataFrame, id_col: str, text_col: str, batch_hint: int = 10_000
+) -> DataFrame:
+    """Unicode canonicalization — NFC-normalize, strip C0/C1 control
+    characters (keeping ``\\n``/``\\t`` as whitespace), and collapse
+    whitespace runs to single spaces. Mixed NFC/NFD crawl text defeats
+    exact and hash dedup (visually identical strings hash differently);
+    this is the canonical first pass before any fingerprinting.
+
+    Spark has no built-in NFC transform, so this is the documented
+    Python-unavoidable path: an Arrow-batched ``mapInPandas`` kernel
+    (``unicodedata.normalize`` is C-implemented; the batch loop is
+    vectorized string ops otherwise). Narrow map — zero shuffles; the
+    output ``changed`` flag lets a writer short-circuit rewriting
+    already-canonical partitions.
+    """
+    import re as _re
+    import unicodedata as _ud
+
+    schema = f"{id_col} long, norm_text string, changed int"
+    ctrl = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+    ws = _re.compile(r"\s+")
+
+    src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            t = pdf["__t"].astype("string").fillna("")
+            normed = t.map(
+                lambda s: ws.sub(" ", ctrl.sub(" ", _ud.normalize("NFC", s))).strip()
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "norm_text": normed,
+                    "changed": (normed != t).astype("int32"),
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=schema)

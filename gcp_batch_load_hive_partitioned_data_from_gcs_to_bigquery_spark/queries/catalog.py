@@ -3820,19 +3820,24 @@ _DRIVER_WINDOW = [
     # implementation changed this round: corpus-bands managed-only sweep
     "dedup_incremental_bucketed",
     "stream_incremental_dedup",
-    # signature touched this round (batch_size_hint removal)
-    "multimodal_image_meta",
     # registry gained submit_with_retry (shared state machine)
     "job_state_poll",
-    # canaries: previously green, spread across families (the window
-    # holds exactly 50 keys — the driver's check size — so multi-green
-    # canaries rotate out as new keys land; every key off the window
-    # has 1+ green driver rows in earlier rounds)
-    "q21_waiting_suppliers",
-    "scan_hive_partitioned",
-    "stream_stream_join",
-    "dedup_exact",
-    "text_quality",
+    # NEW in the second half of the round (none skips its first
+    # rotation — r4 lesson; all six verified with
+    # scripts/check_correctness.py at sf0.01 AND sf0.1 before landing):
+    # Gopher repetition signals, NFC normalization, per-domain caps,
+    # cluster-aware leakage-safe splits, power-of-two length bucketing,
+    # and the in-plan Naive Bayes classifier. They take the five
+    # multi-green canary slots plus multimodal_image_meta's (whose
+    # round-5 change — the batch_size_hint removal — is behavior-
+    # neutral, pytest-pinned, and PASS r04; every displaced key keeps
+    # 1+ green driver rows from earlier rounds).
+    "text_repetition_filter",
+    "text_normalize_unicode",
+    "sample_domain_cap",
+    "sample_split_leakage_safe",
+    "pack_length_buckets",
+    "classify_naive_bayes",
 ]
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]

@@ -1873,6 +1873,278 @@ LIMIT 10
 """
 
 
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition removal (operators/text.py
+    repetition_signals): per-doc top-word character fraction plus
+    duplicated bigram/trigram slot fractions, and the keep verdict.
+    All per-row higher-order array expressions — zero shuffles, zero
+    UDFs; the defining quality filter the Gopher/MassiveText cleaning
+    stack runs before any dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.repetition_signals(docs, "doc_id", "text")
+
+
+ORACLE_REPETITION = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+words AS (SELECT doc_id, unnest(ws) AS w FROM arr),
+wc AS (
+  SELECT doc_id, w, count(*) AS c, count(*) * length(w) AS chars
+  FROM words GROUP BY doc_id, w
+),
+tot AS (
+  SELECT doc_id, CAST(sum(c) AS INT) AS n_words,
+         sum(chars) AS total_chars, max(c) AS max_c
+  FROM wc GROUP BY doc_id
+),
+top AS (
+  SELECT wc.doc_id, max(wc.chars) AS top_chars
+  FROM wc JOIN tot ON wc.doc_id = tot.doc_id AND wc.c = tot.max_c
+  GROUP BY wc.doc_id
+),
+g2 AS (
+  SELECT doc_id, count(*) AS n_g,
+         count(DISTINCT ws[i] || ' ' || ws[i+1]) AS n_d
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+        FROM arr)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, count(*) AS n_g,
+         count(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS n_d
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        FROM arr)
+  GROUP BY doc_id
+),
+sig AS (
+  SELECT t.doc_id, t.n_words,
+         round(top.top_chars / CAST(t.total_chars AS DOUBLE), 6)
+           AS top_word_char_frac,
+         round(1.0 - g2.n_d / CAST(g2.n_g AS DOUBLE), 6) AS dup_bigram_frac,
+         round(1.0 - g3.n_d / CAST(g3.n_g AS DOUBLE), 6) AS dup_trigram_frac
+  FROM tot t
+  JOIN top USING (doc_id) JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+)
+SELECT doc_id, n_words, top_word_char_frac, dup_bigram_frac,
+       dup_trigram_frac,
+       CASE WHEN top_word_char_frac <= 0.2 AND dup_bigram_frac <= 0.35
+                 AND dup_trigram_frac <= 0.2
+            THEN 1 ELSE 0 END AS repetition_keep
+FROM sig
+"""
+
+
+def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (operators/text.py normalize_unicode):
+    NFC + control-char strip + whitespace collapse via an Arrow-batched
+    mapInPandas kernel (Spark has no built-in NFC — the documented
+    Python-unavoidable path). The synthetic corpus is ASCII, so the
+    oracle's nfc_normalize twin agrees exactly; non-ASCII behavior
+    (NFD composition, NBSP folding) is pinned by pytest, where Python's
+    Unicode-aware \\s additionally folds non-ASCII spaces the RE2
+    oracle cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.normalize_unicode(docs, "doc_id", "text")
+
+
+ORACLE_NORMALIZE_UNICODE = r"""
+WITH normed AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(nfc_normalize(text),
+             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CASE WHEN norm_text <> text THEN 1 ELSE 0 END AS changed
+FROM normed
+"""
+
+
+def q_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/sampling.py domain_cap): at
+    most 30 docs per source, ranked by md5(doc_id) — the RefinedWeb
+    anti-SEO-farm curation step. One hash-partition shuffle on the
+    domain key; deterministic with zero RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.domain_cap(docs, "source", "doc_id", 30).select(
+        "doc_id", "source", "domain_rank"
+    )
+
+
+ORACLE_DOMAIN_CAP = """
+SELECT doc_id, source, domain_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS domain_rank
+  FROM documents)
+WHERE domain_rank <= 30
+"""
+
+
+def q_sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate-aware split (operators/sampling.py
+    leakage_safe_split): split membership keyed on the normalized-
+    content CLUSTER id (min doc_id per normalized sha), so duplicate
+    copies can never straddle train/test — the eval-contamination
+    guard hash-splitting on raw ids lacks. Audit output: per split,
+    docs and distinct clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = S.leakage_safe_split(
+        docs, "doc_id", "text", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_LEAKAGE_SPLIT = f"""
+WITH normed AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+clustered AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS cluster_id
+  FROM normed
+),
+tagged AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {_BUCKET_SQL.format(key='cluster_id', salt=0)} < 1000 THEN 'test'
+              WHEN {_BUCKET_SQL.format(key='cluster_id', salt=0)} < 9000 THEN 'train'
+              ELSE 'val' END AS split
+  FROM clustered
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM tagged GROUP BY split ORDER BY split
+"""
+
+
+def q_pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length bucketing with padding accounting
+    (operators/packing.py length_buckets + bucket_padding_stats): the
+    serving/batching layout decision — pad to the bucket, not the
+    global max — with the waste fraction each strategy pays. Bucket
+    assignment is exact integer bit arithmetic (no float log2), so the
+    oracle matches bit-for-bit. One narrow map + one metadata-sized
+    aggregation."""
+    from ..operators import packing as PK
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tok"))
+    buckets = PK.length_buckets(lens, "doc_id", "n_tok")
+    return PK.bucket_padding_stats(buckets).orderBy("bucket")
+
+
+ORACLE_LENGTH_BUCKETS = r"""
+WITH lens AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n,
+         least(CASE WHEN n > 0 AND (n & (n - 1)) = 0 THEN n
+                    ELSE (CAST(1 AS BIGINT) << length(bin(n))) END,
+               4096) AS bucket
+  FROM lens
+),
+per AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS real_tokens
+  FROM bucketed GROUP BY bucket
+),
+gmax AS (SELECT max(bucket) AS g FROM per)
+SELECT bucket, n_docs, real_tokens,
+       n_docs * bucket AS padded_tokens,
+       round(1.0 - real_tokens / CAST(n_docs * bucket AS DOUBLE), 6)
+         AS waste_frac,
+       round(1.0 - real_tokens / CAST(n_docs * gmax.g AS DOUBLE), 6)
+         AS waste_frac_unbucketed
+FROM per CROSS JOIN gmax
+ORDER BY bucket
+"""
+
+
+def q_classify_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes (operators/classify.py):
+    train on (text → lang) and self-score in ONE DataFrame plan — the
+    sufficient statistics are a single (word,label) aggregation, the
+    smoothing is algebraically rearranged so unseen pairs contribute
+    zero and the dense vocab×label model becomes a sparse join. Output
+    is the confusion matrix — the audit table of the curation-pipeline
+    quality-classifier step."""
+    from ..operators import classify as CL
+
+    docs = load_table(spark, sf_dir, "documents")
+    return CL.naive_bayes_confusion(docs, "doc_id", "text", "lang")
+
+
+ORACLE_NAIVE_BAYES = r"""
+WITH tfc AS (
+  SELECT doc_id, true_label, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, lang AS true_label,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents)
+  GROUP BY doc_id, true_label, word
+),
+wc AS (
+  SELECT word, true_label AS label, sum(tf) AS c
+  FROM tfc GROUP BY word, true_label
+),
+consts AS (
+  SELECT l.label, l.total_tokens, d.n_docs_l, v.v, n.n
+  FROM (SELECT label, sum(c) AS total_tokens FROM wc GROUP BY label) l
+  JOIN (SELECT true_label, count(DISTINCT doc_id) AS n_docs_l
+        FROM tfc GROUP BY true_label) d ON l.label = d.true_label
+  CROSS JOIN (SELECT count(DISTINCT word) AS v FROM wc) v
+  CROSS JOIN (SELECT count(DISTINCT doc_id) AS n FROM tfc) n
+),
+docs AS (
+  SELECT doc_id, true_label, sum(tf) AS n_tok
+  FROM tfc GROUP BY doc_id, true_label
+),
+contrib AS (
+  SELECT t.doc_id, w.label, sum(t.tf * ln(w.c + 1)) AS s
+  FROM tfc t JOIN wc w ON t.word = w.word
+  GROUP BY t.doc_id, w.label
+),
+scored AS (
+  SELECT g.doc_id, g.true_label, g.label,
+         round(ln(g.n_docs_l / CAST(g.n AS DOUBLE))
+               - g.n_tok * ln(g.total_tokens + g.v)
+               + coalesce(c.s, 0.0), 6) AS score
+  FROM (SELECT d.*, k.* FROM docs d CROSS JOIN consts k) g
+  LEFT JOIN contrib c ON g.doc_id = c.doc_id AND g.label = c.label
+),
+pred AS (
+  SELECT doc_id, true_label, label AS pred_label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(score), 4) AS avg_score
+FROM pred WHERE rn = 1
+GROUP BY true_label, pred_label
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "emb_random_projection": q_emb_random_projection,
@@ -1919,6 +2191,12 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "dedup_edit_distance": q_dedup_edit_distance,
     "sample_estimate_count": q_sample_estimate_count,
     "text_bm25_topk": q_text_bm25_topk,
+    "text_repetition_filter": q_text_repetition_filter,
+    "text_normalize_unicode": q_text_normalize_unicode,
+    "sample_domain_cap": q_sample_domain_cap,
+    "sample_split_leakage_safe": q_sample_split_leakage_safe,
+    "pack_length_buckets": q_pack_length_buckets,
+    "classify_naive_bayes": q_classify_naive_bayes,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1964,4 +2242,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_edit_distance": ORACLE_EDIT_DISTANCE,
     "sample_estimate_count": ORACLE_SAMPLE_ESTIMATE,
     "text_bm25_topk": ORACLE_BM25,
+    "text_repetition_filter": ORACLE_REPETITION,
+    "text_normalize_unicode": ORACLE_NORMALIZE_UNICODE,
+    "sample_domain_cap": ORACLE_DOMAIN_CAP,
+    "sample_split_leakage_safe": ORACLE_LEAKAGE_SPLIT,
+    "pack_length_buckets": ORACLE_LENGTH_BUCKETS,
+    "classify_naive_bayes": ORACLE_NAIVE_BAYES,
 }

@@ -1,0 +1,159 @@
+"""Behavior pins for the round-5 curation additions: repetition
+signals, Unicode normalization, domain caps, leakage-safe splits,
+length bucketing, and the Naive Bayes classifier — hand-computed
+expectations on tiny inputs (the catalog oracle checks corpus-scale
+agreement; these pin the semantics on adversarial edges)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.classify import (
+    naive_bayes_confusion,
+    naive_bayes_scores,
+)
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.packing import (
+    bucket_padding_stats,
+    length_buckets,
+)
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import (
+    domain_cap,
+    leakage_safe_split,
+)
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import (
+    normalize_unicode,
+    repetition_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_signals_hand_computed(spark):
+    # "a a a a b": top word 'a' ×4 of 5 words, chars 4 of 5;
+    # bigrams: aa aa aa ab -> 2 distinct of 4 -> dup 0.5
+    # trigrams: aaa aaa aab -> 2 distinct of 3 -> dup 1/3
+    df = _docs(spark, [(1, "a a a a b")])
+    r = repetition_signals(df, "doc_id", "text").collect()[0]
+    assert r.n_words == 5
+    assert r.top_word_char_frac == 0.8
+    assert r.dup_bigram_frac == 0.5
+    assert r.dup_trigram_frac == pytest.approx(0.333333)
+    assert r.repetition_keep == 0
+
+
+def test_repetition_tie_breaks_to_larger_char_mass(spark):
+    # 'bb' and 'a' both appear twice; tie on count resolves to the
+    # larger char mass (bb -> 4 chars of 2+1+2+1+3=9).
+    df = _docs(spark, [(1, "bb a bb a ccc")])
+    r = repetition_signals(df, "doc_id", "text").collect()[0]
+    assert r.top_word_char_frac == pytest.approx(round(4 / 9, 6))
+
+
+def test_repetition_clean_doc_keeps(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps over lazy dogs")])
+    r = repetition_signals(df, "doc_id", "text").collect()[0]
+    assert r.repetition_keep == 1
+    assert r.dup_bigram_frac == 0.0
+
+
+def test_normalize_unicode_nfc_and_whitespace(spark):
+    nfd = "Café  du\tmonde"  # NFD e + accent, double space, tab
+    df = _docs(spark, [(1, nfd), (2, "already clean")])
+    out = {r.doc_id: r for r in normalize_unicode(df, "doc_id", "text").collect()}
+    assert out[1].norm_text == "Caf\u00e9 du monde"  # NFC composed, ws folded
+    assert out[1].changed == 1
+    assert out[2].norm_text == "already clean"
+    assert out[2].changed == 0
+
+
+def test_normalize_unicode_strips_control_chars(spark):
+    df = _docs(spark, [(1, "ab\x00cd\x1fef"), (2, "x\xa0y")])
+    out = {r.doc_id: r for r in normalize_unicode(df, "doc_id", "text").collect()}
+    assert out[1].norm_text == "ab cd ef"
+    assert out[2].norm_text == "x y"  # NBSP folded by Unicode-aware \s
+
+
+def test_domain_cap_exact_and_deterministic(spark):
+    rows = [(i, f"d{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    capped = domain_cap(df, "dom", "doc_id", 4)
+    got = capped.groupBy("dom").count().collect()
+    assert {r["dom"]: r["count"] for r in got} == {"d0": 4, "d1": 4, "d2": 4}
+    # deterministic across runs
+    a = sorted((r.doc_id, r.domain_rank) for r in capped.collect())
+    b = sorted(
+        (r.doc_id, r.domain_rank)
+        for r in domain_cap(df, "dom", "doc_id", 4).collect()
+    )
+    assert a == b
+    assert all(rk <= 4 for _, rk in a)
+
+
+def test_leakage_safe_split_keeps_copies_together(spark):
+    # doc 1/2/3 are normalized-identical; 4 differs. Copies must land
+    # in the same split regardless of their own ids.
+    df = _docs(
+        spark,
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO WORLD."),
+            (4, "something else"),
+        ],
+    )
+    out = leakage_safe_split(
+        df, "doc_id", "text", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert by_doc[1].cluster_id == by_doc[2].cluster_id == by_doc[3].cluster_id == 1
+    assert by_doc[1].split == by_doc[2].split == by_doc[3].split
+    assert by_doc[1].cluster_size == 3
+    assert by_doc[4].cluster_size == 1
+
+
+def test_length_buckets_bit_exact(spark):
+    rows = [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 1000), (7, 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {r.doc_id: r.bucket for r in length_buckets(df, "doc_id", "n").collect()}
+    assert got == {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 6: 1024, 7: 4096}
+
+
+def test_bucket_padding_stats_accounting(spark):
+    df = spark.createDataFrame([(1, 3), (2, 4), (3, 7)], "doc_id long, n long")
+    stats = {
+        r.bucket: r
+        for r in bucket_padding_stats(
+            length_buckets(df, "doc_id", "n")
+        ).collect()
+    }
+    # bucket 4: docs 1,2 -> real 7, padded 8; bucket 8: doc 3 -> real 7/8
+    assert stats[4].n_docs == 2 and stats[4].padded_tokens == 8
+    assert stats[4].waste_frac == pytest.approx(1 - 7 / 8)
+    # unbucketed baseline pads everything to the global max bucket (8)
+    assert stats[4].waste_frac_unbucketed == pytest.approx(1 - 7 / 16)
+
+
+def test_naive_bayes_separable_corpus(spark):
+    rows = [
+        (1, "apple banana apple", "fruit"),
+        (2, "banana apple cherry", "fruit"),
+        (3, "carrot potato onion", "veg"),
+        (4, "potato carrot carrot", "veg"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab string")
+    conf = naive_bayes_confusion(df, "doc_id", "text", "lab").collect()
+    got = {(r.true_label, r.pred_label): r.n_docs for r in conf}
+    assert got == {("fruit", "fruit"): 2, ("veg", "veg"): 2}
+
+
+def test_naive_bayes_one_pred_per_doc(spark):
+    rows = [(i, f"tok{i % 2} tok{i % 3}", f"l{i % 2}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab string")
+    scored = naive_bayes_scores(df, "doc_id", "text", "lab")
+    per_doc = scored.groupBy("doc_id").agg(F.sum("pred").alias("n"))
+    assert all(r.n == 1 for r in per_doc.collect())
+    # every doc scored against every label
+    assert scored.count() == 12 * 2
