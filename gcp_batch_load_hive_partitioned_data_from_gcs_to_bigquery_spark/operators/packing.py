@@ -242,13 +242,19 @@ def bucket_padding_stats(buckets: DataFrame) -> DataFrame:
     the global maximum bucket instead (the no-bucketing baseline a
     serving stack pays). One metadata-sized aggregation; the global max
     is a broadcast one-row cross join, not a second pass."""
+    from pyspark.sql import Window as W
+
     per = buckets.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("seq_len").alias("real_tokens"),
     )
-    gmax = per.agg(F.max("bucket").alias("__gmax"))
+    # Global max over `per`, NOT a separate agg branch: a second branch
+    # would re-derive per's whole lineage and scan the corpus twice.
+    # The partitionless window is bounded — `per` has at most
+    # log2(max_bucket)+1 rows — so the single-partition WindowExec is
+    # metadata-sized and the "No Partition Defined" warning is accepted.
     return (
-        per.crossJoin(F.broadcast(gmax))
+        per.withColumn("__gmax", F.max("bucket").over(W.partitionBy()))
         .select(
             "bucket",
             "n_docs",
