@@ -279,6 +279,55 @@ FROM events WHERE {_HOUR_PRED_SQL}
 """
 
 
+def q_sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard sink (operators/shards.py): write the document
+    corpus as 7 reproducibly-assigned, epoch-permuted, one-file-per-
+    shard parquet shards with a manifest written last, then read the
+    set back through the integrity-verifying reader and return the
+    manifest. Exercises the full write→verify→manifest path; the
+    oracle recomputes the manifest arithmetic straight from the source
+    table (Knuth shard hash, md5 epoch order, rank·id checksum)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.shards import (
+        read_training_shards,
+        shard_manifest,
+        write_training_shards,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
+    )
+    root = _tmp("shards")
+    write_training_shards(
+        docs, root, "doc_id", "n_tokens", n_shards=7, epoch=0
+    )
+    read_training_shards(spark, root, verify=True)  # raises on divergence
+    return shard_manifest(spark, root).select(
+        "shard", "n_docs", "n_tokens", "order_checksum"
+    )
+
+
+ORACLE_TRAINING_SHARDS = r"""
+WITH tagged AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok,
+         (doc_id * 2654435761) % 7 AS shard,
+         md5('0_' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+),
+ranked AS (
+  SELECT shard, doc_id, n_tok,
+         row_number() OVER (PARTITION BY shard ORDER BY ord) AS rk
+  FROM tagged
+)
+SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(rk * doc_id) AS BIGINT) AS order_checksum
+FROM ranked GROUP BY shard
+"""
+
+
 def q_sink_skip_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sink_skip_empty + probe gate (workflow.yaml:25-35): ingesting a
     missing partition yields NOT_CREATED (code 0) and launches no job."""
@@ -3506,6 +3555,7 @@ QUERIES: dict[str, callable] = {
     "source_json_lines": q_source_json_lines,
     "probe_partition_exists": q_probe_partition_exists,
     "sink_partition_overwrite": q_sink_partition_overwrite,
+    "sink_training_shards": q_sink_training_shards,
     "sink_skip_empty": q_sink_skip_empty,
     "sink_create_never": q_sink_create_never,
     "ddl_create_partitioned_table": q_ddl_create_partitioned_table,
@@ -3622,6 +3672,7 @@ ORACLES: dict[str, str] = {
     "source_json_lines": ORACLE_JSON_LINES,
     "probe_partition_exists": ORACLE_PROBE,
     "sink_partition_overwrite": ORACLE_SINK,
+    "sink_training_shards": ORACLE_TRAINING_SHARDS,
     "sink_skip_empty": ORACLE_SKIP_EMPTY,
     "sink_create_never": ORACLE_CREATE_NEVER,
     "ddl_create_partitioned_table": ORACLE_DDL_CREATE,
@@ -3820,8 +3871,10 @@ _DRIVER_WINDOW = [
     # implementation changed this round: corpus-bands managed-only sweep
     "dedup_incremental_bucketed",
     "stream_incremental_dedup",
-    # registry gained submit_with_retry (shared state machine)
-    "job_state_poll",
+    # NEW: training-shard sink (write→verify→manifest path; takes
+    # job_state_poll's slot — its round-5 change is additive
+    # (submit_with_retry) and lifecycle-pytest-pinned, green r02)
+    "sink_training_shards",
     # NEW in the second half of the round (none skips its first
     # rotation — r4 lesson; all six verified with
     # scripts/check_correctness.py at sf0.01 AND sf0.1 before landing):
