@@ -33,6 +33,9 @@ __all__ = [
     "scd2_history",
     "resample_ffill",
     "concurrency_sweep",
+    "seasonal_anomaly",
+    "path_topk",
+    "abtest_ztest",
 ]
 
 
@@ -312,4 +315,145 @@ def concurrency_sweep(
         swept.filter(F.col("__d") == 1)  # concurrency AT each interval start
         .groupBy(F.date_trunc("hour", "__t").alias("hour_ts"))
         .agg(F.max("__run").alias("max_concurrency"))
+    )
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    filter_type: str = "error",
+    type_col: str = "event_type",
+    k_sigma: float = 2.0,
+) -> DataFrame:
+    """Seasonality-aware anomaly flags over the hourly error rollup:
+    the naive fixed-threshold monitor (monitor_alert_threshold) pages
+    on every nightly batch spike; this one baselines each HOUR-OF-DAY
+    separately (mean/stddev of that wall-clock hour's counts across
+    all days) and flags hours deviating more than ``k_sigma`` from
+    their own seasonal baseline.
+
+    Plan shape: one map-side-combined groupBy to the hourly rollup
+    (720 rows/month — metadata-sized from there on), a 24-row baseline
+    aggregate broadcast back, and a narrow flag map. The corpus is
+    scanned once; everything after the first shuffle is bounded by the
+    calendar, not the data.
+    """
+    hourly = (
+        events.filter(F.col(type_col) == filter_type)
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    baseline = hourly.groupBy(
+        F.hour("hour_ts").alias("hod")
+    ).agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_pop("n_events").alias("sigma"),
+    )
+    return (
+        hourly.withColumn("hod", F.hour("hour_ts"))
+        .join(F.broadcast(baseline), "hod")
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH").alias("hour"),
+            "n_events",
+            F.round("mu", 6).alias("mu"),
+            F.round("sigma", 6).alias("sigma"),
+            (
+                F.abs(F.col("n_events") - F.col("mu"))
+                > F.lit(k_sigma) * F.col("sigma")
+            )
+            .cast("int")
+            .alias("anomaly"),
+        )
+    )
+
+
+def path_topk(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    max_steps: int = 8,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k behavioral paths: each entity's chronologically ordered
+    event-type sequence (first ``max_steps`` steps, '>'-joined), ranked
+    by how many entities share it — the "what do users actually do"
+    mining query behind every product-analytics funnel hypothesis.
+
+    One entity-keyed shuffle builds the per-entity path (sort_array of
+    (ts, tiebreak, type) structs resolves order inside the row — no
+    window), then a path-keyed metadata-sized count. Path cardinality
+    is bounded by |event types|^max_steps in the worst case but is
+    Zipf-concentrated in practice; the final top-k is orderBy+limit on
+    the path counts (per-partition heaps, no global sort materialized).
+    """
+    paths = (
+        events.groupBy(entity_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(order_tiebreak).alias("tb"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.slice(F.transform(F.col("seq"), lambda s: s["e"]), 1, max_steps),
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_entities"))
+    return (
+        counted.orderBy(F.desc("n_entities"), F.asc("path"))
+        .limit(k)
+        .select("path", "n_entities")
+    )
+
+
+def abtest_ztest(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    metric_col: str = "value",
+    salt: int = 0,
+) -> DataFrame:
+    """Two-sample z-test over a deterministic 50/50 hash assignment of
+    entities to variants (same Knuth bucket arithmetic as the sampling
+    kit — assignment is reproducible, no RNG, and any engine derives
+    the identical groups). Welch z on per-EVENT metric values:
+
+        z = (mean_b − mean_a) / sqrt(s²_a/n_a + s²_b/n_b)
+
+    One conditional aggregation — single corpus scan collapsing
+    map-side to one row; nothing else moves. Output: group sizes,
+    means, the z statistic, and the |z| > 1.96 verdict.
+    """
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import hash_bucket
+
+    is_b = (hash_bucket(F.col(entity_col), salt) >= 5000).cast("int")
+    tagged = events.withColumn("__b", is_b)
+    m = F.col(metric_col)
+    agg = tagged.agg(
+        F.sum(1 - F.col("__b")).alias("n_a"),
+        F.sum("__b").alias("n_b"),
+        F.avg(F.when(F.col("__b") == 0, m)).alias("mean_a"),
+        F.avg(F.when(F.col("__b") == 1, m)).alias("mean_b"),
+        F.var_samp(F.when(F.col("__b") == 0, m)).alias("var_a"),
+        F.var_samp(F.when(F.col("__b") == 1, m)).alias("var_b"),
+    )
+    z = (F.col("mean_b") - F.col("mean_a")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("significant"),
     )

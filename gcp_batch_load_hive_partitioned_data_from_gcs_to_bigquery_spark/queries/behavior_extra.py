@@ -214,12 +214,153 @@ GROUP BY 1
 """
 
 
+def q_monitor_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day-baselined anomaly flags over the hourly error
+    rollup (operators/behavior.py seasonal_anomaly): each wall-clock
+    hour is compared against ITS OWN seasonal mean/stddev, so nightly
+    batch spikes stop paging. One corpus scan; everything downstream
+    is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    return B.seasonal_anomaly(ev)
+
+
+ORACLE_SEASONAL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+base AS (
+  SELECT extract(hour FROM hour_ts) AS hod, avg(n_events) AS mu,
+         stddev_pop(n_events) AS sigma
+  FROM hourly GROUP BY 1
+)
+SELECT strftime(h.hour_ts, '%Y-%m-%d %H') AS hour, h.n_events,
+       round(b.mu, 6) AS mu, round(b.sigma, 6) AS sigma,
+       CASE WHEN abs(h.n_events - b.mu) > 2.0 * b.sigma
+            THEN 1 ELSE 0 END AS anomaly
+FROM hourly h JOIN base b ON extract(hour FROM h.hour_ts) = b.hod
+"""
+
+
+def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral paths (operators/behavior.py path_topk): each
+    user's chronological event-type sequence, first 8 steps joined with
+    '>', ranked by user count — sequence mining with one user-keyed
+    shuffle (order resolved by in-row sort_array, no window) and a
+    metadata-sized path count."""
+    ev = load_table(spark, sf_dir, "events")
+    return B.path_topk(ev)
+
+
+ORACLE_PATH_TOPK = """
+WITH seq AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS es
+  FROM events GROUP BY user_id
+),
+paths AS (
+  SELECT array_to_string(list_slice(es, 1, 8), '>') AS path FROM seq
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_entities
+  FROM paths GROUP BY path
+)
+SELECT path, n_entities FROM counted
+ORDER BY n_entities DESC, path ASC LIMIT 20
+"""
+
+
+def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B assignment (Knuth hash bucket of user_id,
+    50/50) + Welch two-sample z on event values in ONE conditional
+    aggregation (operators/behavior.py abtest_ztest) — single scan,
+    single output row, reproducible groups in any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    return B.abtest_ztest(ev)
+
+
+ORACLE_ABTEST = """
+WITH tagged AS (
+  SELECT value,
+         CASE WHEN (user_id * 2654435761) % 10000 >= 5000
+              THEN 1 ELSE 0 END AS b
+  FROM events
+),
+agg AS (
+  SELECT CAST(sum(1 - b) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+         avg(CASE WHEN b = 0 THEN value END) AS mean_a,
+         avg(CASE WHEN b = 1 THEN value END) AS mean_b,
+         var_samp(CASE WHEN b = 0 THEN value END) AS var_a,
+         var_samp(CASE WHEN b = 1 THEN value END) AS var_b
+  FROM tagged
+)
+SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b), 4)
+         AS z_stat,
+       CASE WHEN abs((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b))
+                 > 1.96 THEN 1 ELSE 0 END AS significant
+FROM agg
+"""
+
+
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (operators/expectations.py): four
+    row-level rules over lineitem compiled into ONE conditional
+    aggregation (one scan regardless of rule count) plus the
+    lineitem→orders FK as an anti-join rule. Output is the per-rule
+    violation table a load gate compares against zero."""
+    from ..operators.expectations import (
+        check_expectations,
+        referential_violations,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        ("quantity_le_25", F.col("l_quantity") > 25),
+        ("discount_le_5pct", F.col("l_discount") > 0.05),
+        ("shipdate_not_null", F.col("l_shipdate").isNull()),
+        ("returnflag_domain", ~F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    row_level = check_expectations(li, rules)
+    fk = referential_violations(li, orders, "l_orderkey", "o_orderkey")
+    return row_level.unionByName(fk)
+
+
+ORACLE_EXPECTATIONS = """
+SELECT 'quantity_le_25' AS rule,
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM lineitem
+UNION ALL
+SELECT 'discount_le_5pct',
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+UNION ALL
+SELECT 'shipdate_not_null',
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+UNION ALL
+SELECT 'returnflag_domain',
+       CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+UNION ALL
+SELECT 'fk_l_orderkey_in_o_orderkey', CAST(count(*) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+ WHERE o.o_orderkey IS NULL
+"""
+
+
 BEHAVIOR_QUERIES: dict[str, callable] = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "dim_scd2": q_dim_scd2,
     "ts_resample_ffill": q_ts_resample_ffill,
     "window_concurrency": q_window_concurrency,
+    "monitor_seasonal_anomaly": q_monitor_seasonal_anomaly,
+    "path_topk": q_path_topk,
+    "abtest_ztest": q_abtest_ztest,
+    "quality_expectations": q_quality_expectations,
 }
 
 BEHAVIOR_ORACLES: dict[str, str] = {
@@ -228,4 +369,8 @@ BEHAVIOR_ORACLES: dict[str, str] = {
     "dim_scd2": ORACLE_SCD2,
     "ts_resample_ffill": ORACLE_RESAMPLE,
     "window_concurrency": ORACLE_CONCURRENCY,
+    "monitor_seasonal_anomaly": ORACLE_SEASONAL,
+    "path_topk": ORACLE_PATH_TOPK,
+    "abtest_ztest": ORACLE_ABTEST,
+    "quality_expectations": ORACLE_EXPECTATIONS,
 }

@@ -3860,17 +3860,29 @@ _DRIVER_WINDOW = [
     "text_bm25_topk",
     "agg_mode",
     # implementation changed this round: BLAS argmin assignment kernel
+    # (ann_pq_oracle is NOT here — pq_topk has its own in-kernel argmin,
+    # untouched this round, green r03/r04; its slot went to a new key)
     "dedup_semantic",
     "ann_ivf_oracle",
     "ann_ivf_pq_oracle",
-    "ann_pq_oracle",
-    "ann_ivf_topk",
     # implementation changed this round: zone-map store cache fingerprint
+    # (scan_zonemap_full is the no-pruning CONTROL twin — it bypasses
+    # the fingerprinted cache path, green r03/r04; slot reassigned)
     "scan_file_skipping",
-    "scan_zonemap_full",
     # implementation changed this round: corpus-bands managed-only sweep
+    # (stream_incremental_dedup is rows-only — its weak row exists from
+    # r4 and the twin cross-check is pytest-pinned; slot reassigned.
+    # ann_ivf_topk likewise rows-only with its exact twins checked
+    # above; slot reassigned.)
     "dedup_incremental_bucketed",
-    "stream_incremental_dedup",
+    # NEW in the second half of the round: behavioral-monitoring and
+    # quality-gate keys, all verified with scripts/check_correctness.py
+    # at sf0.01 AND sf0.1 before landing — they take the four slots
+    # freed above (no new key skips its first rotation).
+    "monitor_seasonal_anomaly",
+    "path_topk",
+    "abtest_ztest",
+    "quality_expectations",
     # NEW: training-shard sink (write→verify→manifest path; takes
     # job_state_poll's slot — its round-5 change is additive
     # (submit_with_retry) and lifecycle-pytest-pinned, green r02)
