@@ -75,6 +75,17 @@ EXTRA_QUERIES_R5 = [
     "dedup_normalized",
     "text_bm25_topk",
     "agg_mode",
+    # second-half-of-round-5 additions (still outside the baseline
+    # total): Gopher repetition signals, the in-plan Naive Bayes
+    # classifier, the training-shard sink (full write→verify path),
+    # cluster-aware leakage-safe splits, top-k path mining, and the
+    # single-scan expectation suite.
+    "text_repetition_filter",
+    "classify_naive_bayes",
+    "sink_training_shards",
+    "sample_split_leakage_safe",
+    "path_topk",
+    "quality_expectations",
 ]
 
 

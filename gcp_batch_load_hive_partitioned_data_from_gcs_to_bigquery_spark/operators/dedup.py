@@ -38,11 +38,21 @@ def word_shingles(words: Column, n: int = 3) -> Column:
 
     ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(words,i,n)))``
     — pure Catalyst expressions, whole-stage codegen'd.
+
+    Docs shorter than ``n`` words yield an EMPTY array via an explicit
+    size gate: ``sequence(1, stop)`` DESCENDS when ``stop < 1`` (so the
+    old ``greatest(..., 0)`` guard produced ``[1, 0]`` and ``slice``
+    threw INVALID_PARAMETER_VALUE.START at runtime on any sub-n-word
+    document) — the SQL-oracle twin ``generate_series(1, stop)`` is
+    empty in that case, which is the semantics pinned here.
     """
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    return F.when(
+        F.size(words) >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup_keepers(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:

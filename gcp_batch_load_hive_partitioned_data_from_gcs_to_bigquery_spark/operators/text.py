@@ -839,15 +839,34 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
     def dup_frac(n: int) -> Column:
-        grams = word_shingles(words, n)
+        # Total n-gram count is pure arithmetic (size − n + 1) — the gram
+        # array is built ONCE, inside array_distinct, as STRUCTS of the
+        # n words (no slice+concat string building; injective vs the
+        # oracle's space-joined strings since words contain no spaces).
+        # The when() guard keeps the branch unevaluated for short docs,
+        # so sequence() never sees a stop < 1 (it would descend).
+        total = F.size(words) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), total),
+            lambda i: F.struct(
+                *[F.element_at(words, i + j).alias(f"w{j}") for j in range(n)]
+            ),
+        )
         return F.when(
-            F.size(grams) > 0,
+            total > 0,
             F.round(
                 F.lit(1.0)
-                - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+                - F.size(F.array_distinct(grams)) / total.cast("double"),
                 6,
             ),
         ).otherwise(F.lit(0.0))
+
+    # CPU-bound narrow op: when the scan yields fewer splits than cores
+    # (small files), one cheap shuffle buys full parallelism; at real
+    # scale the input has >= cores splits and this is a no-op.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
 
     out = df.select(
         F.col(id_col),

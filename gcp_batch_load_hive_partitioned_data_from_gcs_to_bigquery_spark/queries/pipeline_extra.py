@@ -1921,13 +1921,19 @@ g3 AS (
   GROUP BY doc_id
 ),
 sig AS (
+  -- LEFT joins: a doc shorter than the shingle width has no g2/g3 row
+  -- (empty generate_series) but the operator still emits it with a 0.0
+  -- duplicated fraction — coalesce reproduces that.
   SELECT t.doc_id, t.n_words,
          round(top.top_chars / CAST(t.total_chars AS DOUBLE), 6)
            AS top_word_char_frac,
-         round(1.0 - g2.n_d / CAST(g2.n_g AS DOUBLE), 6) AS dup_bigram_frac,
-         round(1.0 - g3.n_d / CAST(g3.n_g AS DOUBLE), 6) AS dup_trigram_frac
+         coalesce(round(1.0 - g2.n_d / CAST(g2.n_g AS DOUBLE), 6), 0.0)
+           AS dup_bigram_frac,
+         coalesce(round(1.0 - g3.n_d / CAST(g3.n_g AS DOUBLE), 6), 0.0)
+           AS dup_trigram_frac
   FROM tot t
-  JOIN top USING (doc_id) JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+  JOIN top USING (doc_id)
+  LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
 )
 SELECT doc_id, n_words, top_word_char_frac, dup_bigram_frac,
        dup_trigram_frac,

@@ -157,3 +157,24 @@ def test_naive_bayes_one_pred_per_doc(spark):
     assert all(r.n == 1 for r in per_doc.collect())
     # every doc scored against every label
     assert scored.count() == 12 * 2
+
+
+def test_shingles_empty_for_short_docs_no_crash(spark):
+    # sequence(1, 0) descends in Spark; the size gate must yield []
+    # (not crash in slice) for docs shorter than the shingle width.
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import tokenize, word_shingles
+
+    df = _docs(spark, [(1, "one"), (2, "two words"), (3, "a b c")])
+    got = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", word_shingles(tokenize(F.col("text")), 3).alias("sh")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["a b c"]
+    # repetition signals survive 1-word docs with zeroed dup fractions
+    r = repetition_signals(df, "doc_id", "text").collect()
+    by = {x.doc_id: x for x in r}
+    assert by[1].dup_bigram_frac == 0.0 and by[1].dup_trigram_frac == 0.0
+    assert by[1].top_word_char_frac == 1.0
