@@ -1931,6 +1931,55 @@ FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY 1
 """
 
 
+def q_stream_quarantine_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate (streaming/quarantine.py): day-1 events
+    replayed as a 4-file backlog, each micro-batch screened against two
+    expectation rules IN the ingest path — clean rows append to the
+    landing table, violators to a quarantine table tagged with every
+    rule they broke (the dead-letter pattern; nothing dropped). Result:
+    rows per destination tag — landing rows under 'PASS'."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.quarantine import (
+        stream_quarantine_ingest,
+    )
+
+    key = ("flat4", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("fix_flat4")
+        _events_day1(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(root)
+        _FIXTURES[key] = root
+    landing, quarantine = _tmp("qland"), _tmp("qquar")
+    rules = [
+        ("no_error_rows", F.col("event_type") == "error"),
+        ("value_le_200", F.col("value") > 200),
+    ]
+    q = stream_quarantine_ingest(
+        spark, _FIXTURES[key], landing, quarantine, EVENTS_SCHEMA,
+        rules, checkpoint=_tmp("qckpt"),
+    )
+    q.awaitTermination(300)
+    clean = spark.read.parquet(landing).select(F.lit("PASS").alias("violations"))
+    bad = spark.read.parquet(quarantine).select("violations")
+    return (
+        clean.unionByName(bad)
+        .groupBy("violations")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("violations")
+    )
+
+
+ORACLE_STREAM_QUARANTINE = """
+WITH tagged AS (
+  SELECT coalesce(nullif(concat_ws(',',
+           CASE WHEN event_type = 'error' THEN 'no_error_rows' END,
+           CASE WHEN value > 200 THEN 'value_le_200' END), ''), 'PASS')
+           AS violations
+  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+)
+SELECT violations, CAST(count(*) AS BIGINT) AS n_rows
+FROM tagged GROUP BY violations ORDER BY violations
+"""
+
+
 def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running (count, sum) whose GroupState survives micro-batches. The day-1
@@ -3623,6 +3672,7 @@ QUERIES: dict[str, callable] = {
     # streaming (§2.7)
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_hourly_ingest": q_stream_hourly_ingest,
+    "stream_quarantine_sink": q_stream_quarantine_sink,
     "stream_stateful_totals": q_stream_stateful_totals,
     "stream_session_window": q_stream_session_window,
     "stream_incremental_dedup": q_stream_incremental_dedup,
@@ -3736,6 +3786,7 @@ ORACLES: dict[str, str] = {
     "distinct_users_by_type": ORACLE_DISTINCT_USERS,
     "stream_tumbling_window": ORACLE_STREAM,
     "stream_hourly_ingest": ORACLE_STREAM_INGEST,
+    "stream_quarantine_sink": ORACLE_STREAM_QUARANTINE,
     "stream_stateful_totals": ORACLE_STREAM_STATEFUL,
     "stream_session_window": ORACLE_SESSION_WINDOW,
     "sink_merge_upsert": ORACLE_MERGE_UPSERT,
@@ -3904,6 +3955,11 @@ _DRIVER_WINDOW = [
     "pack_length_buckets",
     "classify_naive_bayes",
 ]
+# stream_quarantine_sink landed after the window filled (50 is the
+# driver's check size). It is verified with scripts/check_correctness.py
+# at sf0.01 AND sf0.1 (both green) plus an end-to-end pytest
+# (tests/test_behavior_monitoring.py); it MUST lead the round-6
+# rotation for its first driver row.
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
 if _missing:  # typo guard — fail loudly at import, not silently mis-order

@@ -121,3 +121,43 @@ def test_referential_violations_counts_orphans(spark):
 def test_check_expectations_rejects_empty(spark):
     with pytest.raises(ValueError):
         check_expectations(spark.range(1), [])
+
+
+def test_violation_tag_orders_and_joins_rules(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.quarantine import violation_tag
+
+    df = spark.createDataFrame(
+        [(1, "error", 500.0), (2, "view", 10.0), (3, "error", 10.0)],
+        "id long, et string, v double",
+    )
+    rules = [("r_no_error", F.col("et") == "error"), ("r_v_le_200", F.col("v") > 200)]
+    got = {r.id: r.tag for r in df.select("id", violation_tag(rules).alias("tag")).collect()}
+    assert got == {1: "r_no_error,r_v_le_200", 2: "", 3: "r_no_error"}
+
+
+def test_quarantine_stream_splits_and_preserves_rows(spark, tmp_path):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.quarantine import stream_quarantine_ingest
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], schema
+    ).repartition(4).write.parquet(src)
+    landing, quar, ckpt = (str(tmp_path / d) for d in ("land", "quar", "ckpt"))
+    q = stream_quarantine_ingest(
+        spark, src, landing, quar, schema,
+        [("v_lt_30", F.col("v") >= 30)], checkpoint=ckpt,
+        max_files_per_trigger=1,  # 4 micro-batches
+    )
+    q.awaitTermination(120)
+    clean = spark.read.parquet(landing)
+    bad = spark.read.parquet(quar)
+    assert clean.count() == 30 and bad.count() == 10
+    assert set(clean.columns) == {"id", "v"}  # tag stripped from landing
+    assert {r.violations for r in bad.select("violations").distinct().collect()} == {"v_lt_30"}
+    # nothing dropped: union restores the full id set
+    ids = {r.id for r in clean.select("id").collect()} | {r.id for r in bad.select("id").collect()}
+    assert ids == set(range(40))
