@@ -50,8 +50,13 @@ def naive_bayes_scores(
     real pipeline fits on the train split of ``hash_split`` and scores
     the rest — same plan, one extra filter.
     """
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._parallel import ensure_min_parallelism
+
+    # The explode + map-side partial aggregation runs on the SCAN's
+    # splits — parallelize small inputs before it (no-op at scale).
     tf = (
-        df.select(
+        ensure_min_parallelism(df)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.col(label_col).alias("true_label"),
             F.explode(tokenize(F.col(text_col))).alias("word"),

@@ -861,13 +861,9 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0))
 
-    # CPU-bound narrow op: when the scan yields fewer splits than cores
-    # (small files), one cheap shuffle buys full parallelism; at real
-    # scale the input has >= cores splits and this is a no-op.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._parallel import ensure_min_parallelism
 
+    df = ensure_min_parallelism(df)
     out = df.select(
         F.col(id_col),
         F.size(words).alias("n_words"),
@@ -926,6 +922,46 @@ def normalize_unicode(
                     "norm_text": normed,
                     "changed": (normed != t).astype("int32"),
                 }
+            )
+
+    return src.mapInPandas(kernel, schema=schema)
+
+
+def compression_quality(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the CCNet/RedPajama-class
+    quality heuristic the rule-based filters miss: machine-generated
+    boilerplate and template spam compress far below natural text,
+    random gibberish barely compresses at all. Emits
+    ``compress_ratio = deflated_bytes / raw_bytes`` (lower = more
+    redundant) plus the raw byte length.
+
+    DEFLATE has no SQL twin, so this operator is pytest-pinned rather
+    than DuckDB-oracled (the documented weaker gate). Arrow-batched
+    mapInPandas — zlib is C-implemented; narrow map, zero shuffles,
+    small-input parallelism guard applied like the other CPU-bound
+    per-row kernels.
+    """
+    import zlib as _zlib
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._parallel import ensure_min_parallelism
+
+    schema = f"{id_col} long, raw_bytes int, compress_ratio double"
+    src = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col).alias("__t")))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raws = pdf["__t"].astype("string").fillna("").map(lambda s: s.encode("utf-8"))
+            n = raws.map(len)
+            ratio = [
+                (len(_zlib.compress(b, level)) / ln) if ln else 1.0
+                for b, ln in zip(raws, n)
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "raw_bytes": n.astype("int32"), "compress_ratio": ratio}
             )
 
     return src.mapInPandas(kernel, schema=schema)

@@ -178,3 +178,32 @@ def test_shingles_empty_for_short_docs_no_crash(spark):
     by = {x.doc_id: x for x in r}
     assert by[1].dup_bigram_frac == 0.0 and by[1].dup_trigram_frac == 0.0
     assert by[1].top_word_char_frac == 1.0
+
+
+def test_compression_quality_separates_redundancy(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import compression_quality
+
+    import random
+
+    rng = random.Random(7)
+    gibberish = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(2000))
+    spam = "buy now " * 250
+    natural = (
+        "the engine compiles every filter into a single scan and lets "
+        "the optimizer prune columns before any shuffle happens "
+    ) * 18
+    df = _docs(spark, [(1, gibberish), (2, spam), (3, natural)])
+    out = {r.doc_id: r for r in compression_quality(df, "doc_id", "text").collect()}
+    # template spam compresses hardest, random text barely at all
+    assert out[2].compress_ratio < out[3].compress_ratio < out[1].compress_ratio
+    assert out[1].compress_ratio > 0.5
+    assert out[2].compress_ratio < 0.05
+    assert out[1].raw_bytes == 2000
+
+
+def test_compression_quality_empty_text(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import compression_quality
+
+    df = _docs(spark, [(1, "")])
+    r = compression_quality(df, "doc_id", "text").collect()[0]
+    assert r.raw_bytes == 0 and r.compress_ratio == 1.0
