@@ -224,6 +224,87 @@ def q_source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_generic_format, XML instance: Spark 4's built-in XML
+    source (rowTag mode) round-trips a day of events written as XML and
+    aggregates it back — the config-file/feed format the reference's
+    "other formats" escape hatch (README.md:6-7) would meet in an
+    enterprise bucket. Explicit schema, no inference (CREATE_NEVER
+    parity). Avro is NOT exercised: the pip pyspark distribution ships
+    without the external spark-avro jar — documented container
+    constraint, same gate as the multimodal codec stubs."""
+    key = ("xml", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("fix_xml")
+        (
+            _events_day1(spark, sf_dir)
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .option("rowTag", "event")
+            .format("xml")
+            .save(root)
+        )
+        _FIXTURES[key] = root
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(schema)
+        .load(_FIXTURES[key])
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+    )
+
+
+ORACLE_SOURCE_XML = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+       min(event_id) AS min_event_id
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY event_type
+"""
+
+
+def q_source_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse_json
+    once into the binary variant encoding, then typed variant_get
+    extraction — the modern engine path for open-schema JSON columns
+    (vs per-access get_json_object string re-parsing; at 100 TB the
+    parse happens once per row, not once per extracted field). The
+    DuckDB oracle extracts the same path with its native JSON type."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("distinct_k"),
+    )
+
+
+ORACLE_JSON_VARIANT = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+       max(CAST(props->>'$.k' AS INT)) AS max_k,
+       CAST(count(DISTINCT CAST(props->>'$.k' AS INT)) AS BIGINT)
+         AS distinct_k
+FROM events GROUP BY event_type
+"""
+
+
 ORACLE_JSON_LINES = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
@@ -3602,6 +3683,8 @@ QUERIES: dict[str, callable] = {
     "scan_csv_tab_delimited": q_scan_csv_tab_delimited,
     "source_generic_format": q_source_generic_format,
     "source_json_lines": q_source_json_lines,
+    "source_xml": q_source_xml,
+    "source_json_variant": q_source_json_variant,
     "probe_partition_exists": q_probe_partition_exists,
     "sink_partition_overwrite": q_sink_partition_overwrite,
     "sink_training_shards": q_sink_training_shards,
@@ -3720,6 +3803,8 @@ ORACLES: dict[str, str] = {
     "scan_csv_tab_delimited": ORACLE_SCAN_CSV,
     "source_generic_format": ORACLE_GENERIC,
     "source_json_lines": ORACLE_JSON_LINES,
+    "source_xml": ORACLE_SOURCE_XML,
+    "source_json_variant": ORACLE_JSON_VARIANT,
     "probe_partition_exists": ORACLE_PROBE,
     "sink_partition_overwrite": ORACLE_SINK,
     "sink_training_shards": ORACLE_TRAINING_SHARDS,
@@ -3955,11 +4040,12 @@ _DRIVER_WINDOW = [
     "pack_length_buckets",
     "classify_naive_bayes",
 ]
-# stream_quarantine_sink landed after the window filled (50 is the
-# driver's check size). It is verified with scripts/check_correctness.py
-# at sf0.01 AND sf0.1 (both green) plus an end-to-end pytest
-# (tests/test_behavior_monitoring.py); it MUST lead the round-6
-# rotation for its first driver row.
+# stream_quarantine_sink, source_xml, and source_json_variant landed
+# after the window filled (50 is the driver's check size). All three
+# are verified with scripts/check_correctness.py at sf0.01 AND sf0.1
+# (green) — quarantine additionally by an end-to-end pytest
+# (tests/test_behavior_monitoring.py); they MUST lead the round-6
+# rotation for their first driver rows.
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
 if _missing:  # typo guard — fail loudly at import, not silently mis-order
