@@ -67,3 +67,24 @@ def referential_violations(
         )
     )
     return n
+
+
+def check_expectations_observed(
+    df: DataFrame, rules: list[tuple[str, Column]], name: str = "expectations"
+):
+    """Attach the rule violation counters to ``df`` as an Observation:
+    the metrics are computed DURING whatever action consumes the frame
+    (the ingest write itself), so the quality numbers cost zero extra
+    scans — the accumulator-style production shape, vs
+    :func:`check_expectations`'s standalone audit pass. Returns
+    ``(observed_df, observation)``; read ``observation.get`` after the
+    action completes."""
+    from pyspark.sql import Observation
+
+    if not rules:
+        raise ValueError("at least one expectation required")
+    obs = Observation(name)
+    metrics = [
+        F.sum(pred.cast("long")).alias(rule_name) for rule_name, pred in rules
+    ] + [F.count(F.lit(1)).alias("__n_rows")]
+    return df.observe(obs, *metrics), obs

@@ -305,6 +305,135 @@ FROM events GROUP BY event_type
 """
 
 
+def q_sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (Spark 4 WITH RECURSIVE): generate the
+    24-hour calendar spine by recursion (the generality path for
+    irregular steps where sequence() can't express the walk), LEFT
+    JOIN the day-1 hourly error rollup against it, and surface every
+    hour INCLUDING silent zero-error hours — the monitoring gap a
+    rollup-only query can't see. Recursion depth is calendar-bounded
+    (24); Spark's recursive CTE requires UNION ALL, so only
+    bounded/acyclic walks terminate — pinned here and in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    ).createOrReplaceTempView("ev_day1_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(h) AS (
+          SELECT 0 UNION ALL SELECT h + 1 FROM spine WHERE h < 23
+        ),
+        roll AS (
+          SELECT hour(ts) AS h, count(*) AS n
+          FROM ev_day1_rec WHERE event_type = 'error' GROUP BY hour(ts)
+        )
+        SELECT s.h AS hour_of_day, CAST(coalesce(r.n, 0) AS BIGINT) AS n_errors
+        FROM spine s LEFT JOIN roll r ON s.h = r.h
+        ORDER BY s.h
+        """
+    )
+
+
+ORACLE_RECURSIVE_SPINE = """
+WITH RECURSIVE spine(h) AS (
+  SELECT 0 UNION ALL SELECT h + 1 FROM spine WHERE h < 23
+),
+roll AS (
+  SELECT extract(hour FROM ts) AS h, count(*) AS n
+  FROM events
+  WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+  GROUP BY 1
+)
+SELECT s.h AS hour_of_day, CAST(coalesce(r.n, 0) AS BIGINT) AS n_errors
+FROM spine s LEFT JOIN roll r ON s.h = r.h
+ORDER BY s.h
+"""
+
+
+def q_sql_udf_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (Spark 4 CREATE FUNCTION ... RETURN expr): the
+    partition kit (functions/partition.py, mirroring the reference's
+    ingestion/partition.py helpers) exposed to SQL-first users as
+    catalog functions — the body is a plain Catalyst expression, so
+    unlike Python UDFs these inline into whole-stage codegen with zero
+    serialization boundary. Distinct hourly partitions of day 1 with
+    their BigQuery decorator and Hive path."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bq_partition(t TIMESTAMP) "
+        "RETURNS STRING RETURN date_format(t, 'yyyyMMddHH')"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hive_path(t TIMESTAMP) "
+        "RETURNS STRING RETURN concat("
+        "'year=', date_format(t, 'yyyy'), '/month=', date_format(t, 'MM'),"
+        "'/day=', date_format(t, 'dd'), '/hour=', date_format(t, 'HH'))"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    ).createOrReplaceTempView("ev_day1_udf")
+    return spark.sql(
+        """
+        SELECT bq_partition(date_trunc('hour', ts)) AS partition_id,
+               hive_path(date_trunc('hour', ts)) AS hive_path,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM ev_day1_udf
+        GROUP BY 1, 2 ORDER BY 1
+        """
+    )
+
+
+ORACLE_SQL_UDF = """
+SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS partition_id,
+       concat('year=', strftime(ts, '%Y'), '/month=', strftime(ts, '%m'),
+              '/day=', strftime(ts, '%d'), '/hour=', strftime(ts, '%H'))
+         AS hive_path,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_quality_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-extra-scan quality metrics (operators/expectations.py
+    check_expectations_observed): the violation counters ride the
+    ingest write itself as an Observation — the landing parquet write
+    IS the action that computes them. Returns the observed metric rows;
+    the oracle recomputes the same counts declaratively."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.expectations import (
+        check_expectations_observed,
+    )
+
+    ev = _events_day1(spark, sf_dir)
+    rules = [
+        ("no_error_rows", F.col("event_type") == "error"),
+        ("value_le_200", F.col("value") > 200),
+    ]
+    observed, obs = check_expectations_observed(ev, rules)
+    observed.write.mode("overwrite").parquet(_tmp("observed_land"))
+    got = obs.get
+    return spark.createDataFrame(
+        [(name, int(got[name])) for name, _ in rules]
+        + [("rows_written", int(got["__n_rows"]))],
+        "rule string, n long",
+    )
+
+
+ORACLE_QUALITY_OBSERVED = """
+SELECT 'no_error_rows' AS rule,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+UNION ALL
+SELECT 'value_le_200',
+       CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT)
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+UNION ALL
+SELECT 'rows_written', CAST(count(*) AS BIGINT)
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+"""
+
+
 ORACLE_JSON_LINES = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
@@ -3685,6 +3814,9 @@ QUERIES: dict[str, callable] = {
     "source_json_lines": q_source_json_lines,
     "source_xml": q_source_xml,
     "source_json_variant": q_source_json_variant,
+    "sql_recursive_spine": q_sql_recursive_spine,
+    "sql_udf_partition": q_sql_udf_partition,
+    "quality_observed": q_quality_observed,
     "probe_partition_exists": q_probe_partition_exists,
     "sink_partition_overwrite": q_sink_partition_overwrite,
     "sink_training_shards": q_sink_training_shards,
@@ -3805,6 +3937,9 @@ ORACLES: dict[str, str] = {
     "source_json_lines": ORACLE_JSON_LINES,
     "source_xml": ORACLE_SOURCE_XML,
     "source_json_variant": ORACLE_JSON_VARIANT,
+    "sql_recursive_spine": ORACLE_RECURSIVE_SPINE,
+    "sql_udf_partition": ORACLE_SQL_UDF,
+    "quality_observed": ORACLE_QUALITY_OBSERVED,
     "probe_partition_exists": ORACLE_PROBE,
     "sink_partition_overwrite": ORACLE_SINK,
     "sink_training_shards": ORACLE_TRAINING_SHARDS,
@@ -4040,12 +4175,13 @@ _DRIVER_WINDOW = [
     "pack_length_buckets",
     "classify_naive_bayes",
 ]
-# stream_quarantine_sink, source_xml, and source_json_variant landed
-# after the window filled (50 is the driver's check size). All three
-# are verified with scripts/check_correctness.py at sf0.01 AND sf0.1
-# (green) — quarantine additionally by an end-to-end pytest
-# (tests/test_behavior_monitoring.py); they MUST lead the round-6
-# rotation for their first driver rows.
+# Keys landed after the window filled (50 is the driver's check size):
+# stream_quarantine_sink, source_xml, source_json_variant,
+# sql_recursive_spine, sql_udf_partition, quality_observed. All six are
+# verified with scripts/check_correctness.py at sf0.01 AND sf0.1
+# (green) — quarantine and quality_observed additionally by end-to-end
+# pytests (tests/test_behavior_monitoring.py); they MUST lead the
+# round-6 rotation for their first driver rows.
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
 if _missing:  # typo guard — fail loudly at import, not silently mis-order

@@ -161,3 +161,24 @@ def test_quarantine_stream_splits_and_preserves_rows(spark, tmp_path):
     # nothing dropped: union restores the full id set
     ids = {r.id for r in clean.select("id").collect()} | {r.id for r in bad.select("id").collect()}
     assert ids == set(range(40))
+
+
+def test_observed_expectations_ride_the_action(spark, tmp_path):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.expectations import check_expectations_observed
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], "k long, v double")
+    observed, obs = check_expectations_observed(
+        df, [("v_lt_15", F.col("v") >= 15)]
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["v_lt_15"] == 5 and got["__n_rows"] == 20
+    # the written data is untouched by the observation
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 20
+
+
+def test_observed_expectations_reject_empty(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.expectations import check_expectations_observed
+
+    with pytest.raises(ValueError):
+        check_expectations_observed(spark.range(1), [])
