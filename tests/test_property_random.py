@@ -171,3 +171,66 @@ def test_cms_never_undercounts_on_zipf_stream(spark):
         for r in countmin_query(sketch, cands, "key", depth=4, width=512).collect()
     }
     assert all(est[k] >= n for k, n in truth.items())
+
+
+def test_repetition_signals_match_bruteforce(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import repetition_signals
+
+    rng = np.random.RandomState(7)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    rows = []
+    for i in range(120):
+        n = int(rng.randint(1, 12))  # includes sub-bigram/trigram docs
+        rows.append((i, " ".join(vocab[int(rng.randint(0, 5))] for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    for i, text in rows:
+        words = text.split()
+        counts = {w: words.count(w) for w in set(words)}
+        top_chars = max(c * len(w) for w, c in counts.items() if c == max(counts.values()))
+        total = sum(len(w) for w in words)
+        assert got[i].top_word_char_frac == round(top_chars / total, 6), i
+        for n, col in ((2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
+            grams = [tuple(words[j : j + n]) for j in range(len(words) - n + 1)]
+            want = round(1 - len(set(grams)) / len(grams), 6) if grams else 0.0
+            assert got[i][col] == want, (i, n)
+
+
+def test_domain_cap_and_leakage_split_properties(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import domain_cap, leakage_safe_split
+
+    rng = np.random.RandomState(11)
+    rows = [(i, f"d{int(rng.randint(0, 7))}", f"txt {int(rng.randint(0, 25))}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, text string")
+    capped = domain_cap(df, "dom", "doc_id", 10)
+    per = {r["dom"]: r["count"] for r in capped.groupBy("dom").count().collect()}
+    full = defaultdict(int)
+    for _, d, _t in rows:
+        full[d] += 1
+    for d, n in full.items():
+        assert per.get(d, 0) == min(n, 10), d  # exact cap, nothing lost below it
+
+    split = leakage_safe_split(df, "doc_id", "text", {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = split.collect()
+    # PROPERTY: same normalized text -> same split, always
+    by_text = defaultdict(set)
+    text_of = {i: t for i, _d, t in rows}
+    for r in out:
+        by_text[text_of[r.doc_id]].add(r.split)
+    assert all(len(s) == 1 for s in by_text.values())
+
+
+def test_length_buckets_pow2_property(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.packing import length_buckets
+
+    rng = np.random.RandomState(13)
+    ns = sorted(set(int(rng.randint(1, 6000)) for _ in range(200)))
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(ns)], "doc_id long, n long")
+    got = {r.doc_id: r.bucket for r in length_buckets(df, "doc_id", "n").collect()}
+    for i, n in enumerate(ns):
+        b = got[i]
+        want = 1
+        while want < n:
+            want *= 2
+        assert b == min(want, 4096), (n, b)
+        assert b & (b - 1) == 0  # always a power of two
