@@ -4177,11 +4177,12 @@ _DRIVER_WINDOW = [
 ]
 # Keys landed after the window filled (50 is the driver's check size):
 # stream_quarantine_sink, source_xml, source_json_variant,
-# sql_recursive_spine, sql_udf_partition, quality_observed. All six are
-# verified with scripts/check_correctness.py at sf0.01 AND sf0.1
-# (green) — quarantine and quality_observed additionally by end-to-end
-# pytests (tests/test_behavior_monitoring.py); they MUST lead the
-# round-6 rotation for their first driver rows.
+# sql_recursive_spine, sql_udf_partition, quality_observed,
+# profile_corpus_report. All seven are verified with
+# scripts/check_correctness.py at sf0.01 AND sf0.1 (green) — quarantine
+# and quality_observed additionally by end-to-end pytests
+# (tests/test_behavior_monitoring.py); they MUST lead the round-6
+# rotation for their first driver rows.
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
 if _missing:  # typo guard — fail loudly at import, not silently mis-order

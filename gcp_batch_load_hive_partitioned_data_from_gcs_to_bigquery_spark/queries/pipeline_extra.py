@@ -2151,8 +2151,134 @@ GROUP BY true_label, pred_label
 """
 
 
+def q_profile_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATA CARD: the one-table summary a dataset release
+    ships (docs, token mass and distribution, exact-dup rate,
+    repetition-filter keep rate, source mix) assembled in two passes —
+    one wide conditional aggregation over per-row narrow signals
+    (token counts, normalized sha, repetition verdict all computed
+    map-side in the same scan) plus one source-keyed rollup. Long
+    (metric, value) output so the report is schema-stable as metrics
+    are added."""
+    from ..operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = TX.repetition_signals(docs, "doc_id", "text").select(
+        "doc_id", "repetition_keep"
+    )
+    per_doc = docs.join(rep, "doc_id").select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).alias("n_tok"),
+        F.sha2(normalize_text(F.col("text")), 256).alias("norm_sha"),
+        "repetition_keep",
+    )
+    wide = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_tok").cast("double").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("norm_sha") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(F.avg("repetition_keep"), 6).alias("repetition_keep_rate"),
+    )
+    main = wide.selectExpr(
+        "stack(6, 'n_docs', n_docs, 'total_tokens', total_tokens,"
+        " 'avg_tokens', avg_tokens, 'p50_tokens', p50_tokens,"
+        " 'dup_rate', dup_rate, 'repetition_keep_rate',"
+        " repetition_keep_rate) as (metric, value)"
+    )
+    n = docs.count()
+    mix = (
+        docs.groupBy("source")
+        .agg(F.round(F.count(F.lit(1)) / F.lit(n), 6).alias("value"))
+        .select(F.concat(F.lit("frac_"), F.col("source")).alias("metric"), "value")
+    )
+    return main.unionByName(mix).orderBy("metric")
+
+
+ORACLE_CORPUS_REPORT = r"""
+WITH per AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm,
+         CASE WHEN rs.top_word_char_frac <= 0.2
+                   AND rs.dup_bigram_frac <= 0.35
+                   AND rs.dup_trigram_frac <= 0.2
+              THEN 1 ELSE 0 END AS rep_keep
+  FROM documents
+  JOIN (
+    WITH arr AS (
+      SELECT doc_id AS d, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      FROM documents
+    ),
+    wc AS (
+      SELECT d, w, count(*) AS c, count(*) * length(w) AS chars
+      FROM (SELECT d, unnest(ws) AS w FROM arr) GROUP BY d, w
+    ),
+    tot AS (
+      SELECT d, sum(chars) AS total_chars, max(c) AS max_c FROM wc GROUP BY d
+    ),
+    top AS (
+      SELECT wc.d, max(wc.chars) AS top_chars
+      FROM wc JOIN tot ON wc.d = tot.d AND wc.c = tot.max_c GROUP BY wc.d
+    ),
+    g2 AS (
+      SELECT d, count(*) AS n_g, count(DISTINCT ws[i] || ' ' || ws[i+1]) AS n_d
+      FROM (SELECT d, ws, unnest(generate_series(1, greatest(len(ws)-1, 0))) AS i
+            FROM arr) GROUP BY d
+    ),
+    g3 AS (
+      SELECT d, count(*) AS n_g,
+             count(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS n_d
+      FROM (SELECT d, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i
+            FROM arr) GROUP BY d
+    )
+    SELECT t.d,
+           round(top.top_chars / CAST(t.total_chars AS DOUBLE), 6)
+             AS top_word_char_frac,
+           coalesce(round(1.0 - g2.n_d / CAST(g2.n_g AS DOUBLE), 6), 0.0)
+             AS dup_bigram_frac,
+           coalesce(round(1.0 - g3.n_d / CAST(g3.n_g AS DOUBLE), 6), 0.0)
+             AS dup_trigram_frac
+    FROM tot t JOIN top USING (d)
+    LEFT JOIN g2 USING (d) LEFT JOIN g3 USING (d)
+  ) rs ON rs.d = doc_id
+),
+main AS (
+  SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM per
+  UNION ALL
+  SELECT 'total_tokens', CAST(sum(n_tok) AS DOUBLE) FROM per
+  UNION ALL
+  SELECT 'avg_tokens', round(avg(n_tok), 4) FROM per
+  UNION ALL
+  SELECT 'p50_tokens', round(quantile_cont(n_tok, 0.5), 4) FROM per
+  UNION ALL
+  SELECT 'dup_rate',
+         round(1.0 - count(DISTINCT norm) / CAST(count(*) AS DOUBLE), 6)
+    FROM per
+  UNION ALL
+  SELECT 'repetition_keep_rate', round(avg(rep_keep), 6) FROM per
+),
+mix AS (
+  SELECT concat('frac_', source) AS metric,
+         round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6)
+           AS value
+  FROM documents GROUP BY source
+)
+SELECT metric, value FROM main
+UNION ALL SELECT metric, value FROM mix
+ORDER BY metric
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
+    "profile_corpus_report": q_profile_corpus_report,
     "emb_random_projection": q_emb_random_projection,
     "ann_jl_rerank": q_ann_jl_rerank,
     "text_heavy_hitters": q_text_heavy_hitters,
@@ -2207,6 +2333,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
 
 PIPELINE_ORACLES: dict[str, str] = {
     "corpus_curation_pipeline": ORACLE_CURATION,
+    "profile_corpus_report": ORACLE_CORPUS_REPORT,
     "emb_random_projection": ORACLE_JL_PROJECTION,
     "ann_jl_rerank": ORACLE_ANN_JL,
     "text_heavy_hitters": ORACLE_HEAVY_HITTERS,
