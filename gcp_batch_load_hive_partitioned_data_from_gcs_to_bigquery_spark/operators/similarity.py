@@ -1581,3 +1581,95 @@ def semdedup_jl(
     return assigned.join(dropped, "vec_id", "left").select(
         "vec_id", "cell", F.col("_drop").isNull().alias("keep")
     )
+
+
+def pca_fit_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+) -> tuple[DataFrame, "object"]:
+    """Distributed PCA over an embedding column: compression/whitening
+    ahead of clustering or ANN (the learned complement to the random JL
+    projection — same output shape, data-adapted axes).
+
+    The scalable shape: each partition computes its moment partials
+    (n, Σx, Σxxᵀ) in one mapInPandas pass — a d²-sized summary per
+    partition regardless of row count — the driver combines the
+    metadata-sized partials, eigendecomposes the d×d covariance (d is
+    the embedding width, tiny), fixes eigenvector sign by the
+    largest-|component|-positive convention (eigh's sign is otherwise
+    arbitrary), and broadcasts the components into a BLAS projection
+    kernel. Two narrow passes over the corpus, zero shuffles, driver
+    work bounded by d², never by N.
+
+    Returns ``(projected_df, model)`` where projected_df has
+    ``(id_col, pca: array<float>)`` and model carries ``components``
+    (k×d), ``mean`` (d) and ``explained_var`` (k) as numpy arrays.
+    Eigendecomposition has no SQL twin, so this operator is
+    pytest-pinned (orthonormality, variance ordering, agreement with
+    single-node numpy PCA) rather than DuckDB-oracled.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+
+    def partials(batches):
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+            g = m.T @ m
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+            )
+
+    rows = src.select("__v").mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    ).collect()  # bounded: one row per partition, each O(d^2)
+    n = sum(r.n for r in rows)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    d = len(rows[0].s)
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in rows:
+        s += np.array(r.s)
+        ss += np.array(r.ss).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k x d
+    # deterministic sign: largest-|component| entry positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    explained = np.maximum(evals[order], 0.0)
+
+    comps_f = comps.astype(np.float64)
+    mean_f = mean.astype(np.float64)
+
+    def project(batches):
+        for pdf in batches:
+            m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            p = (m - mean_f) @ comps_f.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pca": [row.tolist() for row in p]}
+            )
+
+    out = src.mapInPandas(project, f"{id_col} long, pca array<double>")
+
+    class _Model:
+        components = comps
+        mean_vec = mean
+        explained_var = explained
+
+    return out, _Model()

@@ -954,7 +954,119 @@ SELECT user_id, event_type AS mode_type, n AS n_mode FROM (
 """
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures —
+    the feature-drift / multicollinearity audit. ALL pairs ride ONE
+    aggregation (each corr() is a distributive moment aggregate, so the
+    whole matrix is a single map-side-combined pass collapsing to one
+    row), then stack() melts it to long (col_a, col_b, corr) — no
+    per-pair scans, no driver loops."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    wide = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"__c{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', __c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack}) as (col_a, col_b, corr)"
+    ).orderBy("col_a", "col_b")
+
+
+ORACLE_CORRELATION = """
+SELECT col_a, col_b, corr FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount',
+         round(corr(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax',
+         round(corr(l_quantity, l_tax), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount',
+         round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_tax',
+         round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'l_tax',
+         round(corr(l_discount, l_tax), 6) FROM lineitem
+)
+ORDER BY col_a, col_b
+"""
+
+
+def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of the event value per user-day:
+    each reading holds until the next one, so its weight is the seconds
+    to the user's next event that day (the last reading holds to
+    midnight) — the correct average for irregularly-sampled state, vs
+    the naive mean that over-weights bursts. One (user, day)-keyed
+    window for lead(), one aggregation — then a day-level rollup so the
+    output is calendar-sized."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = W.partitionBy("user_id", day.alias("d")).orderBy("ts", "event_id")
+    nxt = F.lead(F.col("ts").cast("double")).over(w)
+    day_end = (F.date_add(day, 1).cast("timestamp")).cast("double")
+    weight = F.coalesce(nxt, day_end) - F.col("ts").cast("double")
+    per_user_day = (
+        ev.select(
+            "user_id", day.alias("day"), "ts", "event_id", "value",
+            weight.alias("w"),
+        )
+        .groupBy("user_id", "day")
+        .agg((F.sum(F.col("value") * F.col("w")) / F.sum("w")).alias("twap"))
+    )
+    return (
+        per_user_day.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("twap"), 4).alias("avg_twap"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users", "avg_twap")
+        .orderBy("day")
+    )
+
+
+ORACLE_TWAP = """
+WITH weighted AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         coalesce(
+           epoch(lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id)),
+           epoch(CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP))
+         ) - epoch(ts) AS w
+  FROM events
+),
+per AS (
+  SELECT user_id, day, sum(value * w) / sum(w) AS twap
+  FROM weighted GROUP BY user_id, day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(twap), 4) AS avg_twap
+FROM per GROUP BY day ORDER BY day
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "agg_correlation": q_agg_correlation,
+    "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
     "source_schema_evolution": q_source_schema_evolution,
@@ -980,6 +1092,8 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "agg_correlation": ORACLE_CORRELATION,
+    "ts_time_weighted_avg": ORACLE_TWAP,
     "source_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "partition_vacuum_retention": ORACLE_VACUUM,
     "profile_table": ORACLE_PROFILE,

@@ -207,3 +207,51 @@ def test_compression_quality_empty_text(spark):
     df = _docs(spark, [(1, "")])
     r = compression_quality(df, "doc_id", "text").collect()[0]
     assert r.raw_bytes == 0 and r.compress_ratio == 1.0
+
+
+def test_pca_matches_single_node_numpy(spark):
+    import numpy as np
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_fit_project
+
+    rng = np.random.RandomState(3)
+    # low-rank-ish data: 2 dominant directions + noise, d=6
+    base = rng.randn(200, 2) @ rng.randn(2, 6) * 5 + rng.randn(200, 6) * 0.1
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(200)], "doc_id long, emb array<double>"
+    ).repartition(4)
+    out, model = pca_fit_project(df, "doc_id", "emb", k=3)
+
+    # orthonormal components, descending explained variance
+    g = model.components @ model.components.T
+    assert np.allclose(g, np.eye(3), atol=1e-8)
+    ev = model.explained_var
+    assert ev[0] >= ev[1] >= ev[2] >= 0
+    # top-2 capture nearly everything on rank-2-plus-noise data
+    total_var = np.var(base, axis=0, ddof=0).sum()
+    assert (ev[0] + ev[1]) / total_var > 0.99
+
+    # agreement with single-node numpy PCA (same sign convention)
+    c = base - base.mean(axis=0)
+    evals, evecs = np.linalg.eigh(np.cov(c.T, bias=True))
+    order = np.argsort(evals)[::-1][:3]
+    ref = evecs[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(np.abs(model.components), np.abs(ref), atol=1e-6)
+
+    # projected rows match (m - mean) @ comps.T
+    got = {r.doc_id: np.array(r.pca) for r in out.collect()}
+    want = (base - base.mean(axis=0)) @ model.components.T
+    for i in range(0, 200, 37):
+        assert np.allclose(got[i], want[i], atol=1e-8), i
+
+
+def test_pca_rejects_degenerate_input(spark):
+    import pytest as _pytest
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_fit_project
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "doc_id long, emb array<double>")
+    with _pytest.raises(ValueError):
+        pca_fit_project(df, "doc_id", "emb", k=1)
