@@ -1084,3 +1084,36 @@ def edit_distance_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("doc", "other", "distance")
     )
+
+
+def dedup_keep_longest(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical-member selection for duplicate groups: keep the LONGEST
+    copy (ties → smallest id) rather than the smallest id — the
+    truncation-aware choice: scrapes commonly carry cut-off copies of
+    the same page, and min-id keeps whichever arrived first while this
+    keeps the most complete one. Same one-groupBy map-side-combined
+    shape as ``normalized_dedup_keepers``; the argmax rides the
+    aggregation as a (len, -id) struct max — no window, no second pass.
+    """
+    normed = df.select(
+        F.col(id_col).alias("__id"),
+        F.length(F.col(text_col)).alias("__len"),
+        F.sha2(normalize_text(F.col(text_col)), 256).alias("__norm_sha"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("__len").alias("l"), (-F.col("__id")).alias("nid")
+        )
+    )
+    return (
+        normed.groupBy("__norm_sha")
+        .agg(
+            best.alias("b"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            (-F.col("b.nid")).cast("long").alias("keeper_id"),
+            F.col("b.l").alias("keeper_len"),
+            "n_copies",
+        )
+    )

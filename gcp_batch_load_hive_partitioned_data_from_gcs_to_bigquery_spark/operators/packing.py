@@ -274,3 +274,29 @@ def bucket_padding_stats(buckets: DataFrame) -> DataFrame:
             ).alias("waste_frac_unbucketed"),
         )
     )
+
+
+def batch_schedule(
+    buckets: DataFrame,
+    id_col: str,
+    batch_size: int,
+) -> DataFrame:
+    """Turn :func:`length_buckets` output into a concrete serving
+    schedule: within each bucket, documents are md5-ordered
+    (deterministic, RNG-free) and chopped into fixed-size batches.
+    Adds ``batch_id`` (0-based within bucket) and ``slot`` (position
+    in batch). One bucket-keyed window — same single-shuffle shape as
+    any rank-per-group; batches inherit the bucket's padding bound by
+    construction."""
+    from pyspark.sql import Window as W
+
+    order = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy("bucket").orderBy(order.asc(), F.col(id_col).asc())
+    rank = F.row_number().over(w)
+    return buckets.select(
+        F.col(id_col),
+        "seq_len",
+        "bucket",
+        ((rank - 1) / batch_size).cast("long").alias("batch_id"),
+        ((rank - 1) % batch_size).cast("long").alias("slot"),
+    )

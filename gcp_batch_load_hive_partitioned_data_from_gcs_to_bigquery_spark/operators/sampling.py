@@ -290,3 +290,26 @@ def leakage_safe_split(
         id_col, "cluster_id", "cluster_size"
     )
     return hash_split(tagged, "cluster_id", weights, salt)
+
+
+def class_balance(
+    df: DataFrame, label_col: str, key_col: str
+) -> DataFrame:
+    """Deterministic class balancing: downsample every label to the
+    SMALLEST label's count (md5-ranked membership — reproducible, no
+    RNG), the classifier-training prep that stops a 90/10 skew from
+    training a majority-class predictor. One label-keyed rank window
+    plus a label-count-sized broadcast of the floor; survivors carry
+    ``class_rank``."""
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    floor = counts.agg(F.min("__n").alias("__floor"))
+    order = F.md5(F.col(key_col).cast("string"))
+    w = W.partitionBy(label_col).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("class_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(floor))
+        .filter(F.col("class_rank") <= F.col("__floor"))
+        .drop("__floor")
+    )

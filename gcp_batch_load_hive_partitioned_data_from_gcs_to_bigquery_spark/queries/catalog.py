@@ -4178,8 +4178,9 @@ _DRIVER_WINDOW = [
 # Keys landed after the window filled (50 is the driver's check size):
 # stream_quarantine_sink, source_xml, source_json_variant,
 # sql_recursive_spine, sql_udf_partition, quality_observed,
-# profile_corpus_report, agg_correlation, ts_time_weighted_avg. All
-# nine are verified with scripts/check_correctness.py at sf0.01 AND
+# profile_corpus_report, agg_correlation, ts_time_weighted_avg,
+# dedup_keep_longest, pack_batch_schedule, sample_class_balance. All
+# twelve are verified with scripts/check_correctness.py at sf0.01 AND
 # sf0.1 (green) — quarantine and quality_observed additionally by
 # end-to-end pytests (tests/test_behavior_monitoring.py); they MUST
 # lead the round-6 rotation for their first driver rows.

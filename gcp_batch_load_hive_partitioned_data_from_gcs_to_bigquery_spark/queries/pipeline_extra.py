@@ -2276,9 +2276,134 @@ ORDER BY metric
 """
 
 
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-aware canonical selection (operators/dedup.py
+    dedup_keep_longest): per normalized-duplicate group keep the
+    LONGEST copy (ties → smallest id) — scrapes carry cut-off copies,
+    and min-id keeps whichever arrived first while this keeps the most
+    complete one. Argmax rides the single groupBy as a (len,-id)
+    struct max — no window, no second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_keep_longest(docs, "doc_id", "text")
+
+
+ORACLE_KEEP_LONGEST = """
+WITH normed AS (
+  SELECT doc_id, length(text) AS len,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, len, norm,
+         row_number() OVER (PARTITION BY norm
+                            ORDER BY len DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY norm) AS n_copies
+  FROM normed
+)
+SELECT doc_id AS keeper_id, CAST(len AS INT) AS keeper_len,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_pack_batch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concrete serving schedule (operators/packing.py batch_schedule):
+    length-bucketed docs md5-ordered within their bucket and chopped
+    into 32-doc batches — the (bucket, batch, slot) coordinates an
+    inference server consumes. One bucket-keyed window; summarized to
+    per-(bucket, batch) rows so the output stays metadata-sized."""
+    from ..operators import packing as PK
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tok"))
+    sched = PK.batch_schedule(
+        PK.length_buckets(lens, "doc_id", "n_tok"), "doc_id", batch_size=32
+    )
+    return (
+        sched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("seq_len").alias("real_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+ORACLE_BATCH_SCHEDULE = r"""
+WITH lens AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n,
+         least(CASE WHEN n > 0 AND (n & (n - 1)) = 0 THEN n
+                    ELSE (CAST(1 AS BIGINT) << length(bin(n))) END,
+               4096) AS bucket
+  FROM lens
+),
+ranked AS (
+  SELECT doc_id, n, bucket,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rk
+  FROM bucketed
+)
+SELECT bucket, CAST((rk - 1) // 32 AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS real_tokens,
+       min(doc_id) AS min_doc_id
+FROM ranked GROUP BY bucket, batch_id
+ORDER BY bucket, batch_id
+"""
+
+
+def q_sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class balancing (operators/sampling.py
+    class_balance): every lang downsampled to the smallest lang's
+    count by md5 rank — the skew-proof classifier-training prep.
+    Output: per-lang kept counts (all equal to the floor) plus kept
+    doc-id checksum so membership, not just cardinality, is pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = S.class_balance(docs, "lang", "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_CLASS_BALANCE = """
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+floor_n AS (SELECT min(n) AS f FROM counts),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rk
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM ranked, floor_n WHERE rk <= f
+GROUP BY lang ORDER BY lang
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "profile_corpus_report": q_profile_corpus_report,
+    "dedup_keep_longest": q_dedup_keep_longest,
+    "pack_batch_schedule": q_pack_batch_schedule,
+    "sample_class_balance": q_sample_class_balance,
     "emb_random_projection": q_emb_random_projection,
     "ann_jl_rerank": q_ann_jl_rerank,
     "text_heavy_hitters": q_text_heavy_hitters,
@@ -2334,6 +2459,9 @@ PIPELINE_QUERIES: dict[str, callable] = {
 PIPELINE_ORACLES: dict[str, str] = {
     "corpus_curation_pipeline": ORACLE_CURATION,
     "profile_corpus_report": ORACLE_CORPUS_REPORT,
+    "dedup_keep_longest": ORACLE_KEEP_LONGEST,
+    "pack_batch_schedule": ORACLE_BATCH_SCHEDULE,
+    "sample_class_balance": ORACLE_CLASS_BALANCE,
     "emb_random_projection": ORACLE_JL_PROJECTION,
     "ann_jl_rerank": ORACLE_ANN_JL,
     "text_heavy_hitters": ORACLE_HEAVY_HITTERS,

@@ -255,3 +255,53 @@ def test_pca_rejects_degenerate_input(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], "doc_id long, emb array<double>")
     with _pytest.raises(ValueError):
         pca_fit_project(df, "doc_id", "emb", k=1)
+
+
+def test_dedup_keep_longest_prefers_complete_copy(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import dedup_keep_longest
+
+    df = _docs(
+        spark,
+        [
+            (1, "hello world"),          # truncated copy, earlier id
+            (2, "Hello,   WORLD!!"),     # longer raw form, same normalized
+            (3, "unrelated text"),
+        ],
+    )
+    out = {r.keeper_id: r for r in dedup_keep_longest(df, "doc_id", "text").collect()}
+    assert 2 in out and out[2].n_copies == 2  # longest wins, not min id
+    assert out[2].keeper_len == len("Hello,   WORLD!!")
+    assert out[3].n_copies == 1
+
+
+def test_batch_schedule_chops_buckets_deterministically(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.packing import batch_schedule, length_buckets
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(70)], "doc_id long, n long"
+    )
+    sched = batch_schedule(length_buckets(df, "doc_id", "n"), "doc_id", batch_size=32)
+    rows = sched.collect()
+    assert all(r.bucket == 128 for r in rows)
+    per_batch = {}
+    for r in rows:
+        per_batch.setdefault(r.batch_id, []).append(r.slot)
+    assert sorted(per_batch) == [0, 1, 2]
+    assert sorted(per_batch[0]) == list(range(32))
+    assert len(per_batch[2]) == 70 - 64  # final partial batch
+    again = batch_schedule(length_buckets(df, "doc_id", "n"), "doc_id", 32).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_class_balance_equalizes_to_smallest(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import class_balance
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lab string")
+    kept = class_balance(df, "lab", "doc_id")
+    per = {r["lab"]: r["count"] for r in kept.groupBy("lab").count().collect()}
+    assert per == {"big": 10, "small": 10}
+    # deterministic membership
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in class_balance(df, "lab", "doc_id").collect())
+    assert a == b
