@@ -1064,9 +1064,113 @@ FROM per GROUP BY day ORDER BY day
 """
 
 
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (the
+    ClickHouse/Druid groupBitmap pattern): users bucket into 32-bit
+    chunks (32-wide so the shift never overflows a signed 64-bit lane
+    in ANY engine — 1<<63 is UB/raise territory), per-(day, chunk)
+    bit_or collapses map-side, and popcount sums give the per-day
+    distinct. Unlike countDistinct, the per-day chunk bitmaps COMPOSE:
+    the month row is a second bit_or over the already-tiny day chunks —
+    distinct-over-any-period without ever rescanning raw events, which
+    is the 100 TB rollup property HLL gives approximately and this
+    gives exactly (for dense integer key spaces). Both levels checked
+    against plain countDistinct in the same output."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        (F.col("user_id") / 32).cast("long").alias("chunk"),
+        F.expr("shiftleft(1L, cast(user_id % 32 as int))").alias("bit"),
+        "user_id",
+    )
+    day_chunks = base.groupBy("day", "chunk").agg(
+        F.expr("bit_or(bit)").alias("bits")
+    )
+    day_chunks = day_chunks.persist()
+    per_day = day_chunks.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).alias("n_bitmap")
+    )
+    exact_day = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    days = (
+        per_day.join(exact_day, "day")
+        .select(
+            "day",
+            "n_bitmap",
+            "n_exact",
+            (F.col("n_bitmap") == F.col("n_exact")).cast("int").alias("agree"),
+        )
+    )
+    # compose: month distinct = bit_or over the day chunks, NOT a rescan
+    month = (
+        day_chunks.groupBy("chunk")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(F.sum(F.bit_count("bits")).alias("n_bitmap"))
+        .crossJoin(
+            F.broadcast(
+                ev.agg(F.countDistinct("user_id").alias("n_exact"))
+            )
+        )
+        .select(
+            F.lit("ALL").alias("day"),
+            "n_bitmap",
+            "n_exact",
+            (F.col("n_bitmap") == F.col("n_exact")).cast("int").alias("agree"),
+        )
+    )
+    out = days.unionByName(month).orderBy("day")
+    return out
+
+
+ORACLE_BITMAP_DISTINCT = """
+WITH base AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         user_id // 32 AS chunk,
+         CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT) AS bit,
+         user_id
+  FROM events
+),
+day_chunks AS (
+  SELECT day, chunk, bit_or(bit) AS bits FROM base GROUP BY day, chunk
+),
+per_day AS (
+  SELECT day, CAST(sum(bit_count(bits)) AS BIGINT) AS n_bitmap
+  FROM day_chunks GROUP BY day
+),
+exact_day AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+),
+days AS (
+  SELECT p.day, p.n_bitmap, e.n_exact,
+         CASE WHEN p.n_bitmap = e.n_exact THEN 1 ELSE 0 END AS agree
+  FROM per_day p JOIN exact_day e USING (day)
+),
+month AS (
+  SELECT 'ALL' AS day,
+         CAST((SELECT sum(bit_count(bits)) FROM
+                (SELECT chunk, bit_or(bits) AS bits
+                 FROM day_chunks GROUP BY chunk)) AS BIGINT) AS n_bitmap,
+         CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+           AS n_exact,
+         CASE WHEN (SELECT sum(bit_count(bits)) FROM
+                     (SELECT chunk, bit_or(bits) AS bits
+                      FROM day_chunks GROUP BY chunk))
+                   = (SELECT count(DISTINCT user_id) FROM events)
+              THEN 1 ELSE 0 END AS agree
+)
+SELECT day, n_bitmap, n_exact, agree FROM days
+UNION ALL SELECT day, n_bitmap, n_exact, agree FROM month
+ORDER BY day
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "agg_correlation": q_agg_correlation,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
+    "agg_bitmap_distinct": q_agg_bitmap_distinct,
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
     "source_schema_evolution": q_source_schema_evolution,
@@ -1094,6 +1198,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 ANALYTICS_ORACLES: dict[str, str] = {
     "agg_correlation": ORACLE_CORRELATION,
     "ts_time_weighted_avg": ORACLE_TWAP,
+    "agg_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "source_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "partition_vacuum_retention": ORACLE_VACUUM,
     "profile_table": ORACLE_PROFILE,
