@@ -102,3 +102,79 @@ def range_join_buckets(
         .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
         .drop("_bucket")
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    tolerance_s: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join with a staleness bound: every left row gains the most
+    recent right row at-or-before its timestamp (per ``key``) ONLY if
+    that row is at most ``tolerance_s`` seconds old — the feature-
+    engineering contract ("last click within 30 min", "sensor reading
+    no older than its validity window") where an unbounded as-of match
+    silently joins stale state. Beyond tolerance the value columns are
+    null and ``asof_age_s`` is null.
+
+    Same single-shuffle union+carry shape as :func:`asof_join` (no
+    range join, no per-row probe): the right values travel as ONE
+    struct column carrying their own timestamp, and the tolerance check
+    is a narrow post-filter on the carried age.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    rv_fields = [f"_rts:{right.schema[right_ts].dataType.simpleString()}"] + [
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+    ]
+    rv_type = "struct<" + ",".join(rv_fields) + ">"
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_left"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<"
+            + ",".join(
+                f"{f.name}:{f.dataType.simpleString()}" for f in left.schema
+            )
+            + ">"
+        ).alias("_left"),
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("_rv"),
+    )
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        l_tag.unionByName(r_tag)
+        .select(
+            "_side",
+            "_left",
+            F.col("_ts").alias("_lts"),
+            F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
+        )
+        .filter(F.col("_side") == 1)
+    )
+    age = F.col("_lts").cast("double") - F.col("_rv._rts").cast("double")
+    fresh = F.col("_rv").isNotNull() & (age <= tolerance_s)
+    return carried.select(
+        "_left.*",
+        *[F.when(fresh, F.col(f"_rv.{c}")).alias(c) for c in value_cols],
+        F.when(fresh, age).alias("asof_age_s"),
+    )

@@ -1596,6 +1596,64 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (operators/temporal.py
+    asof_join_tolerance): each purchase gains its user's most recent
+    prior click ONLY if it is at most 30 minutes old — the attribution
+    window contract an unbounded as-of silently violates by joining
+    stale state. Same single-shuffle union+carry shape; tolerance is a
+    narrow post-filter on the carried age. Day-level rollup output."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import (
+        asof_join_tolerance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join_tolerance(
+        purchases, clicks, key="user_id", tolerance_s=1800, value_cols=[]
+    )
+    return (
+        out.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("asof_age_s").isNotNull().cast("long")).alias(
+                "n_attributed"
+            ),
+            F.round(F.avg("asof_age_s"), 2).alias("avg_age_s"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_ASOF_TOLERANCE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+     m AS (
+       SELECT p.event_id, p.ts,
+              (SELECT max(c.ts) FROM c
+               WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS last_click
+       FROM p
+     ),
+     aged AS (
+       SELECT event_id, ts,
+              CASE WHEN last_click IS NOT NULL
+                        AND epoch(ts) - epoch(last_click) <= 1800
+                   THEN epoch(ts) - epoch(last_click) END AS age
+       FROM m
+     )
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN age IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_attributed,
+       round(avg(age), 2) AS avg_age_s
+FROM aged GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join via bucketed equi-join (custom
     operator): the 50 earliest error events define 2-hour maintenance
@@ -3863,6 +3921,7 @@ QUERIES: dict[str, callable] = {
     "join_broadcast_dim": q_join_broadcast_dim,
     "join_bucketed_colocated": q_join_bucketed_colocated,
     "join_asof": q_join_asof,
+    "join_asof_tolerance": q_join_asof_tolerance,
     "join_range_buckets": q_join_range_buckets,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
@@ -3983,6 +4042,7 @@ ORACLES: dict[str, str] = {
     "join_broadcast_dim": ORACLE_JOIN_BROADCAST,
     "join_bucketed_colocated": ORACLE_JOIN_BUCKETED,
     "join_asof": ORACLE_JOIN_ASOF,
+    "join_asof_tolerance": ORACLE_ASOF_TOLERANCE,
     "join_range_buckets": ORACLE_JOIN_RANGE,
     "join_semi": ORACLE_JOIN_SEMI,
     "join_anti": ORACLE_JOIN_ANTI,
@@ -4180,7 +4240,7 @@ _DRIVER_WINDOW = [
 # sql_recursive_spine, sql_udf_partition, quality_observed,
 # profile_corpus_report, agg_correlation, ts_time_weighted_avg,
 # dedup_keep_longest, pack_batch_schedule, sample_class_balance,
-# agg_bitmap_distinct. All thirteen are verified with scripts/check_correctness.py at sf0.01 AND
+# agg_bitmap_distinct, join_asof_tolerance. All fourteen are verified with scripts/check_correctness.py at sf0.01 AND
 # sf0.1 (green) — quarantine and quality_observed additionally by
 # end-to-end pytests (tests/test_behavior_monitoring.py); they MUST
 # lead the round-6 rotation for their first driver rows.

@@ -305,3 +305,28 @@ def test_class_balance_equalizes_to_smallest(spark):
     a = sorted(r.doc_id for r in kept.collect())
     b = sorted(r.doc_id for r in class_balance(df, "lab", "doc_id").collect())
     assert a == b
+
+
+def test_asof_tolerance_rejects_stale_matches(spark):
+    import datetime as dt
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import asof_join_tolerance
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 1, t0), (2, 1, t0 + dt.timedelta(hours=2)), (3, 2, t0)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(minutes=10), 5.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join_tolerance(
+            left, right, "user_id", tolerance_s=1800, value_cols=["v"]
+        ).collect()
+    }
+    assert out[1].v == 5.0 and out[1].asof_age_s == 600.0  # fresh match
+    assert out[2].v is None and out[2].asof_age_s is None  # stale: 2h10m old
+    assert out[3].v is None  # other user: no right rows at all
