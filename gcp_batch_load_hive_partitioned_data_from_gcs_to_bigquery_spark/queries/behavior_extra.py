@@ -351,6 +351,74 @@ SELECT 'fk_l_orderkey_in_o_orderkey', CAST(count(*) AS BIGINT)
 """
 
 
+def q_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern detection — the SQL
+    feature Spark lacks, emulated scalably: each user's chronological
+    event sequence collapses to a compact symbol string IN the row
+    (one char per event type, built by the same single entity-keyed
+    shuffle as path mining), then the patterns are plain JVM regexes
+    over that string — per-user cost linear in their event count, no
+    joins, no state machine UDF. Counts users matching each funnel
+    pattern: signup-then-purchase (with anything between), click
+    immediately followed by purchase, and an error-free session."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = F.expr(
+        "CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v' "
+        "WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' ELSE 'e' END"
+    )
+    seqs = (
+        ev.select("user_id", "ts", "event_id", sym.alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts").alias("t"),
+                                F.col("event_id").alias("tb"),
+                                F.col("sym").alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("seq")
+        )
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("seq").rlike("s.*p").cast("long")).alias(
+            "signup_then_purchase"
+        ),
+        F.sum(F.col("seq").rlike("cp").cast("long")).alias(
+            "click_immediately_purchase"
+        ),
+        F.sum((~F.col("seq").rlike("e")).cast("long")).alias("error_free"),
+    )
+
+
+ORACLE_PATTERN_MATCH = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'signup' THEN 's'
+                         WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                         WHEN 'purchase' THEN 'p' ELSE 'e' END, ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN regexp_matches(seq, 's.*p') THEN 1 ELSE 0 END)
+            AS BIGINT) AS signup_then_purchase,
+       CAST(sum(CASE WHEN regexp_matches(seq, 'cp') THEN 1 ELSE 0 END)
+            AS BIGINT) AS click_immediately_purchase,
+       CAST(sum(CASE WHEN NOT regexp_matches(seq, 'e') THEN 1 ELSE 0 END)
+            AS BIGINT) AS error_free
+FROM seqs
+"""
+
+
 BEHAVIOR_QUERIES: dict[str, callable] = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
@@ -361,6 +429,7 @@ BEHAVIOR_QUERIES: dict[str, callable] = {
     "path_topk": q_path_topk,
     "abtest_ztest": q_abtest_ztest,
     "quality_expectations": q_quality_expectations,
+    "path_pattern_match": q_path_pattern_match,
 }
 
 BEHAVIOR_ORACLES: dict[str, str] = {
@@ -373,4 +442,5 @@ BEHAVIOR_ORACLES: dict[str, str] = {
     "path_topk": ORACLE_PATH_TOPK,
     "abtest_ztest": ORACLE_ABTEST,
     "quality_expectations": ORACLE_EXPECTATIONS,
+    "path_pattern_match": ORACLE_PATTERN_MATCH,
 }
