@@ -313,3 +313,89 @@ def class_balance(
         .filter(F.col("class_rank") <= F.col("__floor"))
         .drop("__floor")
     )
+
+
+# Poisson(1) CDF thresholds for k = 0..7 (u < cum[k] -> weight k); the
+# tail above cum[7] (~1e-6 of draws) gets weight 8. Written to 12
+# digits so Spark and any SQL engine compare the same binary doubles.
+_POISSON1_CUM = (
+    0.367879441171,
+    0.735758882343,
+    0.919698602929,
+    0.981011843124,
+    0.996339653173,
+    0.999405815182,
+    0.999916758850,
+    0.999989750803,
+)
+
+
+def _bootstrap_weight(key: Column, replicate: int) -> Column:
+    """Deterministic Poisson(1) draw for (key, replicate): uniform u
+    from the first 7 hex digits of md5 (an exact rational n/16^7, so
+    every engine derives the identical u), inverted through the CDF."""
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("_", key.cast("string"), F.lit(str(replicate)))), 1, 7),
+        16,
+        10,
+    ).cast("long") / F.lit(268435456.0)
+    w = F.lit(8)
+    for k in range(len(_POISSON1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    key_col: str,
+    metric_col: str,
+    n_replicates: int = 30,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — resampling
+    statistics at corpus scale with ZERO randomness state: replicate
+    r's multiplicity for a row is a pure function of (key, r), so
+    re-runs, retries, and any engine reproduce the identical CI.
+
+    The scalable shape: replicates are COLUMNS of one aggregation (2R
+    conditional sums riding a single scan that collapses map-side to
+    one row), never an explode — the classic row-replication bootstrap
+    multiplies the corpus by R, this touches it once. The driver-side
+    finish is arithmetic over 2R numbers. Output (long format):
+    observed_mean, boot_se, ci_lo/ci_hi (normal approximation),
+    n_replicates.
+    """
+    key = F.col(key_col)
+    x = F.col(metric_col)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+    ]
+    for r in range(n_replicates):
+        w = _bootstrap_weight(key, r)
+        aggs.append(F.sum(w * x).alias(f"__wx{r}"))
+        aggs.append(F.sum(w).alias(f"__w{r}"))
+    wide = df.agg(*aggs)
+    means = F.array(
+        *[F.col(f"__wx{r}") / F.col(f"__w{r}") for r in range(n_replicates)]
+    )
+    mu = F.aggregate(
+        means, F.lit(0.0), lambda a, v: a + v
+    ) / F.lit(float(n_replicates))
+    var = F.aggregate(
+        means, F.lit(0.0), lambda a, v: a + (v - mu) * (v - mu)
+    ) / F.lit(float(n_replicates - 1))
+    se = F.sqrt(var)
+    obs = F.col("__sx") / F.col("__n")
+    out = wide.select(
+        F.round(obs, 6).alias("observed_mean"),
+        F.round(se, 6).alias("boot_se"),
+        F.round(obs - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(obs + F.lit(1.96) * se, 6).alias("ci_hi"),
+        F.lit(n_replicates).alias("n_replicates"),
+    )
+    return out.selectExpr(
+        "stack(5, 'observed_mean', observed_mean, 'boot_se', boot_se,"
+        " 'ci_lo', ci_lo, 'ci_hi', ci_hi,"
+        " 'n_replicates', cast(n_replicates as double))"
+        " as (metric, value)"
+    )

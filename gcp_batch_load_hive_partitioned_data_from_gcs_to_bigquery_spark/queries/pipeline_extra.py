@@ -2398,12 +2398,73 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for the mean document length
+    (operators/sampling.py bootstrap_mean_ci): 30 resampling replicates
+    ride ONE corpus scan as conditional aggregate columns (never an
+    explode — the row-replication bootstrap multiplies the corpus by
+    R), with zero RNG state: replicate weights are a pure md5 function
+    of (doc_id, r), so any engine reproduces the identical CI."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.bootstrap_mean_ci(docs, "doc_id", "n_chars", n_replicates=30)
+
+
+def _bootstrap_oracle(n_replicates: int = 30) -> str:
+    from ..operators.sampling import _POISSON1_CUM
+
+    def w_sql(r: int) -> str:
+        u = (
+            f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_{r}'), 1, 7))"
+            "::BIGINT / 268435456.0)"
+        )
+        case = "CASE "
+        for k, c in enumerate(_POISSON1_CUM):
+            case += f"WHEN {u} < {c!r} THEN {k} "
+        return case + "ELSE 8 END"
+
+    sums = ",\n".join(
+        f"    sum(({w_sql(r)}) * n_chars) AS wx{r},"
+        f" sum({w_sql(r)}) AS w{r}"
+        for r in range(n_replicates)
+    )
+    means = ", ".join(
+        f"wx{r} / CAST(w{r} AS DOUBLE)" for r in range(n_replicates)
+    )
+    return f"""
+WITH wide AS (
+  SELECT count(*) AS n, sum(n_chars) AS sx,
+{sums}
+  FROM documents
+),
+m AS (
+  SELECT n, sx, [{means}] AS means FROM wide
+),
+s AS (
+  SELECT sx / CAST(n AS DOUBLE) AS obs,
+         list_avg(means) AS mu,
+         sqrt(list_sum(list_transform(means,
+              v -> (v - list_avg(means)) * (v - list_avg(means))))
+              / {n_replicates - 1}) AS se
+  FROM m
+)
+SELECT 'boot_se' AS metric, round(se, 6) AS value FROM s
+UNION ALL SELECT 'ci_hi', round(obs + 1.96 * se, 6) FROM s
+UNION ALL SELECT 'ci_lo', round(obs - 1.96 * se, 6) FROM s
+UNION ALL SELECT 'n_replicates', {float(n_replicates)} FROM s
+UNION ALL SELECT 'observed_mean', round(obs, 6) FROM s
+"""
+
+
+ORACLE_BOOTSTRAP = _bootstrap_oracle(30)
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "profile_corpus_report": q_profile_corpus_report,
     "dedup_keep_longest": q_dedup_keep_longest,
     "pack_batch_schedule": q_pack_batch_schedule,
     "sample_class_balance": q_sample_class_balance,
+    "sample_bootstrap_ci": q_sample_bootstrap_ci,
     "emb_random_projection": q_emb_random_projection,
     "ann_jl_rerank": q_ann_jl_rerank,
     "text_heavy_hitters": q_text_heavy_hitters,
@@ -2462,6 +2523,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_keep_longest": ORACLE_KEEP_LONGEST,
     "pack_batch_schedule": ORACLE_BATCH_SCHEDULE,
     "sample_class_balance": ORACLE_CLASS_BALANCE,
+    "sample_bootstrap_ci": ORACLE_BOOTSTRAP,
     "emb_random_projection": ORACLE_JL_PROJECTION,
     "ann_jl_rerank": ORACLE_ANN_JL,
     "text_heavy_hitters": ORACLE_HEAVY_HITTERS,

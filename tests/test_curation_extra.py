@@ -330,3 +330,31 @@ def test_asof_tolerance_rejects_stale_matches(spark):
     assert out[1].v == 5.0 and out[1].asof_age_s == 600.0  # fresh match
     assert out[2].v is None and out[2].asof_age_s is None  # stale: 2h10m old
     assert out[3].v is None  # other user: no right rows at all
+
+
+def test_bootstrap_ci_is_deterministic_and_sane(spark):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, float(50 + (i * 37) % 25)) for i in range(400)], "k long, v double"
+    )
+    a = {r.metric: r.value for r in bootstrap_mean_ci(df, "k", "v", 20).collect()}
+    b = {r.metric: r.value for r in bootstrap_mean_ci(df, "k", "v", 20).collect()}
+    assert a == b  # zero RNG state -> identical CI on rerun
+    assert a["ci_lo"] < a["observed_mean"] < a["ci_hi"]
+    assert 0 < a["boot_se"] < 5  # SE ~ sd/sqrt(n) ~ 7.2/20 ~ 0.36
+    # the true mean sits inside the interval for this well-behaved data
+    true_mean = sum(50 + (i * 37) % 25 for i in range(400)) / 400
+    assert a["ci_lo"] <= true_mean <= a["ci_hi"]
+
+
+def test_bootstrap_weights_are_poisson_like(spark):
+    from pyspark.sql import functions as F
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import _bootstrap_weight
+
+    df = spark.range(20000).select(F.col("id").alias("k"))
+    w = df.select(_bootstrap_weight(F.col("k"), 0).alias("w"))
+    stats = w.agg(F.avg("w"), F.variance("w"), F.max("w")).collect()[0]
+    assert abs(stats[0] - 1.0) < 0.05  # Poisson(1): mean 1
+    assert abs(stats[1] - 1.0) < 0.1   # variance 1
+    assert stats[2] <= 8
