@@ -1167,10 +1167,56 @@ ORDER BY day
 """
 
 
+def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_bitmap_distinct
+    (streaming/bitmap_distinct.py): the full events table replayed as a
+    6-file backlog; each micro-batch merges its (day, chunk) bitmaps
+    into a day-partitioned store via partition-pruned read +
+    dynamic-partition overwrite of the touched days only — per-batch
+    cost O(batch + touched days), never O(history), and retries cannot
+    inflate counts because bitmap union is idempotent. Final state must
+    equal the one-shot batch bitmaps — SAME oracle."""
+    import tempfile
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.bitmap_distinct import (
+        read_distinct_counts,
+        stream_bitmap_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sg_bmsrc_")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    store = tempfile.mkdtemp(prefix="sg_bmstore_")
+    q = stream_bitmap_distinct(
+        spark, src, store, ev.schema,
+        checkpoint=tempfile.mkdtemp(prefix="sg_bmckpt_"),
+    )
+    q.awaitTermination(300)
+    counts = read_distinct_counts(spark, store)
+    exact_day = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    exact_all = ev.agg(F.countDistinct("user_id").alias("n_exact")).select(
+        F.lit("ALL").alias("day"), "n_exact"
+    )
+    exact = exact_day.unionByName(exact_all)
+    return (
+        counts.join(exact, "day")
+        .select(
+            "day",
+            "n_bitmap",
+            "n_exact",
+            (F.col("n_bitmap") == F.col("n_exact")).cast("int").alias("agree"),
+        )
+        .orderBy("day")
+    )
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "agg_correlation": q_agg_correlation,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "agg_bitmap_distinct": q_agg_bitmap_distinct,
+    "stream_bitmap_distinct": q_stream_bitmap_distinct,
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
     "source_schema_evolution": q_source_schema_evolution,
@@ -1199,6 +1245,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "agg_correlation": ORACLE_CORRELATION,
     "ts_time_weighted_avg": ORACLE_TWAP,
     "agg_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
+    "stream_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "source_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "partition_vacuum_retention": ORACLE_VACUUM,
     "profile_table": ORACLE_PROFILE,

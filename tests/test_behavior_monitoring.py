@@ -182,3 +182,45 @@ def test_observed_expectations_reject_empty(spark):
 
     with pytest.raises(ValueError):
         check_expectations_observed(spark.range(1), [])
+
+
+def test_bitmap_store_merge_is_retry_idempotent(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.bitmap_distinct import (
+        read_distinct_counts,
+        stream_bitmap_distinct,
+    )
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("user_id", T.LongType())]
+    )
+    rows = [
+        (dt.datetime(2024, 1, d, 10), u)
+        for d in (1, 2)
+        for u in range(40)
+        if (u + d) % 3 != 0
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(src)
+    store = str(tmp_path / "store")
+    q = stream_bitmap_distinct(
+        spark, src, store, schema, checkpoint=str(tmp_path / "ck1"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    first = sorted(map(tuple, read_distinct_counts(spark, store).collect()))
+    # retry: replay the SAME source into the SAME store (fresh checkpoint
+    # = every batch reprocessed) — bitmap union is idempotent, counts
+    # cannot inflate
+    q2 = stream_bitmap_distinct(
+        spark, src, store, schema, checkpoint=str(tmp_path / "ck2"),
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, read_distinct_counts(spark, store).collect())) == first
+    got = dict(first)
+    want_d1 = len({u for u in range(40) if (u + 1) % 3 != 0})
+    assert got["2024-01-01"] == want_d1
+    assert got["ALL"] == 40  # every user appears on some day
