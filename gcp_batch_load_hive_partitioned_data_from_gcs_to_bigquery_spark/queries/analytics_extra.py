@@ -1212,7 +1212,55 @@ def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact recursive EWMA per user (alpha=0.2) — the genuinely
+    sequential aggregate (EWMA_t = a·x_t + (1−a)·EWMA_{t−1}) that
+    window frames can't express (the closed-form (1−a)^{−n} rescaling
+    trick overflows past ~1k rows). Instead the recursion is confined
+    IN the row: one entity-keyed groupBy collects the ordered value
+    array, and a higher-order aggregate() folds it left — per-user cost
+    linear in their event count, zero UDFs, and the identical fold
+    order in any engine (DuckDB's list_reduce is the oracle twin), so
+    the doubles match bit-for-bit before rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("tb"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ),
+        lambda x: x["v"],
+    )
+    per_user = ev.groupBy("user_id").agg(arr.alias("vals"))
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("vals").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+ORACLE_EWMA = """
+SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+       round(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
+         AS ewma
+FROM (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "ts_ewma": q_ts_ewma,
     "agg_correlation": q_agg_correlation,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "agg_bitmap_distinct": q_agg_bitmap_distinct,
@@ -1242,6 +1290,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "ts_ewma": ORACLE_EWMA,
     "agg_correlation": ORACLE_CORRELATION,
     "ts_time_weighted_avg": ORACLE_TWAP,
     "agg_bitmap_distinct": ORACLE_BITMAP_DISTINCT,

@@ -224,3 +224,36 @@ def test_bitmap_store_merge_is_retry_idempotent(spark, tmp_path):
     want_d1 = len({u for u in range(40) if (u + 1) % 3 != 0})
     assert got["2024-01-01"] == want_d1
     assert got["ALL"] == 40  # every user appears on some day
+
+
+def test_ewma_matches_python_recursion(spark):
+    import datetime as dt
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra import q_ts_ewma  # noqa: F401
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.catalog import QUERIES
+
+    # brute force on a tiny frame through the same catalog query shape
+    from pyspark.sql import functions as F
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table  # noqa: F401
+
+    vals = [5.0, 1.0, 9.0, 3.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), 7, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    df = _ev(spark, rows)
+    arr = F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("ts").alias("t"), F.col("event_id").alias("tb"), F.col("value").alias("v")))),
+        lambda x: x["v"],
+    )
+    per = df.groupBy("user_id").agg(arr.alias("vals"))
+    ewma_col = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    got = per.select(F.round(ewma_col, 9).alias("e")).collect()[0].e
+    want = vals[0]
+    for v in vals[1:]:
+        want = 0.2 * v + 0.8 * want
+    assert got == round(want, 9)
