@@ -1259,7 +1259,192 @@ FROM (
 """
 
 
+def q_monitor_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the ML-monitoring standard for "has
+    this feature's distribution drifted": bin day-2's values into
+    day-1's deciles and compute PSI = Σ (p−q)·ln(p/q). Thresholds are
+    a ONE-ROW broadcast aggregate from the baseline day (the
+    quantile_bins no-global-sort pattern); binning both days is a
+    narrow map; the PSI itself folds over a 10-row frame. Emits the
+    per-bin table plus the PSI row — alert at > 0.2 by the usual rule
+    of thumb."""
+    ev = load_table(spark, sf_dir, "events")
+    day1 = ev.filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    day2 = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    )
+    probs = [i / 10.0 for i in range(1, 10)]
+    thr = day1.agg(
+        F.expr(
+            f"percentile(value, array({', '.join(str(p) for p in probs)}))"
+        ).alias("t")
+    )
+
+    def binned(df):
+        return df.crossJoin(F.broadcast(thr)).select(
+            F.size(
+                F.filter(F.col("t"), lambda x: F.col("value") > x)
+            ).alias("bin")
+        )
+
+    p = (
+        binned(day1)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    q = (
+        binned(day2)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    tot_p = day1.count()
+    tot_q = day2.count()
+    per_bin = (
+        p.join(q, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.coalesce("n_base", F.lit(0)) / F.lit(float(tot_p))).alias("p"),
+            (F.coalesce("n_new", F.lit(0)) / F.lit(float(tot_q))).alias("q"),
+        )
+    )
+    # epsilon-floor both shares so empty bins don't blow up the log —
+    # the standard PSI practice
+    eps = 1e-4
+    pe = F.greatest(F.col("p"), F.lit(eps))
+    qe = F.greatest(F.col("q"), F.lit(eps))
+    contrib = (pe - qe) * F.log(pe / qe)
+    rows = per_bin.select(
+        F.col("bin").cast("string").alias("bin"),
+        "n_base",
+        "n_new",
+        F.round(contrib, 6).alias("psi_contrib"),
+    )
+    total = per_bin.agg(
+        F.lit("PSI_TOTAL").alias("bin"),
+        F.sum("n_base").alias("n_base"),
+        F.sum("n_new").alias("n_new"),
+        F.round(F.sum(contrib), 6).alias("psi_contrib"),
+    )
+    return rows.unionByName(total).orderBy("bin")
+
+
+ORACLE_PSI = """
+WITH d1 AS (SELECT value FROM events
+            WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+d2 AS (SELECT value FROM events
+       WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+         AND ts < TIMESTAMP '2024-01-03 00:00:00'),
+thr AS (
+  SELECT quantile_cont(value,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t FROM d1
+),
+b1 AS (
+  SELECT CAST(len(list_filter(thr.t, x -> d1.value > x)) AS INT) AS bin
+  FROM d1 CROSS JOIN thr
+),
+b2 AS (
+  SELECT CAST(len(list_filter(thr.t, x -> d2.value > x)) AS INT) AS bin
+  FROM d2 CROSS JOIN thr
+),
+p AS (SELECT bin, count(*) AS n_base FROM b1 GROUP BY bin),
+q AS (SELECT bin, count(*) AS n_new FROM b2 GROUP BY bin),
+per AS (
+  SELECT coalesce(p.bin, q.bin) AS bin,
+         coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new,
+         coalesce(n_base, 0) / (SELECT CAST(count(*) AS DOUBLE) FROM d1)
+           AS pp,
+         coalesce(n_new, 0) / (SELECT CAST(count(*) AS DOUBLE) FROM d2)
+           AS qq
+  FROM p FULL OUTER JOIN q USING (bin)
+),
+c AS (
+  SELECT bin, n_base, n_new,
+         (greatest(pp, 0.0001) - greatest(qq, 0.0001))
+           * ln(greatest(pp, 0.0001) / greatest(qq, 0.0001)) AS contrib
+  FROM per
+)
+SELECT CAST(bin AS VARCHAR) AS bin, CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_new AS BIGINT) AS n_new,
+       round(contrib, 6) AS psi_contrib
+FROM c
+UNION ALL
+SELECT 'PSI_TOTAL', CAST(sum(n_base) AS BIGINT), CAST(sum(n_new) AS BIGINT),
+       round(sum(contrib), 6)
+FROM c
+ORDER BY bin
+"""
+
+
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of event value over each user's trailing 10
+    events — robust-location smoothing (the outlier-proof twin of the
+    rolling mean). Exact percentile as a window aggregate over a
+    bounded row frame: per-row cost is frame-sized, one entity-keyed
+    shuffle. Day-level rollup output."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    rolled = ev.select(
+        "user_id",
+        "ts",
+        # fixed-point BEFORE aggregating: summing doubles is
+        # summation-order-sensitive in the last ulp, which flips a
+        # round(..., 4) sitting on a boundary between engines; rounding
+        # each median to integer ten-thousandths first makes the sum an
+        # exact long — order-free, bit-identical everywhere.
+        F.round(F.expr("percentile(value, 0.5)").over(w) * 10000, 0)
+        .cast("long")
+        .alias("med_fp"),
+    )
+    return (
+        rolled.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # nearest-integer division in EXACT integer arithmetic: the
+            # float path hit a genuine decimal tie (42.82825) where
+            # Spark's BigDecimal HALF_UP and DuckDB's float rounding
+            # disagree; (2s+n) div 2n has no float anywhere. Output is
+            # the average in 1e-4 units.
+            F.expr(
+                "(2 * sum(med_fp) + count(1)) div (2 * count(1))"
+            ).alias("avg_rolling_median_e4"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_ROLLING_MEDIAN = """
+WITH rolled AS (
+  SELECT user_id, ts,
+         CAST(round(quantile_cont(value, 0.5) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) * 10000, 0)
+           AS BIGINT) AS med_fp
+  FROM events WHERE user_id < 30
+)
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST((2 * sum(med_fp) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS avg_rolling_median_e4
+FROM rolled GROUP BY 1 ORDER BY 1
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "monitor_psi_drift": q_monitor_psi_drift,
+    "window_rolling_median": q_window_rolling_median,
     "ts_ewma": q_ts_ewma,
     "agg_correlation": q_agg_correlation,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
@@ -1290,6 +1475,8 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "monitor_psi_drift": ORACLE_PSI,
+    "window_rolling_median": ORACLE_ROLLING_MEDIAN,
     "ts_ewma": ORACLE_EWMA,
     "agg_correlation": ORACLE_CORRELATION,
     "ts_time_weighted_avg": ORACLE_TWAP,
