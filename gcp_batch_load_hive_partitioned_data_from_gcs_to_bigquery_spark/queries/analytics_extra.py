@@ -1442,7 +1442,135 @@ FROM rolled GROUP BY 1 ORDER BY 1
 """
 
 
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source (nats) — the
+    information-theoretic mixture audit: a source whose entropy
+    collapses went monolingual (or a scraper broke); the corpus-wide
+    row benchmarks each source against the blend. Two metadata-sized
+    aggregations (source×lang, then source); no corpus re-scan for the
+    ALL row — it reuses the same counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    sl = sl.persist()
+
+    def entropy(grouped):
+        tot = F.sum("n")
+        return grouped.agg(
+            tot.alias("n_docs"),
+            F.round(
+                -F.sum(
+                    (F.col("n") / tot) * F.log(F.col("n") / tot)
+                ),
+                6,
+            ).alias("lang_entropy"),
+        )
+
+    # per-source: window-free — total via a second tiny agg join
+    per_src_tot = sl.groupBy("source").agg(F.sum("n").alias("tot"))
+    per_src = (
+        sl.join(per_src_tot, "source")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.round(
+                -F.sum((F.col("n") / F.col("tot")) * F.log(F.col("n") / F.col("tot"))),
+                6,
+            ).alias("lang_entropy"),
+        )
+    )
+    lang_tot = sl.groupBy("lang").agg(F.sum("n").alias("n"))
+    overall = (
+        lang_tot.crossJoin(
+            F.broadcast(lang_tot.agg(F.sum("n").alias("tot")))
+        )
+        .agg(
+            F.lit("ALL").alias("source"),
+            F.sum("n").alias("n_docs"),
+            F.round(
+                -F.sum((F.col("n") / F.col("tot")) * F.log(F.col("n") / F.col("tot"))),
+                6,
+            ).alias("lang_entropy"),
+        )
+    )
+    return per_src.unionByName(overall).orderBy("source")
+
+
+ORACLE_ENTROPY = """
+WITH sl AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+per AS (
+  SELECT sl.source, CAST(sum(sl.n) AS BIGINT) AS n_docs,
+         round(-sum((sl.n / t.tot) * ln(sl.n / t.tot)), 6) AS lang_entropy
+  FROM sl JOIN (SELECT source, CAST(sum(n) AS DOUBLE) AS tot
+                FROM sl GROUP BY source) t USING (source)
+  GROUP BY sl.source
+),
+lt AS (SELECT lang, sum(n) AS n FROM sl GROUP BY lang),
+overall AS (
+  SELECT 'ALL' AS source, CAST(sum(n) AS BIGINT) AS n_docs,
+         round(-sum((n / t.tot) * ln(n / t.tot)), 6) AS lang_entropy
+  FROM lt CROSS JOIN (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM lt) t
+)
+SELECT source, n_docs, lang_entropy FROM per
+UNION ALL SELECT source, n_docs, lang_entropy FROM overall
+ORDER BY source
+"""
+
+
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: least-squares slope of
+    ln(freq) against ln(rank) for the top 200 words — natural text sits
+    near −1; template spam and gibberish bend the curve, making the
+    slope a one-number corpus-health indicator. One vocabulary
+    aggregation, a 200-row rank window, and a closed-form regression
+    aggregate (regr_slope/regr_intercept/regr_r2 — moment math, no
+    iteration)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import tokenize
+
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(200)
+    )
+    from pyspark.sql import Window as W
+
+    ranked = vocab.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), F.asc("w")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(
+            F.expr("regr_slope(ln(n), ln(rank))"), 4
+        ).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(n), ln(rank))"), 4).alias("r2"),
+    )
+
+
+ORACLE_ZIPF = r"""
+WITH vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  GROUP BY w ORDER BY n DESC, w ASC LIMIT 200
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, w ASC) AS rank FROM vocab
+)
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       round(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+       round(regr_r2(ln(n), ln(rank)), 4) AS r2
+FROM ranked
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "agg_entropy": q_agg_entropy,
+    "text_zipf_slope": q_text_zipf_slope,
     "monitor_psi_drift": q_monitor_psi_drift,
     "window_rolling_median": q_window_rolling_median,
     "ts_ewma": q_ts_ewma,
@@ -1475,6 +1603,8 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "agg_entropy": ORACLE_ENTROPY,
+    "text_zipf_slope": ORACLE_ZIPF,
     "monitor_psi_drift": ORACLE_PSI,
     "window_rolling_median": ORACLE_ROLLING_MEDIAN,
     "ts_ewma": ORACLE_EWMA,
