@@ -965,3 +965,76 @@ def compression_quality(
             )
 
     return src.mapInPandas(kernel, schema=schema)
+
+
+def bigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document BIGRAM negative log-likelihood with add-one
+    smoothing — the conditional upgrade of :func:`unigram_nll`: a
+    document whose word PAIRS are improbable given the corpus (even
+    when each word alone is common) is word salad, the exact failure
+    unigram perplexity can't see.
+
+        NLL(d) = mean over bigrams of  ln(c(w1)+V) − ln(c(w1,w2)+1)
+
+    (the add-one model P(w2|w1) = (c12+1)/(c1+V), algebraically split
+    so UNSEEN bigrams contribute ln(c1+V) with no dense model — the
+    same sparse-join rearrangement as the Naive Bayes classifier).
+    Plan: one bigram-keyed groupBy for the pair model, one word-keyed
+    for contexts, both broadcast-gated joins back onto the exploded
+    bigrams, one doc-keyed mean. Everything map-side-combinable."""
+    words = tokenize(F.col(text_col))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(words, 2)).alias("bg"),
+    )
+    pair = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_n = ctx.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    return (
+        grams.withColumn("w", w1)
+        .join(F.broadcast(pair), "bg")
+        .join(F.broadcast(ctx), "w")
+        .join(F.broadcast(vocab_n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(F.col("c1") + F.col("v")) - F.log(F.col("c12") + 1)
+                ),
+                3,
+            ).alias("mean_bigram_nll"),
+        )
+    )
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch-style readability proxy: words per sentence and vowel-group
+    "syllables" per word, combined with the classic Flesch reading-ease
+    weights. On punctuation-free corpora the sentence count floors at 1
+    (the formula degrades gracefully to a per-doc length/complexity
+    blend). Pure regexp_count arithmetic — narrow map, zero shuffles."""
+    text = F.col(text_col)
+    n_words = token_count(text).cast("double")
+    n_sent = F.greatest(
+        F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        n_syll.cast("int").alias("n_syllable_groups"),
+        F.round(score, 4).alias("flesch_score"),
+    )

@@ -2458,8 +2458,72 @@ UNION ALL SELECT 'observed_mean', round(obs, 6) FROM s
 ORACLE_BOOTSTRAP = _bootstrap_oracle(30)
 
 
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram perplexity proxy (operators/text.py bigram_nll): add-one
+    conditional NLL per document — catches word salad whose individual
+    words are common. Sparse-join rearrangement, broadcast-gated model
+    joins, one doc-keyed mean."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bigram_nll(docs, "doc_id", "text")
+
+
+ORACLE_BIGRAM_NLL = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, ws[i] AS w, ws[i] || ' ' || ws[i+1] AS bg
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+        FROM arr)
+),
+pair AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM grams GROUP BY bg),
+ctx AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ws) AS w FROM arr) GROUP BY w
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ctx)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(ctx.c1 + v.v) - ln(pair.c12 + 1)), 3)
+         AS mean_bigram_nll
+FROM grams g
+JOIN pair USING (bg) JOIN ctx ON g.w = ctx.w CROSS JOIN v
+GROUP BY g.doc_id
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability proxy (operators/text.py readability):
+    vowel-group syllable estimate + words-per-sentence, classic Flesch
+    weights — pure regexp arithmetic, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.readability(docs, "doc_id", "text")
+
+
+ORACLE_READABILITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+           AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS DOUBLE) AS n_sent,
+         CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+              AS DOUBLE) AS n_syll
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_syll AS INT) AS n_syllable_groups,
+       round(206.835 - 1.015 * (n_words / n_sent)
+             - 84.6 * (n_syll / n_words), 4) AS flesch_score
+FROM f
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
+    "text_bigram_nll": q_text_bigram_nll,
+    "text_readability": q_text_readability,
     "profile_corpus_report": q_profile_corpus_report,
     "dedup_keep_longest": q_dedup_keep_longest,
     "pack_batch_schedule": q_pack_batch_schedule,
@@ -2524,6 +2588,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pack_batch_schedule": ORACLE_BATCH_SCHEDULE,
     "sample_class_balance": ORACLE_CLASS_BALANCE,
     "sample_bootstrap_ci": ORACLE_BOOTSTRAP,
+    "text_bigram_nll": ORACLE_BIGRAM_NLL,
+    "text_readability": ORACLE_READABILITY,
     "emb_random_projection": ORACLE_JL_PROJECTION,
     "ann_jl_rerank": ORACLE_ANN_JL,
     "text_heavy_hitters": ORACLE_HEAVY_HITTERS,
