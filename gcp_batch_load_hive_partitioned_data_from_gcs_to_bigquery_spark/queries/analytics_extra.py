@@ -1568,7 +1568,132 @@ FROM ranked
 """
 
 
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event value per day — the concentration/
+    inequality audit (is the day's value mass dominated by a few
+    events?). Exact fixed-point arithmetic end-to-end: values are
+    2-decimal, so x·100 is an exact long, the rank formula
+    G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) is pure integer sums with ONE
+    final division — bit-identical in any engine, no float-rounding
+    tie class. One day-keyed rank window, one aggregation."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    x = F.round(F.col("value") * 100, 0).cast("long")
+    w = W.partitionBy(day.alias("d")).orderBy(
+        x.asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        day.alias("day"),
+        x.alias("x"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        ranked.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                (
+                    F.lit(2) * F.sum(F.col("rk") * F.col("x"))
+                    - (F.count(F.lit(1)) + 1) * F.sum("x")
+                )
+                / (F.count(F.lit(1)) * F.sum("x")).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_GINI = """
+WITH ranked AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(round(value * 100, 0) AS BIGINT) AS x,
+         row_number() OVER (
+           PARTITION BY CAST(ts AS DATE)
+           ORDER BY CAST(round(value * 100, 0) AS BIGINT) ASC,
+                    event_id ASC) AS rk
+  FROM events
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+       round((2 * sum(rk * x) - (count(*) + 1) * sum(x))
+             / CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+FROM ranked GROUP BY day ORDER BY day
+"""
+
+
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted median of event value per user-day rolled to
+    days — the SLO-correct median for irregularly-sampled state (each
+    reading weighted by its holding seconds, the TWAP weight family):
+    first value whose cumulative weight crosses half the total. All
+    integers (seconds × cents) until one final division; one
+    (day)-keyed sort window + one aggregation."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    wday = W.partitionBy("user_id", day.alias("d")).orderBy("ts", "event_id")
+    nxt = F.lead(F.col("ts").cast("double")).over(wday)
+    day_end = F.date_add(day, 1).cast("timestamp").cast("double")
+    weight = (F.coalesce(nxt, day_end) - F.col("ts").cast("double")).cast(
+        "long"
+    )
+    x = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.select(
+        F.date_format(day, "yyyy-MM-dd").alias("day"),
+        x.alias("x"),
+        weight.alias("w"),
+        "event_id",
+    )
+    ws = W.partitionBy("day").orderBy("x", "event_id")
+    cum = base.select(
+        "day",
+        "x",
+        F.sum("w").over(ws).alias("cw"),
+        F.sum("w").over(
+            W.partitionBy("day").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("tw"),
+    )
+    crossed = cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+    return (
+        crossed.groupBy("day")
+        .agg((F.min("x") / F.lit(100.0)).alias("weighted_median"))
+        .orderBy("day")
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH base AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(round(value * 100, 0) AS BIGINT) AS x,
+         CAST(coalesce(
+           epoch(lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id)),
+           epoch(CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP))
+         ) - epoch(ts) AS BIGINT) AS w,
+         event_id
+  FROM events
+),
+cum AS (
+  SELECT day, x,
+         sum(w) OVER (PARTITION BY day ORDER BY x, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY day) AS tw
+  FROM base
+)
+SELECT day, min(x) / 100.0 AS weighted_median
+FROM cum WHERE 2 * cw >= tw
+GROUP BY day ORDER BY day
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "agg_gini": q_agg_gini,
+    "agg_weighted_median": q_agg_weighted_median,
     "agg_entropy": q_agg_entropy,
     "text_zipf_slope": q_text_zipf_slope,
     "monitor_psi_drift": q_monitor_psi_drift,
@@ -1603,6 +1728,8 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "agg_gini": ORACLE_GINI,
+    "agg_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "agg_entropy": ORACLE_ENTROPY,
     "text_zipf_slope": ORACLE_ZIPF,
     "monitor_psi_drift": ORACLE_PSI,
