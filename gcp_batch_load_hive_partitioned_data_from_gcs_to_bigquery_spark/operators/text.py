@@ -988,11 +988,13 @@ def bigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(word_shingles(words, 2)).alias("bg"),
     )
     pair = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # vocab-sized aggregate, persisted: the V count below would
+    # otherwise re-derive ctx's whole lineage (a second corpus scan)
     ctx = (
         df.select(F.explode(words).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
-    )
+    ).persist()
     vocab_n = ctx.agg(F.count(F.lit(1)).cast("double").alias("v"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
     return (

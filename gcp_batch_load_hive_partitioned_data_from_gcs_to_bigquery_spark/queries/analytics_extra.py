@@ -1277,17 +1277,21 @@ def q_monitor_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
     )
     probs = [i / 10.0 for i in range(1, 10)]
-    thr = day1.agg(
+    # The thresholds are 9 doubles — collect them ONCE (bounded
+    # metadata, the zone-map-stats precedent) and inline as literals:
+    # leaving thr as a broadcast subtree re-derives the baseline SCAN
+    # inside every branch that uses it (measured: 8 corpus scans; now
+    # 3 — thr, p, q — the minimum, since thresholds need raw values).
+    thr_vals = day1.agg(
         F.expr(
             f"percentile(value, array({', '.join(str(p) for p in probs)}))"
         ).alias("t")
-    )
+    ).collect()[0].t
 
     def binned(df):
-        return df.crossJoin(F.broadcast(thr)).select(
-            F.size(
-                F.filter(F.col("t"), lambda x: F.col("value") > x)
-            ).alias("bin")
+        t_arr = F.array(*[F.lit(float(t)) for t in thr_vals])
+        return df.select(
+            F.size(F.filter(t_arr, lambda x: F.col("value") > x)).alias("bin")
         )
 
     p = (
@@ -1300,16 +1304,24 @@ def q_monitor_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    tot_p = day1.count()
-    tot_q = day2.count()
+    # totals derived from the <=10-row bin frames via a partitionless
+    # window (bounded — accepted WindowExec warning), not extra scans
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy()
     per_bin = (
         p.join(q, "bin", "full_outer")
         .select(
             "bin",
             F.coalesce("n_base", F.lit(0)).alias("n_base"),
             F.coalesce("n_new", F.lit(0)).alias("n_new"),
-            (F.coalesce("n_base", F.lit(0)) / F.lit(float(tot_p))).alias("p"),
-            (F.coalesce("n_new", F.lit(0)) / F.lit(float(tot_q))).alias("q"),
+        )
+        .select(
+            "bin",
+            "n_base",
+            "n_new",
+            (F.col("n_base") / F.sum("n_base").over(wall).cast("double")).alias("p"),
+            (F.col("n_new") / F.sum("n_new").over(wall).cast("double")).alias("q"),
         )
     )
     # epsilon-floor both shares so empty bins don't blow up the log —
