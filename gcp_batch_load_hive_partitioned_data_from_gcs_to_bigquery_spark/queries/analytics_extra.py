@@ -1703,7 +1703,131 @@ GROUP BY day ORDER BY day
 """
 
 
+def q_agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale concentration: what share of total value do the top 1% /
+    5% / 10% of users contribute — the Pareto audit behind every
+    monetization and abuse dashboard. One user rollup (fixed-point
+    cents, exact), one rank window over the user-sized frame, shares by
+    cumulative integer sums with single final divisions."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
+    )
+    w = W.orderBy(F.desc("v"), F.asc("user_id"))
+    wall = W.partitionBy()
+    cum = per_user.select(
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("v").over(wall).alias("tot"),
+        F.sum("v")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cv"),
+    )
+    out = []
+    for pct in (1, 5, 10):
+        # floor() explicitly: double->BIGINT CAST rounds in DuckDB but
+        # truncates in Spark (n=150, 1%: 1.5 -> 2 vs 1)
+        k = F.greatest(F.floor(F.col("n") * pct / 100).cast("long"), F.lit(1))
+        out.append(
+            cum.filter(F.col("rk") == k)
+            .select(
+                F.lit(f"top_{pct}_pct").alias("cohort"),
+                F.col("rk").alias("n_users"),
+                F.round(F.col("cv") / F.col("tot").cast("double"), 6).alias(
+                    "value_share"
+                ),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("cohort")
+
+
+ORACLE_PARETO = """
+WITH per_user AS (
+  SELECT user_id,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v DESC, user_id ASC) AS rk,
+         count(*) OVER () AS n, sum(v) OVER () AS tot,
+         sum(v) OVER (ORDER BY v DESC, user_id ASC
+                      ROWS UNBOUNDED PRECEDING) AS cv
+  FROM per_user
+)
+SELECT cohort, n_users, value_share FROM (
+  SELECT 'top_1_pct' AS cohort, rk AS n_users,
+         round(cv / CAST(tot AS DOUBLE), 6) AS value_share
+  FROM ranked WHERE rk = greatest(CAST(floor(n * 1 / 100.0) AS BIGINT), 1)
+  UNION ALL
+  SELECT 'top_5_pct', rk, round(cv / CAST(tot AS DOUBLE), 6)
+  FROM ranked WHERE rk = greatest(CAST(floor(n * 5 / 100.0) AS BIGINT), 1)
+  UNION ALL
+  SELECT 'top_10_pct', rk, round(cv / CAST(tot AS DOUBLE), 6)
+  FROM ranked WHERE rk = greatest(CAST(floor(n * 10 / 100.0) AS BIGINT), 1)
+) ORDER BY cohort
+"""
+
+
+def q_window_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, rolled to a
+    (streak_length, n_users) distribution — the engagement metric
+    behind every habit-product dashboard. Classic gaps-and-islands:
+    distinct active days minus their per-user rank is constant within a
+    consecutive run, so one user-keyed window + two tiny groupBys
+    resolve it with no iteration."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "grp", F.col("d") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("best"))
+    return (
+        longest.groupBy(F.col("best").alias("streak_days"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("streak_days")
+    )
+
+
+ORACLE_STREAK = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len FROM islands GROUP BY user_id, grp
+),
+longest AS (
+  SELECT user_id, max(len) AS best FROM streaks GROUP BY user_id
+)
+SELECT CAST(best AS BIGINT) AS streak_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM longest GROUP BY best ORDER BY streak_days
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "agg_pareto_share": q_agg_pareto_share,
+    "window_activity_streak": q_window_activity_streak,
     "agg_gini": q_agg_gini,
     "agg_weighted_median": q_agg_weighted_median,
     "agg_entropy": q_agg_entropy,
@@ -1740,6 +1864,8 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "agg_pareto_share": ORACLE_PARETO,
+    "window_activity_streak": ORACLE_STREAK,
     "agg_gini": ORACLE_GINI,
     "agg_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "agg_entropy": ORACLE_ENTROPY,
