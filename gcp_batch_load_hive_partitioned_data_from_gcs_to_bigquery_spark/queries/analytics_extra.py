@@ -1825,7 +1825,56 @@ FROM longest GROUP BY best ORDER BY streak_days
 """
 
 
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of event value per day — the robust
+    scale estimate that pairs with the rolling median (stddev is
+    dragged by the same outliers a robust monitor must ignore). Two
+    exact-percentile passes in fixed-point cents: the 30-row per-day
+    median frame broadcasts back onto the corpus for the deviation
+    pass. All intermediate medians are integers-or-exact-halves, so
+    both engines carry identical binary values into the single final
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    x = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.select(day.alias("day"), x.alias("x"))
+    med = base.groupBy("day").agg(
+        F.expr("percentile(x, 0.5)").alias("m")
+    )
+    dev = base.join(F.broadcast(med), "day").select(
+        "day", F.abs(F.col("x") - F.col("m")).alias("d")
+    )
+    return (
+        dev.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.expr("percentile(d, 0.5)") / F.lit(100.0)).alias("mad"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_MAD = """
+WITH base AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(round(value * 100, 0) AS BIGINT) AS x
+  FROM events
+),
+med AS (
+  SELECT day, quantile_cont(x, 0.5) AS m FROM base GROUP BY day
+),
+dev AS (
+  SELECT base.day, abs(base.x - med.m) AS d
+  FROM base JOIN med USING (day)
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+       quantile_cont(d, 0.5) / 100.0 AS mad
+FROM dev GROUP BY day ORDER BY day
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "agg_mad": q_agg_mad,
     "agg_pareto_share": q_agg_pareto_share,
     "window_activity_streak": q_window_activity_streak,
     "agg_gini": q_agg_gini,
@@ -1864,6 +1913,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "agg_mad": ORACLE_MAD,
     "agg_pareto_share": ORACLE_PARETO,
     "window_activity_streak": ORACLE_STREAK,
     "agg_gini": ORACLE_GINI,
