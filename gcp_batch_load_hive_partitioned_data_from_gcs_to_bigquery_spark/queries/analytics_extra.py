@@ -1873,7 +1873,53 @@ FROM dev GROUP BY day ORDER BY day
 """
 
 
+def q_agg_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-24 autocorrelation of the hourly event-count
+    series — the seasonality detector: lag-24 ≫ lag-1 means the series
+    is daily-periodic (baseline by hour-of-day, as
+    monitor_seasonal_anomaly does); lag-1 dominance means trending.
+    One corpus rollup to the 720-row hourly frame; lags via window
+    lead() and correlation via the closed-form corr aggregate —
+    everything after the first shuffle is calendar-bounded."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy("h")
+    lagged = hourly.select(
+        "n",
+        F.lead("n", 1).over(w).alias("n1"),
+        F.lead("n", 24).over(w).alias("n24"),
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.corr("n", "n1"), 4).alias("acf_lag1"),
+        F.round(F.corr("n", "n24"), 4).alias("acf_lag24"),
+    )
+
+
+ORACLE_AUTOCORR = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT n, lead(n, 1) OVER (ORDER BY h) AS n1,
+         lead(n, 24) OVER (ORDER BY h) AS n24
+  FROM hourly
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hours,
+       round(corr(n, n1), 4) AS acf_lag1,
+       round(corr(n, n24), 4) AS acf_lag24
+FROM lagged
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "agg_autocorrelation": q_agg_autocorrelation,
     "agg_mad": q_agg_mad,
     "agg_pareto_share": q_agg_pareto_share,
     "window_activity_streak": q_window_activity_streak,
@@ -1913,6 +1959,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "agg_autocorrelation": ORACLE_AUTOCORR,
     "agg_mad": ORACLE_MAD,
     "agg_pareto_share": ORACLE_PARETO,
     "window_activity_streak": ORACLE_STREAK,
