@@ -2520,8 +2520,130 @@ FROM f
 """
 
 
+_RBO_TERMS = ["spark", "table", "join"]
+_RBO_P = 0.9
+_RBO_K = 10
+
+
+def q_text_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al.) between two retrieval
+    rankings for one query — the IR-eval measure of "how much do these
+    rankers agree, weighted toward the top": here raw term-frequency
+    vs df-discounted (tf/df) rankings over the same terms, the
+    comparison that quantifies what idf weighting actually changes.
+    Both rankers are in-row array arithmetic (the BM25 no-explode
+    shape), each ranking collapses to ONE ordered-array row, and the
+    truncated RBO folds over depth 1..k with p^(d-1) weights in a
+    higher-order expression — nothing bigger than the corpus scan plus
+    two 1-row frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import tokenize
+
+    words = tokenize(F.col("text"))
+    tf_cols = [
+        F.size(F.filter(words, lambda x: x == F.lit(t))).alias(f"tf{i}")
+        for i, t in enumerate(_RBO_TERMS)
+    ]
+    per_doc = docs.select(F.col("doc_id"), *tf_cols)
+    dfreq = per_doc.agg(
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_RBO_TERMS))
+        ]
+    )
+    scored = per_doc.crossJoin(F.broadcast(dfreq)).select(
+        "doc_id",
+        sum(F.col(f"tf{i}") for i in range(len(_RBO_TERMS))).alias("s_tf"),
+        sum(
+            F.col(f"tf{i}") / F.col(f"df{i}").cast("double")
+            for i in range(len(_RBO_TERMS))
+        ).alias("s_tfdf"),
+    )
+
+    def ranking(col):
+        return scored.agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct((-F.col(col)).alias("ns"), F.col("doc_id").alias("d"))
+                        )
+                    ),
+                    lambda x: x["d"],
+                ),
+                1,
+                _RBO_K,
+            ).alias(col + "_list")
+        )
+
+    a = ranking("s_tf")
+    b = ranking("s_tfdf")
+    both = a.crossJoin(b)
+    rbo = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_RBO_K)),
+        F.lit(0.0),
+        lambda acc, d: acc
+        + F.pow(F.lit(_RBO_P), d - 1)
+        * F.size(
+            F.array_intersect(
+                F.slice(F.col("s_tf_list"), 1, d),
+                F.slice(F.col("s_tfdf_list"), 1, d),
+            )
+        )
+        / d.cast("double"),
+    ) * F.lit(1 - _RBO_P)
+    return both.select(
+        F.lit(_RBO_K).alias("depth"),
+        F.size(
+            F.array_intersect(F.col("s_tf_list"), F.col("s_tfdf_list"))
+        ).alias("topk_overlap"),
+        F.round(rbo, 6).alias("rbo"),
+    )
+
+
+ORACLE_RBO = r"""
+WITH tf AS (
+  SELECT doc_id,
+         len(list_filter(ws, x -> x = 'spark')) AS tf0,
+         len(list_filter(ws, x -> x = 'table')) AS tf1,
+         len(list_filter(ws, x -> x = 'join')) AS tf2
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents)
+),
+dfreq AS (
+  SELECT sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM tf
+),
+scored AS (
+  SELECT doc_id, tf0 + tf1 + tf2 AS s_tf,
+         tf0 / CAST(df0 AS DOUBLE) + tf1 / CAST(df1 AS DOUBLE)
+           + tf2 / CAST(df2 AS DOUBLE) AS s_tfdf
+  FROM tf CROSS JOIN dfreq
+),
+la AS (
+  SELECT list_slice(list(doc_id ORDER BY s_tf DESC, doc_id ASC), 1, 10) AS a
+  FROM scored
+),
+lb AS (
+  SELECT list_slice(list(doc_id ORDER BY s_tfdf DESC, doc_id ASC), 1, 10) AS b
+  FROM scored
+),
+depths AS (SELECT unnest(generate_series(1, 10)) AS d)
+SELECT 10 AS depth,
+       (SELECT len(list_intersect(a, b)) FROM la, lb) AS topk_overlap,
+       round(0.1 * sum(pow(0.9, d - 1)
+             * (SELECT len(list_intersect(list_slice(a, 1, d),
+                                          list_slice(b, 1, d)))
+                FROM la, lb) / d), 6) AS rbo
+FROM depths
+"""
+
+
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
+    "text_rank_rbo": q_text_rank_rbo,
     "text_bigram_nll": q_text_bigram_nll,
     "text_readability": q_text_readability,
     "profile_corpus_report": q_profile_corpus_report,
@@ -2588,6 +2710,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pack_batch_schedule": ORACLE_BATCH_SCHEDULE,
     "sample_class_balance": ORACLE_CLASS_BALANCE,
     "sample_bootstrap_ci": ORACLE_BOOTSTRAP,
+    "text_rank_rbo": ORACLE_RBO,
     "text_bigram_nll": ORACLE_BIGRAM_NLL,
     "text_readability": ORACLE_READABILITY,
     "emb_random_projection": ORACLE_JL_PROJECTION,
