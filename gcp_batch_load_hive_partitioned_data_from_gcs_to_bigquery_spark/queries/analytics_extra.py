@@ -1918,7 +1918,110 @@ FROM lagged
 """
 
 
+_JSD_SOURCES = ("src0", "src1", "src2")
+
+
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between sources' unigram
+    distributions — the bounded, symmetric corpus-similarity measure
+    ("are these two feeds redundant?"): JSD = H(M) − (H(P)+H(Q))/2
+    with M the midpoint mixture. The three sources' vocab counts ride
+    ONE aggregation as conditional-sum columns (never a per-source
+    scan), and each pair's divergence folds over the vocab-sized frame
+    — smoothing-free because midpoint-mixture terms with p=0 or q=0
+    are well-defined (0·ln0 = 0 via the when-guard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import tokenize
+
+    toks = docs.filter(F.col("source").isin(*_JSD_SOURCES)).select(
+        "source", F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    counts = toks.groupBy("w").agg(
+        *[
+            F.sum((F.col("source") == s).cast("long")).alias(f"c{i}")
+            for i, s in enumerate(_JSD_SOURCES)
+        ]
+    )
+    tots = counts.agg(
+        *[F.sum(f"c{i}").cast("double").alias(f"t{i}") for i in range(3)]
+    )
+    joined = counts.crossJoin(F.broadcast(tots))
+
+    def _term(p):  # p·ln(p) with 0·ln0 = 0
+        return F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    out = []
+    for i in range(3):
+        for j in range(i + 1, 3):
+            p = F.col(f"c{i}") / F.col(f"t{i}")
+            q = F.col(f"c{j}") / F.col(f"t{j}")
+            m = (p + q) / 2
+            contrib = _term(p) / 2 + _term(q) / 2 - _term(m)
+            out.append(
+                joined.agg(
+                    F.lit(f"{_JSD_SOURCES[i]}~{_JSD_SOURCES[j]}").alias(
+                        "pair"
+                    ),
+                    F.round(F.sum(contrib), 6).alias("jsd"),
+                )
+            )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("pair")
+
+
+ORACLE_JSD = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+counts AS (
+  SELECT w,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS c2
+  FROM toks GROUP BY w
+),
+tots AS (
+  SELECT CAST(sum(c0) AS DOUBLE) AS t0, CAST(sum(c1) AS DOUBLE) AS t1,
+         CAST(sum(c2) AS DOUBLE) AS t2
+  FROM counts
+),
+j AS (SELECT * FROM counts CROSS JOIN tots)
+SELECT pair, jsd FROM (
+  SELECT 'src0~src1' AS pair,
+         round(sum(
+           CASE WHEN c0 > 0 THEN (c0/t0) * ln(c0/t0) ELSE 0 END / 2
+           + CASE WHEN c1 > 0 THEN (c1/t1) * ln(c1/t1) ELSE 0 END / 2
+           - CASE WHEN c0/t0 + c1/t1 > 0
+                  THEN ((c0/t0 + c1/t1)/2) * ln((c0/t0 + c1/t1)/2)
+                  ELSE 0 END), 6) AS jsd
+  FROM j
+  UNION ALL
+  SELECT 'src0~src2',
+         round(sum(
+           CASE WHEN c0 > 0 THEN (c0/t0) * ln(c0/t0) ELSE 0 END / 2
+           + CASE WHEN c2 > 0 THEN (c2/t2) * ln(c2/t2) ELSE 0 END / 2
+           - CASE WHEN c0/t0 + c2/t2 > 0
+                  THEN ((c0/t0 + c2/t2)/2) * ln((c0/t0 + c2/t2)/2)
+                  ELSE 0 END), 6)
+  FROM j
+  UNION ALL
+  SELECT 'src1~src2',
+         round(sum(
+           CASE WHEN c1 > 0 THEN (c1/t1) * ln(c1/t1) ELSE 0 END / 2
+           + CASE WHEN c2 > 0 THEN (c2/t2) * ln(c2/t2) ELSE 0 END / 2
+           - CASE WHEN c1/t1 + c2/t2 > 0
+                  THEN ((c1/t1 + c2/t2)/2) * ln((c1/t1 + c2/t2)/2)
+                  ELSE 0 END), 6)
+  FROM j
+) ORDER BY pair
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
+    "text_js_divergence": q_text_js_divergence,
     "agg_autocorrelation": q_agg_autocorrelation,
     "agg_mad": q_agg_mad,
     "agg_pareto_share": q_agg_pareto_share,
@@ -1959,6 +2062,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "text_js_divergence": ORACLE_JSD,
     "agg_autocorrelation": ORACLE_AUTOCORR,
     "agg_mad": ORACLE_MAD,
     "agg_pareto_share": ORACLE_PARETO,

@@ -4245,8 +4245,8 @@ _DRIVER_WINDOW = [
 # monitor_psi_drift, window_rolling_median, agg_entropy,
 # text_zipf_slope, text_bigram_nll, text_readability, agg_gini,
 # agg_weighted_median, agg_pareto_share, window_activity_streak,
-# agg_mad, agg_autocorrelation, text_rank_rbo. All thirty-one are
-# verified with scripts/check_correctness.py at sf0.01 AND
+# agg_mad, agg_autocorrelation, text_rank_rbo, text_js_divergence.
+# All thirty-two are verified with scripts/check_correctness.py at sf0.01 AND
 # sf0.1 (green) — quarantine and quality_observed additionally by
 # end-to-end pytests (tests/test_behavior_monitoring.py); they MUST
 # lead the round-6 rotation for their first driver rows.
