@@ -64,7 +64,9 @@ def naive_bayes_scores(
         .groupBy("doc_id", "true_label", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf = tf.persist()
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._cache import scoped_persist
+
+    tf = scoped_persist(tf, "classify.naive_bayes.tf")
 
     # model: per-(word,label) smoothed log-count increment ln(c+1)
     wc = tf.groupBy("word", F.col("true_label").alias("label")).agg(

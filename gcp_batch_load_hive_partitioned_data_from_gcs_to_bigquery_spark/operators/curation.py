@@ -90,8 +90,10 @@ def curation_funnel(
             ),
             F.count(F.when(survivor, F.lit(1))).alias("n_dedup"),
         )
-        .persist()
     )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._cache import scoped_persist
+
+    per_split = scoped_persist(per_split, "curation.per_split")
     funnel_rows = per_split.agg(
         F.sum("n_input").alias("n_input"),
         F.sum("n_lang").alias("n_lang"),

@@ -21,20 +21,33 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_expectations", "referential_violations"]
+__all__ = ["check_expectations", "referential_violations", "null_violates"]
+
+
+def null_violates(pred: Column) -> Column:
+    """NULL-safe coercion for violation predicates: a rule evaluating to
+    NULL (``value > 200`` with value NULL) cannot prove the row clean,
+    so it COUNTS AS A VIOLATION. Without this, SQL three-valued logic
+    silently waves every NULL-bearing row through the gate — the exact
+    malformed rows a quality suite exists to catch. Applied at
+    compilation time by every consumer (batch counters, Observation
+    metrics, the streaming quarantine tag) so rule authors never have
+    to hand-write isNull branches."""
+    return F.coalesce(pred, F.lit(True))
 
 
 def check_expectations(
     df: DataFrame, rules: list[tuple[str, Column]]
 ) -> DataFrame:
     """Evaluate row-level rules in one aggregation. ``rules`` maps rule
-    name -> violation predicate. Returns (rule, n_violations) rows in
+    name -> violation predicate (NULL predicate = violation, see
+    :func:`null_violates`). Returns (rule, n_violations) rows in
     rule order."""
     if not rules:
         raise ValueError("at least one expectation required")
     agg = df.agg(
         *[
-            F.sum(pred.cast("long")).alias(f"__r{i}")
+            F.sum(null_violates(pred).cast("long")).alias(f"__r{i}")
             for i, (_, pred) in enumerate(rules)
         ]
     )
@@ -85,6 +98,7 @@ def check_expectations_observed(
         raise ValueError("at least one expectation required")
     obs = Observation(name)
     metrics = [
-        F.sum(pred.cast("long")).alias(rule_name) for rule_name, pred in rules
+        F.sum(null_violates(pred).cast("long")).alias(rule_name)
+        for rule_name, pred in rules
     ] + [F.count(F.lit(1)).alias("__n_rows")]
     return df.observe(obs, *metrics), obs

@@ -40,8 +40,20 @@ _HASH_K = 2654435761
 
 
 def shard_for(key: Column, n_shards: int, salt: int = 0) -> Column:
-    """Deterministic shard id in ``[0, n_shards)`` from an integer key."""
-    return ((key + F.lit(salt)) * F.lit(_HASH_K)) % F.lit(n_shards)
+    """Deterministic shard id in ``[0, n_shards)`` from an integer key.
+
+    Masks the key to 31 bits before the salt add AND before the
+    multiply (same discipline as :func:`..operators.sampling.
+    hash_bucket`) so neither the add nor the product can trap or wrap
+    in signed-64 ANSI arithmetic for any 64-bit key — no negative
+    shards, and the DuckDB oracle form ``((((key & 2147483647) + salt)
+    & 2147483647) * 2654435761) % n`` reproduces it exactly. Identity
+    for keys < 2^31 with small salts.
+    """
+    masked = (
+        key.cast("long").bitwiseAND(F.lit(0x7FFFFFFF)) + F.lit(salt)
+    ).bitwiseAND(F.lit(0x7FFFFFFF))
+    return (masked * F.lit(_HASH_K)) % F.lit(n_shards)
 
 
 def pack_sequences(

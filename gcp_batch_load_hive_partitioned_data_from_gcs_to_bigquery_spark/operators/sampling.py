@@ -34,11 +34,21 @@ _BUCKETS = 10_000
 def hash_bucket(key: Column, salt: int = 0) -> Column:
     """Deterministic bucket in [0, 10000) from a 64-bit key column.
 
-    Pure 64-bit arithmetic (no overflow for keys < ~3.4e9 even after the
-    salt add), identical in Spark and ANSI SQL: the oracle twin is
-    `((key + salt) * 2654435761) % 10000`.
+    The key+salt sum is masked to 31 bits BEFORE the multiply so the
+    product never exceeds 2^62 — pure signed-64 arithmetic with no
+    overflow for ANY key (snowflake-scale ids included), hence identical
+    in Spark non-ANSI mode and ANSI SQL engines that raise on BIGINT
+    overflow. The KEY is masked before the salt add as well (the add of
+    a 2^63-scale key would itself trap under ANSI arithmetic). Oracle
+    twin: `((((key & 2147483647) + salt) & 2147483647) * 2654435761)
+    % 10000`. For keys < 2^31 with small salts both masks are the
+    identity, so bucket values are unchanged from the historical
+    unmasked form.
     """
-    return ((key.cast("long") + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(_BUCKETS)
+    masked = (
+        key.cast("long").bitwiseAND(F.lit(0x7FFFFFFF)) + F.lit(salt)
+    ).bitwiseAND(F.lit(0x7FFFFFFF))
+    return (masked * F.lit(_KNUTH)) % F.lit(_BUCKETS)
 
 
 def hash_split(

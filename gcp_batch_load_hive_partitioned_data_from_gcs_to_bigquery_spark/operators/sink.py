@@ -370,9 +370,20 @@ def merge_upsert_partition(
     plain insert (probe first — one metadata LIST, the empty-table read
     would otherwise die on schema inference): that is what lets a
     foreachBatch stream drive this op from a cold table
-    (q_stream_upsert_sink)."""
+    (q_stream_upsert_sink). Merging into a missing TABLE ROOT raises
+    :class:`TableNotFoundError` — MERGE maintains an existing table, it
+    never creates one, so the sink's create-never contract (the
+    reference's CREATE_NEVER disposition, bigquery_interaction.py:20)
+    holds here too; only the missing-partition-of-an-existing-table
+    case degenerates to insert."""
     from ..sources.probe import partition_file_count
 
+    if not _table_exists(spark, table_root):
+        raise TableNotFoundError(
+            f"merge_upsert_partition: table root does not exist: {table_root} "
+            "(create it with create_partitioned_table first; MERGE never "
+            "creates tables — create-never contract)"
+        )
     if partition_file_count(spark, table_root, partition) == 0:
         return write_partition_overwrite(
             updates, table_root, partition=partition, create_never=False

@@ -178,9 +178,14 @@ def snapshot_diff(
     (key_cols..., change ∈ inserted|deleted|updated).
 
     Fast path: if the old manifest's file list is a subset of the new
-    one (append-only history), every change is an insert and the diff
-    reads ONLY the delta files — the old version is never scanned, so
-    CDC costs O(changed data). General path: xxhash64 row digests of
+    one (append-only history) AND no delta key already exists in the
+    old version, every change is an insert and the diff reads only the
+    delta files plus a keys-only (column-pruned) scan of the old
+    version — CDC costs O(changed data + old keys), never O(old data).
+    An upsert-style append (a delta file re-adding an existing key)
+    fails that probe and routes through the general path, so both paths
+    agree on 'updated' for re-added keys instead of the fast path
+    mislabeling them 'inserted'. General path: xxhash64 row digests of
     the non-key columns on both sides, one full-outer join on the key.
     """
     old_m = _read_manifest(spark, root, v_old)
@@ -194,11 +199,12 @@ def snapshot_diff(
             return base.select(*key_cols).limit(0).withColumn(
                 "change", F.lit("inserted")
             )
-        return (
-            spark.read.parquet(*delta)
-            .select(*key_cols)
-            .withColumn("change", F.lit("inserted"))
-        )
+        delta_df = spark.read.parquet(*delta).select(*key_cols)
+        old_keys = read_snapshot(spark, root, v_old).select(*key_cols)
+        if delta_df.join(old_keys, key_cols, "left_semi").isEmpty():
+            return delta_df.withColumn("change", F.lit("inserted"))
+        # fall through: append re-added existing keys (upsert-append) —
+        # only the digest comparison can label them correctly
 
     old_df = read_snapshot(spark, root, v_old)
     new_df = read_snapshot(spark, root, v_new)

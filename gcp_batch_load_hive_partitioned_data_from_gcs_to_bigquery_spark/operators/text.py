@@ -988,20 +988,24 @@ def bigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(word_shingles(words, 2)).alias("bg"),
     )
     pair = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
-    # vocab-sized aggregate, persisted: the V count below would
-    # otherwise re-derive ctx's whole lineage (a second corpus scan)
+    # V (vocab size) is computed INSIDE the ctx aggregate with a global
+    # window: ctx is already vocab-sized and broadcast right after, so
+    # the single-partition window is cheap — and ctx's corpus-scan
+    # lineage is derived exactly once, with no persist to leak across
+    # repeated invocations in a long-lived session.
     ctx = (
         df.select(F.explode(words).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
-    ).persist()
-    vocab_n = ctx.agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .withColumn(
+            "v", F.count(F.lit(1)).over(W.partitionBy()).cast("double")
+        )
+    )
     w1 = F.split(F.col("bg"), " ").getItem(0)
     return (
         grams.withColumn("w", w1)
         .join(F.broadcast(pair), "bg")
         .join(F.broadcast(ctx), "w")
-        .join(F.broadcast(vocab_n))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..operators._cache import scoped_persist as _scoped_persist
 
 
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,7 +1087,7 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_chunks = base.groupBy("day", "chunk").agg(
         F.expr("bit_or(bit)").alias("bits")
     )
-    day_chunks = day_chunks.persist()
+    day_chunks = _scoped_persist(day_chunks, "analytics_extra.bitmap_day_chunks")
     per_day = day_chunks.groupBy("day").agg(
         F.sum(F.bit_count("bits")).alias("n_bitmap")
     )
@@ -1216,12 +1217,21 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact recursive EWMA per user (alpha=0.2) — the genuinely
     sequential aggregate (EWMA_t = a·x_t + (1−a)·EWMA_{t−1}) that
     window frames can't express (the closed-form (1−a)^{−n} rescaling
-    trick overflows past ~1k rows). Instead the recursion is confined
-    IN the row: one entity-keyed groupBy collects the ordered value
-    array, and a higher-order aggregate() folds it left — per-user cost
-    linear in their event count, zero UDFs, and the identical fold
-    order in any engine (DuckDB's list_reduce is the oracle twin), so
-    the doubles match bit-for-bit before rounding."""
+    trick overflows past ~1k rows).
+
+    SEGMENTED so no row ever holds a user's full history: the recursion
+    folds inside (user, day) segments — each row holds at most one
+    day's values — and segments merge per user via the closed-form
+    carry  E_after = d·E_before + c, where the segment's decay
+    d = 0.8^n (built by n successive multiplies, NOT pow(), so any
+    engine reproduces the exact doubles) and contribution
+    c = Σ 0.2·0.8^{n−i}·x_i come from the same in-row fold. A hot
+    entity with years of events costs max(events-per-day) array cells
+    per row instead of the whole history — the executor-OOM shape the
+    unsegmented collect_list had at 100 TB. Per-user segment count is
+    calendar-bounded. Zero UDFs; DuckDB's list_reduce twin runs the
+    identical op sequence (struct-element fold seeded by the first
+    segment), so the doubles match bit-for-bit before rounding."""
     ev = load_table(spark, sf_dir, "events")
     arr = F.transform(
         F.sort_array(
@@ -1235,27 +1245,73 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x["v"],
     )
-    per_user = ev.groupBy("user_id").agg(arr.alias("vals"))
+    step = lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc  # noqa: E731
+    per_day = ev.groupBy(
+        "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(arr.alias("vals"))
+    seg = per_day.select(
+        "user_id",
+        F.struct(
+            F.col("day").alias("day"),
+            F.size("vals").alias("n"),
+            # seeded in-segment EWMA (first value is the seed)
+            F.aggregate(
+                F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+                F.element_at(F.col("vals"), 1),
+                step,
+            ).alias("s"),
+            # zero-init contribution fold: c = Σ 0.2·0.8^{n−i}·x_i
+            F.aggregate(F.col("vals"), F.lit(0.0), step).alias("c"),
+            # decay 0.8^n via n successive multiplies (engine-portable)
+            F.aggregate(
+                F.col("vals"), F.lit(1.0), lambda acc, x: acc * F.lit(0.8)
+            ).alias("d"),
+        ).alias("seg"),
+    )
+    per_user = seg.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("seg")).alias("segs")
+    )
     ewma = F.aggregate(
-        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
-        F.element_at(F.col("vals"), 1),
-        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+        F.slice(F.col("segs"), 2, F.greatest(F.size("segs") - 1, F.lit(0))),
+        F.element_at(F.col("segs"), 1)["s"],
+        lambda acc, s: s["d"] * acc + s["c"],
     )
     return per_user.select(
         "user_id",
-        F.size("vals").alias("n_events"),
+        F.aggregate(
+            F.col("segs"), F.lit(0), lambda acc, s: acc + s["n"]
+        ).alias("n_events"),
         F.round(ewma, 6).alias("ewma"),
     )
 
 
 ORACLE_EWMA = """
-SELECT user_id, CAST(len(vals) AS INT) AS n_events,
-       round(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
-         AS ewma
-FROM (
-  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
-  FROM events GROUP BY user_id
+WITH per_day AS (
+  SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY 1, 2
+), seg AS (
+  SELECT user_id, day,
+         CAST(len(vals) AS INT) AS n,
+         list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS s,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                     (acc, x) -> 0.2 * x + 0.8 * acc) AS c,
+         list_reduce(list_prepend(CAST(1.0 AS DOUBLE), vals),
+                     (acc, x) -> acc * 0.8) AS d
+  FROM per_day
+), merged AS (
+  SELECT user_id, CAST(sum(n) AS INT) AS n_events,
+         list_reduce(
+           list_prepend({'e': first(s ORDER BY day), 'd': CAST(1.0 AS DOUBLE),
+                         'c': CAST(0.0 AS DOUBLE)},
+                        list({'e': CAST(0.0 AS DOUBLE), 'd': d, 'c': c}
+                             ORDER BY day)[2:]),
+           (acc, g) -> {'e': g.d * acc.e + g.c, 'd': CAST(1.0 AS DOUBLE),
+                        'c': CAST(0.0 AS DOUBLE)}
+         ).e AS ewma_raw
+  FROM seg GROUP BY user_id
 )
+SELECT user_id, n_events, round(ewma_raw, 6) AS ewma FROM merged
 """
 
 
@@ -1463,7 +1519,7 @@ def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL row — it reuses the same counts."""
     docs = load_table(spark, sf_dir, "documents")
     sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
-    sl = sl.persist()
+    sl = _scoped_persist(sl, "analytics_extra.entropy_sl")
 
     def entropy(grouped):
         tot = F.sum("n")

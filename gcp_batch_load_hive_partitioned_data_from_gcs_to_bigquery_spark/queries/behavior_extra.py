@@ -282,7 +282,7 @@ def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ABTEST = """
 WITH tagged AS (
   SELECT value,
-         CASE WHEN (user_id * 2654435761) % 10000 >= 5000
+         CASE WHEN ((user_id & 2147483647) * 2654435761) % 10000 >= 5000
               THEN 1 ELSE 0 END AS b
   FROM events
 ),
@@ -329,11 +329,11 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EXPECTATIONS = """
 SELECT 'quantity_le_25' AS rule,
-       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN coalesce(l_quantity > 25, TRUE) THEN 1 ELSE 0 END) AS BIGINT)
          AS n_violations FROM lineitem
 UNION ALL
 SELECT 'discount_le_5pct',
-       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN coalesce(l_discount > 0.05, TRUE) THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem
 UNION ALL
 SELECT 'shipdate_not_null',
@@ -341,7 +341,7 @@ SELECT 'shipdate_not_null',
   FROM lineitem
 UNION ALL
 SELECT 'returnflag_domain',
-       CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+       CAST(sum(CASE WHEN coalesce(l_returnflag NOT IN ('A', 'N', 'R'), TRUE)
                 THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem
 UNION ALL

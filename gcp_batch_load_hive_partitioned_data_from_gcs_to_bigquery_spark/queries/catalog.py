@@ -421,12 +421,13 @@ def q_quality_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_QUALITY_OBSERVED = """
 SELECT 'no_error_rows' AS rule,
-       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n
+       CAST(sum(CASE WHEN coalesce(event_type = 'error', TRUE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n
 FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
 UNION ALL
 SELECT 'value_le_200',
-       CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN coalesce(value > 200, TRUE) THEN 1 ELSE 0 END)
+            AS BIGINT)
 FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
 UNION ALL
 SELECT 'rows_written', CAST(count(*) AS BIGINT)
@@ -522,7 +523,7 @@ WITH tagged AS (
   SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
            AS n_tok,
-         (doc_id * 2654435761) % 7 AS shard,
+         ((doc_id & 2147483647) * 2654435761) % 7 AS shard,
          md5('0_' || CAST(doc_id AS VARCHAR)) AS ord
   FROM documents
 ),
@@ -2238,8 +2239,8 @@ def q_stream_quarantine_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_QUARANTINE = """
 WITH tagged AS (
   SELECT coalesce(nullif(concat_ws(',',
-           CASE WHEN event_type = 'error' THEN 'no_error_rows' END,
-           CASE WHEN value > 200 THEN 'value_le_200' END), ''), 'PASS')
+           CASE WHEN coalesce(event_type = 'error', TRUE) THEN 'no_error_rows' END,
+           CASE WHEN coalesce(value > 200, TRUE) THEN 'value_le_200' END), ''), 'PASS')
            AS violations
   FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
 )

@@ -17,13 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators._cache import scoped_persist as _scoped_persist
 from ..operators import dedup as D
 from ..operators import sampling as S
 from ..operators import text as TX
 from ..sources.tables import load_table
 
 # Oracle twin of operators/sampling.hash_bucket.
-_BUCKET_SQL = "(({key} + {salt}) * 2654435761) % 10000"
+_BUCKET_SQL = "(((({key} & 2147483647) + {salt}) & 2147483647) * 2654435761) % 10000"
 
 
 def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,8 +424,10 @@ def q_scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
             timestampFormat=TS_FMT,
         )
         .csv(_FIXTURES[key])
-        .persist()  # CSV corrupt-column queries require materialization
     )
+    # CSV corrupt-column queries require materialization; scoped so the
+    # catalog sweep holds at most one copy (operators/_cache.py)
+    df = _scoped_persist(df, "pipeline_extra.csv_corrupt")
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n_corrupt"),
@@ -1086,7 +1089,7 @@ _PACK_SEGS_SQL = r"""
   toks AS (
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
-           CAST(((doc_id + 0) * 2654435761) % 8 AS BIGINT) AS shard
+           CAST((((doc_id + 0) & 2147483647) * 2654435761) % 8 AS BIGINT) AS shard
     FROM documents
     WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0
   ), offs AS (
@@ -1288,7 +1291,7 @@ WITH per AS (
 ), kept AS (
   SELECT d.source, count(*) AS n
   FROM documents d JOIN th ON d.source = th.source
-  WHERE (d.doc_id * 2654435761) % 10000 < th.threshold
+  WHERE ((d.doc_id & 2147483647) * 2654435761) % 10000 < th.threshold
   GROUP BY d.source
 )
 SELECT th.source, th.n_docs, th.domain_size, th.wgt, th.threshold,
@@ -1376,8 +1379,8 @@ WITH t AS (
          count(CASE WHEN lang_ok AND quality_ok THEN 1 END) AS n_dedup
   FROM grouped
 ), splits AS (
-  SELECT CASE WHEN (keeper_id * 2654435761) % 10000 < 1000 THEN '5_split_test'
-              WHEN (keeper_id * 2654435761) % 10000 < 9000 THEN '5_split_train'
+  SELECT CASE WHEN ((keeper_id & 2147483647) * 2654435761) % 10000 < 1000 THEN '5_split_test'
+              WHEN ((keeper_id & 2147483647) * 2654435761) % 10000 < 9000 THEN '5_split_train'
               ELSE '5_split_val' END AS stage,
          count(*) AS n_docs
   FROM grouped WHERE lang_ok AND quality_ok
@@ -1603,7 +1606,7 @@ def q_approx_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
-    words = words.persist()
+    words = _scoped_persist(words, "pipeline_extra.cms_words")
     sketch = countmin_sketch(words, "word", depth=4, width=2048)
     top = heavy_hitters(words, "word", k=20, capacity=400)
     est = countmin_query(sketch, top.select("key"), "key", depth=4, width=2048)

@@ -31,11 +31,19 @@ __all__ = ["stream_quarantine_ingest"]
 
 def violation_tag(rules: list[tuple[str, Column]]) -> Column:
     """Comma-joined names of every violated rule ('' = clean) — rule
-    order is the declaration order, so the tag is deterministic."""
+    order is the declaration order, so the tag is deterministic. A rule
+    predicate that evaluates to NULL counts as violated (same
+    ``null_violates`` coercion as the batch suite): a NULL-bearing row
+    is exactly the malformed input the gate exists to quarantine, and
+    three-valued logic would otherwise append it to the landing table."""
+    from ..operators.expectations import null_violates
+
     return F.concat_ws(
         ",",
         F.array_compact(
-            F.array(*[F.when(pred, F.lit(name)) for name, pred in rules])
+            F.array(
+                *[F.when(null_violates(pred), F.lit(name)) for name, pred in rules]
+            )
         ),
     )
 

@@ -105,7 +105,10 @@ def test_check_expectations_single_pass_counts(spark):
         ],
     ).collect()
     got = {r.rule: r.n_violations for r in out}
-    assert got == {"v_le_50": 1, "v_not_null": 1}
+    # NULL predicate = violation (null_violates): row 3's v is NULL, so
+    # `v > 50` can't prove it clean — it counts for v_le_50 too. A gate
+    # that waves NULL rows through is the defect, not the contract.
+    assert got == {"v_le_50": 2, "v_not_null": 1}
     # exactly one scan: a single aggregate, no join/union in the plan
     plan = check_expectations(df, [("x", F.col("v") > 0)])._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
@@ -257,3 +260,25 @@ def test_ewma_matches_python_recursion(spark):
     for v in vals[1:]:
         want = 0.2 * v + 0.8 * want
     assert got == round(want, 9)
+
+
+def test_violation_tag_null_predicate_quarantines(spark):
+    """A NULL rule predicate (NULL value under `v > 200`) must TAG the
+    row, not wave it into the landing table — the malformed-row case
+    the gate exists for (null_violates coercion, shared with the batch
+    suite)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.quarantine import violation_tag
+
+    df = spark.createDataFrame(
+        [(1, "view", None), (2, None, 10.0), (3, "view", 10.0)],
+        "id long, et string, v double",
+    )
+    rules = [
+        ("r_no_error", F.col("et") == "error"),
+        ("r_v_le_200", F.col("v") > 200),
+    ]
+    got = {
+        r.id: r.tag
+        for r in df.select("id", violation_tag(rules).alias("tag")).collect()
+    }
+    assert got == {1: "r_v_le_200", 2: "r_no_error", 3: ""}

@@ -47,3 +47,25 @@ def test_no_row_udfs_or_cartesian_products_in_compute_plans(spark):
             issues.append(f"{name}: CartesianProduct")
     assert checked > 100  # the audit must actually cover the catalog
     assert not issues, "\n".join(issues)
+
+
+def test_ts_ewma_collect_list_is_segment_bounded(spark):
+    """ts_ewma must never collect a user's FULL history into one row
+    (executor-OOM at 100 TB for a hot entity): every collect_list in
+    its plan has to sit under an aggregate keyed by (user, segment),
+    never by the entity alone. The per-user merge collects day-level
+    SEGMENT structs — bounded by the calendar, not by event count."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra import q_ts_ewma
+
+    df = q_ts_ewma(spark, SF_DIR)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    agg_lines = [
+        ln for ln in plan.splitlines() if "collect_list" in ln
+    ]
+    assert agg_lines, "expected collect_list segments in the ts_ewma plan"
+    for ln in agg_lines:
+        if "Aggregate" not in ln:
+            continue
+        # raw event values may only be collected per (user, day) segment
+        if "'v" in ln or "value" in ln:
+            assert "day" in ln, f"unsegmented event collect_list: {ln[:200]}"

@@ -235,3 +235,30 @@ def test_quantile_bins_assignment_and_no_global_sort(spark):
     # the corpus is never globally sorted: no Sort/Window over the data
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_hash_bucket_large_keys_never_negative(spark):
+    """Snowflake-scale ids (>= ~3.46e9) used to wrap negative in signed
+    64-bit (always landing in the first split); the 31-bit pre-multiply
+    mask keeps the product under 2^62 for ANY key, and DuckDB's
+    overflow-checking BIGINT arithmetic reproduces the same buckets."""
+    import duckdb
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import hash_bucket
+
+    keys = [0, 1, 2**31 - 1, 2**31, 5_000_000_000,
+            1234567890123456789, 2**63 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: r.b
+        for r in df.select("k", hash_bucket(F.col("k"), salt=7).alias("b")).collect()
+    }
+    assert all(0 <= b < 10_000 for b in got.values()), got
+    want = {
+        k: duckdb.sql(
+            f"SELECT ((((CAST({k} AS BIGINT) & 2147483647) + 7)"
+            " & 2147483647) * 2654435761) % 10000"
+        ).fetchone()[0]
+        for k in keys
+    }
+    assert got == want

@@ -150,3 +150,37 @@ def test_compact_preserves_content_and_vacuum_reclaims(spark, root):
     assert stats["dropped_versions"] == 5
     assert stats["deleted_files"] == 5  # all fragments unreachable now
     assert sorted(read_snapshot(spark, root).collect()) == before
+
+
+def test_diff_upsert_append_routes_through_digest_path(spark, root):
+    """An append that RE-ADDS existing keys (upsert-style append) must
+    not ride the append-only fast path: the fast path's key probe
+    detects the overlap and the digest comparison labels re-added keys
+    'updated' (value changed) or omits them (identical row) — never a
+    duplicate-key 'inserted' row."""
+    write_snapshot(spark, _df(spark, [(1, "a"), (2, "b")]), root)
+    # append re-adds key 1 with a new value, key 2 unchanged, key 3 new
+    write_snapshot(
+        spark, _df(spark, [(1, "CHANGED"), (2, "b"), (3, "c")]), root
+    )
+    d = snapshot_diff(spark, root, 1, 2, ["id"])
+    rows = sorted((r["id"], r["change"]) for r in d.collect())
+    assert rows == [(1, "updated"), (3, "inserted")]
+
+
+def test_merge_upsert_missing_table_root_raises(spark, tmp_path):
+    """MERGE maintains an existing table; it must never create one
+    (create-never contract) — merging into an absent table root raises
+    instead of silently materializing a new table."""
+    import pytest as _pytest
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        TableNotFoundError,
+        merge_upsert_partition,
+    )
+
+    updates = _df(spark, [(1, "a")])
+    with _pytest.raises(TableNotFoundError):
+        merge_upsert_partition(
+            spark, str(tmp_path / "nope"), updates, "2024010100", ["id"]
+        )
