@@ -720,6 +720,50 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(audit_root).select("doc_id", "dup_kind").orderBy("doc_id")
 
 
+def q_stream_incremental_dedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental dedup under a VALUE-EXACT oracle: the
+    same two-drop replay as `stream_incremental_dedup`, but with the
+    md5 hash family (the dedup_minhash_oracle pattern) so DuckDB can
+    reproduce the exact/near flags. Drop 0 (doc_id % 4 != 0) lands in
+    an empty corpus — all survive; drop 1 (doc_id % 4 == 0) dedups
+    against that corpus, so the final audit table must equal the BATCH
+    incremental-dedup oracle's flagged rows — proving stream/batch
+    equivalence with a hard value check, not just pytest."""
+    import shutil
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.dedup_stream import (
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_key = ("stream_dedup_src", sf_dir)
+    if src_key not in _FIXTURES:
+        import os
+
+        src = _tmp("stream_dedup_src")
+        for i, part in enumerate(
+            (docs.filter(F.col("doc_id") % 4 != 0), docs.filter(F.col("doc_id") % 4 == 0))
+        ):
+            sub = _tmp(f"stream_dedup_stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(sub)
+            name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i:04d}.parquet")
+            os.rename(os.path.join(sub, name), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _FIXTURES[src_key] = src
+    corpus_root, audit_root, ckpt = (
+        _tmp("sdo_corpus"), _tmp("sdo_audit"), _tmp("sdo_ckpt")
+    )
+    for d in (corpus_root, audit_root, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    q = stream_incremental_dedup(
+        spark, _FIXTURES[src_key], corpus_root, audit_root, docs.schema,
+        checkpoint=ckpt, md5_family=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(audit_root).select("doc_id", "dup_kind").orderBy("doc_id")
+
+
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (``F.session_window``, the streaming-state
     primitive, here in batch mode): per-user sessions close after 30
@@ -942,6 +986,78 @@ def q_job_state_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JOB_POLL = f"""
 SELECT 2 AS state_code, CAST(count(*) AS BIGINT) AS n_rows FROM events WHERE {_HOUR_PRED_SQL}
+"""
+
+
+def q_api_ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REST surface (§2.9, api/service.py) exercised end-to-end as a
+    driver-checkable value query: DDL → probe hit/miss → async ingest
+    submit → poll to terminal → row-count readback → the three error
+    folds (unknown job 404, malformed partition 422, CREATE_NEVER
+    refusal). Every step collapses to a (step, code) row whose expected
+    value DuckDB derives from the events table — turning the
+    pytest-only API components into hard oracle rows."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.api.service import (
+        IngestService,
+        InvalidPartitionError,
+        TableNotRegisteredError,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.api.models import NewLoadJob
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import read_landing_table
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.plans.jobs import JobNotFoundError
+
+    bucket = _csv_fixture_root(spark, sf_dir)
+    service = IngestService(spark, _tmp("api_wh"))
+    service.create_landing_table("lake", "events", EVENTS_SCHEMA)
+    req = NewLoadJob(
+        bucket_name=bucket, dataset_id="lake", table_id="events",
+        job_configuration={"timestampFormat": TS_FMT},
+    )
+    rows: list[tuple[str, int]] = []
+    rows.append(
+        ("01_probe_hit", service.partition_exists_in_bucket(bucket, PART_HOUR))
+    )
+    rows.append(
+        ("02_probe_miss", service.partition_exists_in_bucket(bucket, MISSING_HOUR))
+    )
+    job = service.ingest_partition(PART_HOUR, req)
+    final = service.registry.wait(job.job_id, timeout=600)
+    rows.append(("03_final_state", int(final.status)))
+    n = read_landing_table(
+        spark, service.table_root("lake", "events"), PART_HOUR
+    ).count()
+    rows.append(("04_rows_loaded", n))
+    try:
+        service.job_status("no-such-job")
+        rows.append(("05_unknown_job_404", 0))
+    except JobNotFoundError:
+        rows.append(("05_unknown_job_404", 1))
+    try:
+        service.ingest_partition("2024-01-01-00", req)
+        rows.append(("06_bad_partition_422", 0))
+    except InvalidPartitionError:
+        rows.append(("06_bad_partition_422", 1))
+    try:
+        service.ingest_partition(
+            PART_HOUR,
+            NewLoadJob(bucket_name=bucket, dataset_id="lake", table_id="nope"),
+        )
+        rows.append(("07_create_never_404", 0))
+    except TableNotRegisteredError:
+        rows.append(("07_create_never_404", 1))
+    return spark.createDataFrame(rows, "step string, code long").orderBy("step")
+
+
+ORACLE_API_LIFECYCLE = f"""
+SELECT '01_probe_hit' AS step, CAST(1 AS BIGINT) AS code
+UNION ALL SELECT '02_probe_miss', 0
+UNION ALL SELECT '03_final_state', 2
+UNION ALL SELECT '04_rows_loaded',
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE {_HOUR_PRED_SQL})
+UNION ALL SELECT '05_unknown_job_404', 1
+UNION ALL SELECT '06_bad_partition_422', 1
+UNION ALL SELECT '07_create_never_404', 1
+ORDER BY step
 """
 
 
@@ -3897,6 +4013,7 @@ QUERIES: dict[str, callable] = {
     "scan_zonemap_full": q_scan_zonemap_full,
     "filter_require_partition": q_filter_require_partition,
     "job_state_poll": q_job_state_poll,
+    "api_ingest_lifecycle": q_api_ingest_lifecycle,
     "backfill_range": q_backfill_range,
     # §2.2 filters / projections
     "filter_partition_eq": q_filter_partition_eq,
@@ -3951,6 +4068,7 @@ QUERIES: dict[str, callable] = {
     "stream_stateful_totals": q_stream_stateful_totals,
     "stream_session_window": q_stream_session_window,
     "stream_incremental_dedup": q_stream_incremental_dedup,
+    "stream_incremental_dedup_oracle": q_stream_incremental_dedup_oracle,
     "sink_merge_upsert": q_sink_merge_upsert,
     # dedup
     "dedup_exact": q_dedup_exact,
@@ -4021,6 +4139,7 @@ ORACLES: dict[str, str] = {
     "scan_zonemap_full": ORACLE_SCAN_FILE_SKIPPING,
     "filter_require_partition": ORACLE_REQUIRE_PARTITION,
     "job_state_poll": ORACLE_JOB_POLL,
+    "api_ingest_lifecycle": ORACLE_API_LIFECYCLE,
     "backfill_range": ORACLE_BACKFILL,
     "filter_partition_eq": ORACLE_FILTER_PART,
     "filter_rlike_status": ORACLE_RLIKE,

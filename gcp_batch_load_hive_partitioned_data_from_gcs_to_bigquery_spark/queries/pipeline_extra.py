@@ -356,13 +356,141 @@ FROM ranked WHERE term_rank <= 5
 """
 
 
+def _bpe_merges_oracle_sql(n_merges: int = 20, vocab_limit: int = 10_000) -> str:
+    """Generate the DuckDB oracle for bpe_train_merges: the merge loop
+    UNROLLED into one CTE per iteration.
+
+    The trick that makes iterative BPE SQL-expressible: every merged
+    symbol is renamed to a fresh single CHARACTER (chr(256+k)), so a
+    word's segmentation is always a plain string with one char per
+    symbol. Applying a merge is then string `replace` of the 2-char
+    pattern — DuckDB's left-to-right non-overlapping replace IS the BPE
+    greedy pass — and pair counting is adjacent-character counting.
+    Symbol NAMES (for output and the lexicographic tie-break) come from
+    a placeholder→name dictionary accumulated from the earlier merge
+    CTEs. Tie-breaks mirror _bpe_merge_loop exactly: pair count desc,
+    then (left_name, right_name) ascending."""
+    parts = [
+        f"""WITH s0 AS MATERIALIZED (
+  SELECT w AS s, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY w ORDER BY n DESC, w ASC LIMIT {vocab_limit}
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        if k == 1:
+            dict_sql = "SELECT NULL AS c, NULL AS nm WHERE false"
+        else:
+            dict_sql = " UNION ALL ".join(
+                f"SELECT chr({256 + j}) AS c, m_name AS nm FROM m{j}"
+                for j in range(1, k)
+            )
+        parts.append(f"""d{k} AS ({dict_sql})""")
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT a_c, b_c, sum(n) AS cnt FROM (
+    SELECT s[i] AS a_c, s[i+1] AS b_c, n FROM (
+      SELECT s, n,
+             unnest(generate_series(1, greatest(length(s) - 1, 0))) AS i
+      FROM s{k-1}
+    )
+  ) GROUP BY a_c, b_c
+)""")
+        parts.append(f"""m{k} AS MATERIALIZED (
+  SELECT a_c, b_c, coalesce(da.nm, p.a_c) AS a_name,
+         coalesce(db.nm, p.b_c) AS b_name,
+         coalesce(da.nm, p.a_c) || coalesce(db.nm, p.b_c) AS m_name,
+         CAST(cnt AS BIGINT) AS cnt
+  FROM p{k} p
+  LEFT JOIN d{k} da ON p.a_c = da.c
+  LEFT JOIN d{k} db ON p.b_c = db.c
+  ORDER BY cnt DESC, a_name ASC, b_name ASC LIMIT 1
+)""")
+        parts.append(f"""s{k} AS MATERIALIZED (
+  SELECT replace(s, (SELECT a_c || b_c FROM m{k}), chr({256 + k})) AS s, n
+  FROM s{k-1}
+)""")
+    union = "\n  UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a_name AS \"left\", b_name AS \"right\", "
+        f"m_name AS merged, cnt AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT * FROM (\n  {union}\n) ORDER BY merge_rank"
+    )
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 20, vocab_limit: int = 10_000) -> str:
+    """DuckDB oracle for the full train-then-encode BPE pipeline: the
+    training cascade from :func:`_bpe_merges_oracle_sql`, then every
+    document's words encoded by applying the learned merges IN RANK
+    ORDER as chained `replace`s over the single-char symbol strings.
+
+    Rank-order replace-all is equivalent to bpe_encode's
+    lowest-rank-first walk for TRAINED merge tables: a merge's operands
+    can only be produced by strictly lower-ranked merges, so by the
+    time rank k is applied every lower rank is exhausted — the same
+    order the priority walk visits."""
+    train = _bpe_merges_oracle_sql(n_merges, vocab_limit)
+    # keep only the WITH-cascade (strip the final SELECT)
+    cascade = train[: train.rindex("\nSELECT * FROM (")]
+    chain_w = "w0"
+    for k in range(1, n_merges + 1):
+        chain_w = (
+            f"replace({chain_w}, (SELECT a_c || b_c FROM m{k}), chr({256 + k}))"
+        )
+    dict_rows = " UNION ALL ".join(
+        f"SELECT chr({256 + j}) AS c, m_name AS nm FROM m{j}"
+        for j in range(1, n_merges + 1)
+    )
+    return f"""{cascade},
+enc AS (
+  SELECT doc_id, pos, {chain_w} AS e FROM (
+    SELECT doc_id, words[i] AS w0, i AS pos FROM (
+      SELECT doc_id, words,
+             unnest(generate_series(1, len(words))) AS i
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+            FROM documents)
+    )
+  ) WHERE w0 <> ''
+),
+agg AS (
+  SELECT doc_id, CAST(sum(length(e)) AS INT) AS n_tokens,
+         string_agg(e, '' ORDER BY pos) AS full_s
+  FROM enc GROUP BY doc_id
+),
+tokdict AS ({dict_rows}),
+head AS (
+  SELECT doc_id, string_agg(coalesce(d.nm, x.ch), ' ' ORDER BY x.j)
+           AS tokens_head
+  FROM (
+    SELECT doc_id, j, substr(full_s, j, 1) AS ch FROM (
+      SELECT doc_id, full_s,
+             unnest(generate_series(1, least(5, length(full_s)))) AS j
+      FROM agg
+    )
+  ) x LEFT JOIN tokdict d ON x.ch = d.c
+  GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_tokens, coalesce(h.tokens_head, '') AS tokens_head
+FROM agg a LEFT JOIN head h USING (doc_id) ORDER BY a.doc_id"""
+
+
+ORACLE_BPE_MERGES = _bpe_merges_oracle_sql(n_merges=20)
+ORACLE_BPE_ENCODE = _bpe_encode_oracle_sql(n_merges=20)
+
+
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer MERGE training (operators/text.py bpe_train_merges):
     one distributed word-frequency pass (vocab-sized output), then the
     classic BPE merge loop over the frequency dict — deterministic
-    tie-breaks, no RNG. Iterative merging isn't one SQL query →
-    rows-only check; the algorithm is pinned against a hand-checkable
-    reference trace in tests/test_operators.py."""
+    tie-breaks, no RNG. The DuckDB oracle unrolls the loop with the
+    single-char placeholder renaming trick (_bpe_merges_oracle_sql), so
+    every merge decision is value-checked; the algorithm is also pinned
+    against a hand-checkable reference trace in tests/test_operators.py."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.bpe_train_merges(docs, "text", n_merges=20).orderBy("merge_rank")
 
@@ -655,9 +783,11 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_encode): train 20 merges on the corpus, then tokenize every
     document — the greedy walk runs once per DISTINCT word (vocab-sized
     Python work), the dictionary joins back by broadcast, documents
-    reassemble with one id groupBy. Merge learning is iterative →
-    rows-only check; greedy order and per-word roundtrip are pinned in
-    tests/test_operators.py."""
+    reassemble with one id groupBy. The DuckDB oracle replays training
+    via the unrolled placeholder cascade and applies the merges in rank
+    order (equivalent to the priority walk for trained tables —
+    _bpe_encode_oracle_sql); greedy order and per-word roundtrip are
+    also pinned in tests/test_operators.py."""
     from ..operators.text import bpe_encode, bpe_train_merges
 
     docs = load_table(spark, sf_dir, "documents")
@@ -678,8 +808,10 @@ def q_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split FFD packing (operators/packing.py pack_first_fit_nosplit):
     whitespace token counts -> hash-sharded first-fit-decreasing bins,
     sequential state confined to one applyInPandas group per shard.
-    Greedy bin walk is not one SQL query -> rows-only; budget/exactness/
-    determinism are pinned in tests/test_packing.py."""
+    The DuckDB oracle replays the greedy bin walk with a list_reduce
+    fold (_ffd_oracle_sql), so every (shard, pack, doc) coordinate is
+    value-checked; budget/exactness/determinism are also pinned in
+    tests/test_packing.py."""
     from ..operators.packing import pack_first_fit_nosplit
     from ..operators.text import token_count
 
@@ -688,6 +820,65 @@ def q_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pack_first_fit_nosplit(docs, budget=256, n_shards=8)
     return out.orderBy("shard", "pack_id", "doc_id")
+
+
+def _ffd_oracle_sql(budget: int = 256, n_shards: int = 8) -> str:
+    """DuckDB oracle for pack_first_fit_nosplit: the per-shard greedy
+    first-fit-decreasing walk emulated with list_reduce.
+
+    DuckDB 1.0's list_reduce corrupts variable-length fields inside a
+    STRUCT accumulator (scalar struct fields thread fine — the ts_ewma
+    oracle uses those — but VARCHAR/LIST fields come back garbage), so
+    the fold state is a plain VARCHAR[] instead: element 1 carries the
+    bin remaining-capacities as a CSV string, elements 2.. carry the
+    'doc_id:pack_id:n_tokens' assignments in processing order. Each
+    step re-parses the bins CSV, finds the first fitting bin with
+    list_position over a boolean list_transform, and rebuilds the CSV —
+    verbose, but every sub-expression is deterministic and the walk is
+    bit-identical to the Arrow kernel's Python loop."""
+    n = "CAST(split_part(x[1], ':', 2) AS BIGINT)"
+    bins = (
+        "CASE WHEN acc[1] = '' THEN CAST([] AS BIGINT[]) "
+        "ELSE list_transform(string_split(acc[1], ','), zz -> CAST(zz AS BIGINT)) END"
+    )
+    idx = f"list_position(list_transform({bins}, rr -> rr >= {n}), true)"
+    did = "split_part(x[1], ':', 1)"
+    lam = f"""(acc, x) -> CASE
+      WHEN {n} > {budget} THEN acc || [concat({did}, ':-1:', {n})]
+      WHEN {idx} = 0 THEN
+        [array_to_string(list_append({bins}, {budget} - {n}), ',')]
+        || acc[2:] || [concat({did}, ':', len({bins}), ':', {n})]
+      ELSE
+        [array_to_string(({bins})[1:{idx}-1] || [({bins})[{idx}] - {n}]
+                         || ({bins})[{idx}+1:], ',')]
+        || acc[2:] || [concat({did}, ':', {idx} - 1, ':', {n})]
+    END"""
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         ((doc_id & 2147483647) * 2654435761) % {n_shards} AS shard
+  FROM documents
+),
+per_shard AS (
+  SELECT shard,
+         list([concat(doc_id, ':', n_tokens)]
+              ORDER BY n_tokens DESC, doc_id ASC) AS elems
+  FROM toks GROUP BY shard
+),
+folded AS (
+  SELECT shard, list_reduce(list_prepend([''], elems), {lam}) AS r
+  FROM per_shard
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(split_part(t, ':', 2) AS BIGINT) AS pack_id,
+       CAST(split_part(t, ':', 1) AS BIGINT) AS doc_id,
+       CAST(split_part(t, ':', 3) AS BIGINT) AS n_tokens
+FROM (SELECT shard, unnest(r[2:]) AS t FROM folded)
+ORDER BY shard, pack_id, doc_id"""
+
+
+ORACLE_PACK_FIRST_FIT = _ffd_oracle_sql(budget=256, n_shards=8)
 
 
 def q_dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2706,6 +2897,16 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "classify_naive_bayes": q_classify_naive_bayes,
 }
 
+# Stream/batch equivalence oracle: the streaming audit table must equal
+# the batch incremental-dedup flags (same corpus/batch split, same md5
+# hash family) restricted to flagged rows — derived from
+# ORACLE_DEDUP_INCREMENTAL so the two can never drift apart.
+ORACLE_STREAM_INC_DEDUP = (
+    ORACLE_DEDUP_INCREMENTAL.rstrip()
+    + " AND f.dup_kind IS NOT NULL\nORDER BY b.doc_id"
+)
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "corpus_curation_pipeline": ORACLE_CURATION,
     "profile_corpus_report": ORACLE_CORPUS_REPORT,
@@ -2729,6 +2930,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_unigram_nll": ORACLE_UNIGRAM_NLL,
     "text_vocab_topk": ORACLE_VOCAB_TOPK,
     "text_tfidf_terms": ORACLE_TFIDF_TERMS,
+    "text_bpe_merges": ORACLE_BPE_MERGES,
+    "text_bpe_encode": ORACLE_BPE_ENCODE,
+    "pack_first_fit": ORACLE_PACK_FIRST_FIT,
+    "stream_incremental_dedup_oracle": ORACLE_STREAM_INC_DEDUP,
     "multimodal_audio_frames": ORACLE_AUDIO_FRAMES,
     "scan_csv_badrecords": ORACLE_BADRECORDS,
     "sample_hash_split": ORACLE_SAMPLE_SPLIT,

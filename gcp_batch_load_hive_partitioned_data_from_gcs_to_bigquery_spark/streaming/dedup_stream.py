@@ -43,6 +43,7 @@ def stream_incremental_dedup(
     threshold: float = 0.3,
     checkpoint: str | None = None,
     max_files_per_trigger: int = 1,
+    md5_family: bool = False,
 ):
     """File-source stream → per-micro-batch incremental dedup →
     survivors appended to ``corpus_root``, duplicates to ``audit_root``.
@@ -85,6 +86,10 @@ def stream_incremental_dedup(
             num_bands=num_bands,
             num_hashes=num_hashes,
             threshold=threshold,
+            # md5 family = the engine-portable hash chain every SQL
+            # engine reproduces (the dedup_minhash_oracle pattern);
+            # default stays the faster engine-native xxhash64 family
+            md5_family=md5_family,
         # materialize BEFORE the corpus append: the flags' lineage reads
         # corpus_root, which the survivor write is about to extend, and
         # one checkpoint serves both the survivor and audit writes

@@ -23,9 +23,10 @@ def test_all_queries_callable_and_named():
 
 
 def test_rows_only_queries_are_the_documented_set():
-    """Only the engine-hash variants (xxhash64 families), the iterative
-    BPE trainer, and the stateful stream are rows-only; everything else
-    must carry a DuckDB oracle."""
+    """Only the engine-hash variants (xxhash64 families) and the
+    engine-hash streaming dedup are rows-only (each has a value-exact
+    md5-family or _oracle twin); everything else must carry a DuckDB
+    oracle."""
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = sorted(set(qs) - set(os_))
     assert rows_only == [
@@ -33,10 +34,7 @@ def test_rows_only_queries_are_the_documented_set():
         "ann_lsh_topk",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "pack_first_fit",
         "stream_incremental_dedup",
-        "text_bpe_encode",
-        "text_bpe_merges",
     ]
 
 
