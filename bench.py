@@ -88,6 +88,18 @@ EXTRA_QUERIES_R5 = [
     "quality_expectations",
 ]
 
+# Added round 6 — outside the baseline-comparable total: the newly
+# oracle-checked BPE train/encode pipeline and no-split FFD packing,
+# plus the segmented-fold ts_ewma rewrite (regression watch on the
+# bounded per-day shape) and the REST-surface lifecycle query.
+EXTRA_QUERIES_R6 = [
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "pack_first_fit",
+    "ts_ewma",
+    "api_ingest_lifecycle",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -117,7 +129,7 @@ def main() -> None:
     # measures the query, not the noise.
     timings: dict[str, float] = {}
     for _pass in range(3):
-        for name in BENCH_QUERIES + EXTRA_QUERIES_R4 + EXTRA_QUERIES_R5:
+        for name in BENCH_QUERIES + EXTRA_QUERIES_R4 + EXTRA_QUERIES_R5 + EXTRA_QUERIES_R6:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -1,0 +1,179 @@
+"""One-off scale-evidence probe: time the most expensive operators at
+sf0.1 and at a K×-replicated derivative, and report per-operator scaling
+exponents (t ∝ N^e → e = ln(tK/t1)/ln(K)).
+
+The K× corpus is DERIVED from the driver-provided sf0.1 parquet (never
+hand-synthesized data): each replica shifts ids, perturbs embeddings by
+a tiny deterministic epsilon (so SemDeDup doesn't see K exact copies of
+every vector — an artifact replication would introduce, not a property
+of a real 10× corpus), appends a replica token to text (fresh shingle
+hashes), and remaps user ids (so per-entity history stays constant and
+only entity COUNT scales — the shape a growing corpus actually has).
+
+Operators with corpus-proportional knobs scale them with K, exactly as
+their docstrings prescribe for production: SemDeDup's nlist ∝ N (keeps
+cells bounded, the paper rule), the shard sink's n_shards ∝ N (keeps
+per-shard file size constant). The rest claim linear shape with fixed
+knobs and are timed as-is.
+
+Usage: python scripts/scale_probe.py [K]   (default K=10)
+Writes one JSON line; copy the numbers into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+DERIVED = "/tmp/spark_graft_scale_probe"
+
+
+def build_derived(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
+
+    out = f"{DERIVED}_{k}x"
+    if os.path.exists(os.path.join(out, "_READY")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    reps = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("rep")
+
+    docs = load_table(spark, BASE_SF, "documents").select("*", reps)
+    docs.select(
+        (F.col("doc_id") + F.col("rep").cast("long") * F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" r"), F.col("rep")).alias("text"),
+        "lang", "source", "n_chars",
+    ).repartition(32).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    emb = load_table(spark, BASE_SF, "embeddings").select("*", reps)
+    emb.select(
+        (F.col("vec_id") + F.col("rep").cast("long") * F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda v: (v + F.col("rep").cast("float") * F.lit(0.0011)).cast("float"),
+        ).alias("embedding"),
+        "label",
+    ).repartition(32).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    ev = load_table(spark, BASE_SF, "events").select("*", reps)
+    ev.select(
+        (F.col("event_id") + F.col("rep").cast("long") * F.lit(1_000_000_000)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep").cast("long") * F.lit(1_000_000)).alias("user_id"),
+        "event_type", "value", "props",
+    ).repartition(32).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    open(os.path.join(out, "_READY"), "w").close()
+    return out
+
+
+def timed(df, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        t = time.time() - t0
+        best = t if best is None else min(best, t)
+    return round(best, 3)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark import get_spark
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import classify as CL
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import similarity as SIM
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import text as TX
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.shards import write_training_shards
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import token_count
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale_probe")
+    # the 1x baseline is ALSO a derived Spark-written copy: identical
+    # 32-file layout at both scales, so the ratio measures per-row work,
+    # not the driver testdata's single-input-split parallelism artifact
+    base = build_derived(spark, 1)
+    derived = build_derived(spark, k)
+
+    import math
+
+    results = {}
+
+    def tbl(sf, name):
+        # the derived set is Spark-written (proper timestamps, multi-file
+        # dirs); load_table's pyarrow normalization is for the driver's
+        # single-file testdata only
+        if sf == BASE_SF:
+            return load_table(spark, sf, name)
+        return spark.read.parquet(os.path.join(sf, name + ".parquet"))
+
+    def probe(name, fn):
+        t1 = fn(base, 1)
+        tk = fn(derived, k)
+        results[name] = {
+            "t_sf0.1": t1,
+            f"t_{k}x": tk,
+            "exponent": round(math.log(tk / t1) / math.log(k), 3),
+        }
+
+    def docs_of(sf):
+        return tbl(sf, "documents")
+
+    # corpus-proportional knob: nlist ∝ N (SemDeDup paper rule)
+    probe(
+        "dedup_semantic",
+        lambda sf, kk: timed(
+            SIM.semdedup(
+                tbl(sf, "embeddings"), nlist=64 * kk, min_cosine=0.3
+            ).select("vec_id", "cell", "keep")
+        ),
+    )
+    probe(
+        "classify_naive_bayes",
+        lambda sf, kk: timed(
+            CL.naive_bayes_confusion(docs_of(sf), "doc_id", "text", "lang")
+        ),
+    )
+    probe(
+        "text_repetition_filter",
+        lambda sf, kk: timed(TX.repetition_signals(docs_of(sf), "doc_id", "text")),
+    )
+    probe(
+        "text_bm25_topk",
+        lambda sf, kk: timed(
+            TX.bm25_topk(docs_of(sf), ["spark", "query", "join"], k=10)
+        ),
+    )
+
+    # shard sink: n_shards ∝ N keeps per-shard size constant; timing is
+    # the real write (the write IS the operator), not a noop
+    def shard_probe(sf, kk):
+        src = docs_of(sf).select(
+            "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
+        )
+        best = None
+        for _ in range(2):
+            root = f"/tmp/scale_probe_shards_{kk}"
+            shutil.rmtree(root, ignore_errors=True)
+            t0 = time.time()
+            write_training_shards(src, root, "doc_id", "n_tokens", n_shards=7 * kk, epoch=0)
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+        return round(best, 3)
+
+    probe("sink_training_shards", shard_probe)
+
+    print(json.dumps({"metric": "scale_probe", "k": k, "operators": results}))
+
+
+if __name__ == "__main__":
+    main()
