@@ -24,13 +24,27 @@ _SCOPED: dict[str, DataFrame] = {}
 
 def scoped_persist(df: DataFrame, scope: str) -> DataFrame:
     """Persist ``df``, releasing the cache the previous call with the
-    same ``scope`` created. Returns the persisted frame."""
-    prev = _SCOPED.pop(scope, None)
+    same ``scope`` created. Returns the persisted frame.
+
+    Re-invoking an operator with the IDENTICAL plan (a repeated sweep,
+    a retried report) returns the previous scope's frame instead of
+    re-persisting: the warm cache is served, nothing is dropped, and
+    the bound of one live cache per scope still holds. Only a CHANGED
+    plan evicts the old cache."""
+    prev = _SCOPED.get(scope)
     if prev is not None:
+        try:
+            if prev._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            ):
+                return prev
+        except Exception:
+            pass  # session of the previous frame may already be gone
+        _SCOPED.pop(scope, None)
         try:
             prev.unpersist(blocking=False)
         except Exception:
-            pass  # session of the previous frame may already be gone
+            pass
     out = df.persist()
     _SCOPED[scope] = out
     return out
