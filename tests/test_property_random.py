@@ -234,3 +234,131 @@ def test_length_buckets_pow2_property(spark):
             want *= 2
         assert b == min(want, 4096), (n, b)
         assert b & (b - 1) == 0  # always a power of two
+
+
+def test_hash_bucket_spark_duckdb_agree_on_random_int64(spark):
+    """The masked Knuth bucket must agree between Spark and DuckDB for
+    ANY 64-bit key — including negatives and extremes, where two's-
+    complement & and overflow semantics could plausibly diverge — and
+    always land in [0, 10000)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sampling import hash_bucket
+
+    rng = np.random.RandomState(7)
+    keys = (
+        [int(x) for x in rng.randint(-(2**62), 2**62, size=60)]
+        + [0, -1, 1, 2**31 - 1, 2**31, -(2**31), 2**63 - 1, -(2**63)]
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: r.b
+        for r in df.select("k", hash_bucket(F.col("k"), salt=3).alias("b")).collect()
+    }
+    assert all(0 <= b < 10_000 for b in got.values())
+    con = duckdb.connect()
+    want = {
+        k: con.sql(
+            f"SELECT ((((CAST({k} AS BIGINT) & 2147483647) + 3)"
+            " & 2147483647) * 2654435761) % 10000"
+        ).fetchone()[0]
+        for k in keys
+    }
+    assert got == want
+
+
+def test_ffd_oracle_matches_spark_kernel_on_random_sizes(spark):
+    """The DuckDB list_reduce FFD fold and the Arrow-kernel Python walk
+    must produce identical (shard, pack, doc) coordinates on random
+    token sizes — overflow docs, exact-fit docs, and >2^31 doc ids (the
+    shard-hash mask path) included."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.packing import pack_first_fit_nosplit
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.pipeline_extra import _ffd_oracle_sql
+
+    rng = np.random.RandomState(11)
+    n_docs = 120
+    ids = list(rng.choice(10**6, size=n_docs - 2, replace=False))
+    ids += [2**31 + 5, 2**33 + 17]  # mask path
+    sizes = [int(rng.randint(1, 400)) for _ in ids]  # budget 256 → overflows
+
+    docs = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in zip(ids, sizes)], "doc_id long, n_tokens long"
+    )
+    got = sorted(
+        (r.shard, r.pack_id, r.doc_id, r.n_tokens)
+        for r in pack_first_fit_nosplit(docs, budget=256, n_shards=8).collect()
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": ids, "text": [("w " * s).strip() for s in sizes]}
+        ),
+    )
+    want = sorted(tuple(r) for r in con.sql(_ffd_oracle_sql(256, 8)).fetchall())
+    assert got == want
+
+
+def test_bpe_sql_cascade_matches_python_loop_on_random_corpus():
+    """The unrolled placeholder-cascade SQL must replay _bpe_merge_loop
+    decision-for-decision (pair counts, tie-breaks, merged-symbol
+    reuse) on a random small corpus."""
+    import duckdb
+    import pandas as pd
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import _bpe_merge_loop
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.pipeline_extra import _bpe_merges_oracle_sql
+
+    rng = np.random.RandomState(13)
+    alphabet = list("abcd")
+    words = [
+        "".join(alphabet[int(rng.randint(0, 4))] for _ in range(int(rng.randint(1, 7))))
+        for _ in range(300)
+    ]
+    texts = [
+        " ".join(words[int(rng.randint(0, len(words)))] for _ in range(8))
+        for _ in range(40)
+    ]
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+    want = [
+        (i + 1, a, b, a + b, c)
+        for i, (a, b, c) in enumerate(_bpe_merge_loop(freq, 8))
+    ]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = [tuple(r) for r in con.sql(_bpe_merges_oracle_sql(n_merges=8)).fetchall()]
+    assert got == want
+
+
+def test_ewma_segmented_matches_direct_recursion(spark):
+    """The per-day segmented fold + closed-form decay carry must equal
+    the direct sequential EWMA recursion (different float association,
+    so equality is to tolerance) for every user in the sf0.001 events."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra import q_ts_ewma
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.user_id: (r.n_events, r.ewma) for r in q_ts_ewma(spark, sf).collect()}
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    series = defaultdict(list)
+    for r in ev.collect():
+        series[r.user_id].append((r.ts, r.event_id, float(r.value)))
+    for u, rows in series.items():
+        rows.sort()
+        e = rows[0][2]
+        for _, _, v in rows[1:]:
+            e = 0.2 * v + 0.8 * e
+        n, ewma = got[u]
+        assert n == len(rows)
+        assert abs(ewma - e) < 1e-5, (u, ewma, e)
