@@ -168,3 +168,52 @@ def countmin_query(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+def hashmin_sample_quantiles(
+    df,
+    key_col: str,
+    value_col: str,
+    k: int = 400,
+    probs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+):
+    """Quantile estimation from a deterministic hash-min sample — the
+    mergeable-sketch shape for percentiles at 100 TB, with ZERO RNG
+    state: the sample is the k rows with the globally smallest
+    ``md5(key)``, a pure function of the key set, so re-runs, retries,
+    and any other engine select the identical rows (same reproducibility
+    stance as the sampling kit; a uniform random sample in distribution,
+    since md5 order is independent of the value).
+
+    Scale shape: ``orderBy(h).limit(k)`` compiles to
+    TakeOrderedAndProject — a per-partition k-heap plus a driver merge
+    of P·k tiny (hash, value) rows, never a global sort — and the
+    estimate folds in one k-bounded collect_list row. Estimator is the
+    DISC form: sorted sample value at rank max(1, ceil(q·k)) — pure
+    integer indexing, bit-identical in any engine (no interpolation
+    arithmetic to diverge on).
+
+    Returns one row per prob: (q, n_sample, est).
+    """
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.col(key_col).cast("string"))
+    samp = (
+        df.select(h.alias("h"), F.col(value_col).alias("v"))
+        .orderBy("h")
+        .limit(k)
+    )
+    arr = samp.agg(F.sort_array(F.collect_list("v")).alias("vs"))
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in probs])
+    ).alias("q")
+    n = F.size("vs")
+    idx = F.greatest(F.ceil(F.col("q") * n).cast("int"), F.lit(1))
+    return (
+        arr.select("vs", qcol)
+        .select(
+            F.col("q"),
+            n.alias("n_sample"),
+            F.element_at("vs", idx).alias("est"),
+        )
+    )

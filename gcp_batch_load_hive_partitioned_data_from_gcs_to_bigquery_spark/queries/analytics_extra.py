@@ -2076,6 +2076,101 @@ SELECT pair, jsd FROM (
 """
 
 
+def q_approx_quantile_hashmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-min-sample quantile sketch
+    (operators/sketches.py hashmin_sample_quantiles): the k=400 rows
+    with the globally smallest md5(event_id) form the sample
+    (TakeOrderedAndProject: per-partition k-heaps + driver merge, no
+    global sort), and each quantile is the DISC-rank element of the
+    sorted sample — integer indexing, so DuckDB reproduces every
+    estimate bit-for-bit. The estimator's accuracy bound vs the true
+    quantiles is pinned in pytest; the oracle pins the sketch itself."""
+    from ..operators.sketches import hashmin_sample_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hashmin_sample_quantiles(ev, "event_id", "value", k=400)
+    return out.select(
+        F.round("q", 2).alias("q"),
+        "n_sample",
+        F.round("est", 6).alias("est"),
+    ).orderBy("q")
+
+
+ORACLE_QUANTILE_HASHMIN = """
+WITH samp AS (
+  SELECT value AS v FROM (
+    SELECT md5(CAST(event_id AS VARCHAR)) AS h, value FROM events
+    ORDER BY h LIMIT 400
+  )
+),
+arr AS (SELECT list(v ORDER BY v) AS vs, CAST(count(*) AS INT) AS n FROM samp),
+qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT round(q, 2) AS q, n AS n_sample,
+       round(vs[greatest(CAST(ceil(q * n) AS INT), 1)], 6) AS est
+FROM arr, qs ORDER BY q
+"""
+
+
+def q_monitor_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-table freshness monitor — the ops alert the reference
+    delegates to its scheduler environment (SURVEY §2.10), engine-side:
+    one metadata partition LIST (no Spark job, O(partitions)) yields the
+    newest hourly partition, its lag against a reference instant, and
+    present-vs-expected partition counts over the trailing 24 h window.
+    The ingested fixture is day 1, the reference instant 2024-01-02
+    06:00 — so the table is 7 h stale and 18/24 of the trailing window
+    is present; the oracle derives the same numbers from the source
+    events."""
+    import datetime as _dt
+
+    from ..operators.sink import list_table_partitions
+    from .catalog import _parquet_fixture_root
+
+    root = _parquet_fixture_root(spark, sf_dir)
+    parts = list_table_partitions(spark, root)
+    ref = _dt.datetime(2024, 1, 2, 6)
+    last = max(parts)
+    last_dt = _dt.datetime.strptime(last, "%Y%m%d%H")
+    lag_h = int((ref - last_dt).total_seconds() // 3600)
+    window = {
+        (ref - _dt.timedelta(hours=i + 1)).strftime("%Y%m%d%H") for i in range(24)
+    }
+    present = len(window & set(parts))
+    rows = [
+        ("last_partition", int(last)),
+        ("lag_hours", lag_h),
+        ("present_last_24h", present),
+        ("expected_last_24h", 24),
+        ("stale_gt_2h", 1 if lag_h > 2 else 0),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long").orderBy("metric")
+
+
+ORACLE_MONITOR_FRESHNESS = """
+WITH day1 AS (
+  SELECT strftime(ts, '%Y%m%d%H') AS hour_part FROM events
+  WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+),
+last_p AS (SELECT max(hour_part) AS lp FROM day1),
+win AS (
+  SELECT count(DISTINCT hour_part) AS present FROM day1
+  WHERE hour_part >= '2024010106' AND hour_part < '2024010206'
+)
+SELECT 'expected_last_24h' AS metric, CAST(24 AS BIGINT) AS value
+UNION ALL
+SELECT 'lag_hours',
+  CAST(date_diff('hour', strptime((SELECT lp FROM last_p), '%Y%m%d%H'),
+                 TIMESTAMP '2024-01-02 06:00:00') AS BIGINT)
+UNION ALL
+SELECT 'last_partition', CAST((SELECT lp FROM last_p) AS BIGINT)
+UNION ALL
+SELECT 'present_last_24h', CAST((SELECT present FROM win) AS BIGINT)
+UNION ALL
+SELECT 'stale_gt_2h', 1
+ORDER BY metric
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "text_js_divergence": q_text_js_divergence,
     "agg_autocorrelation": q_agg_autocorrelation,
@@ -2115,6 +2210,8 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "source_python_datasource": q_source_python_datasource,
     "udf_cogroup_threshold": q_udf_cogroup_threshold,
     "agg_mode": q_agg_mode,
+    "approx_quantile_hashmin": q_approx_quantile_hashmin,
+    "monitor_freshness": q_monitor_freshness,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -2156,4 +2253,6 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "source_python_datasource": ORACLE_PY_DATASOURCE,
     "udf_cogroup_threshold": ORACLE_COGROUP,
     "agg_mode": ORACLE_AGG_MODE,
+    "approx_quantile_hashmin": ORACLE_QUANTILE_HASHMIN,
+    "monitor_freshness": ORACLE_MONITOR_FRESHNESS,
 }

@@ -4327,7 +4327,10 @@ _DRIVER_WINDOW = [
     "dedup_exact",
 ]
 # Keys landed after this window was frozen MUST lead the round-7
-# rotation (none yet this round).
+# rotation: approx_quantile_hashmin (deterministic hash-min-sample
+# quantile sketch), monitor_freshness (landing-table partition-lag
+# monitor). Both verified with scripts/check_correctness.py at sf0.01
+# AND sf0.1 before landing.
 
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]

@@ -47,3 +47,28 @@ def test_cms_sketch_is_depth_width_bounded(spark):
     # total mass is conserved: every insert lands once per depth row
     total = sketch.agg(F.sum("n")).collect()[0][0]
     assert total == 4 * 500
+
+
+def test_hashmin_quantiles_accurate_and_no_global_sort(spark):
+    """The hash-min sample quantile estimator must (a) compile to
+    TakeOrderedAndProject (per-partition k-heaps, never a global sort),
+    and (b) land within the q±0.08 exact-quantile band on uniform data
+    (k=400 → sampling error ~1/sqrt(k)≈0.05)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sketches import hashmin_sample_quantiles
+
+    vals = [(i, float((i * 2654435761) % 100_000) / 1000.0) for i in range(20_000)]
+    df = spark.createDataFrame(vals, "k long, v double")
+    out = hashmin_sample_quantiles(df, "k", "v", k=400)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("sort_array", "")
+    arr = np.array([v for _, v in vals])
+    for r in out.collect():
+        lo, hi = np.quantile(arr, max(r.q - 0.08, 0.0)), np.quantile(
+            arr, min(r.q + 0.08, 1.0)
+        )
+        assert lo <= r.est <= hi, (r.q, r.est, lo, hi)
+        assert r.n_sample == 400
