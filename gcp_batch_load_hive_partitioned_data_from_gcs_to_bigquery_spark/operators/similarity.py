@@ -1152,6 +1152,70 @@ def semdedup(
     )
 
 
+def semdedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    nlist: int = 8,
+    min_cosine: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch-vs-corpus SemDeDup — the continuous-ingestion form of
+    :func:`semdedup`, the embedding analogue of
+    ``dedup.incremental_dedup_batch``: an arriving micro-batch is
+    semantically deduplicated against the ACCUMULATED corpus without
+    ever re-pairing the corpus with itself.
+
+    Centroids come from the CORPUS (the stable side — in production the
+    persisted k-means model; here the deterministic seed quantizer so
+    the whole pipeline stays oracle-checkable). The batch assigns to
+    those cells with the same BLAS argmin kernel and pairs ONLY against
+    same-cell corpus vectors, so a micro-batch costs O(batch·cell) — at
+    100 TB the steady-state per-batch price is independent of corpus
+    size once cells are bounded (nlist ∝ corpus). Corpus membership is
+    canonical by construction (those vectors were already accepted), so
+    ANY same-cell corpus neighbor at cosine ≥ threshold drops the batch
+    vector; intra-batch pairs are not compared (same stance as the
+    MinHash incremental stage — run :func:`semdedup` upstream if
+    intra-batch exactness is required).
+
+    Returns one row per BATCH vector: ``(vec_id, cell, keep)``.
+    """
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    b = with_double_embedding(batch, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    centroid_rows = _seed_centroid_rows(c, nlist)
+    corp = _assign_cells_blas(c, centroid_rows).withColumn(
+        "c_norm", _norm(F.col("c_vec"))
+    ).select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("c_vec").alias("b_vec"),
+        F.col("c_norm").alias("b_norm"),
+    )
+    ba = _assign_cells_blas(b, centroid_rows).withColumn(
+        "c_norm", _norm(F.col("c_vec"))
+    )
+    dropped = (
+        ba.join(corp, F.col("cell") == F.col("b_cell"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("c_vec"), F.col("b_vec")) / (F.col("c_norm") * F.col("b_norm")),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        ba.join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("_drop").isNull().alias("keep"))
+    )
+
+
 def int8_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2855,6 +2855,69 @@ FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 """
 
 
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion SemDeDup (operators/similarity.py
+    semdedup_incremental): vectors with vec_id % 4 == 0 play the
+    incoming micro-batch, the rest the accumulated corpus. Corpus seeds
+    the centroids; the batch assigns to those cells and pairs only
+    against same-cell CORPUS vectors — never corpus×corpus — so the
+    per-batch cost is O(batch·cell), the embedding analogue of
+    dedup_incremental. Any corpus neighbor at cosine ≥ 0.3 drops the
+    batch vector; the oracle replays seeding, assignment, pairing, and
+    verdict verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    out = SIM.semdedup_incremental(corpus, batch, nlist=64, min_cosine=0.3)
+    return out.select("vec_id", "cell", "keep")
+
+
+ORACLE_DEDUP_SEMANTIC_INCREMENTAL = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+           WHERE vec_id % 4 != 0),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id % 4 = 0),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv AS centroid
+  FROM c ORDER BY vec_id LIMIT 64
+),
+cdist AS (
+  SELECT c.vec_id, c.cv, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(c.cv)),
+           i -> (c.cv[i] - cent.centroid[i]) * (c.cv[i] - cent.centroid[i])),
+           (a, x) -> a + x) AS dist2
+  FROM c, cent
+),
+cassigned AS (
+  SELECT vec_id, cv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+bdist AS (
+  SELECT b.vec_id, b.cv, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(b.cv)),
+           i -> (b.cv[i] - cent.centroid[i]) * (b.cv[i] - cent.centroid[i])),
+           (a, x) -> a + x) AS dist2
+  FROM b, cent
+),
+bassigned AS (
+  SELECT vec_id, cv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM bdist
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM bassigned a JOIN cassigned c2 ON a.cell = c2.cell
+  WHERE list_dot_product(a.cv, c2.cv)
+          / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(c2.cv, c2.cv))) >= 0.3
+)
+SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS keep
+FROM bassigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
 def q_dedup_semantic_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL-accelerated SemDeDup with exact verdicts (operators/
     similarity.py semdedup_jl): cluster assignment and candidate pairing
@@ -4089,6 +4152,7 @@ QUERIES: dict[str, callable] = {
     "ann_ivf_oracle": q_ann_ivf_oracle,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_incremental": q_dedup_semantic_incremental,
     "dedup_semantic_jl": q_dedup_semantic_jl,
     "embedding_label_centroids": q_embedding_label_centroids,
     # text analysis
@@ -4205,6 +4269,7 @@ ORACLES: dict[str, str] = {
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
+    "dedup_semantic_incremental": ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
     "dedup_semantic_jl": ORACLE_DEDUP_SEMANTIC_JL,
     "embedding_label_centroids": ORACLE_EMB_CENTROIDS,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
@@ -4329,8 +4394,10 @@ _DRIVER_WINDOW = [
 # Keys landed after this window was frozen MUST lead the round-7
 # rotation: approx_quantile_hashmin (deterministic hash-min-sample
 # quantile sketch), monitor_freshness (landing-table partition-lag
-# monitor). Both verified with scripts/check_correctness.py at sf0.01
-# AND sf0.1 before landing.
+# monitor), dedup_semantic_incremental (batch-vs-corpus SemDeDup — the
+# continuous-ingestion form, O(batch·cell) per micro-batch). All
+# verified with scripts/check_correctness.py at sf0.01 AND sf0.1
+# before landing.
 
 
 _missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
