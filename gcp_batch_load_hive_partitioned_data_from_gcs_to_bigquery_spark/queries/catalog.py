@@ -2918,6 +2918,96 @@ FROM bassigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 """
 
 
+def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous semantic dedup (streaming/semantic_stream.py): the
+    embeddings replayed as two drops — the corpus (vec_id % 4 != 0)
+    lands first into an empty store and survives wholesale, then the
+    batch drop (vec_id % 4 == 0) screens against the accumulated corpus
+    via semdedup_incremental. The audit table of dropped vectors must
+    equal the BATCH incremental oracle's keep=false rows — stream/batch
+    equivalence for the semantic stage, value-checked."""
+    import shutil
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.semantic_stream import (
+        stream_semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src_key = ("stream_sem_src", sf_dir)
+    if src_key not in _FIXTURES:
+        import os
+
+        src = _tmp("stream_sem_src")
+        for i, part in enumerate(
+            (emb.filter(F.col("vec_id") % 4 != 0), emb.filter(F.col("vec_id") % 4 == 0))
+        ):
+            sub = _tmp(f"stream_sem_stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(sub)
+            name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i:04d}.parquet")
+            os.rename(os.path.join(sub, name), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _FIXTURES[src_key] = src
+    corpus_root, audit_root, ckpt = (
+        _tmp("sem_corpus"), _tmp("sem_audit"), _tmp("sem_ckpt")
+    )
+    for d in (corpus_root, audit_root, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    q = stream_semantic_dedup(
+        spark, _FIXTURES[src_key], corpus_root, audit_root, emb.schema,
+        nlist=64, min_cosine=0.3, checkpoint=ckpt,
+    )
+    q.awaitTermination()
+    try:
+        audit = spark.read.parquet(audit_root).select("vec_id", "cell")
+    except Exception:  # no drops at all → audit dir never created
+        audit = spark.createDataFrame([], "vec_id long, cell int")
+    return audit.orderBy("vec_id")
+
+
+ORACLE_STREAM_SEMANTIC = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+           WHERE vec_id % 4 != 0),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id % 4 = 0),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv AS centroid
+  FROM c ORDER BY vec_id LIMIT 64
+),
+cdist AS (
+  SELECT c.vec_id, c.cv, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(c.cv)),
+           i -> (c.cv[i] - cent.centroid[i]) * (c.cv[i] - cent.centroid[i])),
+           (a, x) -> a + x) AS dist2
+  FROM c, cent
+),
+cassigned AS (
+  SELECT vec_id, cv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+bdist AS (
+  SELECT b.vec_id, b.cv, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(b.cv)),
+           i -> (b.cv[i] - cent.centroid[i]) * (b.cv[i] - cent.centroid[i])),
+           (a, x) -> a + x) AS dist2
+  FROM b, cent
+),
+bassigned AS (
+  SELECT vec_id, cv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM bdist
+  ) WHERE rn = 1
+)
+SELECT DISTINCT a.vec_id, a.cell
+FROM bassigned a JOIN cassigned c2 ON a.cell = c2.cell
+WHERE list_dot_product(a.cv, c2.cv)
+        / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(c2.cv, c2.cv))) >= 0.3
+ORDER BY a.vec_id
+"""
+
+
 def q_dedup_semantic_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL-accelerated SemDeDup with exact verdicts (operators/
     similarity.py semdedup_jl): cluster assignment and candidate pairing
@@ -4153,6 +4243,7 @@ QUERIES: dict[str, callable] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_incremental": q_dedup_semantic_incremental,
+    "stream_semantic_dedup": q_stream_semantic_dedup,
     "dedup_semantic_jl": q_dedup_semantic_jl,
     "embedding_label_centroids": q_embedding_label_centroids,
     # text analysis
@@ -4270,6 +4361,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "dedup_semantic_incremental": ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
+    "stream_semantic_dedup": ORACLE_STREAM_SEMANTIC,
     "dedup_semantic_jl": ORACLE_DEDUP_SEMANTIC_JL,
     "embedding_label_centroids": ORACLE_EMB_CENTROIDS,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
@@ -4395,7 +4487,9 @@ _DRIVER_WINDOW = [
 # rotation: approx_quantile_hashmin (deterministic hash-min-sample
 # quantile sketch), monitor_freshness (landing-table partition-lag
 # monitor), dedup_semantic_incremental (batch-vs-corpus SemDeDup — the
-# continuous-ingestion form, O(batch·cell) per micro-batch). All
+# continuous-ingestion form, O(batch·cell) per micro-batch),
+# stream_semantic_dedup (its foreachBatch streaming form — audit table
+# value-checked against the batch oracle). All
 # verified with scripts/check_correctness.py at sf0.01 AND sf0.1
 # before landing.
 

@@ -993,3 +993,45 @@ def test_bm25_rare_term_outranks_common(spark):
     assert 5 not in ranked
     # idf(zebra) >> idf(apple): both zebra docs beat the apple-only docs
     assert set(ranked[:2]) == {1, 4}
+
+
+def test_semdedup_incremental_corpus_canonical_batch_pairs_survive(spark, emb):
+    """Incremental SemDeDup: a batch vector whose exact copy lives in
+    the CORPUS is dropped (corpus is canonical regardless of id order);
+    two near-identical vectors arriving in the SAME batch both survive
+    (the batch only pairs against the corpus); a batch vector with no
+    same-cell corpus neighbor above threshold is kept."""
+    base = emb.select("vec_id", "embedding")
+    corpus = base.filter(F.col("vec_id") % 4 != 0)
+    # batch: a LOWER-id copy of corpus vector 7 (id order must not save
+    # it), plus two copies of corpus vector 9's embedding under fresh
+    # ids in the same batch
+    copy_of_7 = corpus.filter(F.col("vec_id") == 7).select(
+        F.lit(1).alias("vec_id"), F.col("embedding")
+    )
+    twin_a = corpus.filter(F.col("vec_id") == 9).select(
+        F.lit(200001).alias("vec_id"), F.col("embedding")
+    )
+    twin_b = corpus.filter(F.col("vec_id") == 9).select(
+        F.lit(200002).alias("vec_id"), F.col("embedding")
+    )
+    batch = copy_of_7.unionByName(twin_a).unionByName(twin_b)
+    out = {
+        r.vec_id: r
+        for r in SIM.semdedup_incremental(
+            corpus, batch, nlist=8, min_cosine=0.3
+        ).collect()
+    }
+    assert len(out) == 3  # verdicts for BATCH rows only
+    assert out[1].keep is False  # corpus copy wins despite higher id
+    # twins of corpus vector 9 are both dropped BY THE CORPUS COPY,
+    # not by each other — prove intra-batch pairing is off by removing
+    # vector 9 from the corpus and re-running
+    corpus_no9 = corpus.filter(F.col("vec_id") != 9)
+    out2 = {
+        r.vec_id: r.keep
+        for r in SIM.semdedup_incremental(
+            corpus_no9, twin_a.unionByName(twin_b), nlist=8, min_cosine=0.99
+        ).collect()
+    }
+    assert out2 == {200001: True, 200002: True}
