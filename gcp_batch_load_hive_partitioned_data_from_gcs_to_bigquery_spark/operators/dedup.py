@@ -344,45 +344,15 @@ def persist_corpus_bands(
     through ``insertInto`` preserving the layout. At 100 TB the corpus
     bands are ~16 rows × ~0.5 KB per doc — a big table, which is exactly
     why it must not be rebuilt or reshuffled per batch."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
+
     spark = corpus_sigs.sparkSession
     n = n_buckets or spark.sparkContext.defaultParallelism
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-
-    def _delete_dir(path_str: str) -> None:
-        p = jvm.org.apache.hadoop.fs.Path(path_str)
-        fs = p.getFileSystem(hconf)
-        if fs.exists(p):
-            fs.delete(p, True)
-
     # A managed-table directory can outlive the metastore that created it
     # (each session gets a fresh local metastore); saveAsTable refuses to
-    # reuse such an orphaned location, so drop both the entry and the dir.
-    if spark.catalog.tableExists(table_name):
-        # The table is known to THIS metastore: resolve its real location
-        # and type from the catalog (correct for qualified names and
-        # non-default LOCATIONs — never a guessed warehouse path), drop,
-        # then sweep any leftover dir ONLY for MANAGED tables. Spark
-        # deliberately leaves an EXTERNAL table's data intact on drop —
-        # a name collision with an external table must not destroy
-        # shared data this function does not own (saveAsTable below will
-        # then refuse if the external location blocks it, which is the
-        # correct failure).
-        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
-        locs = [r["data_type"] for r in desc if r["col_name"] == "Location"]
-        types = [r["data_type"] for r in desc if r["col_name"] == "Type"]
-        managed = bool(types) and types[0].strip().upper() == "MANAGED"
-        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        if managed:
-            for loc in locs:
-                _delete_dir(loc)
-    elif table_name.isidentifier():
-        # Not in the metastore: the only dir we may own is the default
-        # managed location of an UNQUALIFIED simple name directly under
-        # the warehouse root — for qualified/exotic names no path is
-        # derivable, so nothing is deleted.
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-        _delete_dir(f"{warehouse}/{table_name.lower()}")
+    # reuse such an orphaned location, so drop both the entry and the
+    # stale dir (managed only) before overwriting.
+    drop_managed_table(spark, table_name)
     banded = band_signatures(corpus_sigs, num_bands, num_hashes, hash_buckets)
     (
         banded.write.bucketBy(n, "band", "bucket")

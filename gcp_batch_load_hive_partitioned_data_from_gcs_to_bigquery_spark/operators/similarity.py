@@ -1216,6 +1216,97 @@ def semdedup_incremental(
     )
 
 
+def persist_corpus_cells(
+    corpus: DataFrame,
+    table_name: str,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int | None = None,
+) -> str:
+    """Materialize the corpus's cell assignments (+ precomputed norms)
+    as a BUCKETED, sorted table on the cell key — the amortization step
+    for continuous semantic dedup, mirroring
+    ``dedup.persist_corpus_bands``: a continuously-ingesting pipeline
+    assigns the corpus ONCE, then every micro-batch joins against the
+    stored layout without re-running the assignment GEMM or re-shuffling
+    the corpus (only the small batch moves; the corpus side is a
+    bucket-aligned scan). Appends of newly-accepted vectors go through
+    ``insertInto`` preserving the layout.
+
+    The deterministic seed centroids (the nlist lowest-id corpus
+    vectors) are recoverable FROM the stored table itself, so no side
+    model file is needed; production swaps trained k-means centroids
+    into the same shape. Rows: (vec_id, cell, c_vec, c_norm)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
+
+    spark = corpus.sparkSession
+    n = n_buckets or spark.sparkContext.defaultParallelism
+    drop_managed_table(spark, table_name)
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    centroid_rows = _seed_centroid_rows(c, nlist)
+    assigned = _assign_cells_blas(c, centroid_rows).withColumn(
+        "c_norm", _norm(F.col("c_vec"))
+    )
+    (
+        assigned.write.bucketBy(n, "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return table_name
+
+
+def semdedup_batch_vs_table(
+    spark,
+    cells_table: str,
+    batch: DataFrame,
+    nlist: int = 8,
+    min_cosine: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semdedup_incremental` against a persisted
+    :func:`persist_corpus_cells` table: only the BATCH runs the
+    assignment kernel (against centroids re-collected from the stored
+    table — the nlist lowest-id rows, bounded metadata); the corpus
+    side is a bucket-aligned scan of the stored layout, so the
+    steady-state per-batch cost never re-touches corpus assignment.
+    Returns one row per batch vector: ``(vec_id, cell, keep)``."""
+    stored = spark.table(cells_table)
+    seed = stored.orderBy("vec_id").limit(nlist).collect()
+    centroid_rows = [(i, list(r["c_vec"])) for i, r in enumerate(sorted(seed, key=lambda r: r["vec_id"]))]
+    b = with_double_embedding(batch, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    ba = _assign_cells_blas(b, centroid_rows).withColumn(
+        "c_norm", _norm(F.col("c_vec"))
+    )
+    corp = stored.select(
+        F.col("cell").alias("b_cell"),
+        F.col("c_vec").alias("b_vec"),
+        F.col("c_norm").alias("b_norm"),
+    )
+    dropped = (
+        ba.join(corp, F.col("cell") == F.col("b_cell"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("c_vec"), F.col("b_vec")) / (F.col("c_norm") * F.col("b_norm")),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        ba.join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("_drop").isNull().alias("keep"))
+    )
+
+
 def int8_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2918,6 +2918,32 @@ FROM bassigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 """
 
 
+def q_dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized corpus side of incremental semantic dedup: corpus
+    cell assignments + norms persisted ONCE as a bucketed+sorted table
+    on the cell key (operators/similarity.py persist_corpus_cells),
+    then the batch assigns against centroids recovered from the store
+    and joins the bucket-aligned corpus scan — no corpus re-assignment
+    GEMM, no corpus shuffle per batch (the minhash corpus-bands pattern
+    for embeddings). Same seed quantizer, split, and threshold as
+    dedup_semantic_incremental, so the verdicts are value-exact against
+    the same SQL oracle."""
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    key = ("corpus_cells", sf_dir)
+    if key not in _FIXTURES:
+        name = "corpus_cells_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        SIM.persist_corpus_cells(corpus, name, nlist=64, n_buckets=8)
+        _FIXTURES[key] = name
+    out = SIM.semdedup_batch_vs_table(
+        spark, _FIXTURES[key], batch, nlist=64, min_cosine=0.3
+    )
+    return out.select("vec_id", "cell", "keep")
+
+
 def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous semantic dedup (streaming/semantic_stream.py): the
     embeddings replayed as two drops — the corpus (vec_id % 4 != 0)
@@ -4244,6 +4270,7 @@ QUERIES: dict[str, callable] = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_incremental": q_dedup_semantic_incremental,
     "stream_semantic_dedup": q_stream_semantic_dedup,
+    "dedup_semantic_bucketed": q_dedup_semantic_bucketed,
     "dedup_semantic_jl": q_dedup_semantic_jl,
     "embedding_label_centroids": q_embedding_label_centroids,
     # text analysis
@@ -4362,6 +4389,7 @@ ORACLES: dict[str, str] = {
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "dedup_semantic_incremental": ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
     "stream_semantic_dedup": ORACLE_STREAM_SEMANTIC,
+    "dedup_semantic_bucketed": ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
     "dedup_semantic_jl": ORACLE_DEDUP_SEMANTIC_JL,
     "embedding_label_centroids": ORACLE_EMB_CENTROIDS,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
@@ -4489,7 +4517,9 @@ _DRIVER_WINDOW = [
 # monitor), dedup_semantic_incremental (batch-vs-corpus SemDeDup — the
 # continuous-ingestion form, O(batch·cell) per micro-batch),
 # stream_semantic_dedup (its foreachBatch streaming form — audit table
-# value-checked against the batch oracle). All
+# value-checked against the batch oracle), dedup_semantic_bucketed
+# (corpus cells persisted as a bucketed table — per-batch semantic
+# dedup with no corpus re-assignment or re-shuffle). All
 # verified with scripts/check_correctness.py at sf0.01 AND sf0.1
 # before landing.
 

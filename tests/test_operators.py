@@ -1035,3 +1035,28 @@ def test_semdedup_incremental_corpus_canonical_batch_pairs_survive(spark, emb):
         ).collect()
     }
     assert out2 == {200001: True, 200002: True}
+
+
+def test_semdedup_vs_table_matches_incremental_and_skips_corpus_shuffle(spark, emb, tmp_path):
+    """The persisted-cells path must produce verdicts identical to the
+    direct incremental operator, and its executed plan must scan the
+    stored corpus bucket-aligned (no Exchange feeding the stored side)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        persist_corpus_cells,
+        semdedup_batch_vs_table,
+        semdedup_incremental,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    name = "t_corpus_cells_eq"
+    persist_corpus_cells(corpus, name, nlist=8, n_buckets=4)
+    direct = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semdedup_incremental(corpus, batch, nlist=8, min_cosine=0.3).collect()
+    }
+    via_table = semdedup_batch_vs_table(spark, name, batch, nlist=8, min_cosine=0.3)
+    got = {r.vec_id: (r.cell, r.keep) for r in via_table.collect()}
+    assert got == direct
+    plan = via_table._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
