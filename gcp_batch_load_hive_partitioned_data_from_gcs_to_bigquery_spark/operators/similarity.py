@@ -1260,6 +1260,37 @@ def persist_corpus_cells(
     return table_name
 
 
+def append_corpus_cells(
+    spark,
+    cells_table: str,
+    new_vectors: DataFrame,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """O(batch) append of newly-accepted vectors into a
+    :func:`persist_corpus_cells` store: the new rows assign against the
+    centroids recovered from the stored table and ``insertInto`` the
+    bucketed layout — the corpus is never rewritten or re-shuffled, so
+    the steady-state ingest loop (screen via
+    :func:`semdedup_batch_vs_table` → append survivors) costs only the
+    batch at every step. Column order follows the table schema
+    (insertInto is positional)."""
+    stored = spark.table(cells_table)
+    seed = stored.orderBy("vec_id").limit(nlist).collect()
+    centroid_rows = [
+        (i, list(r["c_vec"]))
+        for i, r in enumerate(sorted(seed, key=lambda r: r["vec_id"]))
+    ]
+    b = with_double_embedding(new_vectors, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = _assign_cells_blas(b, centroid_rows).withColumn(
+        "c_norm", _norm(F.col("c_vec"))
+    )
+    assigned.select(*stored.columns).write.insertInto(cells_table)
+
+
 def semdedup_batch_vs_table(
     spark,
     cells_table: str,

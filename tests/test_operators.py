@@ -1060,3 +1060,38 @@ def test_semdedup_vs_table_matches_incremental_and_skips_corpus_shuffle(spark, e
     assert got == direct
     plan = via_table._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+
+
+def test_append_corpus_cells_is_incremental_and_flags_new_dups(spark, emb):
+    """Appending survivors into the cells store must preserve the
+    bucketed layout (no rewrite) and make them visible to the next
+    batch's screen: a vector identical to an appended one is dropped."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_corpus_cells,
+        persist_corpus_cells,
+        semdedup_batch_vs_table,
+    )
+
+    corpus = emb.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") < 400))
+    name = "t_corpus_cells_append"
+    persist_corpus_cells(corpus, name, nlist=8, n_buckets=4)
+    n0 = spark.table(name).count()
+
+    # accept a fresh vector (corpus vec 401's embedding under a new id)
+    newcomer = emb.filter(F.col("vec_id") == 401).select(
+        F.lit(900001).alias("vec_id"), F.col("embedding")
+    )
+    append_corpus_cells(spark, name, newcomer, nlist=8)
+    assert spark.table(name).count() == n0 + 1
+
+    # next batch: an exact copy of the appended vector must now drop
+    echo = emb.filter(F.col("vec_id") == 401).select(
+        F.lit(900002).alias("vec_id"), F.col("embedding")
+    )
+    out = {
+        r.vec_id: r.keep
+        for r in semdedup_batch_vs_table(
+            spark, name, echo, nlist=8, min_cosine=0.99
+        ).collect()
+    }
+    assert out == {900002: False}
