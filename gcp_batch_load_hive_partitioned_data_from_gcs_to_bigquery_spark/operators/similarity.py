@@ -991,6 +991,10 @@ def _assign_cells_blas(
                 }
             )
 
+    # NOTE: deliberately no ensure_min_parallelism here — measured at
+    # sf0.1 the repartition shuffle of the vector column costs more than
+    # the parallel GEMM saves (the kernel is a thin BLAS call, not
+    # interpreted per-row work like the text kernels that do gate).
     return c.select("vec_id", "c_vec").mapInPandas(_kernel, out_schema)
 
 
