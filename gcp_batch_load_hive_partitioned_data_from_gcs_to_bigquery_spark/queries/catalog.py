@@ -4519,7 +4519,9 @@ _DRIVER_WINDOW = [
 # stream_semantic_dedup (its foreachBatch streaming form — audit table
 # value-checked against the batch oracle), dedup_semantic_bucketed
 # (corpus cells persisted as a bucketed table — per-batch semantic
-# dedup with no corpus re-assignment or re-shuffle). All
+# dedup with no corpus re-assignment or re-shuffle),
+# text_bpe_coverage (per-source tokens-per-char tokenizer-fit audit).
+# All
 # verified with scripts/check_correctness.py at sf0.01 AND sf0.1
 # before landing.
 

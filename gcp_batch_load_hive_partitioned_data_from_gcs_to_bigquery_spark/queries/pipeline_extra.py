@@ -479,8 +479,31 @@ SELECT a.doc_id, a.n_tokens, coalesce(h.tokens_head, '') AS tokens_head
 FROM agg a LEFT JOIN head h USING (doc_id) ORDER BY a.doc_id"""
 
 
+def _bpe_coverage_oracle_sql(n_merges: int = 20) -> str:
+    """DuckDB oracle for per-source tokenizer efficiency: the encode
+    cascade of :func:`_bpe_encode_oracle_sql`, aggregated per source as
+    tokens-per-character — the "does the trained tokenizer fit this
+    domain" audit (a domain whose text fragments into near-character
+    tokens is out-of-distribution for the merge table)."""
+    enc = _bpe_encode_oracle_sql(n_merges)
+    cascade = enc[: enc.rindex(",\ntokdict AS (")]
+    return f"""{cascade},
+per_doc AS (
+  SELECT e.doc_id, n_tokens, d.source,
+         CAST(length(d.text) AS BIGINT) AS n_chars
+  FROM agg e JOIN documents d ON e.doc_id = d.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_chars), 6)
+         AS tokens_per_char
+FROM per_doc GROUP BY source ORDER BY source"""
+
+
 ORACLE_BPE_MERGES = _bpe_merges_oracle_sql(n_merges=20)
 ORACLE_BPE_ENCODE = _bpe_encode_oracle_sql(n_merges=20)
+ORACLE_BPE_COVERAGE = _bpe_coverage_oracle_sql(n_merges=20)
 
 
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,6 +825,42 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("tokens_head"),
     ).orderBy("doc_id")
 
+
+
+def q_text_bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer efficiency with the trained BPE merges:
+    tokens-per-character after encoding — the tokenizer-fit audit a
+    multilingual/multi-domain pipeline runs before committing a merge
+    table (an out-of-distribution domain fragments toward one token per
+    character). One extra per-source aggregation on top of the encode
+    plan; the oracle replays training, encoding, and the rollup."""
+    from ..operators.text import bpe_encode, bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges(docs, "text", n_merges=20)
+        .orderBy("merge_rank").collect()
+    ]
+    enc = bpe_encode(docs, "doc_id", "text", merges).select(
+        "doc_id", F.size("tokens").alias("n_tokens")
+    )
+    per_doc = enc.join(
+        docs.select("doc_id", "source", F.length("text").alias("n_chars")),
+        "doc_id",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum("n_tokens") / F.sum("n_chars").cast("double"), 6
+            ).alias("tokens_per_char"),
+        )
+        .orderBy("source")
+    )
 
 
 def q_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2861,6 +2920,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
     "pack_first_fit": q_pack_first_fit,
+    "text_bpe_coverage": q_text_bpe_coverage,
     "multimodal_audio_frames": q_multimodal_audio_frames,
     "scan_csv_badrecords": q_scan_csv_badrecords,
     "sample_hash_split": q_sample_hash_split,
@@ -2933,6 +2993,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_bpe_merges": ORACLE_BPE_MERGES,
     "text_bpe_encode": ORACLE_BPE_ENCODE,
     "pack_first_fit": ORACLE_PACK_FIRST_FIT,
+    "text_bpe_coverage": ORACLE_BPE_COVERAGE,
     "stream_incremental_dedup_oracle": ORACLE_STREAM_INC_DEDUP,
     "multimodal_audio_frames": ORACLE_AUDIO_FRAMES,
     "scan_csv_badrecords": ORACLE_BADRECORDS,
