@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["drop_managed_table"]
+__all__ = ["drop_managed_table", "compact_bucketed_store", "store_file_stats"]
 
 
 def drop_managed_table(spark: SparkSession, table_name: str) -> None:
@@ -47,3 +47,71 @@ def drop_managed_table(spark: SparkSession, table_name: str) -> None:
         # derivable, so nothing is deleted.
         warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
         _delete_dir(f"{warehouse}/{table_name.lower()}")
+
+
+def _table_location(spark: SparkSession, table_name: str) -> str:
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    locs = [r["data_type"] for r in desc if r["col_name"] == "Location"]
+    if not locs:
+        raise ValueError(f"no location for table {table_name}")
+    return locs[0]
+
+
+def store_file_stats(spark: SparkSession, table_name: str) -> dict:
+    """Metadata-only (no Spark job) data-file count + byte total for a
+    managed store — the small-files health number a maintenance loop
+    watches. Every ``insertInto`` append adds one file per bucket per
+    task, so a continuously-appended store trends toward many tiny
+    files until compacted."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(_table_location(spark, table_name))
+    fs = root.getFileSystem(hconf)
+    n_files, n_bytes = 0, 0
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith("_") and not name.startswith("."):
+            n_files += 1
+            n_bytes += st.getLen()
+    return {"n_files": n_files, "n_bytes": n_bytes}
+
+
+def compact_bucketed_store(spark: SparkSession, table_name: str) -> dict:
+    """Rewrite a bucketed store in place, collapsing the per-append
+    small files down to ONE file per bucket — the maintenance twin of
+    the landing table's ``compact_partition``, for the corpus-bands /
+    corpus-cells stores whose O(batch) appends each add a file per
+    bucket.
+
+    The bucket spec (count, columns, sort columns) is read back from
+    the catalog so the compacted layout is bit-compatible with the
+    store's join contract; the data is pinned with an eager
+    ``localCheckpoint`` BEFORE the drop (the rewrite replaces the very
+    files being read), and ``repartition(n, bucket_cols)`` ahead of the
+    write puts each bucket's rows in exactly one task → one file.
+    Returns {files_before, files_after, n_rows}.
+    """
+    from pyspark.sql import functions as F
+
+    desc = {r["col_name"]: r["data_type"] for r in
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()}
+    n_buckets = int(desc["Num Buckets"])
+    bucket_cols = [c.strip().strip("`") for c in
+                   desc["Bucket Columns"].strip("[]").split(",")]
+    sort_cols = [c.strip().strip("`") for c in
+                 desc.get("Sort Columns", "[]").strip("[]").split(",") if c.strip()]
+    before = store_file_stats(spark, table_name)["n_files"]
+    df = spark.table(table_name).localCheckpoint(eager=True)
+    n_rows = df.count()
+    drop_managed_table(spark, table_name)
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").mode("overwrite").saveAsTable(table_name)
+    after = store_file_stats(spark, table_name)["n_files"]
+    return {"files_before": before, "files_after": after, "n_rows": n_rows}

@@ -1095,3 +1095,48 @@ def test_append_corpus_cells_is_incremental_and_flags_new_dups(spark, emb):
         ).collect()
     }
     assert out == {900002: False}
+
+
+def test_compact_bucketed_store_collapses_append_files(spark, emb):
+    """Three O(batch) appends leave one file per bucket per append;
+    compaction rewrites to ONE file per bucket with identical rows and
+    identical vs-table dedup verdicts (the join contract survives)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import (
+        compact_bucketed_store,
+        store_file_stats,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_corpus_cells,
+        persist_corpus_cells,
+        semdedup_batch_vs_table,
+    )
+
+    corpus = emb.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") < 300))
+    name = "t_corpus_cells_compact"
+    persist_corpus_cells(corpus, name, nlist=8, n_buckets=4)
+    for i in range(3):
+        extra = emb.filter(F.col("vec_id") == 301 + i).select(
+            (F.col("vec_id") + 700000).alias("vec_id"), F.col("embedding")
+        )
+        append_corpus_cells(spark, name, extra, nlist=8)
+    rows_before = sorted(
+        (r.vec_id, r.cell) for r in spark.table(name).select("vec_id", "cell").collect()
+    )
+    batch = emb.filter(F.col("vec_id") % 3 == 0).limit(50)
+    verdict_before = sorted(
+        tuple(r) for r in semdedup_batch_vs_table(spark, name, batch, nlist=8).collect()
+    )
+    assert store_file_stats(spark, name)["n_files"] > 4
+
+    stats = compact_bucketed_store(spark, name)
+    # at most one file per bucket (empty buckets write no file)
+    assert stats["files_after"] <= 4
+    assert stats["files_after"] < stats["files_before"]
+    rows_after = sorted(
+        (r.vec_id, r.cell) for r in spark.table(name).select("vec_id", "cell").collect()
+    )
+    assert rows_after == rows_before
+    verdict_after = sorted(
+        tuple(r) for r in semdedup_batch_vs_table(spark, name, batch, nlist=8).collect()
+    )
+    assert verdict_after == verdict_before
