@@ -98,6 +98,13 @@ EXTRA_QUERIES_R6 = [
     "pack_first_fit",
     "ts_ewma",
     "api_ingest_lifecycle",
+    # second wave: the semantic-incremental family + sketch/monitor keys
+    "dedup_semantic_incremental",
+    "dedup_semantic_bucketed",
+    "stream_semantic_dedup",
+    "approx_quantile_hashmin",
+    "monitor_freshness",
+    "text_bpe_coverage",
 ]
 
 
