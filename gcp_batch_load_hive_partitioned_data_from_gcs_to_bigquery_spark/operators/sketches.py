@@ -209,11 +209,15 @@ def hashmin_sample_quantiles(
     ).alias("q")
     n = F.size("vs")
     idx = F.greatest(F.ceil(F.col("q") * n).cast("int"), F.lit(1))
+    # empty sample → NULL estimate (the element_at would trap under
+    # ANSI); DuckDB's out-of-bounds list index is already NULL, so the
+    # oracle agrees without a mirror change
+    est = F.when(n > 0, F.element_at("vs", idx))
     return (
         arr.select("vs", qcol)
         .select(
             F.col("q"),
             n.alias("n_sample"),
-            F.element_at("vs", idx).alias("est"),
+            est.alias("est"),
         )
     )

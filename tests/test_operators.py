@@ -1140,3 +1140,27 @@ def test_compact_bucketed_store_collapses_append_files(spark, emb):
         tuple(r) for r in semdedup_batch_vs_table(spark, name, batch, nlist=8).collect()
     )
     assert verdict_after == verdict_before
+
+
+def test_new_round6_operators_tolerate_empty_input(spark):
+    """Empty-input behavior of the round-6 operators: no crashes, sane
+    empty/degenerate outputs (a micro-batch pipeline WILL see empty
+    batches)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.packing import pack_first_fit_nosplit
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sketches import hashmin_sample_quantiles
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import semdedup_incremental
+
+    empty_docs = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_first_fit_nosplit(empty_docs, budget=64, n_shards=4).count() == 0
+
+    # empty sample → every quantile row present with NULL estimate
+    empty_kv = spark.createDataFrame([], "k long, v double")
+    rows = hashmin_sample_quantiles(empty_kv, "k", "v", k=16).collect()
+    assert len(rows) == 6
+    assert all(r.n_sample == 0 and r.est is None for r in rows)
+
+    # empty BATCH against a real corpus → zero verdict rows
+    emb_rows = [(i, [float(i % 7), 1.0]) for i in range(20)]
+    corpus = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semdedup_incremental(corpus, empty_emb, nlist=4).count() == 0
