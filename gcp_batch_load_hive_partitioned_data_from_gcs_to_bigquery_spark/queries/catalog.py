@@ -4521,6 +4521,10 @@ _DRIVER_WINDOW = [
 # (corpus cells persisted as a bucketed table — per-batch semantic
 # dedup with no corpus re-assignment or re-shuffle),
 # text_bpe_coverage (per-source tokens-per-char tokenizer-fit audit).
+# Additionally, the ENTIRE catalog (238 oracled + 5 rows-only keys) was
+# swept in one process against the DuckDB oracles at sf0.01 AND sf0.1
+# late in round 6 — 0 failures — so every key, windowed or not, has
+# fresh local correctness evidence on the round-6 code.
 # All
 # verified with scripts/check_correctness.py at sf0.01 AND sf0.1
 # before landing.
