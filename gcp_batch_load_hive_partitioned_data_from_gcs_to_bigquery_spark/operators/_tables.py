@@ -87,11 +87,17 @@ def compact_bucketed_store(spark: SparkSession, table_name: str) -> dict:
 
     The bucket spec (count, columns, sort columns) is read back from
     the catalog so the compacted layout is bit-compatible with the
-    store's join contract; the data is pinned with an eager
-    ``localCheckpoint`` BEFORE the drop (the rewrite replaces the very
-    files being read), and ``repartition(n, bucket_cols)`` ahead of the
-    write puts each bucket's rows in exactly one task → one file.
-    Returns {files_before, files_after, n_rows}.
+    store's join contract, and ``repartition(n, bucket_cols)`` ahead of
+    the write puts each bucket's rows in exactly one task → one file.
+
+    Crash safety: the compacted copy is FULLY WRITTEN to a staging
+    table first; only then is the original dropped and the staging
+    table renamed into place. A crash mid-compaction therefore leaves
+    either the original intact (plus a reclaimable ``__compacting``
+    staging table a re-run overwrites) or, in the narrow drop→rename
+    window, the completed staging copy recoverable by name — never a
+    state where the data exists nowhere. Returns
+    {files_before, files_after, n_rows}.
     """
     from pyspark.sql import functions as F
 
@@ -103,15 +109,24 @@ def compact_bucketed_store(spark: SparkSession, table_name: str) -> dict:
     sort_cols = [c.strip().strip("`") for c in
                  desc.get("Sort Columns", "[]").strip("[]").split(",") if c.strip()]
     before = store_file_stats(spark, table_name)["n_files"]
+    staging = f"{table_name}__compacting"
+    drop_managed_table(spark, staging)  # reclaim any crashed prior run
+    # localCheckpoint breaks the bucketed-scan lineage: the scan CLAIMS
+    # HashPartitioning(bucket_cols, n) so the planner elides the
+    # repartition below, while auto-bucketed-scan still splits by FILE —
+    # one write task per input file, defeating the compaction. A
+    # checkpointed source has unknown partitioning, so the repartition
+    # stands and each bucket lands in exactly one task.
     df = spark.table(table_name).localCheckpoint(eager=True)
     n_rows = df.count()
-    drop_managed_table(spark, table_name)
     writer = (
         df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
         .write.bucketBy(n_buckets, *bucket_cols)
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
-    writer.format("parquet").mode("overwrite").saveAsTable(table_name)
+    writer.format("parquet").mode("overwrite").saveAsTable(staging)
+    drop_managed_table(spark, table_name)
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
     after = store_file_stats(spark, table_name)["n_files"]
     return {"files_before": before, "files_after": after, "n_rows": n_rows}
