@@ -37,6 +37,25 @@ from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.t
 )
 
 
+def _grouped_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The shared front half of the curation pipelines: per-document
+    (lang_ok, quality_ok) as narrow map expressions, then ONE
+    groupBy(text) that deduplicates (min id = keeper) and carries the
+    flags and copy counts — the funnel's single wide shuffle."""
+    flagged = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        (lang_pred_col(F.col(text_col)) != "und").alias("lang_ok"),
+        gopher_keep_col(F.col(text_col)).alias("quality_ok"),
+    )
+    return flagged.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_id"),
+        F.bool_or("lang_ok").alias("lang_ok"),
+        F.bool_or("quality_ok").alias("quality_ok"),
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     id_col: str,
@@ -57,18 +76,7 @@ def curation_funnel(
     keeper's flags equal the group's (bool_or is exact, not a guess).
     """
     weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
-    flagged = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("text"),
-        (lang_pred_col(F.col(text_col)) != "und").alias("lang_ok"),
-        gopher_keep_col(F.col(text_col)).alias("quality_ok"),
-    )
-    grouped = flagged.groupBy("text").agg(
-        F.count(F.lit(1)).alias("n_copies"),
-        F.min("doc_id").alias("keeper_id"),
-        F.bool_or("lang_ok").alias("lang_ok"),
-        F.bool_or("quality_ok").alias("quality_ok"),
-    )
+    grouped = _grouped_flags(df, id_col, text_col)
     survivor = F.col("lang_ok") & F.col("quality_ok")
     # Roll EVERYTHING up under the split key in one pass so the audit
     # table's two faces (funnel totals, per-split counts) both read the
@@ -110,3 +118,49 @@ def curation_funnel(
         F.col("n_dedup").alias("n_docs"),
     )
     return funnel_rows.unionByName(split_rows).orderBy("stage")
+
+
+def corpus_release_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+    split_weights: dict[str, float] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """The END of the pipeline: turn the curation survivors into a
+    training-data RELEASE manifest — per (split, shard): document
+    count, total whitespace tokens, and an id-sum integrity figure. The
+    table a training job validates against before reading a release,
+    and the composition story of the whole engine: curate → split →
+    shard → manifest in one job.
+
+    Plan shape: the same single content-keyed shuffle as
+    :func:`curation_funnel` (via the shared grouped front half), then
+    one keepers-sized groupBy on (split, shard) — metadata relative to
+    the corpus. Split membership and shard assignment are the
+    deterministic hash family (sampling.hash_split / packing.shard_for),
+    so the whole manifest is a pure function of the corpus content and
+    reproducible in any engine.
+    """
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.packing import shard_for
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import token_count
+
+    weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    grouped = _grouped_flags(df, id_col, text_col)
+    keepers = grouped.filter(F.col("lang_ok") & F.col("quality_ok"))
+    staged = hash_split(keepers, "keeper_id", weights, salt=salt).select(
+        "split",
+        shard_for(F.col("keeper_id"), n_shards, salt).alias("shard"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "keeper_id",
+    )
+    return (
+        staged.groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("keeper_id").alias("id_sum"),
+        )
+        .orderBy("split", "shard")
+    )

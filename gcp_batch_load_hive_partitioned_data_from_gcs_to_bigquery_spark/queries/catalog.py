@@ -4520,7 +4520,9 @@ _DRIVER_WINDOW = [
 # value-checked against the batch oracle), dedup_semantic_bucketed
 # (corpus cells persisted as a bucketed table — per-batch semantic
 # dedup with no corpus re-assignment or re-shuffle),
-# text_bpe_coverage (per-source tokens-per-char tokenizer-fit audit).
+# text_bpe_coverage (per-source tokens-per-char tokenizer-fit audit),
+# corpus_release_manifest (curate → split → shard → release manifest —
+# the end-of-pipeline rollup, same single content-keyed shuffle).
 # Additionally, the ENTIRE catalog (238 oracled + 5 rows-only keys) was
 # swept in one process against the DuckDB oracles at sf0.01 AND sf0.1
 # late in round 6 — 0 failures — so every key, windowed or not, has

@@ -1645,6 +1645,48 @@ SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
 ) ORDER BY stage
 """
 
+# Release-manifest oracle: reuses ORACLE_CURATION's CTE chain up to the
+# deduplicating groupBy (sliced at runtime so the two can never drift),
+# then splits/shards the keepers with the masked hash family and rolls
+# up per (split, shard).
+_CURATION_PREFIX = ORACLE_CURATION[: ORACLE_CURATION.rindex("), funnel AS (")]
+ORACLE_RELEASE_MANIFEST = _CURATION_PREFIX + r"""
+), keepers AS (
+  SELECT keeper_id, text FROM grouped WHERE lang_ok AND quality_ok
+), staged AS (
+  SELECT keeper_id,
+         CASE WHEN ((keeper_id & 2147483647) * 2654435761) % 10000 < 1000
+              THEN 'test'
+              WHEN ((keeper_id & 2147483647) * 2654435761) % 10000 < 9000
+              THEN 'train'
+              ELSE 'val' END AS split,
+         ((keeper_id & 2147483647) * 2654435761) % 8 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM keepers
+)
+SELECT split, CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(keeper_id) AS BIGINT) AS id_sum
+FROM staged GROUP BY split, shard ORDER BY split, shard
+"""
+
+
+def q_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's END: curation survivors rolled into a
+    training-data release manifest per (split, shard) — doc counts,
+    token totals, id-sum integrity figure (operators/curation.py
+    corpus_release_manifest). Same single content-keyed shuffle as the
+    curation funnel plus one keepers-sized rollup; split and shard come
+    from the deterministic hash family, so the manifest is a pure
+    function of the corpus and the oracle replays it end-to-end."""
+    from ..operators.curation import corpus_release_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_release_manifest(docs, "doc_id", "text", n_shards=8)
+
+
 
 def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss 64→16 sign projection (operators/
@@ -2896,6 +2938,7 @@ FROM depths
 
 PIPELINE_QUERIES: dict[str, callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
+    "corpus_release_manifest": q_corpus_release_manifest,
     "text_rank_rbo": q_text_rank_rbo,
     "text_bigram_nll": q_text_bigram_nll,
     "text_readability": q_text_readability,
@@ -2969,6 +3012,7 @@ ORACLE_STREAM_INC_DEDUP = (
 
 PIPELINE_ORACLES: dict[str, str] = {
     "corpus_curation_pipeline": ORACLE_CURATION,
+    "corpus_release_manifest": ORACLE_RELEASE_MANIFEST,
     "profile_corpus_report": ORACLE_CORPUS_REPORT,
     "dedup_keep_longest": ORACLE_KEEP_LONGEST,
     "pack_batch_schedule": ORACLE_BATCH_SCHEDULE,
