@@ -1156,6 +1156,35 @@ def semdedup(
     )
 
 
+def _screen_batch(ba: DataFrame, corp: DataFrame, min_cosine: float) -> DataFrame:
+    """Shared screening join of the incremental semantic-dedup family:
+    assigned batch rows (vec_id, cell, c_vec, c_norm) against a corpus
+    side (b_vec_id, b_cell, b_vec, b_norm) — same-cell pairs only, and
+    SELF-pairs excluded (b_vec_id != vec_id): on a foreachBatch retry a
+    survivor's own already-appended copy shares its vec_id, and without
+    the exclusion every re-screened survivor would cosine-1-match
+    itself and be falsely dropped. Returns (vec_id, cell, keep)."""
+    dropped = (
+        ba.join(
+            corp,
+            (F.col("cell") == F.col("b_cell"))
+            & (F.col("b_vec_id") != F.col("vec_id")),
+        )
+        .withColumn(
+            "cosine",
+            _dot(F.col("c_vec"), F.col("b_vec")) / (F.col("c_norm") * F.col("b_norm")),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        ba.join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("_drop").isNull().alias("keep"))
+    )
+
+
 def semdedup_incremental(
     corpus: DataFrame,
     batch: DataFrame,
@@ -1174,14 +1203,18 @@ def semdedup_incremental(
     persisted k-means model; here the deterministic seed quantizer so
     the whole pipeline stays oracle-checkable). The batch assigns to
     those cells with the same BLAS argmin kernel and pairs ONLY against
-    same-cell corpus vectors, so a micro-batch costs O(batch·cell) — at
-    100 TB the steady-state per-batch price is independent of corpus
-    size once cells are bounded (nlist ∝ corpus). Corpus membership is
-    canonical by construction (those vectors were already accepted), so
-    ANY same-cell corpus neighbor at cosine ≥ threshold drops the batch
-    vector; intra-batch pairs are not compared (same stance as the
-    MinHash incremental stage — run :func:`semdedup` upstream if
-    intra-batch exactness is required).
+    same-cell corpus vectors, so a micro-batch costs O(batch·cell) of
+    pairwise work once cells are bounded (nlist ∝ corpus); the corpus
+    side is still scanned/assigned here — use the persisted-cells store
+    (:func:`persist_corpus_cells` + :func:`semdedup_batch_vs_table`)
+    for the steady-state loop that must not re-touch the corpus. Corpus
+    membership is canonical by construction (those vectors were already
+    accepted), so ANY same-cell corpus neighbor at cosine ≥ threshold
+    drops the batch vector — except a row with the batch vector's OWN
+    id (retry idempotence, see :func:`_screen_batch`); intra-batch
+    pairs are not compared (same stance as the MinHash incremental
+    stage — run :func:`semdedup` upstream if intra-batch exactness is
+    required).
 
     Returns one row per BATCH vector: ``(vec_id, cell, keep)``.
     """
@@ -1203,21 +1236,21 @@ def semdedup_incremental(
     ba = _assign_cells_blas(b, centroid_rows).withColumn(
         "c_norm", _norm(F.col("c_vec"))
     )
-    dropped = (
-        ba.join(corp, F.col("cell") == F.col("b_cell"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("c_vec"), F.col("b_vec")) / (F.col("c_norm") * F.col("b_norm")),
-        )
-        .filter(F.col("cosine") >= min_cosine)
-        .select("vec_id")
-        .distinct()
-        .withColumn("_drop", F.lit(True))
-    )
-    return (
-        ba.join(dropped, "vec_id", "left")
-        .select("vec_id", "cell", F.col("_drop").isNull().alias("keep"))
-    )
+    return _screen_batch(ba, corp, min_cosine)
+
+
+def _centroids_table(table_name: str) -> str:
+    return f"{table_name}__centroids"
+
+
+def _stored_centroid_rows(spark, cells_table: str):
+    """Centroids FROZEN at persist time, read back from the companion
+    table — NOT re-derived from the store's current lowest ids, which
+    would silently re-seed the quantizer (and orphan every stored cell
+    assignment) the moment an append carries an id below the original
+    seeds."""
+    rows = spark.table(_centroids_table(cells_table)).orderBy("cell").collect()
+    return [(int(r["cell"]), list(r["c_vec"])) for r in rows]
 
 
 def persist_corpus_cells(
@@ -1238,19 +1271,26 @@ def persist_corpus_cells(
     bucket-aligned scan). Appends of newly-accepted vectors go through
     ``insertInto`` preserving the layout.
 
-    The deterministic seed centroids (the nlist lowest-id corpus
-    vectors) are recoverable FROM the stored table itself, so no side
-    model file is needed; production swaps trained k-means centroids
-    into the same shape. Rows: (vec_id, cell, c_vec, c_norm)."""
+    The seed centroids are FROZEN into a tiny companion table
+    (``<name>__centroids``) at persist time — the quantizer is part of
+    the store's state, never re-derived from the data (an append with a
+    low id must not re-seed it); production swaps trained k-means
+    centroids into the same companion shape. Main rows:
+    (vec_id, cell, c_vec, c_norm)."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
 
     spark = corpus.sparkSession
     n = n_buckets or spark.sparkContext.defaultParallelism
     drop_managed_table(spark, table_name)
+    drop_managed_table(spark, _centroids_table(table_name))
     c = with_double_embedding(corpus, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
     )
     centroid_rows = _seed_centroid_rows(c, nlist)
+    spark.createDataFrame(
+        [(cell, vec) for cell, vec in centroid_rows],
+        "cell int, c_vec array<double>",
+    ).coalesce(1).write.format("parquet").saveAsTable(_centroids_table(table_name))
     assigned = _assign_cells_blas(c, centroid_rows).withColumn(
         "c_norm", _norm(F.col("c_vec"))
     )
@@ -1274,21 +1314,21 @@ def append_corpus_cells(
 ) -> None:
     """O(batch) append of newly-accepted vectors into a
     :func:`persist_corpus_cells` store: the new rows assign against the
-    centroids recovered from the stored table and ``insertInto`` the
+    FROZEN centroids from the companion table and ``insertInto`` the
     bucketed layout — the corpus is never rewritten or re-shuffled, so
     the steady-state ingest loop (screen via
     :func:`semdedup_batch_vs_table` → append survivors) costs only the
-    batch at every step. Column order follows the table schema
-    (insertInto is positional)."""
+    batch at every step. Ids already present in the store are skipped
+    (anti-join on a column-pruned id scan), making a retried
+    append-after-crash idempotent. Column order follows the table
+    schema (insertInto is positional). ``nlist`` is retained for
+    interface symmetry; the quantizer geometry comes entirely from the
+    frozen companion table."""
     stored = spark.table(cells_table)
-    seed = stored.orderBy("vec_id").limit(nlist).collect()
-    centroid_rows = [
-        (i, list(r["c_vec"]))
-        for i, r in enumerate(sorted(seed, key=lambda r: r["vec_id"]))
-    ]
+    centroid_rows = _stored_centroid_rows(spark, cells_table)
     b = with_double_embedding(new_vectors, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).join(stored.select("vec_id"), "vec_id", "left_anti")
     assigned = _assign_cells_blas(b, centroid_rows).withColumn(
         "c_norm", _norm(F.col("c_vec"))
     )
@@ -1306,14 +1346,16 @@ def semdedup_batch_vs_table(
 ) -> DataFrame:
     """:func:`semdedup_incremental` against a persisted
     :func:`persist_corpus_cells` table: only the BATCH runs the
-    assignment kernel (against centroids re-collected from the stored
-    table — the nlist lowest-id rows, bounded metadata); the corpus
-    side is a bucket-aligned scan of the stored layout, so the
-    steady-state per-batch cost never re-touches corpus assignment.
-    Returns one row per batch vector: ``(vec_id, cell, keep)``."""
+    assignment kernel (against the FROZEN companion centroids — bounded
+    metadata); the corpus side is a bucket-aligned scan of the stored
+    layout, so the steady-state per-batch cost never re-touches corpus
+    assignment. Same screening join (and retry-safe self-exclusion) as
+    the direct operator via :func:`_screen_batch`. ``nlist`` is
+    retained for interface symmetry; the quantizer geometry comes
+    entirely from the frozen companion table. Returns one row per
+    batch vector: ``(vec_id, cell, keep)``."""
     stored = spark.table(cells_table)
-    seed = stored.orderBy("vec_id").limit(nlist).collect()
-    centroid_rows = [(i, list(r["c_vec"])) for i, r in enumerate(sorted(seed, key=lambda r: r["vec_id"]))]
+    centroid_rows = _stored_centroid_rows(spark, cells_table)
     b = with_double_embedding(batch, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
     )
@@ -1321,25 +1363,12 @@ def semdedup_batch_vs_table(
         "c_norm", _norm(F.col("c_vec"))
     )
     corp = stored.select(
+        F.col("vec_id").alias("b_vec_id"),
         F.col("cell").alias("b_cell"),
         F.col("c_vec").alias("b_vec"),
         F.col("c_norm").alias("b_norm"),
     )
-    dropped = (
-        ba.join(corp, F.col("cell") == F.col("b_cell"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("c_vec"), F.col("b_vec")) / (F.col("c_norm") * F.col("b_norm")),
-        )
-        .filter(F.col("cosine") >= min_cosine)
-        .select("vec_id")
-        .distinct()
-        .withColumn("_drop", F.lit(True))
-    )
-    return (
-        ba.join(dropped, "vec_id", "left")
-        .select("vec_id", "cell", F.col("_drop").isNull().alias("keep"))
-    )
+    return _screen_batch(ba, corp, min_cosine)
 
 
 def int8_topk(

@@ -198,8 +198,13 @@ def hashmin_sample_quantiles(
     from pyspark.sql import functions as F
 
     h = F.md5(F.col(key_col).cast("string"))
+    # NULL keys/values are excluded up front: the two engines disagree
+    # on NULL ordering (Spark sorts NULLs first, DuckDB last) and on
+    # NULL aggregation (collect_list drops them, DuckDB's list keeps
+    # them), so admitting them would silently diverge from the oracle
     samp = (
-        df.select(h.alias("h"), F.col(value_col).alias("v"))
+        df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(h.alias("h"), F.col(value_col).alias("v"))
         .orderBy("h")
         .limit(k)
     )

@@ -2100,6 +2100,7 @@ ORACLE_QUANTILE_HASHMIN = """
 WITH samp AS (
   SELECT value AS v FROM (
     SELECT md5(CAST(event_id AS VARCHAR)) AS h, value FROM events
+    WHERE event_id IS NOT NULL AND value IS NOT NULL
     ORDER BY h LIMIT 400
   )
 ),

@@ -678,6 +678,27 @@ FROM (
 """
 
 
+def _two_drop_fixture(spark, key_name: str, sf_dir: str, parts) -> str:
+    """Arrival-ordered parquet backlog for file-source streams: each
+    frame in ``parts`` becomes one single-file "drop" whose mtime
+    encodes its order (the file source replays oldest-first with
+    maxFilesPerTrigger=1). Process-cached per (key_name, sf_dir)."""
+    key = (key_name, sf_dir)
+    if key not in _FIXTURES:
+        import os
+
+        src = _tmp(key_name)
+        for i, part in enumerate(parts):
+            sub = _tmp(f"{key_name}_stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(sub)
+            name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i:04d}.parquet")
+            os.rename(os.path.join(sub, name), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _FIXTURES[key] = src
+    return _FIXTURES[key]
+
+
 def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous incremental dedup (streaming/dedup_stream.py): two
     document drops replayed file-by-file through a foreachBatch stream;
@@ -692,28 +713,17 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src_key = ("stream_dedup_src", sf_dir)
-    if src_key not in _FIXTURES:
-        import os
-
-        src = _tmp("stream_dedup_src")
-        for i, part in enumerate(
-            (docs.filter(F.col("doc_id") % 4 != 0), docs.filter(F.col("doc_id") % 4 == 0))
-        ):
-            sub = _tmp(f"stream_dedup_stage{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(sub)
-            name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
-            dst = os.path.join(src, f"{i:04d}.parquet")
-            os.rename(os.path.join(sub, name), dst)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        _FIXTURES[src_key] = src
+    src = _two_drop_fixture(
+        spark, "stream_dedup_src", sf_dir,
+        (docs.filter(F.col("doc_id") % 4 != 0), docs.filter(F.col("doc_id") % 4 == 0)),
+    )
     # fresh corpus/audit/checkpoint per invocation: the corpus append is
     # stateful by design, so re-runs start from an empty corpus
     corpus_root, audit_root, ckpt = _tmp("sd_corpus"), _tmp("sd_audit"), _tmp("sd_ckpt")
     for d in (corpus_root, audit_root, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     q = stream_incremental_dedup(
-        spark, _FIXTURES[src_key], corpus_root, audit_root, docs.schema,
+        spark, src, corpus_root, audit_root, docs.schema,
         checkpoint=ckpt,
     )
     q.awaitTermination()
@@ -736,28 +746,17 @@ def q_stream_incremental_dedup_oracle(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src_key = ("stream_dedup_src", sf_dir)
-    if src_key not in _FIXTURES:
-        import os
-
-        src = _tmp("stream_dedup_src")
-        for i, part in enumerate(
-            (docs.filter(F.col("doc_id") % 4 != 0), docs.filter(F.col("doc_id") % 4 == 0))
-        ):
-            sub = _tmp(f"stream_dedup_stage{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(sub)
-            name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
-            dst = os.path.join(src, f"{i:04d}.parquet")
-            os.rename(os.path.join(sub, name), dst)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        _FIXTURES[src_key] = src
+    src = _two_drop_fixture(
+        spark, "stream_dedup_src", sf_dir,
+        (docs.filter(F.col("doc_id") % 4 != 0), docs.filter(F.col("doc_id") % 4 == 0)),
+    )
     corpus_root, audit_root, ckpt = (
         _tmp("sdo_corpus"), _tmp("sdo_audit"), _tmp("sdo_ckpt")
     )
     for d in (corpus_root, audit_root, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     q = stream_incremental_dedup(
-        spark, _FIXTURES[src_key], corpus_root, audit_root, docs.schema,
+        spark, src, corpus_root, audit_root, docs.schema,
         checkpoint=ckpt, md5_family=True,
     )
     q.awaitTermination()
@@ -2949,7 +2948,8 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings replayed as two drops — the corpus (vec_id % 4 != 0)
     lands first into an empty store and survives wholesale, then the
     batch drop (vec_id % 4 == 0) screens against the accumulated corpus
-    via semdedup_incremental. The audit table of dropped vectors must
+    — maintained as a persisted cells store with FROZEN centroids, so
+    the steady state is O(batch) per trigger. The audit table must
     equal the BATCH incremental oracle's keep=false rows — stream/batch
     equivalence for the semantic stage, value-checked."""
     import shutil
@@ -2959,28 +2959,22 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    src_key = ("stream_sem_src", sf_dir)
-    if src_key not in _FIXTURES:
-        import os
-
-        src = _tmp("stream_sem_src")
-        for i, part in enumerate(
-            (emb.filter(F.col("vec_id") % 4 != 0), emb.filter(F.col("vec_id") % 4 == 0))
-        ):
-            sub = _tmp(f"stream_sem_stage{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(sub)
-            name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
-            dst = os.path.join(src, f"{i:04d}.parquet")
-            os.rename(os.path.join(sub, name), dst)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        _FIXTURES[src_key] = src
-    corpus_root, audit_root, ckpt = (
-        _tmp("sem_corpus"), _tmp("sem_audit"), _tmp("sem_ckpt")
+    src = _two_drop_fixture(
+        spark, "stream_sem_src", sf_dir,
+        (emb.filter(F.col("vec_id") % 4 != 0), emb.filter(F.col("vec_id") % 4 == 0)),
     )
-    for d in (corpus_root, audit_root, ckpt):
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import _centroids_table
+
+    audit_root, ckpt = _tmp("sem_audit"), _tmp("sem_ckpt")
+    for d in (audit_root, ckpt):
         shutil.rmtree(d, ignore_errors=True)
+    # fresh store per invocation: the corpus append is stateful by design
+    corpus_table = "stream_sem_corpus_cells"
+    drop_managed_table(spark, corpus_table)
+    drop_managed_table(spark, _centroids_table(corpus_table))
     q = stream_semantic_dedup(
-        spark, _FIXTURES[src_key], corpus_root, audit_root, emb.schema,
+        spark, src, corpus_table, audit_root, emb.schema,
         nlist=64, min_cosine=0.3, checkpoint=ckpt,
     )
     q.awaitTermination()
@@ -2991,47 +2985,24 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.orderBy("vec_id")
 
 
-ORACLE_STREAM_SEMANTIC = """
-WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-           WHERE vec_id % 4 != 0),
-b AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-      WHERE vec_id % 4 = 0),
-cent AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv AS centroid
-  FROM c ORDER BY vec_id LIMIT 64
-),
-cdist AS (
-  SELECT c.vec_id, c.cv, cent.cell,
-         list_reduce(list_transform(generate_series(1, len(c.cv)),
-           i -> (c.cv[i] - cent.centroid[i]) * (c.cv[i] - cent.centroid[i])),
-           (a, x) -> a + x) AS dist2
-  FROM c, cent
-),
-cassigned AS (
-  SELECT vec_id, cv, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
-    FROM cdist
-  ) WHERE rn = 1
-),
-bdist AS (
-  SELECT b.vec_id, b.cv, cent.cell,
-         list_reduce(list_transform(generate_series(1, len(b.cv)),
-           i -> (b.cv[i] - cent.centroid[i]) * (b.cv[i] - cent.centroid[i])),
-           (a, x) -> a + x) AS dist2
-  FROM b, cent
-),
-bassigned AS (
-  SELECT vec_id, cv, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
-    FROM bdist
-  ) WHERE rn = 1
+# Stream/batch equivalence oracle for the semantic stage: derived from
+# ORACLE_DEDUP_SEMANTIC_INCREMENTAL by slicing off its verdict tail (so
+# the seeding/assignment CTE chain can never drift between the two) and
+# selecting the dropped (vec_id, cell) rows the stream audits.
+ORACLE_STREAM_SEMANTIC = (
+    ORACLE_DEDUP_SEMANTIC_INCREMENTAL[
+        : ORACLE_DEDUP_SEMANTIC_INCREMENTAL.rindex("dropped AS (")
+    ]
+    + """disagreements AS (
+  SELECT DISTINCT a.vec_id, a.cell
+  FROM bassigned a JOIN cassigned c2 ON a.cell = c2.cell
+  WHERE list_dot_product(a.cv, c2.cv)
+          / (sqrt(list_dot_product(a.cv, a.cv))
+             * sqrt(list_dot_product(c2.cv, c2.cv))) >= 0.3
 )
-SELECT DISTINCT a.vec_id, a.cell
-FROM bassigned a JOIN cassigned c2 ON a.cell = c2.cell
-WHERE list_dot_product(a.cv, c2.cv)
-        / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(c2.cv, c2.cv))) >= 0.3
-ORDER BY a.vec_id
+SELECT vec_id, cell FROM disagreements ORDER BY vec_id
 """
+)
 
 
 def q_dedup_semantic_jl(spark: SparkSession, sf_dir: str) -> DataFrame:

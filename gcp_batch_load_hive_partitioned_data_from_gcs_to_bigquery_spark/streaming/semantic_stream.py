@@ -3,21 +3,24 @@
 incremental-dedup triple (exact sha / MinHash bands / embedding cosine)
 for a continuously-ingesting corpus.
 
-Each micro-batch of embedding rows is semantically screened against the
-ACCUMULATED corpus: corpus seeds the coarse-quantizer centroids (the
-persisted-k-means slot in production), the batch assigns cells with the
-BLAS argmin kernel, and only same-cell batch×corpus pairs are compared
-— never corpus×corpus — so the steady-state per-batch cost is
-O(batch·cell). Survivors append to the corpus store; dropped vectors
-land in an audit table with their cell. The first batch into an EMPTY
-corpus has no centroids to screen against and survives wholesale (the
-same degrade-to-accept stance as ``dedup_stream``'s cold corpus).
+The accumulated corpus lives in a :func:`persist_corpus_cells` store
+(bucketed on the cell key, centroids FROZEN in its companion table), so
+each micro-batch costs O(batch): the batch assigns against the frozen
+centroids, screens against a bucket-aligned scan of the store — never a
+corpus re-assignment or corpus shuffle — survivors append through the
+O(batch) ``insertInto`` path, and dropped vectors land in an audit
+table with their cell. The FIRST non-empty batch seeds the store (and
+its centroids) and survives wholesale — the same degrade-to-accept
+stance as ``dedup_stream``'s cold corpus.
 
-Effectively-once semantics note (mirrors ``dedup_stream``): a retried
-batch re-screens against a corpus that already contains its survivors —
-re-appended vectors are cosine-1 duplicates of themselves and get
-dropped, so the corpus stays clean; strict exactly-once keeps the
-append inside an idempotent partition-overwrite sink.
+Retry semantics: better than effectively-once. The screening join
+excludes same-id pairs, so on a foreachBatch retry a survivor's own
+already-appended copy cannot falsely drop it; the append itself skips
+ids already present (anti-join). A retried batch therefore converges to
+the same corpus state; only the audit table can gain duplicate rows of
+the SAME (vec_id, cell, batch_id) drop records, which any consumer
+dedupes by key. Strict exactly-once on the audit keeps its write inside
+an idempotent partition-overwrite sink.
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ __all__ = ["stream_semantic_dedup"]
 def stream_semantic_dedup(
     spark: SparkSession,
     source_root: str,
-    corpus_root: str,
+    corpus_table: str,
     audit_root: str,
     schema: T.StructType,
     nlist: int = 8,
@@ -42,11 +45,16 @@ def stream_semantic_dedup(
     checkpoint: str | None = None,
     max_files_per_trigger: int = 1,
 ):
-    """File-source stream → per-micro-batch incremental semantic dedup →
-    survivors appended to ``corpus_root``, dropped vectors (vec_id,
-    cell, batch_id) to ``audit_root``. Trigger.AvailableNow drains the
-    backlog file-by-file; returns the started StreamingQuery."""
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import semdedup_incremental
+    """File-source stream → per-micro-batch incremental semantic dedup
+    against the ``corpus_table`` cells store → survivors appended to the
+    store, dropped vectors (vec_id, cell, batch_id) to ``audit_root``.
+    Trigger.AvailableNow drains the backlog file-by-file; returns the
+    started StreamingQuery."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_corpus_cells,
+        persist_corpus_cells,
+        semdedup_batch_vs_table,
+    )
 
     stream = (
         spark.readStream.schema(schema)
@@ -56,32 +64,37 @@ def stream_semantic_dedup(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        jpath = sess._jvm.org.apache.hadoop.fs.Path(corpus_root)
-        fs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
-        has_corpus = False
-        if fs.exists(jpath):
-            corpus = sess.read.schema(schema).parquet(corpus_root)
-            has_corpus = len(corpus.take(1)) > 0
-        if not has_corpus:
-            batch_df.write.mode("append").parquet(corpus_root)
+        if not sess.catalog.tableExists(corpus_table):
+            if len(batch_df.take(1)) == 0:
+                return
+            # cold start: the first drop seeds the store AND freezes the
+            # quantizer centroids; everything survives
+            persist_corpus_cells(
+                batch_df, corpus_table, nlist=nlist,
+                id_col=id_col, vec_col=vec_col,
+            )
             return
-        flags = semdedup_incremental(
-            corpus, batch_df, nlist=nlist, min_cosine=min_cosine,
+        flags = semdedup_batch_vs_table(
+            sess, corpus_table, batch_df,
+            nlist=nlist, min_cosine=min_cosine,
             id_col=id_col, vec_col=vec_col,
-        # materialize BEFORE the corpus append: the flags' lineage reads
-        # corpus_root, which the survivor write is about to extend
+        # materialize BEFORE the store append: the flags' lineage reads
+        # the store the survivor insertInto is about to extend
         ).localCheckpoint(eager=True)
+        dropped = (
+            flags.filter(~F.col("keep"))
+            .select("vec_id", "cell", F.lit(batch_id).alias("batch_id"))
+        )
+        dropped.write.mode("append").parquet(audit_root)
         survivors = batch_df.join(
             flags.filter(F.col("keep")).select(F.col("vec_id").alias(id_col)),
             id_col,
             "left_semi",
         )
-        dropped = (
-            flags.filter(~F.col("keep"))
-            .select("vec_id", "cell", F.lit(batch_id).alias("batch_id"))
+        append_corpus_cells(
+            sess, corpus_table, survivors, nlist=nlist,
+            id_col=id_col, vec_col=vec_col,
         )
-        survivors.write.mode("append").parquet(corpus_root)
-        dropped.write.mode("append").parquet(audit_root)
 
     writer = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
     if checkpoint:

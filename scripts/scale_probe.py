@@ -50,7 +50,10 @@ def build_derived(spark, k: int) -> str:
     docs.select(
         (F.col("doc_id") + F.col("rep").cast("long") * F.lit(10_000_000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" r"), F.col("rep")).alias("text"),
-        "lang", "source", "n_chars",
+        "lang", "source",
+    ).withColumn(
+        # n_chars must describe the REPLICA's text, not the original's
+        "n_chars", F.length("text").cast("long")
     ).repartition(32).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
     emb = load_table(spark, BASE_SF, "embeddings").select("*", reps)

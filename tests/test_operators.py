@@ -1164,3 +1164,42 @@ def test_new_round6_operators_tolerate_empty_input(spark):
     corpus = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
     empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert semdedup_incremental(corpus, empty_emb, nlist=4).count() == 0
+
+
+def test_append_low_id_does_not_reseed_centroids(spark, emb):
+    """A survivor appended with an id BELOW the original seed ids must
+    not re-seed the quantizer: stored cell assignments stay valid, and
+    an exact copy of an existing corpus vector is still caught on the
+    next screen (the centroid-drift failure mode of deriving seeds from
+    the store's current lowest ids)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_corpus_cells,
+        persist_corpus_cells,
+        semdedup_batch_vs_table,
+    )
+
+    corpus = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 400)).select(
+        "vec_id", "embedding"
+    )
+    name = "t_corpus_cells_lowid"
+    persist_corpus_cells(corpus, name, nlist=8, n_buckets=4)
+    # append a fresh vector under id 5 — far below every original seed
+    low = emb.filter(F.col("vec_id") == 450).select(
+        F.lit(5).alias("vec_id"), F.col("embedding")
+    )
+    append_corpus_cells(spark, name, low, nlist=8)
+    # an exact copy of corpus vector 200 must still be dropped
+    echo = corpus.filter(F.col("vec_id") == 200).select(
+        F.lit(888888).alias("vec_id"), F.col("embedding")
+    )
+    out = {
+        r.vec_id: r.keep
+        for r in semdedup_batch_vs_table(
+            spark, name, echo, nlist=8, min_cosine=0.99
+        ).collect()
+    }
+    assert out == {888888: False}
+    # retried append of the same low-id row is a no-op (idempotent)
+    n = spark.table(name).count()
+    append_corpus_cells(spark, name, low, nlist=8)
+    assert spark.table(name).count() == n
