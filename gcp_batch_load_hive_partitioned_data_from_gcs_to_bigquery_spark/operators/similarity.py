@@ -1335,6 +1335,52 @@ def append_corpus_cells(
     assigned.select(*stored.columns).write.insertInto(cells_table)
 
 
+def retrain_corpus_cells(
+    spark,
+    cells_table: str,
+    nlist: int,
+    n_buckets: int | None = None,
+) -> dict:
+    """Refit the quantizer and remap the whole store — the maintenance
+    step that makes the ``nlist ∝ corpus`` rule OPERATIONAL: as the
+    corpus grows, cells fatten and the O(Σ cell²) screen degrades, so a
+    periodic retrain (e.g. each time the corpus doubles) re-seeds with
+    a larger ``nlist``, reassigns every stored vector, and freezes the
+    new centroids in the companion table.
+
+    Crash safety mirrors :func:`.._tables.compact_bucketed_store`: the
+    new store AND companion are fully built under staging names before
+    the originals are dropped and the staging tables renamed into place.
+    Cost is one full pass over the store (the assignment GEMM + one
+    bucket shuffle) — amortized across the many O(batch) appends it
+    enables. Returns {n_rows, nlist}.
+    """
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
+
+    stored = spark.table(cells_table)
+    if n_buckets is None:
+        desc = {r["col_name"]: r["data_type"] for r in
+                spark.sql(f"DESCRIBE TABLE EXTENDED {cells_table}").collect()}
+        n_buckets = int(desc["Num Buckets"])
+    # pin the data before any drop: the rebuild replaces the files read
+    vectors = stored.select(
+        "vec_id", F.col("c_vec").alias("embedding")
+    ).localCheckpoint(eager=True)
+    n_rows = vectors.count()
+    staging = f"{cells_table}__retraining"
+    drop_managed_table(spark, staging)
+    drop_managed_table(spark, _centroids_table(staging))
+    persist_corpus_cells(vectors, staging, nlist=nlist, n_buckets=n_buckets)
+    drop_managed_table(spark, cells_table)
+    drop_managed_table(spark, _centroids_table(cells_table))
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {cells_table}")
+    spark.sql(
+        f"ALTER TABLE {_centroids_table(staging)} "
+        f"RENAME TO {_centroids_table(cells_table)}"
+    )
+    return {"n_rows": n_rows, "nlist": nlist}
+
+
 def semdedup_batch_vs_table(
     spark,
     cells_table: str,

@@ -1203,3 +1203,47 @@ def test_append_low_id_does_not_reseed_centroids(spark, emb):
     n = spark.table(name).count()
     append_corpus_cells(spark, name, low, nlist=8)
     assert spark.table(name).count() == n
+
+
+def test_retrain_corpus_cells_reseeds_and_preserves_content(spark, emb):
+    """Retraining with a larger nlist must preserve every stored vector,
+    freeze exactly nlist new companion centroids, and keep the screen
+    working (an exact copy of a stored vector still drops) — the
+    maintenance step behind the nlist-grows-with-the-corpus rule."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _centroids_table,
+        append_corpus_cells,
+        persist_corpus_cells,
+        retrain_corpus_cells,
+        semdedup_batch_vs_table,
+    )
+
+    corpus = emb.filter((F.col("vec_id") % 2 != 0) & (F.col("vec_id") < 300)).select(
+        "vec_id", "embedding"
+    )
+    name = "t_corpus_cells_retrain"
+    persist_corpus_cells(corpus, name, nlist=4, n_buckets=4)
+    extra = emb.filter(F.col("vec_id") == 302).select(
+        F.lit(600001).alias("vec_id"), F.col("embedding")
+    )
+    append_corpus_cells(spark, name, extra, nlist=4)
+    n_before = spark.table(name).count()
+
+    stats = retrain_corpus_cells(spark, name, nlist=16)
+    assert stats == {"n_rows": n_before, "nlist": 16}
+    assert spark.table(name).count() == n_before
+    assert spark.table(_centroids_table(name)).count() == 16
+    # ids preserved exactly
+    ids = sorted(r.vec_id for r in spark.table(name).select("vec_id").collect())
+    assert len(ids) == n_before and ids[-1] == 600001
+    # the screen still catches an exact copy under the new quantizer
+    echo = corpus.filter(F.col("vec_id") == 101).select(
+        F.lit(777777).alias("vec_id"), F.col("embedding")
+    )
+    out = {
+        r.vec_id: r.keep
+        for r in semdedup_batch_vs_table(
+            spark, name, echo, nlist=16, min_cosine=0.99
+        ).collect()
+    }
+    assert out == {777777: False}
