@@ -175,6 +175,42 @@ def main() -> None:
 
     probe("sink_training_shards", shard_probe)
 
+    # Steady-state claim of the persisted semantic-cells store: the cost
+    # of screening a FIXED batch must be (near-)independent of corpus
+    # size. Persist a 1x and a Kx corpus store (nlist ∝ corpus), screen
+    # the same 500-vector batch against each, and report the ratio — a
+    # value near 1.0 is the O(batch) evidence; the naive form's cost
+    # grows ~Kx with the corpus.
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        persist_corpus_cells,
+        semdedup_batch_vs_table,
+    )
+
+    batch = tbl(base, "embeddings").limit(500).localCheckpoint(eager=True)
+
+    def screen_time(sf, kk):
+        name = f"scale_probe_cells_{kk}x"
+        persist_corpus_cells(
+            tbl(sf, "embeddings"), name, nlist=64 * kk, n_buckets=32
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            semdedup_batch_vs_table(
+                spark, name, batch, nlist=64 * kk, min_cosine=0.3
+            ).write.format("noop").mode("overwrite").save()
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+        return round(best, 3)
+
+    t1 = screen_time(base, 1)
+    tk = screen_time(derived, k)
+    results["semdedup_batch_vs_table_fixed_batch"] = {
+        "t_corpus_1x": t1,
+        f"t_corpus_{k}x": tk,
+        "corpus_growth_ratio": round(tk / t1, 3),
+    }
+
     print(json.dumps({"metric": "scale_probe", "k": k, "operators": results}))
 
 
