@@ -178,3 +178,64 @@ def asof_join_tolerance(
         *[F.when(fresh, F.col(f"_rv.{c}")).alias(c) for c in value_cols],
         F.when(fresh, age).alias("asof_age_s"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "s",
+    left_end: str = "e",
+    right_start: str = "s",
+    right_end: str = "e",
+    bucket_secs: int = 600,
+) -> DataFrame:
+    """Interval×interval OVERLAP join — the two-sided upgrade of
+    :func:`range_join_buckets` (which joins points into intervals):
+    every pair of left/right intervals with ``l.s <= r.e AND r.s <=
+    l.e`` (closed-interval overlap), found WITHOUT a cross join.
+
+    Both sides explode to the integer time buckets they cover
+    (``sequence(s div W, e div W)``); candidate pairs meet on the
+    bucket key and the exact overlap predicate filters them; a final
+    ``distinct`` collapses pairs that share several buckets. Shuffle
+    volume is Σ interval_length / W per side — the knob is
+    ``bucket_secs``, sized near the typical interval length. Start/end
+    are epoch-second longs (pure integer arithmetic, so any engine
+    reproduces the buckets exactly).
+
+    Returns the joined pairs with both sides' columns (callers select /
+    aggregate); pair identity must be established by the callers'
+    columns (a ``distinct`` on the selected output collapses
+    multi-bucket duplicates).
+    """
+    lb = left.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (F.col(left_start) / F.lit(bucket_secs)).cast("long"),
+                (F.col(left_end) / F.lit(bucket_secs)).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (F.col(right_start) / F.lit(bucket_secs)).cast("long"),
+                (F.col(right_end) / F.lit(bucket_secs)).cast("long"),
+            )
+        ),
+    )
+    r2 = rb.select(
+        F.col("_b"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+    )
+    return (
+        lb.join(r2, "_b")
+        .filter(
+            (F.col(left_start) <= F.col(f"r_{right_end}"))
+            & (F.col(f"r_{right_start}") <= F.col(left_end))
+        )
+        .drop("_b")
+        .distinct()
+    )

@@ -1836,6 +1836,64 @@ GROUP BY c_mktsegment
 """
 
 
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/temporal.py
+    interval_overlap_join): day-1 error and purchase events become
+    [ts, ts + 1..30 min] intervals; overlapping error/purchase pairs
+    are found via bucket decomposition (both sides explode to covered
+    600 s buckets, meet on the bucket key, exact predicate filters) —
+    never a cross join — and roll up to pair counts per error hour.
+    Durations use floor(value) so the truncate-vs-round CAST divergence
+    between engines can't bite."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import interval_overlap_join
+
+    ev = _events_day1(spark, sf_dir)
+
+    def intervals(event_type: str) -> DataFrame:
+        mins = (
+            (F.floor("value").cast("long") % 30 + 30) % 30 + 1
+        )
+        s0 = F.unix_timestamp("ts")
+        return ev.filter(F.col("event_type") == event_type).select(
+            F.col("event_id").alias("id"),
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+            s0.alias("s"),
+            (s0 + mins * 60).alias("e"),
+        )
+
+    pairs = interval_overlap_join(
+        intervals("error"), intervals("purchase"), bucket_secs=600
+    )
+    return (
+        pairs.groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hour")
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH err AS (
+  SELECT event_id AS id, strftime(ts, '%Y-%m-%d %H') AS hour,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + (((CAST(floor(value) AS BIGINT) % 30) + 30) % 30 + 1) * 60 AS e
+  FROM events
+  WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+),
+pur AS (
+  SELECT event_id AS id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + (((CAST(floor(value) AS BIGINT) % 30) + 30) % 30 + 1) * 60 AS e
+  FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+)
+SELECT err.hour, CAST(count(*) AS BIGINT) AS n_pairs
+FROM err JOIN pur ON err.s <= pur.e AND pur.s <= err.e
+GROUP BY err.hour ORDER BY err.hour
+"""
+
+
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left-semi join (EXISTS): customers with at least one order, counted
     per nation."""
@@ -4190,6 +4248,7 @@ QUERIES: dict[str, callable] = {
     "join_bucketed_colocated": q_join_bucketed_colocated,
     "join_asof": q_join_asof,
     "join_asof_tolerance": q_join_asof_tolerance,
+    "join_interval_overlap": q_join_interval_overlap,
     "join_range_buckets": q_join_range_buckets,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
@@ -4316,6 +4375,7 @@ ORACLES: dict[str, str] = {
     "join_bucketed_colocated": ORACLE_JOIN_BUCKETED,
     "join_asof": ORACLE_JOIN_ASOF,
     "join_asof_tolerance": ORACLE_ASOF_TOLERANCE,
+    "join_interval_overlap": ORACLE_INTERVAL_OVERLAP,
     "join_range_buckets": ORACLE_JOIN_RANGE,
     "join_semi": ORACLE_JOIN_SEMI,
     "join_anti": ORACLE_JOIN_ANTI,
@@ -4493,7 +4553,9 @@ _DRIVER_WINDOW = [
 # dedup with no corpus re-assignment or re-shuffle),
 # text_bpe_coverage (per-source tokens-per-char tokenizer-fit audit),
 # corpus_release_manifest (curate → split → shard → release manifest —
-# the end-of-pipeline rollup, same single content-keyed shuffle).
+# the end-of-pipeline rollup, same single content-keyed shuffle),
+# join_interval_overlap (interval×interval overlap join via bucket
+# decomposition — the two-sided upgrade of the point-in-range join).
 # Additionally, the ENTIRE catalog (238 oracled + 5 rows-only keys) was
 # swept in one process against the DuckDB oracles at sf0.01 AND sf0.1
 # late in round 6 — 0 failures — so every key, windowed or not, has

@@ -1247,3 +1247,25 @@ def test_retrain_corpus_cells_reseeds_and_preserves_content(spark, emb):
         ).collect()
     }
     assert out == {777777: False}
+
+
+def test_interval_overlap_join_boundary_and_bucket_spanning(spark):
+    """Hand-built intervals: closed-boundary touch counts as overlap,
+    disjoint pairs never appear, and a pair sharing MANY buckets is
+    emitted exactly once (the distinct collapses bucket fan-out)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 1000, 1100), (3, 0, 5000)], "id long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 200),    # touches interval 1 at exactly 100 → overlap
+         (20, 101, 999),    # gap between 1 and 2 → only overlaps 3
+         (30, 4000, 9000)], # spans many 600s buckets with 3
+        "id long, s long, e long",
+    )
+    pairs = sorted(
+        (r.id, r.r_id)
+        for r in interval_overlap_join(left, right, bucket_secs=600).collect()
+    )
+    assert pairs == [(1, 10), (3, 10), (3, 20), (3, 30)]
