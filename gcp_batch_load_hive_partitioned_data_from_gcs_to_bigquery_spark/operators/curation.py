@@ -41,7 +41,16 @@ def _grouped_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """The shared front half of the curation pipelines: per-document
     (lang_ok, quality_ok) as narrow map expressions, then ONE
     groupBy(text) that deduplicates (min id = keeper) and carries the
-    flags and copy counts — the funnel's single wide shuffle."""
+    flags and copy counts — the funnel's single wide shuffle.
+
+    The flag expressions are the CPU-heavy part (per-row array/string
+    work inside codegen), so single-split inputs are parallelized first
+    (sf0.1 documents is one parquet file → one core of 32; measured
+    6× cold-pass win) — a no-op at real scale where scans have at
+    least as many splits as cores."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._parallel import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     flagged = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
