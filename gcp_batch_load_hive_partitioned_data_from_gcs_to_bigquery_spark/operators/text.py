@@ -179,6 +179,9 @@ def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     to build the corpus frequency table (small — the vocabulary), which
     is then broadcast back onto the exploded tokens, and one
     groupBy(doc) for the per-document mean. No Python in the loop."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._parallel import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # CPU-bound per-row stage: single-split inputs parallelize (no-op at scale)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
@@ -234,6 +237,9 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     word's occurrences inside the row's own array (O(distinct·n) per
     row — bounded and local) rather than exploding to a global groupBy.
     """
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._parallel import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # CPU-bound per-row stage: single-split inputs parallelize (no-op at scale)
     feats = df.select(F.col(id_col), *_gopher_feature_cols(F.col(text_col)))
     keep = (
         (F.col("n_words") >= 20)
@@ -553,6 +559,9 @@ def tfidf_top_terms(
     top-k window partitions by document — per-doc state, never a global
     sort.
     """
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._parallel import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # CPU-bound per-row stage: single-split inputs parallelize (no-op at scale)
     words = tokenize(F.col(text_col))
     terms = df.select(
         F.col(id_col).alias("doc_id"),
@@ -736,6 +745,9 @@ def bm25_topk(
     per-partition heaps, no global sort materialization. Zero-score
     docs (no query term present) are dropped.
     """
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._parallel import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # CPU-bound per-row stage: single-split inputs parallelize (no-op at scale)
     words = tokenize(F.col(text_col))
     per_doc = df.select(
         F.col(id_col).alias("doc_id"),
@@ -982,6 +994,9 @@ def bigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Plan: one bigram-keyed groupBy for the pair model, one word-keyed
     for contexts, both broadcast-gated joins back onto the exploded
     bigrams, one doc-keyed mean. Everything map-side-combinable."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._parallel import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # CPU-bound per-row stage: single-split inputs parallelize (no-op at scale)
     words = tokenize(F.col(text_col))
     grams = df.select(
         F.col(id_col).alias("doc_id"),
