@@ -1362,14 +1362,12 @@ def retrain_corpus_cells(
         desc = {r["col_name"]: r["data_type"] for r in
                 spark.sql(f"DESCRIBE TABLE EXTENDED {cells_table}").collect()}
         n_buckets = int(desc["Num Buckets"])
-    # pin the data before any drop: the rebuild replaces the files read
-    vectors = stored.select(
-        "vec_id", F.col("c_vec").alias("embedding")
-    ).localCheckpoint(eager=True)
+    # the originals stay intact until the staging build completes, so
+    # the rebuild can read them lazily — no checkpoint copy needed
+    # (persist_corpus_cells drops/reclaims the staging names itself)
+    vectors = stored.select("vec_id", F.col("c_vec").alias("embedding"))
     n_rows = vectors.count()
     staging = f"{cells_table}__retraining"
-    drop_managed_table(spark, staging)
-    drop_managed_table(spark, _centroids_table(staging))
     persist_corpus_cells(vectors, staging, nlist=nlist, n_buckets=n_buckets)
     drop_managed_table(spark, cells_table)
     drop_managed_table(spark, _centroids_table(cells_table))

@@ -195,47 +195,45 @@ def interval_overlap_join(
     l.e`` (closed-interval overlap), found WITHOUT a cross join.
 
     Both sides explode to the integer time buckets they cover
-    (``sequence(s div W, e div W)``); candidate pairs meet on the
-    bucket key and the exact overlap predicate filters them; a final
-    ``distinct`` collapses pairs that share several buckets. Shuffle
-    volume is Σ interval_length / W per side — the knob is
-    ``bucket_secs``, sized near the typical interval length. Start/end
-    are epoch-second longs (pure integer arithmetic, so any engine
-    reproduces the buckets exactly).
+    (``floor(s / W) .. floor(e / W)`` — true floor division, so the
+    recipe reproduces in any engine for negative values too);
+    candidate pairs meet on the bucket key, the exact overlap predicate
+    filters them, and each surviving pair is emitted in exactly ONE
+    canonical bucket — the bucket of the LATER start, which both sides
+    of an overlapping pair provably cover (the other side's end is ≥
+    the later start). That single-bucket emission replaces a full-width
+    ``distinct`` over the join output: no second wide shuffle, and
+    duplicate input rows keep plain multiset join semantics instead of
+    being collapsed. Shuffle volume is Σ interval_length / W per side —
+    size ``bucket_secs`` near the typical interval length. Start/end
+    are epoch-second longs.
 
-    Returns the joined pairs with both sides' columns (callers select /
-    aggregate); pair identity must be established by the callers'
-    columns (a ``distinct`` on the selected output collapses
-    multi-bucket duplicates).
+    Returns the joined pairs with the left columns plus the right
+    columns prefixed ``r_``.
     """
+    def bucket(col: str):
+        return F.floor(F.col(col) / F.lit(bucket_secs)).cast("long")
+
     lb = left.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                (F.col(left_start) / F.lit(bucket_secs)).cast("long"),
-                (F.col(left_end) / F.lit(bucket_secs)).cast("long"),
-            )
-        ),
+        "_b", F.explode(F.sequence(bucket(left_start), bucket(left_end)))
     )
     rb = right.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                (F.col(right_start) / F.lit(bucket_secs)).cast("long"),
-                (F.col(right_end) / F.lit(bucket_secs)).cast("long"),
-            )
-        ),
+        "_b", F.explode(F.sequence(bucket(right_start), bucket(right_end)))
     )
     r2 = rb.select(
         F.col("_b"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns],
+    )
+    canonical = F.greatest(
+        F.floor(F.col(left_start) / F.lit(bucket_secs)).cast("long"),
+        F.floor(F.col(f"r_{right_start}") / F.lit(bucket_secs)).cast("long"),
     )
     return (
         lb.join(r2, "_b")
         .filter(
             (F.col(left_start) <= F.col(f"r_{right_end}"))
             & (F.col(f"r_{right_start}") <= F.col(left_end))
+            & (F.col("_b") == canonical)
         )
         .drop("_b")
-        .distinct()
     )

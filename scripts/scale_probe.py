@@ -193,15 +193,9 @@ def main() -> None:
         persist_corpus_cells(
             tbl(sf, "embeddings"), name, nlist=64 * kk, n_buckets=32
         )
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            semdedup_batch_vs_table(
-                spark, name, batch, nlist=64 * kk, min_cosine=0.3
-            ).write.format("noop").mode("overwrite").save()
-            t = time.time() - t0
-            best = t if best is None else min(best, t)
-        return round(best, 3)
+        return timed(
+            semdedup_batch_vs_table(spark, name, batch, nlist=64 * kk, min_cosine=0.3)
+        )
 
     t1 = screen_time(base, 1)
     tk = screen_time(derived, k)

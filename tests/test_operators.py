@@ -1269,3 +1269,11 @@ def test_interval_overlap_join_boundary_and_bucket_spanning(spark):
         for r in interval_overlap_join(left, right, bucket_secs=600).collect()
     )
     assert pairs == [(1, 10), (3, 10), (3, 20), (3, 30)]
+    # multiset semantics: a duplicated input row yields its pairs twice
+    # (canonical-bucket emission never collapses genuine duplicates)
+    left2 = left.unionAll(left.filter(F.col("id") == 1))
+    dup_pairs = sorted(
+        (r.id, r.r_id)
+        for r in interval_overlap_join(left2, right, bucket_secs=600).collect()
+    )
+    assert dup_pairs == [(1, 10), (1, 10), (3, 10), (3, 20), (3, 30)]
