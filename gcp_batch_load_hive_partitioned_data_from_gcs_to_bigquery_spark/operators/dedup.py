@@ -663,32 +663,51 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
+# 60-bit variant of _SIMHASH_FOLD_SQL for the md5 family: identical
+# narrow-map shape, but the slot vector is 60-wide and no bit ever
+# reaches the sign position (15 hex chars = 60 bits keeps every
+# intermediate inside a signed 64-bit in BOTH engines, so the SQL
+# oracle replicates it verbatim without unsigned tricks).
+_SIMHASH_FOLD_60_SQL = """
+aggregate(
+  zip_with(
+    aggregate(
+      {hashes},
+      array_repeat(0L, 60),
+      (acc, h) -> zip_with(acc, sequence(0, 59), (a, j) -> a + IF(((h >> j) & 1) = 1, 1L, -1L))
+    ),
+    sequence(0, 59),
+    (s, j) -> IF(s > 0, shiftleft(1L, CAST(j AS INT)), 0L)
+  ),
+  0L, (a, b) -> a | b)
+"""
+
+
 def simhash_md5(df: DataFrame, id_col: str, text_col: str, num_bits: int = 60) -> DataFrame:
     """60-bit SimHash with an md5-derived token hash — the cross-engine-
     reproducible twin of :func:`simhash` (which uses xxhash64 and can
     only get a rows-only check). Token hash = first 15 hex chars of
     md5(token) parsed base-16 (60 bits keeps the fingerprint inside a
-    signed 64-bit everywhere); same one-shuffle conditional-sum plan.
-    Term frequency weights bits exactly like the production variant
-    (duplicate tokens are NOT deduplicated)."""
+    signed 64-bit everywhere). Same shuffle-free per-row fold as the
+    production variant (``_SIMHASH_FOLD_60_SQL``) — the explode +
+    60-conditional-sum groupBy this replaced shuffled one row per TOKEN
+    and regressed 3.7x the moment this key entered the bench; the fold
+    is a narrow map whose cost is bounded by the document, not the
+    corpus. Term frequency weights bits exactly like the production
+    variant (duplicate tokens are NOT deduplicated)."""
+    if num_bits != 60:  # the fold SQL and the block-LSH split are 60-bit
+        raise ValueError("simhash_md5 is fixed at 60 bits (4 x 15-bit blocks)")
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    toks = df.select(
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(num_bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    fp = None
-    for j in range(num_bits):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << j)
-        fp = term if fp is None else fp + term
-    return agg.select("doc_id", fp.alias("simhash"))
+        F.transform(
+            tokenize(F.col(text_col)),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ).alias("_th"),
+    )
+    return staged.select(
+        "doc_id", F.expr(_SIMHASH_FOLD_60_SQL.format(hashes="_th")).alias("simhash")
+    )
 
 
 def simhash_near_pairs_md5(fingerprints: DataFrame, max_hamming: int = 12) -> DataFrame:
