@@ -16,6 +16,8 @@ corpus is never collected.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -1163,9 +1165,15 @@ def _screen_batch(ba: DataFrame, corp: DataFrame, min_cosine: float) -> DataFram
     SELF-pairs excluded (b_vec_id != vec_id): on a foreachBatch retry a
     survivor's own already-appended copy shares its vec_id, and without
     the exclusion every re-screened survivor would cosine-1-match
-    itself and be falsely dropped. Returns (vec_id, cell, keep)."""
+    itself and be falsely dropped. Returns (vec_id, cell, keep).
+
+    The BATCH side is broadcast: it is bounded by the micro-batch
+    contract (never the corpus), and ``cell`` has only nlist distinct
+    values — a shuffle join on it would funnel the corpus side through
+    ≤ nlist reducers, while the broadcast keeps the corpus scan
+    map-side with no exchange at all."""
     dropped = (
-        ba.join(
+        F.broadcast(ba).join(
             corp,
             (F.col("cell") == F.col("b_cell"))
             & (F.col("b_vec_id") != F.col("vec_id")),
@@ -1243,14 +1251,119 @@ def _centroids_table(table_name: str) -> str:
     return f"{table_name}__centroids"
 
 
-def _stored_centroid_rows(spark, cells_table: str):
-    """Centroids FROZEN at persist time, read back from the companion
-    table — NOT re-derived from the store's current lowest ids, which
-    would silently re-seed the quantizer (and orphan every stored cell
-    assignment) the moment an append carries an id below the original
-    seeds."""
-    rows = spark.table(_centroids_table(cells_table)).orderBy("cell").collect()
+def _versioned(table_name: str, version: int) -> str:
+    return f"{table_name}__v{version}"
+
+
+def _live_version(spark, table_name: str) -> int:
+    """Resolve the live store version from the pointer VIEW's text.
+
+    A cells store's public name is a view ``SELECT * FROM
+    <name>__v{N}``; ``CREATE OR REPLACE VIEW`` is a single metastore
+    operation, so flipping ``N`` is the store's atomic commit point —
+    a reader resolving the public name NEVER observes a missing table
+    (the gap the earlier drop→rename swap left open between the DROP
+    of the live store and the RENAME of its staging copy). Raises
+    ``ValueError`` when the name is not a cells-store pointer view."""
+    ddl = " ".join(r[0] for r in spark.sql(f"SHOW CREATE TABLE {table_name}").collect())
+    m = re.search(rf"{re.escape(table_name)}__v(\d+)", ddl)
+    if m is None:
+        raise ValueError(f"{table_name} is not a corpus-cells store pointer view")
+    return int(m.group(1))
+
+
+def _store_versions(spark, table_name: str) -> list[int]:
+    """Physical data versions present in the metastore (live + any
+    orphans a crashed build left behind)."""
+    rows = spark.sql(f"SHOW TABLES LIKE '{table_name}__v*'").collect()
+    out = []
+    for r in rows:
+        m = re.fullmatch(rf"{re.escape(table_name)}__v(\d+)", r["tableName"])
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _live_tables(spark, cells_table: str) -> tuple[str, str]:
+    """Resolve (data table, centroids table) of the live version ONCE —
+    callers must pair reads from one resolution so a concurrent retrain
+    flip cannot hand them data from one quantizer and centroids from
+    another."""
+    data_t = _versioned(cells_table, _live_version(spark, cells_table))
+    return data_t, _centroids_table(data_t)
+
+
+def _read_centroids(spark, centroids_table: str):
+    rows = spark.table(centroids_table).orderBy("cell").collect()
     return [(int(r["cell"]), list(r["c_vec"])) for r in rows]
+
+
+def _stored_centroid_rows(spark, cells_table: str):
+    """Centroids FROZEN at persist time, read back from the live
+    version's companion table — NOT re-derived from the store's current
+    lowest ids, which would silently re-seed the quantizer (and orphan
+    every stored cell assignment) the moment an append carries an id
+    below the original seeds."""
+    return _read_centroids(spark, _live_tables(spark, cells_table)[1])
+
+
+def drop_corpus_cells(spark, cells_table: str) -> None:
+    """Remove a cells store entirely: pointer view, every physical
+    version (live or orphaned), and any legacy single-table layout
+    under the same name."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
+
+    if spark.catalog.tableExists(cells_table):
+        try:
+            _live_version(spark, cells_table)
+            spark.sql(f"DROP VIEW IF EXISTS {cells_table}")
+        except ValueError:  # legacy physical table under the store name
+            drop_managed_table(spark, cells_table)
+    for v in _store_versions(spark, cells_table):
+        drop_managed_table(spark, _versioned(cells_table, v))
+        drop_managed_table(spark, _centroids_table(_versioned(cells_table, v)))
+    drop_managed_table(spark, _centroids_table(cells_table))  # legacy companion
+
+
+def _build_store_version(
+    corpus: DataFrame,
+    cells_table: str,
+    version: int,
+    nlist: int,
+    id_col: str,
+    vec_col: str,
+) -> str:
+    """Fully materialize one store version under its versioned physical
+    names: frozen centroids first, then the data table PARTITIONED BY
+    ``cell`` with one file per cell (the ``repartition(cell)`` ahead of
+    the dynamic-partition write puts each cell in exactly one task).
+    Reclaims same-version orphans from a crashed prior build; never
+    touches the live version."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
+
+    spark = corpus.sparkSession
+    data_t = _versioned(cells_table, version)
+    drop_managed_table(spark, data_t)
+    drop_managed_table(spark, _centroids_table(data_t))
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    centroid_rows = _seed_centroid_rows(c, nlist)
+    spark.createDataFrame(
+        [(cell, vec) for cell, vec in centroid_rows],
+        "cell int, c_vec array<double>",
+    ).coalesce(1).write.format("parquet").saveAsTable(_centroids_table(data_t))
+    assigned = _assign_cells_blas(c, centroid_rows).withColumn(
+        "c_norm", _norm(F.col("c_vec"))
+    )
+    (
+        assigned.repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(data_t)
+    )
+    return data_t
 
 
 def persist_corpus_cells(
@@ -1259,48 +1372,45 @@ def persist_corpus_cells(
     nlist: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_buckets: int | None = None,
 ) -> str:
     """Materialize the corpus's cell assignments (+ precomputed norms)
-    as a BUCKETED, sorted table on the cell key — the amortization step
-    for continuous semantic dedup, mirroring
-    ``dedup.persist_corpus_bands``: a continuously-ingesting pipeline
-    assigns the corpus ONCE, then every micro-batch joins against the
-    stored layout without re-running the assignment GEMM or re-shuffling
-    the corpus (only the small batch moves; the corpus side is a
-    bucket-aligned scan). Appends of newly-accepted vectors go through
-    ``insertInto`` preserving the layout.
+    as a table PARTITIONED BY the cell key — the amortization step for
+    continuous semantic dedup, mirroring ``dedup.persist_corpus_bands``:
+    a continuously-ingesting pipeline assigns the corpus ONCE, then
+    every micro-batch screens against ONLY its touched cell partitions
+    (static partition pruning — the batch assigns to ≤ min(|batch|,
+    nlist) cells, so the per-batch corpus READ is bounded by the batch,
+    not the corpus; the bands store keeps bucketing instead because its
+    (band, value) key is high-cardinality, while ``cell`` has exactly
+    ``nlist`` values — the hive-partitionable case).
 
-    The seed centroids are FROZEN into a tiny companion table
-    (``<name>__centroids``) at persist time — the quantizer is part of
-    the store's state, never re-derived from the data (an append with a
-    low id must not re-seed it); production swaps trained k-means
-    centroids into the same companion shape. Main rows:
-    (vec_id, cell, c_vec, c_norm)."""
+    The store's public name is a pointer VIEW over a versioned physical
+    table (``<name>__v{N}``); rebuilds (retrain/compact/re-persist)
+    construct version N+1 fully, then commit with one atomic
+    ``CREATE OR REPLACE VIEW`` — readers never observe a missing table.
+    The seed centroids are FROZEN into a per-version companion table
+    (``<name>__v{N}__centroids``) — the quantizer is part of the
+    store's state, never re-derived from the data (an append with a low
+    id must not re-seed it); production swaps trained k-means centroids
+    into the same companion shape. Data rows: (vec_id, c_vec, c_norm)
+    partitioned by ``cell``."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
 
     spark = corpus.sparkSession
-    n = n_buckets or spark.sparkContext.defaultParallelism
-    drop_managed_table(spark, table_name)
-    drop_managed_table(spark, _centroids_table(table_name))
-    c = with_double_embedding(corpus, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-    )
-    centroid_rows = _seed_centroid_rows(c, nlist)
-    spark.createDataFrame(
-        [(cell, vec) for cell, vec in centroid_rows],
-        "cell int, c_vec array<double>",
-    ).coalesce(1).write.format("parquet").saveAsTable(_centroids_table(table_name))
-    assigned = _assign_cells_blas(c, centroid_rows).withColumn(
-        "c_norm", _norm(F.col("c_vec"))
-    )
-    (
-        assigned.write.bucketBy(n, "cell")
-        .sortBy("cell")
-        .format("parquet")
-        .mode("overwrite")
-        .saveAsTable(table_name)
-    )
+    live = None
+    if spark.catalog.tableExists(table_name):
+        try:
+            live = _live_version(spark, table_name)
+        except ValueError:  # legacy single-table layout: clear it
+            drop_managed_table(spark, table_name)
+            drop_managed_table(spark, _centroids_table(table_name))
+    orphans = _store_versions(spark, table_name)
+    new_v = max(orphans + ([live] if live is not None else []) + [0]) + 1
+    data_t = _build_store_version(corpus, table_name, new_v, nlist, id_col, vec_col)
+    spark.sql(f"CREATE OR REPLACE VIEW {table_name} AS SELECT * FROM {data_t}")
+    for v in set(orphans + ([live] if live is not None else [])) - {new_v}:
+        drop_managed_table(spark, _versioned(table_name, v))
+        drop_managed_table(spark, _centroids_table(_versioned(table_name, v)))
     return table_name
 
 
@@ -1314,69 +1424,103 @@ def append_corpus_cells(
 ) -> None:
     """O(batch) append of newly-accepted vectors into a
     :func:`persist_corpus_cells` store: the new rows assign against the
-    FROZEN centroids from the companion table and ``insertInto`` the
-    bucketed layout — the corpus is never rewritten or re-shuffled, so
-    the steady-state ingest loop (screen via
+    FROZEN centroids of the live version and ``insertInto`` its
+    partitioned layout — the corpus is never rewritten or re-shuffled,
+    so the steady-state ingest loop (screen via
     :func:`semdedup_batch_vs_table` → append survivors) costs only the
-    batch at every step. Ids already present in the store are skipped
-    (anti-join on a column-pruned id scan), making a retried
-    append-after-crash idempotent. Column order follows the table
-    schema (insertInto is positional). ``nlist`` is retained for
-    interface symmetry; the quantizer geometry comes entirely from the
-    frozen companion table."""
-    stored = spark.table(cells_table)
-    centroid_rows = _stored_centroid_rows(spark, cells_table)
+    batch at every step. Ids already present are skipped for retry
+    idempotence via an anti-join whose store read is PRUNED to the
+    batch's touched cell partitions — sound because the frozen
+    centroids make assignment deterministic: a previously-appended copy
+    of any batch id lives in exactly the cell that id re-assigns to.
+    Column order follows the table schema (insertInto is positional).
+    ``nlist`` is retained for interface symmetry; the quantizer
+    geometry comes entirely from the frozen companion table."""
+    data_t, cent_t = _live_tables(spark, cells_table)
+    stored = spark.table(data_t)
+    centroid_rows = _read_centroids(spark, cent_t)
     b = with_double_embedding(new_vectors, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-    ).join(stored.select("vec_id"), "vec_id", "left_anti")
+    )
     assigned = _assign_cells_blas(b, centroid_rows).withColumn(
         "c_norm", _norm(F.col("c_vec"))
-    )
-    assigned.select(*stored.columns).write.insertInto(cells_table)
+    ).localCheckpoint(eager=True)  # one assignment GEMM, reused below
+    cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    if not cells:
+        return
+    present = stored.filter(F.col("cell").isin(cells)).select("vec_id")
+    fresh = assigned.join(present, "vec_id", "left_anti")
+    fresh.select(*stored.columns).write.insertInto(data_t)
 
 
 def retrain_corpus_cells(
     spark,
     cells_table: str,
     nlist: int,
-    n_buckets: int | None = None,
 ) -> dict:
     """Refit the quantizer and remap the whole store — the maintenance
     step that makes the ``nlist ∝ corpus`` rule OPERATIONAL: as the
     corpus grows, cells fatten and the O(Σ cell²) screen degrades, so a
     periodic retrain (e.g. each time the corpus doubles) re-seeds with
     a larger ``nlist``, reassigns every stored vector, and freezes the
-    new centroids in the companion table.
+    new centroids in the new version's companion table.
 
-    Crash safety mirrors :func:`.._tables.compact_bucketed_store`: the
-    new store AND companion are fully built under staging names before
-    the originals are dropped and the staging tables renamed into place.
+    Built entirely through :func:`persist_corpus_cells`: version N+1 is
+    fully materialized (reading version N lazily — the originals stay
+    intact throughout the build), then the pointer view flips in one
+    atomic metastore operation and version N is dropped. A crash
+    mid-build leaves the live store untouched plus reclaimable
+    orphans; a reader resolving the public name never finds it missing.
     Cost is one full pass over the store (the assignment GEMM + one
-    bucket shuffle) — amortized across the many O(batch) appends it
+    partition shuffle) — amortized across the many O(batch) appends it
     enables. Returns {n_rows, nlist}.
     """
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
-
     stored = spark.table(cells_table)
-    if n_buckets is None:
-        desc = {r["col_name"]: r["data_type"] for r in
-                spark.sql(f"DESCRIBE TABLE EXTENDED {cells_table}").collect()}
-        n_buckets = int(desc["Num Buckets"])
-    # the originals stay intact until the staging build completes, so
-    # the rebuild can read them lazily — no checkpoint copy needed
-    # (persist_corpus_cells drops/reclaims the staging names itself)
     vectors = stored.select("vec_id", F.col("c_vec").alias("embedding"))
     n_rows = vectors.count()
-    staging = f"{cells_table}__retraining"
-    persist_corpus_cells(vectors, staging, nlist=nlist, n_buckets=n_buckets)
-    drop_managed_table(spark, cells_table)
-    drop_managed_table(spark, _centroids_table(cells_table))
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {cells_table}")
-    spark.sql(
-        f"ALTER TABLE {_centroids_table(staging)} "
-        f"RENAME TO {_centroids_table(cells_table)}"
-    )
+    persist_corpus_cells(vectors, cells_table, nlist=nlist)
     return {"n_rows": n_rows, "nlist": nlist}
+
+
+def compact_corpus_cells(spark, cells_table: str) -> dict:
+    """Collapse the per-append small files of a cells store back to one
+    file per cell — the partitioned-store twin of
+    ``_tables.compact_bucketed_store`` (which serves the bucketed bands
+    store). Assignments and centroids are preserved verbatim (no
+    re-seed — this is compaction, not retrain): version N+1 is the live
+    data repartitioned on ``cell`` plus a copy of the frozen centroids,
+    committed by the same atomic view flip. Returns
+    {files_before, files_after, n_rows}."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import (
+        drop_managed_table,
+        store_file_stats,
+    )
+
+    data_t, cent_t = _live_tables(spark, cells_table)
+    v = _live_version(spark, cells_table)
+    before = store_file_stats(spark, data_t)["n_files"]
+    new_data = _versioned(cells_table, v + 1)
+    drop_managed_table(spark, new_data)
+    drop_managed_table(spark, _centroids_table(new_data))
+    spark.table(cent_t).coalesce(1).write.format("parquet").saveAsTable(
+        _centroids_table(new_data)
+    )
+    (
+        spark.table(data_t)
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(new_data)
+    )
+    spark.sql(f"CREATE OR REPLACE VIEW {cells_table} AS SELECT * FROM {new_data}")
+    drop_managed_table(spark, data_t)
+    drop_managed_table(spark, cent_t)
+    return {
+        "files_before": before,
+        "files_after": store_file_stats(spark, new_data)["n_files"],
+        "n_rows": spark.table(new_data).count(),
+    }
 
 
 def semdedup_batch_vs_table(
@@ -1391,22 +1535,33 @@ def semdedup_batch_vs_table(
     """:func:`semdedup_incremental` against a persisted
     :func:`persist_corpus_cells` table: only the BATCH runs the
     assignment kernel (against the FROZEN companion centroids — bounded
-    metadata); the corpus side is a bucket-aligned scan of the stored
-    layout, so the steady-state per-batch cost never re-touches corpus
-    assignment. Same screening join (and retry-safe self-exclusion) as
-    the direct operator via :func:`_screen_batch`. ``nlist`` is
+    metadata), and the corpus read is PRUNED to the batch's touched
+    cell partitions — a bounded collect (≤ min(|batch|, nlist) cell
+    ids) pushed into the scan as a static IN filter, so the physical
+    plan carries PartitionFilters on ``cell`` and the per-batch corpus
+    I/O is bounded by the batch, never O(corpus) (the scale gap the
+    earlier bucketed layout left open: bucketing killed the corpus
+    SHUFFLE but still read every stored byte each micro-batch). Same
+    screening join (and retry-safe self-exclusion) as the direct
+    operator via :func:`_screen_batch`. Data and centroids resolve
+    from ONE live version (see :func:`_live_tables`). ``nlist`` is
     retained for interface symmetry; the quantizer geometry comes
     entirely from the frozen companion table. Returns one row per
     batch vector: ``(vec_id, cell, keep)``."""
-    stored = spark.table(cells_table)
-    centroid_rows = _stored_centroid_rows(spark, cells_table)
+    data_t, cent_t = _live_tables(spark, cells_table)
+    centroid_rows = _read_centroids(spark, cent_t)
     b = with_double_embedding(batch, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
     )
     ba = _assign_cells_blas(b, centroid_rows).withColumn(
         "c_norm", _norm(F.col("c_vec"))
+    ).localCheckpoint(eager=True)  # one assignment GEMM, reused below
+    cells = [r["cell"] for r in ba.select("cell").distinct().collect()]
+    stored = spark.table(data_t)
+    pruned = (
+        stored.filter(F.col("cell").isin(cells)) if cells else stored.filter(F.lit(False))
     )
-    corp = stored.select(
+    corp = pruned.select(
         F.col("vec_id").alias("b_vec_id"),
         F.col("cell").alias("b_cell"),
         F.col("c_vec").alias("b_vec"),

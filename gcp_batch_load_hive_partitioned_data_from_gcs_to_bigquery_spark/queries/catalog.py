@@ -2957,14 +2957,15 @@ FROM bassigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 
 def q_dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The amortized corpus side of incremental semantic dedup: corpus
-    cell assignments + norms persisted ONCE as a bucketed+sorted table
-    on the cell key (operators/similarity.py persist_corpus_cells),
-    then the batch assigns against centroids recovered from the store
-    and joins the bucket-aligned corpus scan — no corpus re-assignment
-    GEMM, no corpus shuffle per batch (the minhash corpus-bands pattern
-    for embeddings). Same seed quantizer, split, and threshold as
-    dedup_semantic_incremental, so the verdicts are value-exact against
-    the same SQL oracle."""
+    cell assignments + norms persisted ONCE as a table PARTITIONED by
+    the cell key behind a pointer view (operators/similarity.py
+    persist_corpus_cells), then the batch assigns against the frozen
+    companion centroids and screens a store scan PRUNED to its touched
+    cells — the static IN filter reaches the scan as PartitionFilters
+    (pinned by tests/test_plan_audit.py), so per-batch corpus I/O is
+    bounded by the batch, never O(corpus). Same seed quantizer, split,
+    and threshold as dedup_semantic_incremental, so the verdicts are
+    value-exact against the same SQL oracle."""
     import hashlib
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2973,7 +2974,7 @@ def q_dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("corpus_cells", sf_dir)
     if key not in _FIXTURES:
         name = "corpus_cells_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        SIM.persist_corpus_cells(corpus, name, nlist=64, n_buckets=8)
+        SIM.persist_corpus_cells(corpus, name, nlist=64)
         _FIXTURES[key] = name
     out = SIM.semdedup_batch_vs_table(
         spark, _FIXTURES[key], batch, nlist=64, min_cosine=0.3
@@ -3001,16 +3002,14 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "stream_sem_src", sf_dir,
         (emb.filter(F.col("vec_id") % 4 != 0), emb.filter(F.col("vec_id") % 4 == 0)),
     )
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import _centroids_table
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import drop_corpus_cells
 
     audit_root, ckpt = _tmp("sem_audit"), _tmp("sem_ckpt")
     for d in (audit_root, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     # fresh store per invocation: the corpus append is stateful by design
     corpus_table = "stream_sem_corpus_cells"
-    drop_managed_table(spark, corpus_table)
-    drop_managed_table(spark, _centroids_table(corpus_table))
+    drop_corpus_cells(spark, corpus_table)
     q = stream_semantic_dedup(
         spark, src, corpus_table, audit_root, emb.schema,
         nlist=64, min_cosine=0.3, checkpoint=ckpt,
@@ -4457,28 +4456,26 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-7 queue: the 8 keys landed after round 6's window froze —
-# approx_quantile_hashmin (deterministic hash-min-sample quantile
-# sketch), monitor_freshness (landing-table partition-lag monitor),
-# dedup_semantic_incremental (batch-vs-corpus SemDeDup),
-# stream_semantic_dedup (its foreachBatch streaming form),
-# dedup_semantic_bucketed (cell-partitioned persisted corpus store),
-# text_bpe_coverage (tokens-per-char tokenizer-fit audit),
-# corpus_release_manifest (curate → split → shard → release rollup),
-# join_interval_overlap (interval×interval bucket-decomposition join).
+# Round-8 queue: keys whose IMPLEMENTATION changed this round (their
+# round-7 green rows attest the old code, so they jump the line for a
+# fresh row over the new code) —
+# dedup_simhash (explode+60-sum groupBy → shuffle-free 60-bit fold),
+# dedup_semantic_bucketed / stream_semantic_dedup /
+# dedup_semantic_incremental (cells store re-laid-out: PARTITIONED by
+# cell behind an atomic pointer view, screen/append partition-pruned to
+# the batch's touched cells, batch side broadcast).
+# _ROUND_QUEUE_ROUND pins the round this queue demands evidence FROM:
+# the queue retires only when CORRECTNESS_r08 lands (rotation.py).
 # Gate (per project discipline): every queued key verified with
 # scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
 # rotation landed; the whole 50-key window swept in one process at both
 # SFs before freezing.
+_ROUND_QUEUE_ROUND = 8
 _ROUND_QUEUE = [
-    "approx_quantile_hashmin",
-    "monitor_freshness",
-    "dedup_semantic_incremental",
-    "stream_semantic_dedup",
+    "dedup_simhash",
     "dedup_semantic_bucketed",
-    "text_bpe_coverage",
-    "corpus_release_manifest",
-    "join_interval_overlap",
+    "stream_semantic_dedup",
+    "dedup_semantic_incremental",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]
@@ -4489,7 +4486,9 @@ from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.rot
     build_driver_window,
 )
 
-_DRIVER_WINDOW = build_driver_window(QUERIES.keys(), _ROUND_QUEUE, size=50)
+_DRIVER_WINDOW = build_driver_window(
+    QUERIES.keys(), _ROUND_QUEUE, size=50, queue_round=_ROUND_QUEUE_ROUND
+)
 
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_WINDOW},

@@ -32,6 +32,7 @@ import glob
 import json
 import os
 import re
+import warnings
 from typing import Dict, Iterable, List
 
 # repo root = parent of the package dir (…/repo/<pkg>/queries/rotation.py)
@@ -48,6 +49,7 @@ def last_green_round(repo_root: str | None = None) -> Dict[str, int]:
     'more keys look stale', never break the catalog import."""
     root = repo_root or _REPO_ROOT
     rounds: Dict[str, int] = {}
+    parsed = 0
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -60,6 +62,7 @@ def last_green_round(repo_root: str | None = None) -> Dict[str, int]:
             continue
         if not isinstance(data, dict):
             continue
+        parsed += 1
         for key, row in data.items():
             if not isinstance(row, dict):
                 continue
@@ -71,6 +74,16 @@ def last_green_round(repo_root: str | None = None) -> Dict[str, int]:
             )
             if green:
                 rounds[key] = max(rounds.get(key, 0), rn)
+    if parsed == 0:
+        # A misrooted checkout / installed package / CI layout has no
+        # evidence files: the window then degrades to queue + name
+        # order. That degradation must be VISIBLE, not a silent
+        # reordering away from any verified window.
+        warnings.warn(
+            f"no CORRECTNESS_r*.json evidence found under {root}; "
+            "driver window falls back to queue + alphabetical order",
+            stacklevel=2,
+        )
     return rounds
 
 
@@ -79,16 +92,38 @@ def build_driver_window(
     new_keys: Iterable[str] = (),
     size: int = 50,
     repo_root: str | None = None,
+    queue_round: int | None = None,
 ) -> List[str]:
     """Derive the first-``size`` driver window: queued ``new_keys``
     first (in the given order), then all remaining catalog keys
     oldest-evidence-first, name-tie-broken. ``new_keys`` not present in
     ``query_keys`` are ignored (typo guard lives in the caller, which
-    knows whether the key SHOULD exist)."""
+    knows whether the key SHOULD exist).
+
+    ``queue_round`` is the round the queue was declared FOR (a static
+    constant next to the queue, not derived from the evidence files). A
+    queued key RETIRES from the front once the committed evidence shows
+    it green in round ``queue_round`` or later: its slot has done its
+    job (the row the queue demanded is on disk), and pinning it further
+    would burn rotation slots re-checking the freshest evidence while
+    the stale tail waits. Keying retirement to the DECLARED round — not
+    to "newest committed round" — keeps the jump-the-line hatch intact
+    for keys whose implementation changed: their green rows from
+    EARLIER rounds attest the old code and must not satisfy the queue.
+    The moment the demanded CORRECTNESS file lands, the satisfied queue
+    drains and the freed slots go to the stale tail; committing
+    evidence is therefore self-correcting, never window-corrupting.
+    With ``queue_round=None`` the queue never retires (a standing
+    queue)."""
     keys = list(query_keys)
     key_set = set(keys)
     evidence = last_green_round(repo_root)
-    window: List[str] = [k for k in new_keys if k in key_set]
+    window: List[str] = [
+        k
+        for k in new_keys
+        if k in key_set
+        and (queue_round is None or evidence.get(k, 0) < queue_round)
+    ]
     seen = set(window)
     rest = sorted(
         (k for k in keys if k not in seen),

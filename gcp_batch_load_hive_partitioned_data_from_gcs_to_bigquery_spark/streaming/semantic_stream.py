@@ -4,11 +4,13 @@ incremental-dedup triple (exact sha / MinHash bands / embedding cosine)
 for a continuously-ingesting corpus.
 
 The accumulated corpus lives in a :func:`persist_corpus_cells` store
-(bucketed on the cell key, centroids FROZEN in its companion table), so
-each micro-batch costs O(batch): the batch assigns against the frozen
-centroids, screens against a bucket-aligned scan of the store — never a
-corpus re-assignment or corpus shuffle — survivors append through the
-O(batch) ``insertInto`` path, and dropped vectors land in an audit
+(PARTITIONED by the cell key, centroids FROZEN in its per-version
+companion table, public name a pointer view), so each micro-batch costs
+O(batch) in BOTH compute and I/O: the batch assigns against the frozen
+centroids, screens against a store scan PRUNED to its touched cell
+partitions (static IN filter → PartitionFilters; never a corpus
+re-assignment, corpus shuffle, or full-store read) — survivors append
+through the O(batch) ``insertInto`` path, and dropped vectors land in an audit
 table with their cell. The FIRST non-empty batch seeds the store (and
 its centroids) and survives wholesale — the same degrade-to-accept
 stance as ``dedup_stream``'s cold corpus.

@@ -190,9 +190,7 @@ def main() -> None:
 
     def screen_time(sf, kk):
         name = f"scale_probe_cells_{kk}x"
-        persist_corpus_cells(
-            tbl(sf, "embeddings"), name, nlist=64 * kk, n_buckets=32
-        )
+        persist_corpus_cells(tbl(sf, "embeddings"), name, nlist=64 * kk)
         return timed(
             semdedup_batch_vs_table(spark, name, batch, nlist=64 * kk, min_cosine=0.3)
         )

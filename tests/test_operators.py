@@ -1037,10 +1037,12 @@ def test_semdedup_incremental_corpus_canonical_batch_pairs_survive(spark, emb):
     assert out2 == {200001: True, 200002: True}
 
 
-def test_semdedup_vs_table_matches_incremental_and_skips_corpus_shuffle(spark, emb, tmp_path):
+def test_semdedup_vs_table_matches_incremental_and_prunes_store_scan(spark, emb, tmp_path):
     """The persisted-cells path must produce verdicts identical to the
-    direct incremental operator, and its executed plan must scan the
-    stored corpus bucket-aligned (no Exchange feeding the stored side)."""
+    direct incremental operator, and its executed plan must PRUNE the
+    stored corpus scan to the batch's touched cell partitions (non-empty
+    PartitionFilters — the per-batch store READ is bounded by the batch,
+    never O(corpus))."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
         persist_corpus_cells,
         semdedup_batch_vs_table,
@@ -1050,7 +1052,7 @@ def test_semdedup_vs_table_matches_incremental_and_skips_corpus_shuffle(spark, e
     corpus = emb.filter(F.col("vec_id") % 3 != 0)
     batch = emb.filter(F.col("vec_id") % 3 == 0)
     name = "t_corpus_cells_eq"
-    persist_corpus_cells(corpus, name, nlist=8, n_buckets=4)
+    persist_corpus_cells(corpus, name, nlist=8)
     direct = {
         r.vec_id: (r.cell, r.keep)
         for r in semdedup_incremental(corpus, batch, nlist=8, min_cosine=0.3).collect()
@@ -1059,12 +1061,18 @@ def test_semdedup_vs_table_matches_incremental_and_skips_corpus_shuffle(spark, e
     got = {r.vec_id: (r.cell, r.keep) for r in via_table.collect()}
     assert got == direct
     plan = via_table._jdf.queryExecution().executedPlan().toString()
-    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+    store_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and name in ln
+    ]
+    assert store_scans, "expected a FileScan of the persisted store"
+    for ln in store_scans:
+        assert "PartitionFilters: []" not in ln, f"unpruned store scan: {ln[:200]}"
+        assert "cell" in ln.split("PartitionFilters:")[1][:200]
 
 
 def test_append_corpus_cells_is_incremental_and_flags_new_dups(spark, emb):
     """Appending survivors into the cells store must preserve the
-    bucketed layout (no rewrite) and make them visible to the next
+    partitioned layout (no rewrite) and make them visible to the next
     batch's screen: a vector identical to an appended one is dropped."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
         append_corpus_cells,
@@ -1074,7 +1082,7 @@ def test_append_corpus_cells_is_incremental_and_flags_new_dups(spark, emb):
 
     corpus = emb.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") < 400))
     name = "t_corpus_cells_append"
-    persist_corpus_cells(corpus, name, nlist=8, n_buckets=4)
+    persist_corpus_cells(corpus, name, nlist=8)
     n0 = spark.table(name).count()
 
     # accept a fresh vector (corpus vec 401's embedding under a new id)
@@ -1097,23 +1105,23 @@ def test_append_corpus_cells_is_incremental_and_flags_new_dups(spark, emb):
     assert out == {900002: False}
 
 
-def test_compact_bucketed_store_collapses_append_files(spark, emb):
-    """Three O(batch) appends leave one file per bucket per append;
-    compaction rewrites to ONE file per bucket with identical rows and
-    identical vs-table dedup verdicts (the join contract survives)."""
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import (
-        compact_bucketed_store,
-        store_file_stats,
-    )
+def test_compact_corpus_cells_collapses_append_files(spark, emb):
+    """Three O(batch) appends leave one file per touched cell per
+    append; compaction rebuilds to ONE file per cell with identical
+    rows and identical vs-table dedup verdicts (the join contract
+    survives), committed by the atomic pointer-view flip."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import store_file_stats
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _live_tables,
         append_corpus_cells,
+        compact_corpus_cells,
         persist_corpus_cells,
         semdedup_batch_vs_table,
     )
 
     corpus = emb.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") < 300))
     name = "t_corpus_cells_compact"
-    persist_corpus_cells(corpus, name, nlist=8, n_buckets=4)
+    persist_corpus_cells(corpus, name, nlist=8)
     for i in range(3):
         extra = emb.filter(F.col("vec_id") == 301 + i).select(
             (F.col("vec_id") + 700000).alias("vec_id"), F.col("embedding")
@@ -1126,12 +1134,13 @@ def test_compact_bucketed_store_collapses_append_files(spark, emb):
     verdict_before = sorted(
         tuple(r) for r in semdedup_batch_vs_table(spark, name, batch, nlist=8).collect()
     )
-    assert store_file_stats(spark, name)["n_files"] > 4
+    assert store_file_stats(spark, _live_tables(spark, name)[0])["n_files"] > 8
 
-    stats = compact_bucketed_store(spark, name)
-    # at most one file per bucket (empty buckets write no file)
-    assert stats["files_after"] <= 4
+    stats = compact_corpus_cells(spark, name)
+    # at most one file per cell (empty cells write no file)
+    assert stats["files_after"] <= 8
     assert stats["files_after"] < stats["files_before"]
+    assert stats["n_rows"] == len(rows_before)
     rows_after = sorted(
         (r.vec_id, r.cell) for r in spark.table(name).select("vec_id", "cell").collect()
     )
@@ -1140,6 +1149,41 @@ def test_compact_bucketed_store_collapses_append_files(spark, emb):
         tuple(r) for r in semdedup_batch_vs_table(spark, name, batch, nlist=8).collect()
     )
     assert verdict_after == verdict_before
+
+
+def test_compact_bucketed_store_collapses_bands_append_files(spark, docs):
+    """The bucketed-store compactor (serving the high-cardinality
+    (band, bucket) bands layout, which CANNOT hive-partition) still
+    collapses per-append files to one per bucket with identical rows."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import (
+        compact_bucketed_store,
+        store_file_stats,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures,
+        persist_corpus_bands,
+    )
+
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    name = "t_bands_compact"
+    persist_corpus_bands(
+        sigs.filter(F.col("doc_id") % 2 == 0), name,
+        num_bands=4, num_hashes=16, n_buckets=4,
+    )
+    stored_cols = spark.table(name).columns
+    for k in (1, 3):
+        extra = band_signatures(
+            sigs.filter(F.col("doc_id") % 4 == k), num_bands=4, num_hashes=16
+        )
+        extra.select(*stored_cols).write.insertInto(name)
+    rows_before = spark.table(name).count()
+    assert store_file_stats(spark, name)["n_files"] > 4
+
+    stats = compact_bucketed_store(spark, name)
+    assert stats["files_after"] <= 4
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.table(name).count() == rows_before
 
 
 def test_new_round6_operators_tolerate_empty_input(spark):
@@ -1182,7 +1226,7 @@ def test_append_low_id_does_not_reseed_centroids(spark, emb):
         "vec_id", "embedding"
     )
     name = "t_corpus_cells_lowid"
-    persist_corpus_cells(corpus, name, nlist=8, n_buckets=4)
+    persist_corpus_cells(corpus, name, nlist=8)
     # append a fresh vector under id 5 — far below every original seed
     low = emb.filter(F.col("vec_id") == 450).select(
         F.lit(5).alias("vec_id"), F.col("embedding")
@@ -1211,7 +1255,7 @@ def test_retrain_corpus_cells_reseeds_and_preserves_content(spark, emb):
     working (an exact copy of a stored vector still drops) — the
     maintenance step behind the nlist-grows-with-the-corpus rule."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
-        _centroids_table,
+        _live_tables,
         append_corpus_cells,
         persist_corpus_cells,
         retrain_corpus_cells,
@@ -1222,7 +1266,7 @@ def test_retrain_corpus_cells_reseeds_and_preserves_content(spark, emb):
         "vec_id", "embedding"
     )
     name = "t_corpus_cells_retrain"
-    persist_corpus_cells(corpus, name, nlist=4, n_buckets=4)
+    persist_corpus_cells(corpus, name, nlist=4)
     extra = emb.filter(F.col("vec_id") == 302).select(
         F.lit(600001).alias("vec_id"), F.col("embedding")
     )
@@ -1232,7 +1276,7 @@ def test_retrain_corpus_cells_reseeds_and_preserves_content(spark, emb):
     stats = retrain_corpus_cells(spark, name, nlist=16)
     assert stats == {"n_rows": n_before, "nlist": 16}
     assert spark.table(name).count() == n_before
-    assert spark.table(_centroids_table(name)).count() == 16
+    assert spark.table(_live_tables(spark, name)[1]).count() == 16
     # ids preserved exactly
     ids = sorted(r.vec_id for r in spark.table(name).select("vec_id").collect())
     assert len(ids) == n_before and ids[-1] == 600001
@@ -1247,6 +1291,54 @@ def test_retrain_corpus_cells_reseeds_and_preserves_content(spark, emb):
         ).collect()
     }
     assert out == {777777: False}
+
+
+def test_cells_store_pointer_never_missing_across_lifecycle(spark, emb):
+    """The store's public name must resolve at EVERY point of the
+    lifecycle (persist → append → retrain → compact → re-persist): the
+    commit point is one atomic CREATE OR REPLACE VIEW, so a reader
+    interleaved between any two maintenance steps never observes
+    'table not found' — the gap the old drop→rename swap left open."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _live_version,
+        append_corpus_cells,
+        compact_corpus_cells,
+        drop_corpus_cells,
+        persist_corpus_cells,
+        retrain_corpus_cells,
+    )
+
+    corpus = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 500))
+    name = "t_corpus_cells_ptr"
+    drop_corpus_cells(spark, name)
+
+    def readable():
+        # a concurrent reader's two ops: resolve the name, scan it
+        assert spark.catalog.tableExists(name)
+        return spark.table(name).count()
+
+    persist_corpus_cells(corpus, name, nlist=4)
+    n0, v0 = readable(), _live_version(spark, name)
+    extra = emb.filter(F.col("vec_id") == 497).select(
+        F.lit(910001).alias("vec_id"), F.col("embedding")
+    )
+    append_corpus_cells(spark, name, extra, nlist=4)
+    assert readable() == n0 + 1
+    retrain_corpus_cells(spark, name, nlist=8)
+    assert readable() == n0 + 1
+    compact_corpus_cells(spark, name)
+    assert readable() == n0 + 1
+    # each maintenance step advanced the version monotonically; the
+    # superseded physicals are gone (no unbounded version litter)
+    v3 = _live_version(spark, name)
+    assert v3 > v0
+    tables = {r.tableName for r in spark.sql(f"SHOW TABLES LIKE '{name}*'").collect()}
+    assert tables == {name, f"{name}__v{v3}", f"{name}__v{v3}__centroids"}
+    # re-persist over the live store also flips cleanly
+    persist_corpus_cells(corpus, name, nlist=4)
+    assert readable() == n0
+    drop_corpus_cells(spark, name)
+    assert not spark.catalog.tableExists(name)
 
 
 def test_interval_overlap_join_boundary_and_bucket_spanning(spark):

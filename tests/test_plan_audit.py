@@ -69,3 +69,33 @@ def test_ts_ewma_collect_list_is_segment_bounded(spark):
         # raw event values may only be collected per (user, day) segment
         if "'v" in ln or "value" in ln:
             assert "day" in ln, f"unsegmented event collect_list: {ln[:200]}"
+
+
+def test_semantic_store_screen_is_partition_pruned(spark):
+    """The persisted-cells screen (the steady-state per-micro-batch
+    join of continuous semantic dedup) must read ONLY the batch's
+    touched cell partitions of the store: an unpruned scan is O(corpus)
+    I/O per micro-batch — the scale-killer the partitioned layout
+    exists to remove. Pinned here at the catalog surface so a layout
+    regression (e.g. the filter no longer reaching the scan) fails even
+    if the operator-level test drifts."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.catalog import QUERIES
+
+    plan = (
+        QUERIES["dedup_semantic_bucketed"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    store_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "corpus_cells_" in ln and "__centroids" not in ln
+    ]
+    assert store_scans, "expected a FileScan of the persisted cells store"
+    for ln in store_scans:
+        assert "PartitionFilters: []" not in ln, f"unpruned store scan: {ln[:200]}"
+        tail = ln.split("PartitionFilters:")[1][:200]
+        assert "cell" in tail and ("INSET" in tail or " IN " in tail), (
+            f"no cell IN-filter: {tail}"
+        )

@@ -177,9 +177,20 @@ def test_stream_incremental_dedup_grows_corpus_and_audits_dups(spark, tmp_path):
 
     corpus_root = str(tmp_path / "corpus")
     audit_root = str(tmp_path / "audit")
+    # md5_family=False EXPLICITLY: this test is the pin for the
+    # xxhash64 path the catalog docstring claims (the md5 twin is what
+    # the oracle-checked catalog key exercises) — plus a signature
+    # check that xxhash64 IS still the library default, so a silent
+    # default flip fails here instead of passing unnoticed.
+    import inspect
+
+    assert (
+        inspect.signature(stream_incremental_dedup).parameters["md5_family"].default
+        is False
+    )
     q = stream_incremental_dedup(
         spark, src, corpus_root, audit_root, schema,
-        checkpoint=str(tmp_path / "ckpt"),
+        checkpoint=str(tmp_path / "ckpt"), md5_family=False,
     )
     q.awaitTermination()
 
