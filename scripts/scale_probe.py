@@ -175,18 +175,73 @@ def main() -> None:
 
     probe("sink_training_shards", shard_probe)
 
+    # Interval-overlap join: replicas are TIME-SHIFTED (35 days apart,
+    # recovered from the event_id's replica stride) so interval density
+    # per bucket stays constant and the probe measures the PLAN's
+    # scaling — a growing corpus covers a longer time range; without
+    # the shift the pair OUTPUT itself grows quadratically by overlap
+    # semantics, which would swamp the plan signal.
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import interval_overlap_join
+
+    def overlap_probe(sf, kk):
+        ev = tbl(sf, "events")
+        shift = (F.col("event_id") / F.lit(1_000_000_000)).cast("long") * F.lit(35 * 86400)
+        s0 = F.unix_timestamp("ts") + shift
+
+        def intervals(event_type):
+            mins = (F.floor("value").cast("long") % 30 + 30) % 30 + 1
+            return ev.filter(F.col("event_type") == event_type).select(
+                F.col("event_id").alias("id"),
+                s0.alias("s"),
+                (s0 + mins * 60).alias("e"),
+            )
+
+        pairs = interval_overlap_join(
+            intervals("error"), intervals("purchase"), bucket_secs=600
+        )
+        return timed(pairs)
+
+    probe("join_interval_overlap", overlap_probe)
+
+    # BPE encode with a FROZEN tokenizer (trained once on the 1x
+    # corpus — production freezes the tokenizer before corpus growth):
+    # the greedy Python walk runs once per DISTINCT word, so K-fold
+    # replication (which barely grows the vocabulary) should cost ~the
+    # linear reassembly, not K x the kernel.
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import bpe_encode, bpe_train_merges
+
+    frozen_merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges(docs_of(base), "text", n_merges=20)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    probe(
+        "text_bpe_encode",
+        lambda sf, kk: timed(
+            bpe_encode(docs_of(sf), "doc_id", "text", frozen_merges).select(
+                "doc_id", F.size("tokens").alias("n_tokens")
+            )
+        ),
+    )
+
     # Steady-state claim of the persisted semantic-cells store: the cost
-    # of screening a FIXED batch must be (near-)independent of corpus
-    # size. Persist a 1x and a Kx corpus store (nlist ∝ corpus), screen
-    # the same 500-vector batch against each, and report the ratio — a
-    # value near 1.0 is the O(batch) evidence; the naive form's cost
-    # grows ~Kx with the corpus.
+    # of screening a FIXED micro-batch must be (near-)independent of
+    # corpus size. Persist a 1x and a Kx corpus store (nlist ∝ corpus),
+    # screen the same 100-vector batch against each, and report the
+    # ratio — at or below 1.0 is the O(batch) evidence. The store read
+    # is partition-pruned to the batch's touched cells, a
+    # min(|batch|, nlist)/nlist fraction of the store — so the batch
+    # must be SMALLER than nlist for the bound to bite (a 500-vector
+    # batch against 640 cells reads ~78% of the store and only measures
+    # overhead); 100 vectors vs 640 cells reads <=16%, and the pruned
+    # fraction keeps shrinking as the corpus (and nlist with it) grows.
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
         persist_corpus_cells,
         semdedup_batch_vs_table,
     )
 
-    batch = tbl(base, "embeddings").limit(500).localCheckpoint(eager=True)
+    batch = tbl(base, "embeddings").limit(100).localCheckpoint(eager=True)
 
     def screen_time(sf, kk):
         name = f"scale_probe_cells_{kk}x"
