@@ -107,6 +107,11 @@ EXTRA_QUERIES_R6 = [
     "text_bpe_coverage",
 ]
 
+EXTRA_QUERIES_R8 = [
+    "ann_int8_rescore",
+    "window_sliding_distinct",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -136,7 +141,7 @@ def main() -> None:
     # measures the query, not the noise.
     timings: dict[str, float] = {}
     for _pass in range(3):
-        for name in BENCH_QUERIES + EXTRA_QUERIES_R4 + EXTRA_QUERIES_R5 + EXTRA_QUERIES_R6:
+        for name in BENCH_QUERIES + EXTRA_QUERIES_R4 + EXTRA_QUERIES_R5 + EXTRA_QUERIES_R6 + EXTRA_QUERIES_R8:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

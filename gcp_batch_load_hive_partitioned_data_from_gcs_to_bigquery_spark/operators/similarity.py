@@ -1647,6 +1647,55 @@ def int8_topk(
     )
 
 
+def int8_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage quantized ANN — the production follow-up
+    :func:`int8_topk`'s docstring names: stage 1 streams the int8 codes
+    (4× fewer bytes) through the integer GEMM for a per-query SHORTLIST
+    of ``shortlist`` candidates; stage 2 rescores ONLY those Q×shortlist
+    candidates with the exact float cosine and re-ranks the top ``k``.
+    The quantization error that can reorder near-ties inside the
+    shortlist is repaired by the exact pass, while the expensive float
+    vectors are touched for a candidate set whose size is independent
+    of the corpus.
+
+    Scale shape (100 TB): stage 1 is the :func:`int8_topk` plan
+    (partial top-k per Arrow batch, metadata-sized final window); stage
+    2 broadcasts the Q×shortlist id set against the float corpus scan —
+    a broadcast-semi-shaped point lookup reading only (id, vector), no
+    corpus shuffle (with the IVF-PQ store the same lookups are
+    partition-pruned gets). Every score, tie-break, and rank is
+    reproducible verbatim in ANSI SQL (exact integer dots + published
+    6-decimal scales + float64 cosine), so the whole two-stage pipeline
+    is value-checkable. Returns (query_id, vec_id, cosine, rank)."""
+    shortlist = max(shortlist, k)  # a shortlist below k cannot fill the top-k
+    short = int8_topk(corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col)
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand = c.join(F.broadcast(short.select("query_id", "vec_id")), "vec_id")
+    exact = cand.join(F.broadcast(q), "query_id").withColumn(
+        "cosine",
+        _dot(F.col("c_vec"), F.col("q_vec"))
+        / (_norm(F.col("c_vec")) * _norm(F.col("q_vec"))),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 # Johnson-Lindenstrauss sign source: a two-round multiply-xor mix over
 # the flat matrix index, mod 2^31 so every intermediate fits SIGNED
 # 64-bit (the SQL oracle replays it in DuckDB BIGINTs — max product

@@ -1168,6 +1168,110 @@ ORDER BY day
 """
 
 
+def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct actives per observed hour — the SLIDING
+    form of agg_bitmap_distinct, via bucket decomposition instead of a
+    window function: raw events collapse map-side to per-(hour, chunk)
+    bitmaps (metadata-sized — users/32 longs per hour), each bitmap row
+    explodes to the ≤24 target hours it covers, and a second bit_or per
+    (target hour, chunk) merges the window. No window-function state
+    over the corpus, no re-scan of raw events per window position — the
+    shuffle carries hours × 24 × chunks bitmap rows, bounded by the
+    calendar and the key space, never by event count. countDistinct
+    over the same decomposition double-checks every row (agree=1), the
+    agg_bitmap_distinct self-verification pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("hr"),
+        (F.col("user_id") / 32).cast("long").alias("chunk"),
+        F.expr("shiftleft(1L, cast(user_id % 32 as int))").alias("bit"),
+        "user_id",
+    )
+    hour_chunks = base.groupBy("hr", "chunk").agg(F.expr("bit_or(bit)").alias("bits"))
+    observed = base.select("hr").distinct()
+    contrib = hour_chunks.select(
+        F.explode(F.sequence(F.col("hr"), F.col("hr") + F.lit(23))).alias("t_hr"),
+        "chunk",
+        "bits",
+    )
+    bm = (
+        contrib.join(
+            F.broadcast(observed.withColumnRenamed("hr", "t_hr")), "t_hr"
+        )  # windows anchor at OBSERVED hours only
+        .groupBy("t_hr", "chunk")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .groupBy("t_hr")
+        .agg(F.sum(F.bit_count("bits")).alias("n_bitmap"))
+    )
+    exact_pairs = base.select("hr", "user_id").distinct()
+    ex = (
+        exact_pairs.select(
+            F.explode(F.sequence(F.col("hr"), F.col("hr") + F.lit(23))).alias("t_hr"),
+            "user_id",
+        )
+        .join(F.broadcast(observed.withColumnRenamed("hr", "t_hr")), "t_hr")
+        .groupBy("t_hr")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        bm.join(ex, "t_hr")
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("t_hr") * 3600), "yyyy-MM-dd HH"
+            ).alias("hour"),
+            "n_bitmap",
+            "n_exact",
+            (F.col("n_bitmap") == F.col("n_exact")).cast("int").alias("agree"),
+        )
+        .orderBy("hour")
+    )
+
+
+ORACLE_SLIDING_DISTINCT = """
+WITH hc AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         user_id // 32 AS chunk,
+         CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT) AS bit,
+         user_id
+  FROM events
+),
+hour_chunks AS (
+  SELECT hr, chunk, bit_or(bit) AS bits FROM hc GROUP BY hr, chunk
+),
+observed AS (SELECT DISTINCT hr FROM hc),
+contrib AS (
+  SELECT hr + t.i AS t_hr, chunk, bits
+  FROM hour_chunks, range(0, 24) AS t(i)
+),
+win_chunks AS (
+  SELECT c.t_hr, c.chunk, bit_or(c.bits) AS bits
+  FROM contrib c JOIN observed o ON o.hr = c.t_hr
+  GROUP BY c.t_hr, c.chunk
+),
+bm AS (
+  SELECT t_hr, CAST(sum(bit_count(bits)) AS BIGINT) AS n_bitmap
+  FROM win_chunks GROUP BY t_hr
+),
+exact_pairs AS (SELECT DISTINCT hr, user_id FROM hc),
+ex_contrib AS (
+  SELECT hr + t.i AS t_hr, user_id
+  FROM exact_pairs, range(0, 24) AS t(i)
+),
+ex AS (
+  SELECT c.t_hr, CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_exact
+  FROM ex_contrib c JOIN observed o ON o.hr = c.t_hr
+  GROUP BY c.t_hr
+)
+SELECT strftime(make_timestamp(bm.t_hr * 3600 * 1000000), '%Y-%m-%d %H') AS hour,
+       bm.n_bitmap, ex.n_exact,
+       CASE WHEN bm.n_bitmap = ex.n_exact THEN 1 ELSE 0 END AS agree
+FROM bm JOIN ex ON ex.t_hr = bm.t_hr
+ORDER BY hour
+"""
+
+
 def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of agg_bitmap_distinct
     (streaming/bitmap_distinct.py): the full events table replayed as a
@@ -2188,6 +2292,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "agg_correlation": q_agg_correlation,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "agg_bitmap_distinct": q_agg_bitmap_distinct,
+    "window_sliding_distinct": q_window_sliding_distinct,
     "stream_bitmap_distinct": q_stream_bitmap_distinct,
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
@@ -2231,6 +2336,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "agg_correlation": ORACLE_CORRELATION,
     "ts_time_weighted_avg": ORACLE_TWAP,
     "agg_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
+    "window_sliding_distinct": ORACLE_SLIDING_DISTINCT,
     "stream_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "source_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "partition_vacuum_retention": ORACLE_VACUUM,

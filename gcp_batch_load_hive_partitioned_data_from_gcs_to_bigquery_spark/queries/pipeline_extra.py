@@ -1225,6 +1225,62 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized ANN (operators/similarity.py
+    int8_rescore_topk): int8 integer-GEMM shortlist of 20 per query,
+    then exact float-cosine rescore of ONLY those candidates and a
+    top-3 re-rank — the standard memory-bandwidth/recall trade at
+    100 TB (stream 4×-smaller codes, touch float vectors for a
+    corpus-size-independent candidate set via a broadcast point-lookup
+    join). Integer dots, published 6-decimal scales, and float64
+    cosines are all exactly reproducible, so the oracle replays both
+    stages verbatim."""
+    from ..operators.similarity import int8_rescore_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return int8_rescore_topk(emb, queries, k=3, shortlist=20)
+
+
+ORACLE_ANN_INT8_RESCORE = """
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc FROM c
+), qz AS (
+  SELECT vec_id, e, round(sc, 6) AS scale6,
+         list_transform(e, x -> CAST(round(x / sc) AS DOUBLE)) AS qv
+  FROM s
+), qs AS (
+  SELECT vec_id, e, scale6, qv FROM qz WHERE vec_id < 5
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         (list_dot_product(c.qv, q.qv) * c.scale6) * q.scale6 AS score
+  FROM qz c JOIN qs q ON c.vec_id <> q.vec_id
+), shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 20
+), exact AS (
+  SELECT sl.query_id, sl.vec_id,
+         list_dot_product(cv.e, qv.e)
+           / (sqrt(list_dot_product(cv.e, cv.e)) * sqrt(list_dot_product(qv.e, qv.e)))
+           AS cosine
+  FROM shortlist sl
+  JOIN qz cv ON cv.vec_id = sl.vec_id
+  JOIN qs qv ON qv.vec_id = sl.query_id
+), reranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM exact
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM reranked WHERE rank <= 3
+"""
+
+
 ORACLE_QUANTIZE = """
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200
@@ -2945,6 +3001,7 @@ PIPELINE_QUERIES: dict[str, callable] = {
     "sample_epoch_shuffle": q_sample_epoch_shuffle,
     "emb_quantize_int8": q_emb_quantize_int8,
     "ann_int8_topk": q_ann_int8_topk,
+    "ann_int8_rescore": q_ann_int8_rescore,
     "text_c4_lines": q_text_c4_lines,
     "dedup_lines": q_dedup_lines,
     "sample_temperature_mix": q_sample_temperature_mix,
@@ -3020,6 +3077,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "sample_epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "emb_quantize_int8": ORACLE_QUANTIZE,
     "ann_int8_topk": ORACLE_ANN_INT8,
+    "ann_int8_rescore": ORACLE_ANN_INT8_RESCORE,
     "text_c4_lines": ORACLE_C4_LINES,
     "dedup_lines": ORACLE_DEDUP_LINES,
     "sample_temperature_mix": ORACLE_TEMPERATURE_MIX,

@@ -1341,6 +1341,60 @@ def test_cells_store_pointer_never_missing_across_lifecycle(spark, emb):
     assert not spark.catalog.tableExists(name)
 
 
+def test_int8_rescore_matches_exact_topk(spark, emb):
+    """With a 20-deep shortlist the two-stage rescore must return the
+    SAME ids and ranks as exact brute-force cosine top-k: the int8
+    stage only prunes, the exact stage repairs any quantization
+    reordering inside the shortlist. Cosines agree to the 6-decimal
+    publication rounding."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        cosine_topk,
+        int8_rescore_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine, 6))
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in int8_rescore_topk(emb, queries, k=3, shortlist=20).collect()
+    }
+    assert got == exact
+
+
+def test_window_sliding_distinct_boundary(spark):
+    """Hand-built events around a 24h boundary: a user active at hour 0
+    counts for target hours 0..23 but NOT hour 24; bitmap and
+    countDistinct agree on every row."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra import (
+        q_window_sliding_distinct,
+    )
+    import gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra as AX
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 100),  # hour 0
+        (2, "2024-01-01 23:10:00", 200),  # hour 23 (user 100 still in window)
+        (3, "2024-01-02 00:20:00", 200),  # hour 24 (user 100 aged out)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, user_id long").select(
+        "event_id", F.to_timestamp("ts").alias("ts"), "user_id"
+    )
+    orig = AX.load_table
+    AX.load_table = lambda spark_, sf_dir, name: ev
+    try:
+        out = {r.hour: (r.n_bitmap, r.n_exact, r.agree) for r in
+               q_window_sliding_distinct(spark, "ignored").collect()}
+    finally:
+        AX.load_table = orig
+    assert out == {
+        "2024-01-01 00": (1, 1, 1),
+        "2024-01-01 23": (2, 2, 1),
+        "2024-01-02 00": (1, 1, 1),
+    }
+
+
 def test_interval_overlap_join_boundary_and_bucket_spanning(spark):
     """Hand-built intervals: closed-boundary touch counts as overlap,
     disjoint pairs never appear, and a pair sharing MANY buckets is
