@@ -1,5 +1,7 @@
 """Managed-table lifecycle helper shared by the persisted-store
-operators (corpus MinHash bands, corpus semantic cells).
+operators (the bucketed corpus MinHash bands store; the partitioned
+corpus semantic-cells store uses these drops plus its own
+view-pointer lifecycle in operators/similarity.py).
 
 A managed-table directory can outlive the metastore that created it
 (each session gets a fresh local metastore); ``saveAsTable`` refuses to

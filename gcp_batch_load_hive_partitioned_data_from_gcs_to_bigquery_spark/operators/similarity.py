@@ -1293,9 +1293,23 @@ def _live_tables(spark, cells_table: str) -> tuple[str, str]:
     return data_t, _centroids_table(data_t)
 
 
+# Frozen-centroid memo, keyed by the VERSIONED companion-table name: a
+# committed version is immutable (every rebuild writes a new version and
+# flips the pointer view), so the collect can be paid once per version
+# instead of twice per micro-batch in the steady-state screen+append
+# loop. Builders evict the key they are about to (re)build — required
+# because a full drop resets the version counter, so "v1" can be reborn
+# with different centroids within one process.
+_CENTROID_CACHE: dict = {}
+
+
 def _read_centroids(spark, centroids_table: str):
-    rows = spark.table(centroids_table).orderBy("cell").collect()
-    return [(int(r["cell"]), list(r["c_vec"])) for r in rows]
+    got = _CENTROID_CACHE.get(centroids_table)
+    if got is None:
+        rows = spark.table(centroids_table).orderBy("cell").collect()
+        got = [(int(r["cell"]), list(r["c_vec"])) for r in rows]
+        _CENTROID_CACHE[centroids_table] = got
+    return got
 
 
 def _stored_centroid_rows(spark, cells_table: str):
@@ -1320,6 +1334,7 @@ def drop_corpus_cells(spark, cells_table: str) -> None:
         except ValueError:  # legacy physical table under the store name
             drop_managed_table(spark, cells_table)
     for v in _store_versions(spark, cells_table):
+        _CENTROID_CACHE.pop(_centroids_table(_versioned(cells_table, v)), None)
         drop_managed_table(spark, _versioned(cells_table, v))
         drop_managed_table(spark, _centroids_table(_versioned(cells_table, v)))
     drop_managed_table(spark, _centroids_table(cells_table))  # legacy companion
@@ -1343,6 +1358,7 @@ def _build_store_version(
 
     spark = corpus.sparkSession
     data_t = _versioned(cells_table, version)
+    _CENTROID_CACHE.pop(_centroids_table(data_t), None)
     drop_managed_table(spark, data_t)
     drop_managed_table(spark, _centroids_table(data_t))
     c = with_double_embedding(corpus, vec_col).select(
@@ -1500,6 +1516,7 @@ def compact_corpus_cells(spark, cells_table: str) -> dict:
     v = _live_version(spark, cells_table)
     before = store_file_stats(spark, data_t)["n_files"]
     new_data = _versioned(cells_table, v + 1)
+    _CENTROID_CACHE.pop(_centroids_table(new_data), None)
     drop_managed_table(spark, new_data)
     drop_managed_table(spark, _centroids_table(new_data))
     spark.table(cent_t).coalesce(1).write.format("parquet").saveAsTable(
@@ -1568,6 +1585,62 @@ def semdedup_batch_vs_table(
         F.col("c_norm").alias("b_norm"),
     )
     return _screen_batch(ba, corp, min_cosine)
+
+
+def semdedup_ingest_batch(
+    spark,
+    cells_table: str,
+    batch: DataFrame,
+    nlist: int = 8,
+    min_cosine: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One steady-state micro-batch pass of continuous semantic dedup:
+    screen the batch against the persisted cells store AND append the
+    survivors, sharing ONE pointer resolution, ONE assignment GEMM,
+    ONE touched-cells collect, and ONE pruned store scan — the
+    composition the streaming sink runs per trigger (calling
+    :func:`semdedup_batch_vs_table` then :func:`append_corpus_cells`
+    separately pays all four twice). Returns the screen flags
+    ``(vec_id, cell, keep)``, MATERIALIZED before the append so their
+    lineage cannot observe the store the append is about to extend.
+
+    Retry semantics are EXACT replay idempotence, stronger than the
+    two-call form's per-pair self-exclusion: the corpus side drops
+    every row whose id is in the current batch (the only store rows a
+    prior attempt of THIS batch can have added are the batch's own
+    ids), so a replay screens against exactly the pre-append corpus
+    view — a survivor can never be flipped by another survivor's
+    already-appended copy — and the append anti-join skips ids already
+    present. Both store reads are pruned to the batch's touched cells
+    (sound under frozen centroids)."""
+    data_t, cent_t = _live_tables(spark, cells_table)
+    centroid_rows = _read_centroids(spark, cent_t)
+    b = with_double_embedding(batch, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    ba = _assign_cells_blas(b, centroid_rows).withColumn(
+        "c_norm", _norm(F.col("c_vec"))
+    ).localCheckpoint(eager=True)
+    cells = [r["cell"] for r in ba.select("cell").distinct().collect()]
+    stored = spark.table(data_t)
+    pruned = (
+        stored.filter(F.col("cell").isin(cells)) if cells else stored.filter(F.lit(False))
+    )
+    corp = pruned.join(F.broadcast(ba.select("vec_id")), "vec_id", "left_anti").select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("c_vec").alias("b_vec"),
+        F.col("c_norm").alias("b_norm"),
+    )
+    flags = _screen_batch(ba, corp, min_cosine).localCheckpoint(eager=True)
+    survivors = ba.join(
+        flags.filter(F.col("keep")).select("vec_id"), "vec_id", "left_semi"
+    )
+    fresh = survivors.join(pruned.select("vec_id"), "vec_id", "left_anti")
+    fresh.select(*stored.columns).write.insertInto(data_t)
+    return flags
 
 
 def int8_topk(

@@ -15,14 +15,16 @@ table with their cell. The FIRST non-empty batch seeds the store (and
 its centroids) and survives wholesale — the same degrade-to-accept
 stance as ``dedup_stream``'s cold corpus.
 
-Retry semantics: better than effectively-once. The screening join
-excludes same-id pairs, so on a foreachBatch retry a survivor's own
-already-appended copy cannot falsely drop it; the append itself skips
-ids already present (anti-join). A retried batch therefore converges to
-the same corpus state; only the audit table can gain duplicate rows of
-the SAME (vec_id, cell, batch_id) drop records, which any consumer
-dedupes by key. Strict exactly-once on the audit keeps its write inside
-an idempotent partition-overwrite sink.
+Retry semantics: exact replay idempotence (see
+``similarity.semdedup_ingest_batch``). The screen's corpus side drops
+every row whose id is in the current batch — the only store rows a
+prior attempt of this batch can have added — so a replay screens
+against exactly the pre-append corpus view and reproduces the SAME
+verdicts; the append skips ids already present. A retried batch
+therefore converges to the same corpus state, and the audit can gain
+only duplicate rows of the SAME (vec_id, cell, batch_id) drop records,
+which any consumer dedupes by key. Strict exactly-once on the audit
+keeps its write inside an idempotent partition-overwrite sink.
 """
 
 from __future__ import annotations
@@ -53,9 +55,8 @@ def stream_semantic_dedup(
     Trigger.AvailableNow drains the backlog file-by-file; returns the
     started StreamingQuery."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
-        append_corpus_cells,
         persist_corpus_cells,
-        semdedup_batch_vs_table,
+        semdedup_ingest_batch,
     )
 
     stream = (
@@ -76,26 +77,23 @@ def stream_semantic_dedup(
                 id_col=id_col, vec_col=vec_col,
             )
             return
-        flags = semdedup_batch_vs_table(
+        # screen + survivor append in ONE pass (one pointer resolution,
+        # one assignment GEMM, one pruned store scan); the returned
+        # flags are already materialized, so writing the audit AFTER
+        # the append observes the pre-append verdicts. A crash between
+        # append and audit write replays the batch: the append is
+        # idempotent and the audit consumer dedupes by key — the same
+        # better-than-effectively-once contract as before.
+        flags = semdedup_ingest_batch(
             sess, corpus_table, batch_df,
             nlist=nlist, min_cosine=min_cosine,
             id_col=id_col, vec_col=vec_col,
-        # materialize BEFORE the store append: the flags' lineage reads
-        # the store the survivor insertInto is about to extend
-        ).localCheckpoint(eager=True)
-        dropped = (
+        )
+        (
             flags.filter(~F.col("keep"))
             .select("vec_id", "cell", F.lit(batch_id).alias("batch_id"))
-        )
-        dropped.write.mode("append").parquet(audit_root)
-        survivors = batch_df.join(
-            flags.filter(F.col("keep")).select(F.col("vec_id").alias(id_col)),
-            id_col,
-            "left_semi",
-        )
-        append_corpus_cells(
-            sess, corpus_table, survivors, nlist=nlist,
-            id_col=id_col, vec_col=vec_col,
+            .write.mode("append")
+            .parquet(audit_root)
         )
 
     writer = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
