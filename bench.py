@@ -139,11 +139,11 @@ def main() -> None:
         _ident, _T.StructType([_T.StructField("id", _T.LongType())])
     ).write.format("noop").mode("overwrite").save()
 
-    # Three passes, report the min: the host shows intermittent hypervisor
+    # Four passes, report the min: the host shows intermittent hypervisor
     # CPU-steal waves (observed 3-15x inflation for whole passes); the min
     # measures the query, not the noise.
     timings: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(4):
         for name in BENCH_QUERIES + EXTRA_QUERIES_R4 + EXTRA_QUERIES_R5 + EXTRA_QUERIES_R6 + EXTRA_QUERIES_R8:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
