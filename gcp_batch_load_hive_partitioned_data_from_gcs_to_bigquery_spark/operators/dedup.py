@@ -430,30 +430,40 @@ def incremental_dedup_batch(
     ).select(batch["*"], flags["dup_kind"])
 
 
-# Per-row SimHash fold: one pass over the token-hash array carrying a
-# 64-slot sum vector, then sign-threshold each slot into fingerprint bit
-# j (shiftleft(1,63) wraps to the long sign bit, matching the classic
-# 2's-complement layout). Bit-identical to the explode + 64-conditional-
-# sum groupBy formulation this replaced, but as a NARROW map: no token
-# explosion, no aggregation buffer, no shuffle of token rows — measured
-# 4x faster at sf0.1 and shuffle-free at any scale. The lambdas are
-# interpreted (higher-order fns skip codegen), which still wins here
-# because the per-element work is pure bit arithmetic; minhash keeps the
-# codegen'd hash-agg shape because its per-element work is 64 xxhash64
-# calls, where interpreted dispatch dominates (measured 6x slower).
-_SIMHASH_FOLD_SQL = """
+# Per-row SimHash fold: one pass over the token-hash array carrying an
+# n-slot sum vector, then sign-threshold each slot into fingerprint bit
+# j. Bit-identical to the explode + n-conditional-sum groupBy
+# formulation this replaced, but as a NARROW map: no token explosion,
+# no aggregation buffer, no shuffle of token rows — measured 4x faster
+# at sf0.1 and shuffle-free at any scale. The lambdas are interpreted
+# (higher-order fns skip codegen), which still wins here because the
+# per-element work is pure bit arithmetic; minhash keeps the codegen'd
+# hash-agg shape because its per-element work is 64 xxhash64 calls,
+# where interpreted dispatch dominates (measured 6x slower).
+# ONE template for both widths: n=64 for the xxhash64 production family
+# (shiftleft(1,63) wraps to the long sign bit — the classic
+# 2's-complement layout), n=60 for the md5 oracle family (no bit ever
+# reaches the sign position, so the SQL oracle replays it verbatim in
+# signed 64-bit without unsigned tricks).
+_SIMHASH_FOLD_SQL_TEMPLATE = """
 aggregate(
   zip_with(
     aggregate(
       {hashes},
-      array_repeat(0L, 64),
-      (acc, h) -> zip_with(acc, sequence(0, 63), (a, j) -> a + IF(((h >> j) & 1) = 1, 1L, -1L))
+      array_repeat(0L, {n}),
+      (acc, h) -> zip_with(acc, sequence(0, {nm1}), (a, j) -> a + IF(((h >> j) & 1) = 1, 1L, -1L))
     ),
-    sequence(0, 63),
+    sequence(0, {nm1}),
     (s, j) -> IF(s > 0, shiftleft(1L, CAST(j AS INT)), 0L)
   ),
   0L, (a, b) -> a | b)
 """
+
+
+def _simhash_fold_sql(hashes: str, num_bits: int) -> str:
+    return _SIMHASH_FOLD_SQL_TEMPLATE.format(
+        hashes=hashes, n=num_bits, nm1=num_bits - 1
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -461,7 +471,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Token hash bit j contributes +1/-1 to bit-slot j; fingerprint bit j
     is 1 iff the slot sum is positive. Computed per-row over the token
-    array (see ``_SIMHASH_FOLD_SQL``) — a shuffle-free narrow map; the
+    array (see ``_simhash_fold_sql``) — a shuffle-free narrow map; the
     id-repartition only spreads a few-file source across cores (on a
     real multi-file table it is a no-op choice, not a correctness
     need)."""
@@ -471,7 +481,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
     )
     return staged.select(
-        "doc_id", F.expr(_SIMHASH_FOLD_SQL.format(hashes="_th")).alias("simhash")
+        "doc_id", F.expr(_simhash_fold_sql("_th", 64)).alias("simhash")
     )
 
 
@@ -663,33 +673,13 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
-# 60-bit variant of _SIMHASH_FOLD_SQL for the md5 family: identical
-# narrow-map shape, but the slot vector is 60-wide and no bit ever
-# reaches the sign position (15 hex chars = 60 bits keeps every
-# intermediate inside a signed 64-bit in BOTH engines, so the SQL
-# oracle replicates it verbatim without unsigned tricks).
-_SIMHASH_FOLD_60_SQL = """
-aggregate(
-  zip_with(
-    aggregate(
-      {hashes},
-      array_repeat(0L, 60),
-      (acc, h) -> zip_with(acc, sequence(0, 59), (a, j) -> a + IF(((h >> j) & 1) = 1, 1L, -1L))
-    ),
-    sequence(0, 59),
-    (s, j) -> IF(s > 0, shiftleft(1L, CAST(j AS INT)), 0L)
-  ),
-  0L, (a, b) -> a | b)
-"""
-
-
 def simhash_md5(df: DataFrame, id_col: str, text_col: str, num_bits: int = 60) -> DataFrame:
     """60-bit SimHash with an md5-derived token hash — the cross-engine-
     reproducible twin of :func:`simhash` (which uses xxhash64 and can
     only get a rows-only check). Token hash = first 15 hex chars of
     md5(token) parsed base-16 (60 bits keeps the fingerprint inside a
     signed 64-bit everywhere). Same shuffle-free per-row fold as the
-    production variant (``_SIMHASH_FOLD_60_SQL``) — the explode +
+    production variant (``_simhash_fold_sql`` at 60-bit width) — the explode +
     60-conditional-sum groupBy this replaced shuffled one row per TOKEN
     and regressed 3.7x the moment this key entered the bench; the fold
     is a narrow map whose cost is bounded by the document, not the
@@ -706,7 +696,7 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str, num_bits: int = 60) -
         ).alias("_th"),
     )
     return staged.select(
-        "doc_id", F.expr(_SIMHASH_FOLD_60_SQL.format(hashes="_th")).alias("simhash")
+        "doc_id", F.expr(_simhash_fold_sql("_th", 60)).alias("simhash")
     )
 
 

@@ -1425,6 +1425,7 @@ def persist_corpus_cells(
     data_t = _build_store_version(corpus, table_name, new_v, nlist, id_col, vec_col)
     spark.sql(f"CREATE OR REPLACE VIEW {table_name} AS SELECT * FROM {data_t}")
     for v in set(orphans + ([live] if live is not None else [])) - {new_v}:
+        _CENTROID_CACHE.pop(_centroids_table(_versioned(table_name, v)), None)
         drop_managed_table(spark, _versioned(table_name, v))
         drop_managed_table(spark, _centroids_table(_versioned(table_name, v)))
     return table_name
@@ -1449,6 +1450,11 @@ def append_corpus_cells(
     batch's touched cell partitions — sound because the frozen
     centroids make assignment deterministic: a previously-appended copy
     of any batch id lives in exactly the cell that id re-assigns to.
+    Corollary contract: an id is IMMUTABLE once stored — re-sending an
+    id with a DIFFERENT embedding is a mutation, not an append retry
+    (it would assign to a different cell, evade the pruned check, and
+    duplicate the id); route corrections through a rebuild
+    (:func:`retrain_corpus_cells` on corrected vectors).
     Column order follows the table schema (insertInto is positional).
     ``nlist`` is retained for interface symmetry; the quantizer
     geometry comes entirely from the frozen companion table."""
@@ -1512,8 +1518,9 @@ def compact_corpus_cells(spark, cells_table: str) -> dict:
         store_file_stats,
     )
 
-    data_t, cent_t = _live_tables(spark, cells_table)
-    v = _live_version(spark, cells_table)
+    v = _live_version(spark, cells_table)  # resolve ONCE; derive both names
+    data_t = _versioned(cells_table, v)
+    cent_t = _centroids_table(data_t)
     before = store_file_stats(spark, data_t)["n_files"]
     new_data = _versioned(cells_table, v + 1)
     _CENTROID_CACHE.pop(_centroids_table(new_data), None)
@@ -1531,6 +1538,7 @@ def compact_corpus_cells(spark, cells_table: str) -> dict:
         .saveAsTable(new_data)
     )
     spark.sql(f"CREATE OR REPLACE VIEW {cells_table} AS SELECT * FROM {new_data}")
+    _CENTROID_CACHE.pop(cent_t, None)
     drop_managed_table(spark, data_t)
     drop_managed_table(spark, cent_t)
     return {
@@ -1606,15 +1614,20 @@ def semdedup_ingest_batch(
     ``(vec_id, cell, keep)``, MATERIALIZED before the append so their
     lineage cannot observe the store the append is about to extend.
 
-    Retry semantics are EXACT replay idempotence, stronger than the
-    two-call form's per-pair self-exclusion: the corpus side drops
-    every row whose id is in the current batch (the only store rows a
-    prior attempt of THIS batch can have added are the batch's own
-    ids), so a replay screens against exactly the pre-append corpus
-    view — a survivor can never be flipped by another survivor's
-    already-appended copy — and the append anti-join skips ids already
-    present. Both store reads are pruned to the batch's touched cells
-    (sound under frozen centroids)."""
+    Retry semantics are IDENTICAL to the two-call form (same per-pair
+    same-id exclusion in :func:`_screen_batch`, same pruned
+    already-present anti-join before the insert), so the verdicts stay
+    value-equal to :func:`semdedup_batch_vs_table` — the property the
+    stream/batch equivalence oracle checks. The store CONVERGES under
+    replay; only the audit can gain rows (a replay after the append
+    committed re-screens against the survivors it appended, so two
+    same-batch near-dup survivors can flag each other — an audit-only
+    wart of the documented intra-batch-pairs-not-compared stance,
+    which consumers dedupe by key). A corpus row is excluded only when
+    it shares the batch vector's OWN id — NOT when its id merely
+    appears elsewhere in the batch — so an at-least-once source that
+    redelivers an old id alongside a genuinely new near-duplicate
+    still gets the duplicate caught."""
     data_t, cent_t = _live_tables(spark, cells_table)
     centroid_rows = _read_centroids(spark, cent_t)
     b = with_double_embedding(batch, vec_col).select(
@@ -1628,7 +1641,7 @@ def semdedup_ingest_batch(
     pruned = (
         stored.filter(F.col("cell").isin(cells)) if cells else stored.filter(F.lit(False))
     )
-    corp = pruned.join(F.broadcast(ba.select("vec_id")), "vec_id", "left_anti").select(
+    corp = pruned.select(
         F.col("vec_id").alias("b_vec_id"),
         F.col("cell").alias("b_cell"),
         F.col("c_vec").alias("b_vec"),

@@ -15,16 +15,16 @@ table with their cell. The FIRST non-empty batch seeds the store (and
 its centroids) and survives wholesale — the same degrade-to-accept
 stance as ``dedup_stream``'s cold corpus.
 
-Retry semantics: exact replay idempotence (see
-``similarity.semdedup_ingest_batch``). The screen's corpus side drops
-every row whose id is in the current batch — the only store rows a
-prior attempt of this batch can have added — so a replay screens
-against exactly the pre-append corpus view and reproduces the SAME
-verdicts; the append skips ids already present. A retried batch
-therefore converges to the same corpus state, and the audit can gain
-only duplicate rows of the SAME (vec_id, cell, batch_id) drop records,
-which any consumer dedupes by key. Strict exactly-once on the audit
-keeps its write inside an idempotent partition-overwrite sink.
+Retry semantics: better than effectively-once (see
+``similarity.semdedup_ingest_batch``). The screening join excludes
+same-id pairs, so on a foreachBatch retry a survivor's own
+already-appended copy cannot falsely drop it, and the append skips ids
+already present — a retried batch converges to the same corpus state.
+Only the audit can gain rows on replay (two same-batch near-dup
+survivors re-screened after their own append can flag each other — an
+audit-only wart of the intra-batch-pairs-not-compared stance), which
+any consumer dedupes by key. Strict exactly-once on the audit keeps
+its write inside an idempotent partition-overwrite sink.
 """
 
 from __future__ import annotations

@@ -1066,6 +1066,8 @@ def test_semdedup_vs_table_matches_incremental_and_prunes_store_scan(spark, emb,
     ]
     assert store_scans, "expected a FileScan of the persisted store"
     for ln in store_scans:
+        # a non-partitioned regression has NO PartitionFilters section
+        assert "PartitionFilters:" in ln, f"store scan not partitioned: {ln[:200]}"
         assert "PartitionFilters: []" not in ln, f"unpruned store scan: {ln[:200]}"
         assert "cell" in ln.split("PartitionFilters:")[1][:200]
 

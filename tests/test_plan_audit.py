@@ -94,6 +94,8 @@ def test_semantic_store_screen_is_partition_pruned(spark):
     ]
     assert store_scans, "expected a FileScan of the persisted cells store"
     for ln in store_scans:
+        # a non-partitioned regression has NO PartitionFilters section
+        assert "PartitionFilters:" in ln, f"store scan not partitioned: {ln[:200]}"
         assert "PartitionFilters: []" not in ln, f"unpruned store scan: {ln[:200]}"
         tail = ln.split("PartitionFilters:")[1][:200]
         assert "cell" in tail and ("INSET" in tail or " IN " in tail), (
