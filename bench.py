@@ -110,6 +110,7 @@ EXTRA_QUERIES_R6 = [
 EXTRA_QUERIES_R8 = [
     "ann_int8_rescore",
     "window_sliding_distinct",
+    "window_sliding_quantile",
     # round-6 keys the r7 promotion missed
     "join_interval_overlap",
     "corpus_release_manifest",

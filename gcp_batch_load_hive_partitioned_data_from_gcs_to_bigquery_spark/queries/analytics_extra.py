@@ -1229,6 +1229,110 @@ def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h value quantiles per observed hour from a MERGEABLE
+    per-hour KMV (k-minimum-values) sample — the sliding-window
+    companion of approx_quantile_hashmin and window_sliding_distinct:
+    raw events are touched ONCE to take each hour's k rows with the
+    smallest md5(event_id) (deterministic, zero RNG state — re-runs and
+    other engines pick identical rows), then the trailing merge unions
+    only hours × 24 × k sample rows and re-takes the k smallest hashes
+    per anchor (the KMV merge IS min-of-mins, so the merged sample
+    equals the sample a direct pass over the full 24 h of raw events
+    would have taken). Estimator is the DISC form — sorted sample value
+    at rank max(1, ceil(q·k)) — pure integer indexing, bit-identical in
+    any engine. Every collect_list is bounded by k=64 by construction
+    (never by event count). Returns (hour, n_sample, p50, p90)."""
+    from pyspark.sql import Window as W
+
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("event_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("hr"),
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+        F.col("value").alias("v"),
+    )
+    w_h = W.partitionBy("hr").orderBy("h", "v")
+    hourly = (
+        base.withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    observed = base.select("hr").distinct()
+    contrib = hourly.select(
+        F.explode(F.sequence(F.col("hr"), F.col("hr") + F.lit(23))).alias("t_hr"),
+        "h",
+        "v",
+    )
+    win = contrib.join(F.broadcast(observed.withColumnRenamed("hr", "t_hr")), "t_hr")
+    w_t = W.partitionBy("t_hr").orderBy("h", "v")
+    merged = win.withColumn("rn", F.row_number().over(w_t)).filter(F.col("rn") <= k)
+    arrs = merged.groupBy("t_hr").agg(F.sort_array(F.collect_list("v")).alias("vs"))
+    n = F.size("vs")
+
+    def est(q: float):
+        idx = F.greatest(F.ceil(F.lit(q) * n).cast("int"), F.lit(1))
+        return F.when(n > 0, F.element_at("vs", idx))
+
+    return (
+        arrs.select(
+            F.date_format(
+                F.timestamp_seconds(F.col("t_hr") * 3600), "yyyy-MM-dd HH"
+            ).alias("hour"),
+            n.alias("n_sample"),
+            est(0.5).alias("p50"),
+            est(0.9).alias("p90"),
+        )
+        .orderBy("hour")
+    )
+
+
+# CAST(q AS DOUBLE) in the rank arithmetic: DuckDB's bare 0.9 is
+# DECIMAL and 0.9*40 = 36 exactly in decimal while double gives
+# 36.0000000000000057 -> ceil 37 — the engines must share the BINARY
+# representation for the DISC rank to agree (same gotcha as the
+# sample-fraction oracles).
+ORACLE_SLIDING_QUANTILE = """
+WITH base AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         md5(CAST(event_id AS VARCHAR)) AS h,
+         value AS v
+  FROM events
+  WHERE event_id IS NOT NULL AND value IS NOT NULL
+),
+hourly AS (
+  SELECT hr, h, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY hr ORDER BY h, v) AS rn FROM base
+  ) WHERE rn <= 64
+),
+observed AS (SELECT DISTINCT hr FROM base),
+contrib AS (
+  SELECT hr + t.i AS t_hr, h, v FROM hourly, range(0, 24) AS t(i)
+),
+win AS (
+  SELECT c.t_hr, c.h, c.v FROM contrib c JOIN observed o ON o.hr = c.t_hr
+),
+merged AS (
+  SELECT t_hr, h, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY t_hr ORDER BY h, v) AS rn FROM win
+  ) WHERE rn <= 64
+),
+arrs AS (
+  SELECT t_hr, list_sort(list(v)) AS vs FROM merged GROUP BY t_hr
+)
+SELECT strftime(make_timestamp(t_hr * 3600 * 1000000), '%Y-%m-%d %H') AS hour,
+       CAST(len(vs) AS INT) AS n_sample,
+       vs[greatest(CAST(ceil(CAST(0.5 AS DOUBLE) * len(vs)) AS INT), 1)] AS p50,
+       vs[greatest(CAST(ceil(CAST(0.9 AS DOUBLE) * len(vs)) AS INT), 1)] AS p90
+FROM arrs
+ORDER BY hour
+"""
+
+
 ORACLE_SLIDING_DISTINCT = """
 WITH hc AS (
   SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
@@ -2293,6 +2397,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "agg_bitmap_distinct": q_agg_bitmap_distinct,
     "window_sliding_distinct": q_window_sliding_distinct,
+    "window_sliding_quantile": q_window_sliding_quantile,
     "stream_bitmap_distinct": q_stream_bitmap_distinct,
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
@@ -2337,6 +2442,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "ts_time_weighted_avg": ORACLE_TWAP,
     "agg_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "window_sliding_distinct": ORACLE_SLIDING_DISTINCT,
+    "window_sliding_quantile": ORACLE_SLIDING_QUANTILE,
     "stream_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "source_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "partition_vacuum_retention": ORACLE_VACUUM,

@@ -4456,9 +4456,11 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-8 queue: the two NEW keys (ann_int8_rescore — int8 shortlist +
-# exact float rescore; window_sliding_distinct — trailing-24h distinct
-# actives via exploded bitmap merge) plus keys whose IMPLEMENTATION
+# Round-8 queue: the three NEW keys (ann_int8_rescore — int8 shortlist
+# + exact float rescore; window_sliding_distinct — trailing-24h distinct
+# actives via exploded bitmap merge; window_sliding_quantile —
+# trailing-24h KMV hash-min quantiles, merge == direct by min-of-mins)
+# plus keys whose IMPLEMENTATION
 # changed this round (their round-7 green rows attest the old code, so
 # they jump the line for a fresh row over the new code) —
 # dedup_simhash (explode+60-sum groupBy → shuffle-free 60-bit fold),
@@ -4476,6 +4478,7 @@ _ROUND_QUEUE_ROUND = 8
 _ROUND_QUEUE = [
     "ann_int8_rescore",
     "window_sliding_distinct",
+    "window_sliding_quantile",
     "dedup_simhash",
     "dedup_semantic_bucketed",
     "stream_semantic_dedup",

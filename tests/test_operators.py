@@ -1397,6 +1397,61 @@ def test_window_sliding_distinct_boundary(spark):
     }
 
 
+def test_window_sliding_quantile_merge_equals_direct(spark):
+    """The KMV merge claim: re-taking the k smallest hashes from the
+    union of per-hour k-minimum samples equals the sample a direct
+    pass over the window's RAW events would take (any hash in the
+    global top-k is in its own hour's top-k). Built with >k events per
+    hour so per-hour truncation actually bites, and checked against a
+    pure-Python replay of md5 ranking + DISC indexing."""
+    import hashlib
+    import math
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra import (
+        q_window_sliding_quantile,
+    )
+    import gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra as AX
+
+    k = 64
+    rows = []
+    for hour in (0, 1):
+        for i in range(100):  # 100 > k per hour
+            eid = hour * 1000 + i
+            rows.append(
+                (eid, f"2024-01-01 {hour:02d}:15:00", float((eid * 37) % 500))
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "value")
+
+    orig = AX.load_table
+    AX.load_table = lambda spark_, sf_dir, name: ev
+    try:
+        got = {r.hour: (r.n_sample, r.p50, r.p90) for r in
+               q_window_sliding_quantile(spark, "ignored").collect()}
+    finally:
+        AX.load_table = orig
+
+    def direct(eids_values):
+        samp = sorted(
+            ((hashlib.md5(str(e).encode()).hexdigest(), v) for e, v in eids_values)
+        )[:k]
+        vs = sorted(v for _, v in samp)
+        n = len(vs)
+
+        def est(q):
+            return vs[max(math.ceil(q * n), 1) - 1]
+
+        return (n, est(0.5), est(0.9))
+
+    h0 = [(e, v) for e, _, v in rows if e < 1000]
+    h1 = [(e, v) for e, _, v in rows if e >= 1000]
+    assert got == {
+        "2024-01-01 00": direct(h0),
+        "2024-01-01 01": direct(h0 + h1),  # hour 1's trailing window spans both
+    }
+
+
 def test_interval_overlap_join_boundary_and_bucket_spanning(spark):
     """Hand-built intervals: closed-boundary touch counts as overlap,
     disjoint pairs never appear, and a pair sharing MANY buckets is
