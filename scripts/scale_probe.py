@@ -225,6 +225,28 @@ def main() -> None:
         ),
     )
 
+    # Sliding-window family: raw events are touched once (map-side
+    # bitmap collapse / per-hour top-k), then the trailing merge moves
+    # only hours x 24 x (chunks | k) metadata rows. Replicas remap
+    # user ids, so the bitmap key space (chunks = users/32) scales with
+    # K while the calendar stays fixed — expect ~linear.
+    import gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra as AX
+
+    def sliding_probe(qname):
+        def run(sf, kk):
+            ev = tbl(sf, "events")
+            orig = AX.load_table
+            AX.load_table = lambda s_, d_, n_: ev
+            try:
+                from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.catalog import QUERIES
+                return timed(QUERIES[qname](spark, sf))
+            finally:
+                AX.load_table = orig
+        return run
+
+    probe("window_sliding_distinct", sliding_probe("window_sliding_distinct"))
+    probe("window_sliding_quantile", sliding_probe("window_sliding_quantile"))
+
     # Steady-state claim of the persisted semantic-cells store: the cost
     # of screening a FIXED micro-batch must be (near-)independent of
     # corpus size. Persist a 1x and a Kx corpus store (nlist ∝ corpus),
