@@ -1421,6 +1421,60 @@ def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_sliding_distinct
+    (streaming/bitmap_distinct.py at hour grain): the events table
+    replayed as a 6-file backlog maintains an HOUR-partitioned bitmap
+    store — per micro-batch cost O(batch + touched hours), retries
+    cannot inflate (bitmap union is idempotent) — and the trailing-24h
+    readout (read_sliding_distinct) composes every window position from
+    the STORE alone, never rescanning raw events. Must equal the exact
+    trailing-window countDistinct the oracle computes from raw events —
+    stream/batch equivalence for the sliding family."""
+    import tempfile
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.bitmap_distinct import (
+        read_sliding_distinct,
+        stream_bitmap_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sg_slsrc_")
+    # range-split the replay on ts: a real backlog arrives in rough
+    # time order, so each micro-batch touches a contiguous slice of
+    # hours — the locality the O(batch + touched hours) contract
+    # assumes (a random split would make every batch rewrite all ~720
+    # hour partitions, a worst case no live pipeline exhibits)
+    ev.repartitionByRange(6, "ts").write.mode("overwrite").parquet(src)
+    store = tempfile.mkdtemp(prefix="sg_slstore_")
+    q = stream_bitmap_distinct(
+        spark, src, store, ev.schema,
+        checkpoint=tempfile.mkdtemp(prefix="sg_slckpt_"),
+        grain="hour",
+    )
+    q.awaitTermination(300)
+    return read_sliding_distinct(spark, store, window_hours=24)
+
+
+ORACLE_STREAM_SLIDING_DISTINCT = """
+WITH hc AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         user_id
+  FROM events
+),
+observed AS (SELECT DISTINCT hr FROM hc),
+pairs AS (SELECT DISTINCT hr, user_id FROM hc),
+contrib AS (
+  SELECT hr + t.i AS t_hr, user_id FROM pairs, range(0, 24) AS t(i)
+)
+SELECT strftime(make_timestamp(c.t_hr * 3600 * 1000000), '%Y-%m-%d %H') AS hour,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+FROM contrib c JOIN observed o ON o.hr = c.t_hr
+GROUP BY c.t_hr
+ORDER BY hour
+"""
+
+
 def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact recursive EWMA per user (alpha=0.2) — the genuinely
     sequential aggregate (EWMA_t = a·x_t + (1−a)·EWMA_{t−1}) that
@@ -2398,6 +2452,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "agg_bitmap_distinct": q_agg_bitmap_distinct,
     "window_sliding_distinct": q_window_sliding_distinct,
     "window_sliding_quantile": q_window_sliding_quantile,
+    "stream_sliding_distinct": q_stream_sliding_distinct,
     "stream_bitmap_distinct": q_stream_bitmap_distinct,
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
@@ -2443,6 +2498,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "agg_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "window_sliding_distinct": ORACLE_SLIDING_DISTINCT,
     "window_sliding_quantile": ORACLE_SLIDING_QUANTILE,
+    "stream_sliding_distinct": ORACLE_STREAM_SLIDING_DISTINCT,
     "stream_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "source_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "partition_vacuum_retention": ORACLE_VACUUM,

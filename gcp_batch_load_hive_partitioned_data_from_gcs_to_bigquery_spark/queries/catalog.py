@@ -4456,10 +4456,12 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-8 queue: the three NEW keys (ann_int8_rescore — int8 shortlist
+# Round-8 queue: the four NEW keys (ann_int8_rescore — int8 shortlist
 # + exact float rescore; window_sliding_distinct — trailing-24h distinct
 # actives via exploded bitmap merge; window_sliding_quantile —
-# trailing-24h KMV hash-min quantiles, merge == direct by min-of-mins)
+# trailing-24h KMV hash-min quantiles, merge == direct by min-of-mins;
+# stream_sliding_distinct — hour-grain bitmap store maintained per
+# micro-batch, trailing readout composed from the store alone)
 # plus keys whose IMPLEMENTATION
 # changed this round (their round-7 green rows attest the old code, so
 # they jump the line for a fresh row over the new code) —
@@ -4479,6 +4481,7 @@ _ROUND_QUEUE = [
     "ann_int8_rescore",
     "window_sliding_distinct",
     "window_sliding_quantile",
+    "stream_sliding_distinct",
     "dedup_simhash",
     "dedup_semantic_bucketed",
     "stream_semantic_dedup",

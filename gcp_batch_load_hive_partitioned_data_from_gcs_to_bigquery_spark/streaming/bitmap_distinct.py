@@ -28,17 +28,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["stream_bitmap_distinct", "read_distinct_counts"]
+__all__ = [
+    "stream_bitmap_distinct",
+    "read_distinct_counts",
+    "read_sliding_distinct",
+]
 
 
-def _batch_chunks(batch_df: DataFrame) -> DataFrame:
+def _grain_key(grain: str):
+    """Partition key expression + column name for a store grain. The
+    hour grain stores the epoch-hour as a LONG partition value (not a
+    formatted string) so trailing-window arithmetic on the store is
+    integer addition, never date parsing."""
+    if grain == "hour":
+        key = (
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("hr")
+        )
+        return key, "hr"
+    if grain == "day":
+        return F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "day"
+    raise ValueError(f"unknown grain {grain!r} (expected 'day' or 'hour')")
+
+
+def _batch_chunks(batch_df: DataFrame, grain: str = "day") -> DataFrame:
+    key, kname = _grain_key(grain)
     return (
         batch_df.select(
-            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            key,
             (F.col("user_id") / 32).cast("long").alias("chunk"),
             F.expr("shiftleft(1L, cast(user_id % 32 as int))").alias("bit"),
         )
-        .groupBy("day", "chunk")
+        .groupBy(kname, "chunk")
         .agg(F.expr("bit_or(bit)").alias("bits"))
     )
 
@@ -50,10 +72,16 @@ def stream_bitmap_distinct(
     schema: T.StructType,
     checkpoint: str,
     max_files_per_trigger: int = 2,
+    grain: str = "day",
 ):
-    """File-source stream → per-batch (day, chunk) bitmaps → merge into
-    the partitioned store for the touched days only. Trigger.AvailableNow
-    drains the backlog; returns the started StreamingQuery."""
+    """File-source stream → per-batch (grain, chunk) bitmaps → merge
+    into the partitioned store for the touched periods only.
+    ``grain='hour'`` keeps the same O(batch + touched periods) contract
+    at hour resolution — the state a sliding-window readout
+    (:func:`read_sliding_distinct`) composes from without ever
+    rescanning raw events. Trigger.AvailableNow drains the backlog;
+    returns the started StreamingQuery."""
+    _, kname = _grain_key(grain)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -62,35 +90,42 @@ def stream_bitmap_distinct(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        fresh = _batch_chunks(batch_df).persist()
+        fresh = _batch_chunks(batch_df, grain).persist()
         try:
-            days = [r.day for r in fresh.select("day").distinct().collect()]
-            if not days:
+            keys = [r[kname] for r in fresh.select(kname).distinct().collect()]
+            if not keys:
                 return
-            # Existence = at least one day= partition dir, NOT a bare
+            # Existence = at least one partition dir, NOT a bare
             # (possibly pre-created, empty) root — an empty dir would
             # fail schema inference on read.
             jglob = sess._jvm.org.apache.hadoop.fs.Path(
-                store_root.rstrip("/") + "/day=*"
+                store_root.rstrip("/") + f"/{kname}=*"
             )
             fs = jglob.getFileSystem(sess._jsc.hadoopConfiguration())
             matches = fs.globStatus(jglob)
             if matches is not None and len(matches) > 0:
                 old = sess.read.parquet(store_root).filter(
-                    F.col("day").isin(days)  # partition-pruned
+                    F.col(kname).isin(keys)  # partition-pruned
                 )
                 merged = (
-                    fresh.unionByName(old.select("day", "chunk", "bits"))
-                    .groupBy("day", "chunk")
+                    fresh.unionByName(old.select(kname, "chunk", "bits"))
+                    .groupBy(kname, "chunk")
                     .agg(F.expr("bit_or(bits)").alias("bits"))
                 )
             else:
                 merged = fresh
             (
-                merged.repartition(1, "day")
+                # hash-repartition on the period key: every period's
+                # rows land wholly in one task (still ONE file per
+                # partition dir), but distinct periods write in
+                # parallel — repartition(1, key) serialized the whole
+                # batch's dir writes through a single task, which at
+                # hour grain (hundreds of touched dirs per replay
+                # batch) dominated the trigger
+                merged.repartition(F.col(kname))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("day")
+                .partitionBy(kname)
                 .parquet(store_root)
             )
         finally:
@@ -101,6 +136,49 @@ def stream_bitmap_distinct(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_sliding_distinct(
+    spark: SparkSession, store_root: str, window_hours: int = 24
+) -> DataFrame:
+    """Trailing-``window_hours`` exact distinct actives per observed
+    hour, composed ENTIRELY from an hour-grain bitmap store — the
+    continuously-maintained form of the batch
+    ``window_sliding_distinct`` query: raw events were absorbed into
+    per-(hour, chunk) bitmaps by the stream, so any window position is
+    one bit_or over ≤ ``window_hours`` × chunks stored rows. Returns
+    (hour, n_active)."""
+    store = spark.read.parquet(store_root)
+    observed = store.select("hr").distinct()
+    contrib = store.select(
+        F.explode(
+            F.sequence(
+                F.col("hr").cast("long"),
+                F.col("hr").cast("long") + F.lit(window_hours - 1),
+            )
+        ).alias("t_hr"),
+        "chunk",
+        "bits",
+    )
+    return (
+        contrib.join(
+            F.broadcast(
+                observed.select(F.col("hr").cast("long").alias("t_hr"))
+            ),
+            "t_hr",
+        )
+        .groupBy("t_hr", "chunk")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .groupBy("t_hr")
+        .agg(F.sum(F.bit_count("bits")).alias("n_active"))
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("t_hr") * 3600), "yyyy-MM-dd HH"
+            ).alias("hour"),
+            "n_active",
+        )
+        .orderBy("hour")
     )
 
 

@@ -137,6 +137,33 @@ def test_transform_with_state_gated_or_works(spark, tmp_path):
     assert got == exact
 
 
+def test_read_sliding_distinct_window_boundary(spark, tmp_path):
+    """Hour-grain bitmap store → trailing-24h readout: a user active at
+    hour 0 counts for anchors 0..23 but NOT hour 24, and anchors exist
+    only at observed hours."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.bitmap_distinct import (
+        _batch_chunks,
+        read_sliding_distinct,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 100),
+        (2, "2024-01-01 23:10:00", 200),
+        (3, "2024-01-02 00:20:00", 200),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id")
+    store = str(tmp_path / "store")
+    _batch_chunks(ev, "hour").write.partitionBy("hr").parquet(store)
+    out = {r.hour: r.n_active for r in read_sliding_distinct(spark, store).collect()}
+    assert out == {
+        "2024-01-01 00": 1,
+        "2024-01-01 23": 2,
+        "2024-01-02 00": 1,  # user 100 aged out of the 24h window
+    }
+
+
 def test_stream_incremental_dedup_grows_corpus_and_audits_dups(spark, tmp_path):
     """Two micro-batches replayed file-by-file: batch 0 seeds the corpus,
     batch 1 carries an exact copy, a near-copy, and a novel doc. The
