@@ -209,7 +209,7 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     return spark.table(name).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n_rows",
@@ -264,7 +264,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     return spark.table(name)
 
 
@@ -510,7 +510,7 @@ def q_stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     return spark.table(name)
 
 
@@ -576,7 +576,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     return spark.table(name)
 
 
@@ -645,7 +645,7 @@ def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     return spark.table(name).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n_attributed",
@@ -1190,7 +1190,10 @@ def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     hour_chunks = base.groupBy("hr", "chunk").agg(F.expr("bit_or(bit)").alias("bits"))
-    observed = base.select("hr").distinct()
+    # observed hours come from the ALREADY-AGGREGATED side (every
+    # observed hour keeps >=1 chunk row), so the anchor set shares the
+    # aggregate exchange instead of re-deriving base's full event scan
+    observed = hour_chunks.select("hr").distinct()
     contrib = hour_chunks.select(
         F.explode(F.sequence(F.col("hr"), F.col("hr") + F.lit(23))).alias("t_hr"),
         "chunk",
@@ -1262,7 +1265,11 @@ def q_window_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
-    observed = base.select("hr").distinct()
+    # every observed hour retains >=1 sampled row (rn=1 survives any
+    # k>=1), so the anchor set derives from the ALREADY-SAMPLED side —
+    # bounded by hours x k and sharing the window exchange — instead of
+    # re-deriving base's full event scan a second time
+    observed = hourly.select("hr").distinct()
     contrib = hourly.select(
         F.explode(F.sequence(F.col("hr"), F.col("hr") + F.lit(23))).alias("t_hr"),
         "h",
@@ -1400,7 +1407,7 @@ def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, store, ev.schema,
         checkpoint=tempfile.mkdtemp(prefix="sg_bmckpt_"),
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     counts = read_distinct_counts(spark, store)
     exact_day = ev.groupBy(
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
@@ -1452,7 +1459,9 @@ def q_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="sg_slckpt_"),
         grain="hour",
     )
-    q.awaitTermination(300)
+    # a silent timeout would read a PARTIAL store and fail the oracle
+    # as a confusing value mismatch (or race the still-running sink)
+    assert q.awaitTermination(300), "bitmap stream did not drain in 300s"
     return read_sliding_distinct(spark, store, window_hours=24)
 
 

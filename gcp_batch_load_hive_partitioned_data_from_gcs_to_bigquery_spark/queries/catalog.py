@@ -2301,7 +2301,7 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     return spark.table(name).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "n_rows",
@@ -2329,7 +2329,7 @@ def q_stream_hourly_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, table_root, EVENTS_SCHEMA,
         checkpoint=_tmp("streamingckpt"), trigger_available_now=True,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     back = spark.read.option("basePath", table_root).parquet(table_root)
     return (
         back.filter(F.col("day") == 1)  # partition-pruned read
@@ -2372,7 +2372,7 @@ def q_stream_quarantine_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _FIXTURES[key], landing, quarantine, EVENTS_SCHEMA,
         rules, checkpoint=_tmp("qckpt"),
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     clean = spark.read.parquet(landing).select(F.lit("PASS").alias("violations"))
     bad = spark.read.parquet(quarantine).select("violations")
     return (
@@ -4080,7 +4080,7 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
 
     frames = [
         read_landing_table(spark, table_root, f"20240101{h:02d}")

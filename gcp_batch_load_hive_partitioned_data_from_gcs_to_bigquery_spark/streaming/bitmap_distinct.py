@@ -95,20 +95,33 @@ def stream_bitmap_distinct(
             keys = [r[kname] for r in fresh.select(kname).distinct().collect()]
             if not keys:
                 return
-            # Existence = at least one partition dir, NOT a bare
-            # (possibly pre-created, empty) root — an empty dir would
-            # fail schema inference on read.
-            jglob = sess._jvm.org.apache.hadoop.fs.Path(
-                store_root.rstrip("/") + f"/{kname}=*"
-            )
-            fs = jglob.getFileSystem(sess._jsc.hadoopConfiguration())
-            matches = fs.globStatus(jglob)
-            if matches is not None and len(matches) > 0:
-                old = sess.read.parquet(store_root).filter(
-                    F.col(kname).isin(keys)  # partition-pruned
+            # Strictly O(touched periods): probe ONLY the touched
+            # partition dirs for existence (bounded by the batch) and
+            # read exactly those — never list the whole store, whose
+            # partition count grows without bound in a long-lived
+            # stream (at hour grain a single glob/partition-discovery
+            # of the root is already 24x the day-grain metadata cost).
+            jvm = sess._jvm
+            hconf = sess._jsc.hadoopConfiguration()
+            root = store_root.rstrip("/")
+            fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+            hit = []
+            for key in keys:
+                p = f"{root}/{kname}={key}"
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(p)):
+                    hit.append(p)
+            if hit:
+                old = (
+                    sess.read.option("basePath", root)
+                    .parquet(*hit)
+                    .select(
+                        F.col(kname).cast(fresh.schema[kname].dataType),
+                        "chunk",
+                        "bits",
+                    )
                 )
                 merged = (
-                    fresh.unionByName(old.select(kname, "chunk", "bits"))
+                    fresh.unionByName(old)
                     .groupBy(kname, "chunk")
                     .agg(F.expr("bit_or(bits)").alias("bits"))
                 )

@@ -1414,11 +1414,11 @@ def test_window_sliding_quantile_merge_equals_direct(spark):
 
     k = 64
     rows = []
-    for hour in (0, 1):
+    for day, hour in ((1, 0), (1, 1), (2, 0)):  # hour 24 ages hour 0 out
         for i in range(100):  # 100 > k per hour
-            eid = hour * 1000 + i
+            eid = (day * 24 + hour) * 1000 + i
             rows.append(
-                (eid, f"2024-01-01 {hour:02d}:15:00", float((eid * 37) % 500))
+                (eid, f"2024-01-0{day} {hour:02d}:15:00", float((eid * 37) % 500))
             )
     ev = spark.createDataFrame(
         rows, "event_id long, ts string, value double"
@@ -1444,11 +1444,16 @@ def test_window_sliding_quantile_merge_equals_direct(spark):
 
         return (n, est(0.5), est(0.9))
 
-    h0 = [(e, v) for e, _, v in rows if e < 1000]
-    h1 = [(e, v) for e, _, v in rows if e >= 1000]
+    def hour_rows(day, hour):
+        lo = (day * 24 + hour) * 1000
+        return [(e, v) for e, _, v in rows if lo <= e < lo + 1000]
+
+    h0, h1, h24 = hour_rows(1, 0), hour_rows(1, 1), hour_rows(2, 0)
     assert got == {
         "2024-01-01 00": direct(h0),
-        "2024-01-01 01": direct(h0 + h1),  # hour 1's trailing window spans both
+        "2024-01-01 01": direct(h0 + h1),  # trailing window spans both
+        # exactly 24h later: hour 0 aged OUT, hour 1 still in
+        "2024-01-02 00": direct(h1 + h24),
     }
 
 
