@@ -1428,6 +1428,92 @@ def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count estimation per event type —
+    the estimator face of the same deterministic hash-min sample the
+    quantile sketch and the sliding-quantile window reuse: hash every
+    DISTINCT (type, user) with md5 (zero RNG state — any engine, any
+    retry, same sketch), keep each type's k smallest hashes, and
+    estimate n̂ = (k-1) / θ where θ = h_k / 2^60 is the k-th minimum's
+    position in the hash space; a group with fewer than k distinct
+    members keeps all its hashes and reports the EXACT count. The
+    mergeable-sketch alternative to exact bitmaps when the key space is
+    sparse/non-integer (HLL's niche) but with a value-reproducible
+    estimator an external oracle replays bit-for-bit. Exact
+    countDistinct rides in the output for the error to be visible.
+
+    Scale shape: the distinct() collapses map-side; the per-type top-k
+    is one window over (type, hash) rows; everything downstream is
+    k-bounded metadata. Returns (event_type, n_exact, n_est)."""
+    from pyspark.sql import Window as W
+
+    k = 32
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hashed = du.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per_type = topk.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    exact = du.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    n_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(1152921504606846976.0) / F.col("hk").cast("double")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select("event_type", "n_exact", F.round(n_est, 4).alias("n_est"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_KMV_DISTINCT = """
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM du
+),
+topk AS (
+  SELECT event_type, h, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= 32
+),
+per_type AS (
+  SELECT event_type,
+         max(CASE WHEN rn = 32 THEN h END) AS hk,
+         count(*) AS n_kept
+  FROM topk GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM du GROUP BY event_type
+)
+SELECT p.event_type, e.n_exact,
+       round(CASE WHEN p.n_kept < 32 THEN CAST(p.n_kept AS DOUBLE)
+                  ELSE CAST(31 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(p.hk AS DOUBLE)
+             END, 4) AS n_est
+FROM per_type p JOIN exact e USING (event_type)
+ORDER BY event_type
+"""
+
+
 def q_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of window_sliding_distinct
     (streaming/bitmap_distinct.py at hour grain): the events table
@@ -2462,6 +2548,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "window_sliding_distinct": q_window_sliding_distinct,
     "window_sliding_quantile": q_window_sliding_quantile,
     "stream_sliding_distinct": q_stream_sliding_distinct,
+    "approx_kmv_distinct": q_approx_kmv_distinct,
     "stream_bitmap_distinct": q_stream_bitmap_distinct,
     "partition_vacuum_retention": q_partition_vacuum_retention,
     "profile_table": q_profile_table,
@@ -2508,6 +2595,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "window_sliding_distinct": ORACLE_SLIDING_DISTINCT,
     "window_sliding_quantile": ORACLE_SLIDING_QUANTILE,
     "stream_sliding_distinct": ORACLE_STREAM_SLIDING_DISTINCT,
+    "approx_kmv_distinct": ORACLE_KMV_DISTINCT,
     "stream_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "source_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "partition_vacuum_retention": ORACLE_VACUUM,

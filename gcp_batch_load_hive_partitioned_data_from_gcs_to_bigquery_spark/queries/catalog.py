@@ -4456,12 +4456,14 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-8 queue: the four NEW keys (ann_int8_rescore — int8 shortlist
+# Round-8 queue: the five NEW keys (ann_int8_rescore — int8 shortlist
 # + exact float rescore; window_sliding_distinct — trailing-24h distinct
 # actives via exploded bitmap merge; window_sliding_quantile —
 # trailing-24h KMV hash-min quantiles, merge == direct by min-of-mins;
 # stream_sliding_distinct — hour-grain bitmap store maintained per
-# micro-batch, trailing readout composed from the store alone)
+# micro-batch, trailing readout composed from the store alone;
+# approx_kmv_distinct — KMV distinct estimator, n-hat = (k-1)/theta
+# from the k-th minimum md5, exact below k)
 # plus keys whose IMPLEMENTATION
 # changed this round (their round-7 green rows attest the old code, so
 # they jump the line for a fresh row over the new code) —
@@ -4482,6 +4484,7 @@ _ROUND_QUEUE = [
     "window_sliding_distinct",
     "window_sliding_quantile",
     "stream_sliding_distinct",
+    "approx_kmv_distinct",
     "dedup_simhash",
     "dedup_semantic_bucketed",
     "stream_semantic_dedup",

@@ -1397,6 +1397,26 @@ def test_window_sliding_distinct_boundary(spark):
     }
 
 
+def test_kmv_distinct_estimator_accuracy(spark):
+    """KMV estimate within the sketch's statistical error of the exact
+    count for every group large enough to engage the estimator
+    (relative sigma ~ 1/sqrt(k-2) ~ 18% at k=32; assert a generous 3
+    sigma), and EXACT for groups below k."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra import (
+        q_approx_kmv_distinct,
+    )
+
+    rows = q_approx_kmv_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact < 32:
+            assert r.n_est == float(r.n_exact)
+        else:
+            assert abs(r.n_est - r.n_exact) / r.n_exact < 0.55, (
+                f"{r.event_type}: est {r.n_est} vs exact {r.n_exact}"
+            )
+
+
 def test_window_sliding_quantile_merge_equals_direct(spark):
     """The KMV merge claim: re-taking the k smallest hashes from the
     union of per-hour k-minimum samples equals the sample a direct

@@ -362,3 +362,42 @@ def test_ewma_segmented_matches_direct_recursion(spark):
         n, ewma = got[u]
         assert n == len(rows)
         assert abs(ewma - e) < 1e-5, (u, ewma, e)
+
+
+def test_simhash_md5_fold_matches_bruteforce(spark):
+    """The shuffle-free 60-bit fold (round-8 rewrite of simhash_md5)
+    vs a per-token Python brute force: term frequency weighting
+    (duplicate tokens NOT deduplicated), whitespace runs, leading and
+    trailing space, case folding, utf-8 hashing, and the empty-string
+    token all pinned on adversarial random docs."""
+    import hashlib
+    import re
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import simhash_md5
+
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "Beta", "GAMMA", "déjà", "x", "longtokenword", "42"]
+    docs = []
+    for i in range(60):
+        n = int(rng.randint(0, 12))
+        words = [vocab[int(rng.randint(0, len(vocab)))] for _ in range(n)]
+        # adversarial whitespace: runs, tabs, leading/trailing space
+        seps = ["  ", " ", "\t", "   "]
+        text = seps[i % 4].join(words)
+        if i % 5 == 0:
+            text = " " + text + "  "
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_md5(df, "doc_id", "text").collect()}
+
+    def brute(text):
+        toks = re.split(r"\s+", text.strip().lower())  # '' -> [''] like F.split
+        slots = [0] * 60
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+            for j in range(60):
+                slots[j] += 1 if (h >> j) & 1 else -1
+        return sum((1 << j) for j in range(60) if slots[j] > 0)
+
+    want = {i: brute(t) for i, t in docs}
+    assert got == want
