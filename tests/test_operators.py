@@ -1477,6 +1477,46 @@ def test_window_sliding_quantile_merge_equals_direct(spark):
     }
 
 
+def test_cells_store_reclaims_crashed_build_orphans(spark, emb):
+    """A crash between a version build and its pointer flip leaves
+    orphan physical tables. The next persist must (a) never point the
+    view at the orphan, (b) build a HIGHER version than any orphan so
+    a stale orphan can't shadow fresh data, and (c) reclaim the
+    orphans afterwards."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _build_store_version,
+        _live_version,
+        drop_corpus_cells,
+        persist_corpus_cells,
+        semdedup_batch_vs_table,
+    )
+
+    name = "t_corpus_cells_orphan"
+    drop_corpus_cells(spark, name)
+    corpus = emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 350))
+    # simulate a crashed build: version 3 physicals exist, no view
+    _build_store_version(corpus.limit(5), name, 3, 2, "vec_id", "embedding")
+    assert not any(
+        r.tableName == name
+        for r in spark.sql(f"SHOW TABLES LIKE '{name}'").collect()
+    )
+
+    persist_corpus_cells(corpus, name, nlist=4)
+    v = _live_version(spark, name)
+    assert v == 4  # above the orphan, so the orphan can't shadow it
+    assert spark.table(name).count() == corpus.count()
+    tables = {r.tableName for r in spark.sql(f"SHOW TABLES LIKE '{name}*'").collect()}
+    assert tables == {name, f"{name}__v4", f"{name}__v4__centroids"}
+    # the store still screens correctly after recovery
+    echo = corpus.limit(1).select(F.lit(999999).alias("vec_id"), "embedding")
+    out = {
+        r.vec_id: r.keep
+        for r in semdedup_batch_vs_table(spark, name, echo, min_cosine=0.99).collect()
+    }
+    assert out == {999999: False}
+    drop_corpus_cells(spark, name)
+
+
 def test_interval_overlap_join_boundary_and_bucket_spanning(spark):
     """Hand-built intervals: closed-boundary touch counts as overlap,
     disjoint pairs never appear, and a pair sharing MANY buckets is

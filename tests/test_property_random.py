@@ -401,3 +401,43 @@ def test_simhash_md5_fold_matches_bruteforce(spark):
 
     want = {i: brute(t) for i, t in docs}
     assert got == want
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucket-decomposition overlap join vs O(n^2) brute force on
+    adversarial random intervals: zero-length intervals, exact-touch
+    boundaries, multi-bucket spanners, duplicate rows (multiset
+    semantics must be preserved — the canonical-bucket emission
+    replaced a distinct), and negative epochs (floor-division bucket
+    arithmetic)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import interval_overlap_join
+
+    rng = np.random.RandomState(11)
+    W = 600
+
+    def mk(side, n):
+        rows = []
+        for i in range(n):
+            s = int(rng.randint(-3 * W, 6 * W))
+            ln = int(rng.choice([0, 1, W - 1, W, 3 * W + 7]))
+            rows.append((side * 1000 + i, s, s + ln))
+        # duplicate a couple of rows verbatim (multiset check)
+        rows.append(rows[0])
+        rows.append(rows[1])
+        return rows
+
+    lrows, rrows = mk(1, 25), mk(2, 25)
+    left = spark.createDataFrame(lrows, "id long, s long, e long")
+    right = spark.createDataFrame(rrows, "id long, s long, e long")
+    got = sorted(
+        (r.id, r.r_id) for r in interval_overlap_join(
+            left, right, bucket_secs=W
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, ls, le in lrows
+        for rid, rs, re_ in rrows
+        if ls <= re_ and rs <= le
+    )
+    assert got == want
