@@ -111,7 +111,11 @@ EXTRA_QUERIES_R8 = [
     "ann_int8_rescore",
     "window_sliding_distinct",
     "window_sliding_quantile",
+    "approx_kmv_distinct",
     # round-6 keys the r7 promotion missed
+    # (stream_sliding_distinct is deliberately unbenched: a full
+    # streaming replay per pass would add ~80s of fixture time for a
+    # number that measures the harness, not the operator)
     "join_interval_overlap",
     "corpus_release_manifest",
 ]
