@@ -28,6 +28,7 @@ from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators i
 from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import similarity as SIM
 from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import text as TX
 from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
+from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming import drain_stream
 
 # --- shared fixtures ---------------------------------------------------------
 
@@ -2301,7 +2302,7 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not drain in 300s"
+    drain_stream(q)
     return spark.table(name).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "n_rows",
@@ -2329,7 +2330,7 @@ def q_stream_hourly_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, table_root, EVENTS_SCHEMA,
         checkpoint=_tmp("streamingckpt"), trigger_available_now=True,
     )
-    assert q.awaitTermination(300), "stream did not drain in 300s"
+    drain_stream(q)
     back = spark.read.option("basePath", table_root).parquet(table_root)
     return (
         back.filter(F.col("day") == 1)  # partition-pruned read
@@ -2372,7 +2373,7 @@ def q_stream_quarantine_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _FIXTURES[key], landing, quarantine, EVENTS_SCHEMA,
         rules, checkpoint=_tmp("qckpt"),
     )
-    assert q.awaitTermination(300), "stream did not drain in 300s"
+    drain_stream(q)
     clean = spark.read.parquet(landing).select(F.lit("PASS").alias("violations"))
     bad = spark.read.parquet(quarantine).select("violations")
     return (
@@ -4080,7 +4081,7 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not drain in 300s"
+    drain_stream(q)
 
     frames = [
         read_landing_table(spark, table_root, f"20240101{h:02d}")
