@@ -9,10 +9,13 @@ executor-parallel).
 ``decode_image_meta`` and ``decode_audio_meta`` are REAL: they parse
 PNG/JPEG/GIF headers and WAV RIFF chunk lists from raw bytes (pure
 Python, no codec library needed) and return actual encoded dimensions /
-sample geometry. Full pixel decode / resample (``decode_image_pixels``,
-``resize_stub``) still needs PIL/librosa/ffmpeg, which are NOT in this
-container — those kernels are STUBBED with deterministic fakes behind
-the same Arrow plumbing; swap the kernel body when the codec lib exists.
+sample geometry. Pixel work is REAL too for the 8-bit grayscale PNG
+family: ``decode_png_gray`` inflates IDAT with stdlib ``zlib`` and
+defilters all five PNG filter types, and ``resize_image_nearest`` runs
+a genuine decode → integer nearest-neighbor resample → re-encode
+thumbnail stage. Only multi-channel/compressed-codec decode
+(``decode_image_pixels`` for RGB/JPEG, audio DSP) still gates on
+PIL/librosa/ffmpeg, absent in this container.
 """
 
 from __future__ import annotations
@@ -213,38 +216,186 @@ def decode_image_meta_pandas(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_kernel, IMAGE_META_SCHEMA)
 
 
+def decode_png_gray(buf: bytes) -> tuple[int, int, bytes]:
+    """REAL pixel decode for 8-bit grayscale PNGs with pure stdlib: chunk
+    walk → concatenated-IDAT ``zlib`` inflate → full defilter (all five
+    PNG filter types — None/Sub/Up/Average/Paeth per the spec's byte
+    recurrences). Returns ``(width, height, pixels)`` where ``pixels`` is
+    ``height*width`` raw bytes in row-major order. No codec library —
+    the inflate is stdlib and the filters are integer arithmetic — so
+    the engine genuinely recovers encoded pixel CONTENT, not just header
+    geometry. Non-grayscale/non-8-bit images raise (PIL territory)."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, w, h, depth, ctype = 8, bytearray(), None, None, None, None
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        kind = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + ln]
+        if kind == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+        elif kind == b"IDAT":
+            idat += body
+        elif kind == b"IEND":
+            break
+        pos += 12 + ln  # len + kind + payload + crc
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    if depth != 8 or ctype != 0:
+        raise NotImplementedError(
+            f"only 8-bit grayscale supported (depth={depth}, color_type={ctype})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("scanline payload size mismatch")
+    out = bytearray(h * w)
+    prev = bytes(w)
+    for y in range(h):
+        base = y * (w + 1)
+        f = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + w])
+        if f == 1:  # Sub: add left
+            for i in range(1, w):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif f == 2:  # Up: add above
+            for i in range(w):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average: add floor((left + above) / 2)
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y * w : (y + 1) * w] = line
+        prev = line
+    return w, h, bytes(out)
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Re-encode raw grayscale pixels as a spec-valid PNG (filter 0
+    scanlines, zlib level 6 — the :func:`synthesize_png` parameters)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_pixels_nearest(
+    width: int, height: int, pixels: bytes, target_w: int, target_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a row-major grayscale buffer: output
+    pixel (y, x) copies source pixel (y*height//target_h, x*width//target_w)
+    — pure integer index math, reproducible verbatim in any engine."""
+    import numpy as np
+
+    src = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ys = (np.arange(target_h, dtype=np.int64) * height) // target_h
+    xs = (np.arange(target_w, dtype=np.int64) * width) // target_w
+    return src[np.ix_(ys, xs)].tobytes()
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
         T.StructField("target_width", T.IntegerType()),
         T.StructField("target_height", T.IntegerType()),
-        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("row0_weighted", T.LongType()),
+        T.StructField("rows_all_equal", T.IntegerType()),
+        T.StructField("roundtrip_ok", T.IntegerType()),
     ]
 )
 
 
-def resize_stub(media: DataFrame, width: int = 256, height: int = 256) -> DataFrame:
-    """STUB resize: binary-in/binary-out mapInPandas — the shape of a real
-    thumbnailing stage (decode → resample → re-encode). The fake kernel
-    truncates/pads the payload to width*height/8 bytes deterministically;
-    swap for a PIL resize when the codec lib exists. Output schema keeps
-    the payload opaque-binary with typed size metadata, matching the
-    engine's multimodal column convention."""
-    target_len = width * height // 8
+def resize_image_nearest(media: DataFrame, width: int = 256, height: int = 256) -> DataFrame:
+    """REAL thumbnailing stage over mapInPandas: stdlib PNG pixel decode
+    (:func:`decode_png_gray`) → integer nearest-neighbor resample
+    (:func:`resize_pixels_nearest`) → PNG re-encode
+    (:func:`encode_png_gray`), Arrow-batched and executor-parallel.
+
+    Output carries the resized payload (opaque binary, the engine's
+    multimodal column convention) plus integer pixel EVIDENCE an
+    external oracle can recompute without a codec: total pixel sum, the
+    position-weighted first-row checksum ``sum((x+1)*p[0][x])``, a
+    rows-all-equal flag, and a decode-back round-trip flag proving the
+    re-encoded bytes reproduce the resized pixels exactly. Undecodable
+    payloads surface as NULL stats with ``roundtrip_ok = 0``, never a
+    task crash."""
+    import numpy as np
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < par:
+        media = media.repartition(par)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf["content"].map(
-                lambda b: bytes(b or b"")[:target_len].ljust(target_len, b"\x00")
-            )
+            rows = {name: [] for name in RESIZE_SCHEMA.fieldNames()}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(int(mid))
+                rows["target_width"].append(width)
+                rows["target_height"].append(height)
+                try:
+                    sw, sh, px = decode_png_gray(bytes(content or b""))
+                except (ValueError, NotImplementedError, zlib.error):
+                    rows["content"].append(None)
+                    rows["src_width"].append(None)
+                    rows["src_height"].append(None)
+                    rows["n_pixels"].append(None)
+                    rows["pixel_sum"].append(None)
+                    rows["row0_weighted"].append(None)
+                    rows["rows_all_equal"].append(None)
+                    rows["roundtrip_ok"].append(0)
+                    continue
+                resized = resize_pixels_nearest(sw, sh, px, width, height)
+                out_png = encode_png_gray(width, height, resized)
+                arr = np.frombuffer(resized, dtype=np.uint8).reshape(height, width)
+                r0 = arr[0].astype(np.int64)
+                rows["content"].append(out_png)
+                rows["src_width"].append(sw)
+                rows["src_height"].append(sh)
+                rows["n_pixels"].append(int(arr.size))
+                rows["pixel_sum"].append(int(arr.sum(dtype=np.int64)))
+                rows["row0_weighted"].append(
+                    int((r0 * (np.arange(width, dtype=np.int64) + 1)).sum())
+                )
+                rows["rows_all_equal"].append(int(bool((arr == arr[0]).all())))
+                rows["roundtrip_ok"].append(
+                    int(decode_png_gray(out_png) == (width, height, resized))
+                )
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "content": out,
-                    "target_width": pd.Series([width] * len(pdf), dtype="int32"),
-                    "target_height": pd.Series([height] * len(pdf), dtype="int32"),
-                    "n_bytes_out": out.map(len).astype("int64"),
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "content": rows["content"],
+                    "src_width": pd.array(rows["src_width"], dtype="Int32"),
+                    "src_height": pd.array(rows["src_height"], dtype="Int32"),
+                    "target_width": pd.Series(rows["target_width"], dtype="int32"),
+                    "target_height": pd.Series(rows["target_height"], dtype="int32"),
+                    "n_pixels": pd.array(rows["n_pixels"], dtype="Int64"),
+                    "pixel_sum": pd.array(rows["pixel_sum"], dtype="Int64"),
+                    "row0_weighted": pd.array(rows["row0_weighted"], dtype="Int64"),
+                    "rows_all_equal": pd.array(rows["rows_all_equal"], dtype="Int32"),
+                    "roundtrip_ok": pd.Series(rows["roundtrip_ok"], dtype="int32"),
                 }
             )
 

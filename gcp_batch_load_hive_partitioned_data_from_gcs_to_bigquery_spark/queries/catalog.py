@@ -3603,29 +3603,60 @@ def q_multimodal_meta_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-in/binary-out resize stub over mapInPandas: payload
-    truncated/padded to the target byte budget (deterministic fake of a
-    decode→resample→encode stage)."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.documents_as_media(docs)
-    out = MM.resize_stub(media, width=64, height=64)
+    """REAL image thumbnailing over mapInPandas
+    (operators/multimodal.py resize_image_nearest): read the
+    materialized real-PNG media table, decode actual pixels with the
+    stdlib-zlib IDAT inflate + full PNG defilter, nearest-neighbor
+    resample to 64x64 with pure integer index math, and re-encode a
+    spec-valid PNG. The output's integer pixel evidence (total pixel
+    sum, position-weighted first-row checksum, rows-equal flag) is
+    recomputed ARITHMETICALLY by the oracle from doc_id — the fixture
+    pixels are (media_id + x) % 251 with id-derived dimensions — so a
+    hash match proves the decoder recovered the true encoded pixels and
+    the resampler picked the spec'd source indices. roundtrip_ok
+    additionally proves the re-encoded PNG decodes back to the resized
+    buffer bit-exactly."""
+    media = spark.read.parquet(_media_fixture_root(spark, sf_dir, "png"))
+    out = MM.resize_image_nearest(media, width=64, height=64)
     return out.select(
-        "media_id", "target_width", "target_height", "n_bytes_out",
-        F.sha2("content", 256).alias("content_sha256"),
+        "media_id", "src_width", "src_height", "target_width", "target_height",
+        "n_pixels", "pixel_sum", "row0_weighted", "rows_all_equal", "roundtrip_ok",
     )
 
 
-# documents are pure ASCII (verified: length(text) = octet_length for all
-# rows), so VARCHAR slicing/padding below is byte-exact.
+# Fixture pixel model (operators/multimodal.py synthesize_png /
+# png_dims_for_id): every row of image id is (id + x) % 251 for
+# x in [0, src_width); nearest-neighbor to 64x64 picks source column
+# (x * src_width) // 64 for output column x, identical for all 64 rows.
 ORACLE_MM_RESIZE = """
-SELECT doc_id AS media_id, 64 AS target_width, 64 AS target_height,
-       CAST(512 AS BIGINT) AS n_bytes_out,
-       sha256(
-         CASE WHEN length(text) >= 512 THEN substr(text, 1, 512)
-              ELSE text || repeat(chr(0), 512 - length(text))
-         END
-       ) AS content_sha256
-FROM documents
+WITH d AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 64 AS sw,
+         16 + (doc_id // 8) % 48 AS sh
+  FROM documents
+),
+px AS (
+  SELECT media_id, sw, sh, t.x,
+         (media_id + ((t.x * sw) // 64)) % 251 AS p
+  FROM d, unnest(generate_series(0, 63)) AS t(x)
+),
+rs AS (
+  SELECT media_id, sw, sh,
+         sum(p) AS row_sum,
+         sum((x + 1) * p) AS row0_weighted
+  FROM px GROUP BY media_id, sw, sh
+)
+SELECT media_id,
+       CAST(sw AS INT) AS src_width,
+       CAST(sh AS INT) AS src_height,
+       CAST(64 AS INT) AS target_width,
+       CAST(64 AS INT) AS target_height,
+       CAST(4096 AS BIGINT) AS n_pixels,
+       CAST(row_sum * 64 AS BIGINT) AS pixel_sum,
+       CAST(row0_weighted AS BIGINT) AS row0_weighted,
+       CAST(1 AS INT) AS rows_all_equal,
+       CAST(1 AS INT) AS roundtrip_ok
+FROM rs
 """
 
 

@@ -69,6 +69,123 @@ def test_parse_unknown():
     assert parse_image_dims(b"") == ("unknown", None, None)
 
 
+def test_decode_png_gray_recovers_fixture_pixels():
+    """The stdlib pixel decode must recover the exact synthesized
+    content: every row of image id is (id + x) % 251."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import decode_png_gray
+
+    mid, w, h = 42, 37, 19
+    got_w, got_h, px = decode_png_gray(synthesize_png(mid, w, h))
+    assert (got_w, got_h) == (w, h)
+    row = bytes((mid + x) % 251 for x in range(w))
+    assert px == row * h
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def test_decode_png_gray_defilters_all_five_filter_types():
+    """Hand-encode an image whose scanline y uses filter type y % 5
+    (forward-filtering per the PNG spec recurrences), then decode and
+    compare against the unfiltered reference — exercises Sub/Up/
+    Average/Paeth, which the repo's own encoder (filter 0) never emits."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png_gray,
+    )
+
+    w, h = 23, 15
+    ref = [[(3 * y + 5 * x + y * x) % 256 for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        prev = ref[y - 1] if y else [0] * w
+        line = ref[y]
+        raw.append(f)
+        for i in range(w):
+            left = line[i - 1] if i else 0
+            upleft = prev[i - 1] if i else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - left
+            elif f == 2:
+                v = line[i] - prev[i]
+            elif f == 3:
+                v = line[i] - ((left + prev[i]) >> 1)
+            else:
+                v = line[i] - _paeth(left, prev[i], upleft)
+            raw.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, px = decode_png_gray(buf)
+    assert (got_w, got_h) == (w, h)
+    assert list(px) == [v for row in ref for v in row]
+
+
+def test_encode_decode_png_gray_roundtrip():
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    w, h = 11, 7
+    px = bytes((x * 13 + 7) % 256 for x in range(w * h))
+    assert decode_png_gray(encode_png_gray(w, h, px)) == (w, h, px)
+
+
+def test_resize_pixels_nearest_index_math():
+    """NN resample picks source index (out * src) // target on both axes
+    — checked against an explicit double loop, up- and down-scaling."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import resize_pixels_nearest
+
+    for (w, h, tw, th) in [(7, 5, 16, 9), (16, 9, 7, 5), (6, 6, 6, 6)]:
+        px = bytes((11 * y + 3 * x) % 256 for y in range(h) for x in range(w))
+        got = resize_pixels_nearest(w, h, px, tw, th)
+        want = bytes(
+            px[((y * h) // th) * w + (x * w) // tw]
+            for y in range(th)
+            for x in range(tw)
+        )
+        assert got == want
+
+
+def test_resize_image_nearest_end_to_end(spark):
+    """Full pipeline on real synthesized PNGs: decoded stats must match
+    the arithmetic fixture model, the round-trip flag must prove the
+    re-encoded payload decodes back bit-exactly, and an undecodable
+    payload degrades to NULL stats instead of a task crash."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import resize_image_nearest
+
+    ids = [0, 3, 17, 200]
+    media = spark.createDataFrame(
+        [(i, synthesize_png(i, *png_dims_for_id(i))) for i in ids]
+        + [(999, b"not a png")],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: r for r in resize_image_nearest(media, 64, 64).collect()}
+    for i in ids:
+        w, h = png_dims_for_id(i)
+        row = [(i + (x * w) // 64) % 251 for x in range(64)]
+        r = got[i]
+        assert (r.src_width, r.src_height) == (w, h)
+        assert r.n_pixels == 64 * 64
+        assert r.pixel_sum == 64 * sum(row)
+        assert r.row0_weighted == sum((x + 1) * v for x, v in enumerate(row))
+        assert r.rows_all_equal == 1 and r.roundtrip_ok == 1
+        assert r.content[:8] == b"\x89PNG\r\n\x1a\n"
+    bad = got[999]
+    assert bad.roundtrip_ok == 0 and bad.pixel_sum is None and bad.content is None
+
+
 def test_decode_image_meta_end_to_end(spark):
     """Synthesize real PNGs for 50 docs, decode them back through the
     Arrow kernel, and check every parsed dimension equals the id-derived
