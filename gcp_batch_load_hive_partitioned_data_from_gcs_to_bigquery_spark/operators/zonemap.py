@@ -328,6 +328,87 @@ def _data_file_paths(spark: SparkSession, table_root: str) -> set[str]:
     return out
 
 
+#: File-count cutoff above which the candidate list is pruned on the
+#: EXECUTORS instead of collecting the whole stats store to the driver.
+#: Below it (the common case, and every test fixture in this repo — the
+#: sf0.1 clustered layout is ~11.5k files), the cached driver snapshot
+#: (:func:`_cached_store_rows`) is strictly faster: one collect amortized
+#: across scans, zero extra Spark jobs per scan. Above it the snapshot
+#: stops being metadata-cheap — at ~10^6 files (a 100 TB table at
+#: 128 MiB/file) the per-file stats rows are hundreds of MB of driver
+#: memory per table — so the interval filter runs distributed and ONLY
+#: the surviving paths are collected (output-sized, bounded by
+#: selectivity, never by table size). 10^5 files ≈ tens of MB of stats
+#: rows: comfortably inside driver budget, an order of magnitude away
+#: from the failure mode.
+DISTRIBUTED_PRUNE_FILES = 100_000
+
+def _norm_path_expr() -> Column:
+    """SQL twin of :func:`_norm_file_path`: strip ``scheme://authority``
+    or ``scheme:`` and percent-decoding so store URIs (``file:///x``)
+    compare equal to driver/Hadoop listing paths (``/x``). Built lazily
+    — Column construction needs an active SparkContext."""
+    return F.try_url_decode(
+        F.regexp_replace(
+            F.regexp_replace("file_path", "^[a-z][a-zA-Z0-9+.-]*://[^/]*", ""),
+            "^[a-z][a-zA-Z0-9+.-]*:", "",
+        )
+    )
+
+
+def _prune_rows(rows, col: str, lo, hi) -> tuple[list, int]:
+    """Interval-overlap filter over collected stats rows → (keep paths,
+    total files). NULL-only files have NULL min/max and are skipped,
+    which is correct for a range predicate."""
+    keep = [
+        r["file_path"]
+        for r in rows
+        if r[f"min_{col}"] is not None
+        and r[f"max_{col}"] is not None
+        and r[f"max_{col}"] >= lo
+        and r[f"min_{col}"] <= hi
+    ]
+    return keep, len(rows)
+
+
+def _distributed_prune(
+    spark: SparkSession, table_root: str, col: str, lo, hi, live_files: set[str]
+) -> tuple[list, int] | None:
+    """Executor-side candidate pruning for very-large stores: the stats
+    rows never reach the driver. Coverage check = two anti-joins between
+    the store's normalized paths and the live listing (both metadata
+    columns of strings — the listing itself is O(files) strings, the
+    same budget Spark's own file index spends); the interval filter runs
+    distributed and only SURVIVING paths are collected. Returns ``None``
+    when there is no usable/current store (caller falls back)."""
+    zm = load_zone_map(spark, table_root)
+    if zm is None or f"min_{col}" not in zm.columns:
+        return None
+    store_paths = zm.select(_norm_path_expr().alias("p"))
+    listing = spark.createDataFrame(
+        ((p,) for p in live_files), "p string"
+    )
+    stale = (
+        store_paths.exceptAll(listing).limit(1).count()
+        or listing.exceptAll(store_paths).limit(1).count()
+    )
+    if stale:
+        return None
+    files_total = zm.count()
+    keep = [
+        r["file_path"]
+        for r in zm.filter(
+            F.col(f"min_{col}").isNotNull()
+            & F.col(f"max_{col}").isNotNull()
+            & (F.col(f"max_{col}") >= F.lit(lo))
+            & (F.col(f"min_{col}") <= F.lit(hi))
+        )
+        .select("file_path")
+        .collect()
+    ]
+    return keep, files_total
+
+
 def skipping_scan(
     spark: SparkSession,
     table_root: str,
@@ -335,15 +416,13 @@ def skipping_scan(
     lo,
     hi,
     use_store: bool = True,
+    distributed_threshold: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Scan ``table_root`` for rows with ``col BETWEEN lo AND hi``,
     reading only files whose zone-map interval intersects ``[lo, hi]``.
 
     Returns ``(df, files_read, files_total)`` so callers can assert the
-    skip ratio. The file list is collected driver-side — one row per
-    file, metadata scale (see module docstring); the data itself never
-    moves to the driver. NULL-only files have NULL min/max and are
-    skipped, which is correct for a range predicate.
+    skip ratio. The data itself never moves to the driver.
 
     When a persisted store (:func:`refresh_zone_map`) carries stats for
     ``col``, the candidate list comes from the STORE — a metadata-sized
@@ -354,32 +433,42 @@ def skipping_scan(
     missing/retaining files). On any mismatch — and when there is no
     store — the stats are computed on the fly (one full scan, the
     pre-store behavior), so a stale store can never silently drop rows.
+
+    How the store is consulted depends on table size
+    (``distributed_threshold``, default :data:`DISTRIBUTED_PRUNE_FILES`):
+    below the cutoff the whole store is collected once and cached
+    driver-side (:func:`_cached_store_rows` — cheapest per scan at
+    metadata scale); at or above it the coverage check and interval
+    filter run on the EXECUTORS (:func:`_distributed_prune`) and only
+    surviving paths are collected, so driver memory is bounded by
+    selectivity, not file count. Both paths produce the identical
+    candidate list.
     """
-    rows = None
+    thr = DISTRIBUTED_PRUNE_FILES if distributed_threshold is None else distributed_threshold
+    keep: list | None = None
+    files_total = 0
     if use_store:
-        stored_rows = _cached_store_rows(spark, table_root)
-        if stored_rows and f"min_{col}" in stored_rows[0].__fields__:
-            store_files = {_norm_file_path(r["file_path"]) for r in stored_rows}
-            if store_files == _data_file_paths(spark, table_root):
-                rows = stored_rows
-            else:
-                # stale store (a write bypassed the sink hook, or a crash
-                # landed between data write and refresh): drop the cached
-                # snapshot and fall through to the on-the-fly scan.
-                _STORE_CACHE.pop(zone_map_path(table_root), None)
-    if rows is None:
+        live = _data_file_paths(spark, table_root)
+        if len(live) >= thr:
+            pruned = _distributed_prune(spark, table_root, col, lo, hi, live)
+            if pruned is not None:
+                keep, files_total = pruned
+        if keep is None:
+            stored_rows = _cached_store_rows(spark, table_root)
+            if stored_rows and f"min_{col}" in stored_rows[0].__fields__:
+                store_files = {_norm_file_path(r["file_path"]) for r in stored_rows}
+                if store_files == live:
+                    keep, files_total = _prune_rows(stored_rows, col, lo, hi)
+                else:
+                    # stale store (a write bypassed the sink hook, or a
+                    # crash landed between data write and refresh): drop
+                    # the cached snapshot, fall through to on-the-fly.
+                    _STORE_CACHE.pop(zone_map_path(table_root), None)
+    if keep is None:
         rows = file_zone_map(spark, table_root, [col]).select(
             "file_path", f"min_{col}", f"max_{col}"
         ).collect()
-    files_total = len(rows)
-    keep = [
-        r["file_path"]
-        for r in rows
-        if r[f"min_{col}"] is not None
-        and r[f"max_{col}"] is not None
-        and r[f"max_{col}"] >= lo
-        and r[f"min_{col}"] <= hi
-    ]
+        keep, files_total = _prune_rows(rows, col, lo, hi)
     if not keep:
         empty = spark.read.parquet(table_root).filter(F.lit(False))
         return empty, 0, files_total

@@ -116,6 +116,61 @@ def test_skipping_scan_empty_range(spark):
     assert df.count() == 0
 
 
+def test_skipping_scan_distributed_path_matches_driver_path(spark, events):
+    """Above the file-count cutoff the candidate list is pruned on the
+    executors (stats rows never collected); forcing that path with
+    distributed_threshold=1 must yield the IDENTICAL candidate set,
+    counts, and rows as the cached driver path."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import zonemap as ZM
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        write_partition_overwrite,
+    )
+
+    day1 = events.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    root = tempfile.mkdtemp(prefix="sg_zmdist_")
+    write_partition_overwrite(day1, root, create_never=False)
+    ZM.refresh_zone_map(spark, root, cols=["user_id"])
+
+    lo, hi = 100, 5000
+    d_df, d_read, d_total = ZM.skipping_scan(spark, root, "user_id", lo, hi)
+    x_df, x_read, x_total = ZM.skipping_scan(
+        spark, root, "user_id", lo, hi, distributed_threshold=1
+    )
+    assert (x_read, x_total) == (d_read, d_total)
+    assert sorted(x_df.inputFiles()) == sorted(d_df.inputFiles())
+    want = day1.filter(F.col("user_id").between(lo, hi)).count()
+    assert x_df.count() == d_df.count() == want
+
+
+def test_skipping_scan_distributed_falls_back_on_stale_store(spark, events):
+    """A data file that bypassed the sink hook must fail the distributed
+    coverage check (anti-join, not set equality on the driver) and fall
+    back to on-the-fly stats — every live row found, none dropped."""
+    import glob
+    import shutil
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators import zonemap as ZM
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.sink import (
+        write_partition_overwrite,
+    )
+
+    day1 = events.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    root = tempfile.mkdtemp(prefix="sg_zmstale_")
+    write_partition_overwrite(day1, root, create_never=False)
+    ZM.refresh_zone_map(spark, root, cols=["user_id"])
+
+    # rogue write: duplicate one leaf file next to itself, no store refresh
+    leaf = sorted(glob.glob(f"{root}/year=*/month=*/day=*/hour=*/part-*.parquet"))[0]
+    shutil.copy(leaf, leaf.replace("part-", "part-rogue-"))
+
+    df, files_read, files_total = ZM.skipping_scan(
+        spark, root, "user_id", 0, 10**9, distributed_threshold=1
+    )
+    live_rows = spark.read.parquet(root).count()  # includes the rogue copy
+    assert df.count() == live_rows
+    assert files_total == len(ZM._data_file_paths(spark, root))
+
+
 def test_zone_map_store_incremental_refresh(spark, events):
     """A partition write must update ONLY that partition's stats rows in
     the persisted store: untouched hours' stats FILES are byte-identical
