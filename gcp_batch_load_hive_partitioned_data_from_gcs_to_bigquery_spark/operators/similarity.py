@@ -1299,16 +1299,33 @@ def _live_tables(spark, cells_table: str) -> tuple[str, str]:
 # instead of twice per micro-batch in the steady-state screen+append
 # loop. Builders evict the key they are about to (re)build — required
 # because a full drop resets the version counter, so "v1" can be reborn
-# with different centroids within one process.
+# with different centroids within one process. Each entry additionally
+# carries the table's metastore CREATION TIME and is honored only while
+# it matches: a version number reborn by ANOTHER session against a
+# shared metastore (drop + re-persist outside this process, which the
+# name-keyed eviction cannot see) gets a different creation timestamp,
+# so the stale entry self-invalidates instead of serving old centroids.
 _CENTROID_CACHE: dict = {}
 
 
+def _table_created_at(spark, table: str) -> str:
+    """The metastore 'Created Time' of a table — one catalog roundtrip,
+    no executor job; '' when the row is absent (never matches a cached
+    stamp, so the cache degrades to re-reading)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r["col_name"] == "Created Time":
+            return r["data_type"]
+    return ""
+
+
 def _read_centroids(spark, centroids_table: str):
-    got = _CENTROID_CACHE.get(centroids_table)
-    if got is None:
-        rows = spark.table(centroids_table).orderBy("cell").collect()
-        got = [(int(r["cell"]), list(r["c_vec"])) for r in rows]
-        _CENTROID_CACHE[centroids_table] = got
+    created = _table_created_at(spark, centroids_table)
+    hit = _CENTROID_CACHE.get(centroids_table)
+    if hit is not None and hit[0] == created and created:
+        return hit[1]
+    rows = spark.table(centroids_table).orderBy("cell").collect()
+    got = [(int(r["cell"]), list(r["c_vec"])) for r in rows]
+    _CENTROID_CACHE[centroids_table] = (created, got)
     return got
 
 
@@ -1404,6 +1421,13 @@ def persist_corpus_cells(
     table (``<name>__v{N}``); rebuilds (retrain/compact/re-persist)
     construct version N+1 fully, then commit with one atomic
     ``CREATE OR REPLACE VIEW`` — readers never observe a missing table.
+    Reclamation of the superseded version is DEFERRED one generation
+    (version N survives until the N+2 build): a reader that resolved
+    the live tables — or holds an unscanned DataFrame — just before the
+    flip can still finish its scan against version N. The guarantee is
+    one-deep by design: a reader slower than TWO full rebuild cycles
+    re-resolves the public view instead. Crashed-build orphans (never
+    live, so no reader can hold them) are reclaimed immediately.
     The seed centroids are FROZEN into a per-version companion table
     (``<name>__v{N}__centroids``) — the quantizer is part of the
     store's state, never re-derived from the data (an append with a low
@@ -1424,7 +1448,12 @@ def persist_corpus_cells(
     new_v = max(orphans + ([live] if live is not None else []) + [0]) + 1
     data_t = _build_store_version(corpus, table_name, new_v, nlist, id_col, vec_col)
     spark.sql(f"CREATE OR REPLACE VIEW {table_name} AS SELECT * FROM {data_t}")
-    for v in set(orphans + ([live] if live is not None else [])) - {new_v}:
+    # deferred reclamation: keep the JUST-superseded live version one
+    # more generation (in-flight readers may still scan it); everything
+    # older — crashed-build orphans and the version kept by the previous
+    # rebuild — is reclaimed now.
+    keep = {new_v} | ({live} if live is not None else set())
+    for v in set(orphans + ([live] if live is not None else [])) - keep:
         _CENTROID_CACHE.pop(_centroids_table(_versioned(table_name, v)), None)
         drop_managed_table(spark, _versioned(table_name, v))
         drop_managed_table(spark, _centroids_table(_versioned(table_name, v)))
