@@ -1399,6 +1399,25 @@ def _build_store_version(
     return data_t
 
 
+def _reclaim_old_versions(spark, cells_table: str, keep: set) -> None:
+    """The ONE reclamation rule every rebuild path (persist / retrain /
+    compact) routes through: after a view flip, drop every physical
+    version except ``keep`` = {the new live version, the version it
+    just superseded}. Keeping the just-superseded version one more
+    generation lets an in-flight reader that resolved the old tables
+    right before the flip finish its scan; sweeping everything older
+    here is what BOUNDS the litter — the version the PREVIOUS rebuild
+    kept, plus any crashed-build orphans (never live, so no reader can
+    hold them), all go now. Net invariant: at most two physical
+    versions exist between maintenance steps."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
+
+    for v in set(_store_versions(spark, cells_table)) - keep:
+        _CENTROID_CACHE.pop(_centroids_table(_versioned(cells_table, v)), None)
+        drop_managed_table(spark, _versioned(cells_table, v))
+        drop_managed_table(spark, _centroids_table(_versioned(cells_table, v)))
+
+
 def persist_corpus_cells(
     corpus: DataFrame,
     table_name: str,
@@ -1448,15 +1467,9 @@ def persist_corpus_cells(
     new_v = max(orphans + ([live] if live is not None else []) + [0]) + 1
     data_t = _build_store_version(corpus, table_name, new_v, nlist, id_col, vec_col)
     spark.sql(f"CREATE OR REPLACE VIEW {table_name} AS SELECT * FROM {data_t}")
-    # deferred reclamation: keep the JUST-superseded live version one
-    # more generation (in-flight readers may still scan it); everything
-    # older — crashed-build orphans and the version kept by the previous
-    # rebuild — is reclaimed now.
-    keep = {new_v} | ({live} if live is not None else set())
-    for v in set(orphans + ([live] if live is not None else [])) - keep:
-        _CENTROID_CACHE.pop(_centroids_table(_versioned(table_name, v)), None)
-        drop_managed_table(spark, _versioned(table_name, v))
-        drop_managed_table(spark, _centroids_table(_versioned(table_name, v)))
+    _reclaim_old_versions(
+        spark, table_name, {new_v} | ({live} if live is not None else set())
+    )
     return table_name
 
 
@@ -1538,9 +1551,12 @@ def compact_corpus_cells(spark, cells_table: str) -> dict:
     file per cell — the partitioned-store twin of
     ``_tables.compact_bucketed_store`` (which serves the bucketed bands
     store). Assignments and centroids are preserved verbatim (no
-    re-seed — this is compaction, not retrain): version N+1 is the live
-    data repartitioned on ``cell`` plus a copy of the frozen centroids,
-    committed by the same atomic view flip. Returns
+    re-seed — this is compaction, not retrain): the new version is the
+    live data repartitioned on ``cell`` plus a copy of the frozen
+    centroids, committed by the same atomic view flip, with the SAME
+    deferred reclamation as every other rebuild (the just-compacted
+    version survives one generation for in-flight readers; anything
+    older is swept via :func:`_reclaim_old_versions`). Returns
     {files_before, files_after, n_rows}."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import (
         drop_managed_table,
@@ -1551,7 +1567,8 @@ def compact_corpus_cells(spark, cells_table: str) -> dict:
     data_t = _versioned(cells_table, v)
     cent_t = _centroids_table(data_t)
     before = store_file_stats(spark, data_t)["n_files"]
-    new_data = _versioned(cells_table, v + 1)
+    new_v = max(_store_versions(spark, cells_table) + [v]) + 1
+    new_data = _versioned(cells_table, new_v)
     _CENTROID_CACHE.pop(_centroids_table(new_data), None)
     drop_managed_table(spark, new_data)
     drop_managed_table(spark, _centroids_table(new_data))
@@ -1567,9 +1584,7 @@ def compact_corpus_cells(spark, cells_table: str) -> dict:
         .saveAsTable(new_data)
     )
     spark.sql(f"CREATE OR REPLACE VIEW {cells_table} AS SELECT * FROM {new_data}")
-    _CENTROID_CACHE.pop(cent_t, None)
-    drop_managed_table(spark, data_t)
-    drop_managed_table(spark, cent_t)
+    _reclaim_old_versions(spark, cells_table, {new_v, v})
     return {
         "files_before": before,
         "files_after": store_file_stats(spark, new_data)["n_files"],

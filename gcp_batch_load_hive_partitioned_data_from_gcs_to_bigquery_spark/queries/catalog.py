@@ -4488,39 +4488,27 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-8 queue: the five NEW keys (ann_int8_rescore — int8 shortlist
-# + exact float rescore; window_sliding_distinct — trailing-24h distinct
-# actives via exploded bitmap merge; window_sliding_quantile —
-# trailing-24h KMV hash-min quantiles, merge == direct by min-of-mins;
-# stream_sliding_distinct — hour-grain bitmap store maintained per
-# micro-batch, trailing readout composed from the store alone;
-# approx_kmv_distinct — KMV distinct estimator, n-hat = (k-1)/theta
-# from the k-th minimum md5, exact below k)
-# plus keys whose IMPLEMENTATION
-# changed this round (their round-7 green rows attest the old code, so
-# they jump the line for a fresh row over the new code) —
-# dedup_simhash (explode+60-sum groupBy → shuffle-free 60-bit fold),
-# dedup_semantic_bucketed / stream_semantic_dedup /
-# dedup_semantic_incremental (cells store re-laid-out: PARTITIONED by
-# cell behind an atomic pointer view, screen/append partition-pruned to
-# the batch's touched cells, batch side broadcast).
+# Round-10 queue — keys whose implementation OR oracle changed in r9/r10
+# without a driver row attesting the CURRENT form (the changed-key
+# discipline the r9 miss was about):
+# window_sliding_distinct — r9 split the key into production
+#   (hour, n_active) + a _gate twin; only the gate got an r9 row, so the
+#   production projection over the shared bitmap pipeline is unattested;
+# scan_file_skipping — the r9 executor-side prune path (distributed
+#   coverage check above the file-count cutoff) reworked the plan under
+#   its green row.
+# Keys changed in ROUND 10 itself are appended as they land (each entry
+# commented with what changed).
 # _ROUND_QUEUE_ROUND pins the round this queue demands evidence FROM:
-# the queue retires only when CORRECTNESS_r08 lands (rotation.py).
+# the queue retires only when CORRECTNESS_r10 lands (rotation.py).
 # Gate (per project discipline): every queued key verified with
 # scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
 # rotation landed; the whole 50-key window swept in one process at both
 # SFs before freezing.
-_ROUND_QUEUE_ROUND = 8
+_ROUND_QUEUE_ROUND = 10
 _ROUND_QUEUE = [
-    "ann_int8_rescore",
     "window_sliding_distinct",
-    "window_sliding_quantile",
-    "stream_sliding_distinct",
-    "approx_kmv_distinct",
-    "dedup_simhash",
-    "dedup_semantic_bucketed",
-    "stream_semantic_dedup",
-    "dedup_semantic_incremental",
+    "scan_file_skipping",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]

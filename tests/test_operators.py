@@ -1330,15 +1330,30 @@ def test_cells_store_pointer_never_missing_across_lifecycle(spark, emb):
     assert readable() == n0 + 1
     compact_corpus_cells(spark, name)
     assert readable() == n0 + 1
-    # each maintenance step advanced the version monotonically; the
-    # superseded physicals are gone (no unbounded version litter)
     v3 = _live_version(spark, name)
     assert v3 > v0
-    tables = {r.tableName for r in spark.sql(f"SHOW TABLES LIKE '{name}*'").collect()}
-    assert tables == {name, f"{name}__v{v3}", f"{name}__v{v3}__centroids"}
-    # re-persist over the live store also flips cleanly
+
+    def physical_tables():
+        return {
+            r.tableName for r in spark.sql(f"SHOW TABLES LIKE '{name}*'").collect()
+        } - {name}
+
+    def tables_for(version):
+        return {f"{name}__v{version}", f"{name}__v{version}__centroids"}
+
+    # deferred reclamation: EXACTLY the live version plus the one it
+    # just superseded survive each maintenance step (one-generation
+    # retention for in-flight readers, everything older swept — bounded
+    # litter, never unbounded version accumulation)
+    assert physical_tables() == tables_for(v3) | tables_for(v3 - 1)
+    # re-persist over the live store also flips cleanly AND retires the
+    # oldest kept version: v3-1 (v1 here) must be gone two steps after
+    # it was superseded
     persist_corpus_cells(corpus, name, nlist=4)
     assert readable() == n0
+    v4 = _live_version(spark, name)
+    assert v4 > v3
+    assert physical_tables() == tables_for(v4) | tables_for(v3)
     drop_corpus_cells(spark, name)
     assert not spark.catalog.tableExists(name)
 
@@ -1368,10 +1383,12 @@ def test_int8_rescore_matches_exact_topk(spark, emb):
 
 def test_window_sliding_distinct_boundary(spark):
     """Hand-built events around a 24h boundary: a user active at hour 0
-    counts for target hours 0..23 but NOT hour 24; bitmap and
-    countDistinct agree on every row."""
+    counts for target hours 0..23 but NOT hour 24. The GATE form pins
+    bitmap-vs-countDistinct agreement on every row; the production form
+    (bitmap only, post r9 split) must publish the same n_active."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra import (
         q_window_sliding_distinct,
+        q_window_sliding_distinct_gate,
     )
     import gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.analytics_extra as AX
 
@@ -1386,15 +1403,18 @@ def test_window_sliding_distinct_boundary(spark):
     orig = AX.load_table
     AX.load_table = lambda spark_, sf_dir, name: ev
     try:
-        out = {r.hour: (r.n_bitmap, r.n_exact, r.agree) for r in
-               q_window_sliding_distinct(spark, "ignored").collect()}
+        gate = {r.hour: (r.n_bitmap, r.n_exact, r.agree) for r in
+                q_window_sliding_distinct_gate(spark, "ignored").collect()}
+        prod = {r.hour: r.n_active for r in
+                q_window_sliding_distinct(spark, "ignored").collect()}
     finally:
         AX.load_table = orig
-    assert out == {
+    assert gate == {
         "2024-01-01 00": (1, 1, 1),
         "2024-01-01 23": (2, 2, 1),
         "2024-01-02 00": (1, 1, 1),
     }
+    assert prod == {h: n for h, (n, _, _) in gate.items()}
 
 
 def test_kmv_distinct_estimator_accuracy(spark):
