@@ -581,41 +581,102 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
         T.StructField("window_start", T.LongType()),
-        T.StructField("win_bytes", T.LongType()),
-        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("win_samples", T.IntegerType()),
+        T.StructField("peak_abs", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("n_zero_cross", T.IntegerType()),
     ]
 )
 
 
-def audio_features_stub(media: DataFrame, window_bytes: int = 1024) -> DataFrame:
-    """STUB audio feature extraction: one row per fixed-size byte window
-    of the payload — the row-expanding mapInPandas shape of real frame/
-    hop feature extraction (MFCC, energy). librosa/soundfile are not in
-    this container, so the kernel emits deterministic byte-window stats;
-    swap the window body for a real DSP call when the library exists.
-    Windowing is per-item Python but Arrow-batched and executor-parallel.
-    """
+def wav_channel0_pcm(buf: bytes):
+    """Decode the FIRST channel's 16-bit PCM samples from a WAV payload
+    as an ``int64`` numpy array — a RIFF chunk walk (offsets, not
+    copies) plus one zero-copy ``frombuffer`` and a channel stride; no
+    codec library, uncompressed PCM is just framed little-endian ints.
+    Returns ``None`` for anything that is not a 16-bit PCM RIFF/WAVE
+    payload (undecodable media yields no feature rows, never a task
+    crash)."""
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, channels, bits, data_off, data_len = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        kind = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        if kind == b"fmt " and size >= 16 and pos + 24 <= len(buf):
+            _, channels, _, _, _, bits = struct.unpack(
+                "<HHIIHH", buf[pos + 8 : pos + 24]
+            )
+        elif kind == b"data":
+            data_off, data_len = pos + 8, size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if not channels or bits != 16 or data_off is None:
+        return None
+    data_len = min(data_len, len(buf) - data_off)
+    n = data_len // (channels * 2)
+    if n <= 0:
+        return None
+    interleaved = np.frombuffer(buf, dtype="<i2", count=n * channels, offset=data_off)
+    return interleaved[::channels].astype(np.int64)  # channel 0
+
+
+def audio_frame_features(media: DataFrame, window_samples: int = 64) -> DataFrame:
+    """REAL audio feature extraction (the former byte-stride stub,
+    retired): decode the payload's 16-bit PCM stream
+    (:func:`wav_channel0_pcm`) and emit one row per non-overlapping
+    ``window_samples`` hop with the classic time-domain frame features
+    in EXACT integer arithmetic — ``peak_abs`` (max |sample|),
+    ``sum_sq`` (frame energy; RMS² · n, kept as the integer sum so an
+    external oracle replays it bit-for-bit with no float rounding), and
+    ``n_zero_cross`` (sign changes, the crossing between samples i-1
+    and i attributed to i's window, so crossings are counted once
+    across the whole stream). All three are whole-array numpy kernels
+    per payload — no per-sample Python — Arrow-batched over
+    ``mapInPandas`` and executor-parallel; at 100 TB the cost is one
+    embarrassingly-parallel pass over the media bytes with output
+    bounded by n_samples / window. Non-PCM payloads contribute no rows.
+    Reference scope: decode/feature plumbing the reference's ingest
+    would delegate; windowing mirrors DSP hop framing."""
+    import numpy as np
 
     media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, starts, sizes, firsts = [], [], [], []
+            ids, idxs, starts, wins, peaks, sums, crosses = [], [], [], [], [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                buf = bytes(content or b"")
-                for off in range(0, max(len(buf), 1), window_bytes):
-                    win = buf[off : off + window_bytes]
+                s = wav_channel0_pcm(bytes(content or b""))
+                if s is None:
+                    continue
+                n = len(s)
+                # crossing between i-1 and i -> window of sample i
+                nonneg = s >= 0
+                cross = np.zeros(n, dtype=np.int64)
+                cross[1:] = (nonneg[1:] != nonneg[:-1]).astype(np.int64)
+                n_win = (n + window_samples - 1) // window_samples
+                for w in range(n_win):
+                    lo, hi = w * window_samples, min((w + 1) * window_samples, n)
+                    seg = s[lo:hi]
                     ids.append(mid)
-                    starts.append(off)
-                    sizes.append(len(win))
-                    firsts.append(win[0] if win else -1)
+                    idxs.append(w)
+                    starts.append(lo)
+                    wins.append(hi - lo)
+                    peaks.append(int(np.max(np.abs(seg))))
+                    sums.append(int(np.dot(seg, seg)))
+                    crosses.append(int(cross[lo:hi].sum()))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
                     "window_start": pd.Series(starts, dtype="int64"),
-                    "win_bytes": pd.Series(sizes, dtype="int64"),
-                    "first_byte": pd.Series(firsts, dtype="int32"),
+                    "win_samples": pd.Series(wins, dtype="int32"),
+                    "peak_abs": pd.Series(peaks, dtype="int32"),
+                    "sum_sq": pd.Series(sums, dtype="int64"),
+                    "n_zero_cross": pd.Series(crosses, dtype="int32"),
                 }
             )
 

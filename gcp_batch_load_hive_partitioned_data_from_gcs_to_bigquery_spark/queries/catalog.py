@@ -4509,6 +4509,9 @@ _ROUND_QUEUE_ROUND = 10
 _ROUND_QUEUE = [
     "window_sliding_distinct",
     "scan_file_skipping",
+    # r10: stub retired — real PCM decode + integer frame features, new
+    # schema and oracle (peak/sum_sq/zero-cross replayed from id math)
+    "multimodal_audio_frames",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]

@@ -519,24 +519,56 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature-extraction plumbing (STUB kernel): one row per
-    256-byte window of each opaque payload via Arrow-batched
-    mapInPandas — the row-expanding hop/frame shape of real DSP feature
-    extraction. The deterministic byte-window stats let the oracle
-    replicate the windowing in SQL."""
+    """REAL audio frame features: synthesize a spec-valid 16-bit PCM
+    WAV per document (id-derived parameters), decode channel 0's PCM
+    stream with a zero-copy frombuffer, and emit per-64-sample-hop
+    peak / energy (sum of squares) / zero-crossing counts — all exact
+    integer arithmetic, so the DuckDB oracle regenerates the SAME
+    samples from id arithmetic alone and replays every feature
+    bit-for-bit (the pattern that made multimodal_resize real)."""
     from ..operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
-    media = MM.documents_as_media(docs)
-    return MM.audio_features_stub(media, window_bytes=256)
+    media = MM.documents_as_wav_media(docs)
+    return MM.audio_frame_features(media, window_samples=64).orderBy(
+        "media_id", "frame_idx"
+    )
 
 
+# Regenerates the WAV fixture's channel-0 samples from id arithmetic
+# (synthesize_wav: interleaved sample j = (id*31 + j*7) % 65536 - 32768;
+# channel-0 sample i sits at interleaved index i*channels) and replays
+# the integer frame features; the crossing between samples i-1 and i is
+# attributed to i's window, matching the kernel's whole-stream count.
 ORACLE_AUDIO_FRAMES = """
-SELECT doc_id AS media_id, off AS window_start,
-       CAST(least(256, octet_length(encode(text)) - off) AS BIGINT) AS win_bytes,
-       CAST(ord(substr(text, off + 1, 1)) AS INTEGER) AS first_byte
-FROM documents,
-     LATERAL unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 256)) AS t(off)
+WITH params AS (
+  SELECT doc_id AS media_id,
+         1 + (doc_id // 4) % 2 AS channels,
+         64 + doc_id % 193 AS n_samples
+  FROM documents
+),
+samples AS (
+  SELECT media_id, i,
+         ((media_id * 31 + i * channels * 7) % 65536) - 32768 AS v,
+         CAST(i // 64 AS INTEGER) AS frame_idx
+  FROM params, LATERAL unnest(generate_series(0, n_samples - 1)) AS t(i)
+),
+lagged AS (
+  SELECT media_id, i, v, frame_idx,
+         lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+  FROM samples
+)
+SELECT media_id,
+       frame_idx,
+       CAST(frame_idx * 64 AS BIGINT) AS window_start,
+       CAST(count(*) AS INTEGER) AS win_samples,
+       CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+                THEN 1 ELSE 0 END) AS INTEGER) AS n_zero_cross
+FROM lagged
+GROUP BY media_id, frame_idx
+ORDER BY media_id, frame_idx
 """
 
 

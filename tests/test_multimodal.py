@@ -297,6 +297,54 @@ def test_decode_audio_meta_end_to_end(spark):
         assert (row.n_samples, row.duration_ms) == (n, n * 1000 // rate)
 
 
+def test_wav_channel0_pcm_and_frame_features(spark):
+    """PCM decode + frame features against hand-computed values: a mono
+    WAV with known samples, a stereo WAV (channel 0 only, stride 2),
+    and non-PCM garbage (no rows, no crash)."""
+    import numpy as np
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        audio_frame_features,
+        wav_channel0_pcm,
+    )
+
+    def wav(channels, samples):  # samples = interleaved int16 list
+        import struct
+
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, channels, 8000, 8000 * channels * 2,
+                          channels * 2, 16)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    mono = [100, -200, 300, -400, 500]          # 4 sign changes
+    stereo = [1, 99, -2, 99, 3, 99, -4, 99]     # ch0 = [1,-2,3,-4]
+    assert wav_channel0_pcm(wav(1, mono)).tolist() == mono
+    assert wav_channel0_pcm(wav(2, stereo)).tolist() == [1, -2, 3, -4]
+    assert wav_channel0_pcm(b"not audio at all") is None
+    assert wav_channel0_pcm(b"") is None
+
+    media = spark.createDataFrame(
+        [(1, bytearray(wav(1, mono))), (2, bytearray(wav(2, stereo))),
+         (3, bytearray(b"garbage"))],
+        "media_id long, content binary",
+    )
+    out = {(r.media_id, r.frame_idx): r
+           for r in audio_frame_features(media, window_samples=3).collect()}
+    assert set(out) == {(1, 0), (1, 1), (2, 0), (2, 1)}  # id 3: no rows
+    r = out[(1, 0)]  # [100,-200,300]: 2 crossings (at idx 1 and 2)
+    assert (r.window_start, r.win_samples, r.peak_abs, r.sum_sq,
+            r.n_zero_cross) == (0, 3, 300, 100**2 + 200**2 + 300**2, 2)
+    r = out[(1, 1)]  # [-400,500]: crossing -200->300? no — windows are
+    # [100,-200,300] then [-400,500]; crossing 300->-400 lands in idx 3's
+    # window (frame 1), plus -400->500: 2 crossings
+    assert (r.window_start, r.win_samples, r.peak_abs, r.sum_sq,
+            r.n_zero_cross) == (3, 2, 500, 400**2 + 500**2, 2)
+    r = out[(2, 1)]  # ch0 [-4]: crossing 3->-4 attributed here
+    assert (r.win_samples, r.peak_abs, r.sum_sq, r.n_zero_cross) == (1, 4, 16, 1)
+
+
 # --- parser robustness: arbitrary bytes must never crash an executor ---------
 # (the decode kernels run inside tasks; an unhandled exception on one
 # malformed payload kills the whole stage — fuzz the full byte space,
