@@ -414,36 +414,174 @@ def decode_image_pixels(media: DataFrame):  # pragma: no cover - needs PIL
     raise NotImplementedError("wire PIL decode kernel here")
 
 
-def frame_sample_stub(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
-    """STUB frame sampler: emits one 'frame' row per N bytes of payload —
-    the row-expanding mapInPandas shape of real video frame sampling
-    (one input row → many output rows)."""
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("frame_offset", T.LongType()),
-        ]
-    )
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("sample_offset", T.LongType()),
+        T.StructField("sample_bytes", T.IntegerType()),
+        T.StructField("t_units", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+    ]
+)
+
+
+def parse_bmff_sample_table(buf: bytes):
+    """Recover every sample's (offset, size, timestamp-units) plus the
+    media timescale from an ISO-BMFF payload's sample tables ALONE —
+    the container-level walk (moov > trak > mdia > mdhd/minf > stbl >
+    stts/stsc/stsz/stco) that real frame extraction starts from; no
+    codec, the tables ARE the spec's frame index (ISO/IEC 14496-12
+    §8.6-8.7). Chunk offsets come from stco, within-chunk offsets from
+    the stsc run-length chunk map plus an stsz prefix sum, timestamps
+    from the stts (count, delta) runs. Returns (timescale, offsets,
+    sizes, t_units) as numpy arrays or ``None`` when any table is
+    missing/unparseable (undecodable payloads yield no frame rows,
+    never a task crash)."""
+    import numpy as np
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            if size < 8 or pos + size > hi:
+                return
+            yield buf[pos + 4 : pos + 8], pos + 8, pos + size
+            pos += size
+
+    def find(kind: bytes, lo: int, hi: int):
+        for k, clo, chi in walk(lo, hi):
+            if k == kind:
+                return clo, chi
+        return None
+
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        return None
+    span = find(b"moov", 0, len(buf))
+    for kind in (b"trak", b"mdia"):
+        span = find(kind, *span) if span else None
+    if span is None:
+        return None
+    mdia_lo, mdia_hi = span
+    mdhd = find(b"mdhd", mdia_lo, mdia_hi)
+    stbl = find(b"minf", mdia_lo, mdia_hi)
+    stbl = find(b"stbl", *stbl) if stbl else None
+    if mdhd is None or stbl is None:
+        return None
+    mb = buf[mdhd[0] : mdhd[1]]
+    if len(mb) < 24:
+        return None
+    timescale = struct.unpack(
+        ">I", mb[12:16] if mb[0] == 0 else mb[20:24]
+    )[0]  # version 1 widens the two times to 64-bit
+    if not timescale:
+        return None
+
+    def counted_box(kind: bytes):
+        # full box layout: version+flags (4) then entry_count (4) then
+        # the entry array — returns (entry_count, entry bytes)
+        span_ = find(kind, *stbl)
+        if span_ is None:
+            return None
+        body = buf[span_[0] : span_[1]]
+        if len(body) < 8:
+            return None
+        (count,) = struct.unpack(">I", body[4:8])
+        return count, body[8:]
+
+    try:
+        stts = counted_box(b"stts")
+        stsc = counted_box(b"stsc")
+        stco = counted_box(b"stco")
+        stsz_span = find(b"stsz", *stbl)
+        if None in (stts, stsc, stco) or stsz_span is None:
+            return None
+        szb = buf[stsz_span[0] : stsz_span[1]]
+        fixed_size, n_samples = struct.unpack(">II", szb[4:12])
+        if fixed_size:
+            sizes = np.full(n_samples, fixed_size, dtype=np.int64)
+        else:
+            sizes = np.frombuffer(szb, ">u4", count=n_samples, offset=12).astype(
+                np.int64
+            )
+        # stts runs -> per-sample delta -> cumulative start times
+        n_runs, body = stts
+        runs = np.frombuffer(body, ">u4", count=n_runs * 2).reshape(-1, 2)
+        deltas = np.repeat(runs[:, 1].astype(np.int64), runs[:, 0])[:n_samples]
+        t_units = np.concatenate(([0], np.cumsum(deltas)[:-1]))
+        # stco chunk starts + stsc run-length map -> per-sample offsets
+        n_chunks, cbody = stco
+        chunk_off = np.frombuffer(cbody, ">u4", count=n_chunks).astype(np.int64)
+        n_sc, scbody = stsc
+        sc = np.frombuffer(scbody, ">u4", count=n_sc * 3).reshape(-1, 3)
+        per_chunk = np.empty(n_chunks, dtype=np.int64)
+        for r in range(n_sc):
+            first = int(sc[r, 0]) - 1
+            last = int(sc[r + 1, 0]) - 1 if r + 1 < n_sc else n_chunks
+            per_chunk[first:last] = int(sc[r, 1])
+        offsets = np.empty(n_samples, dtype=np.int64)
+        s = 0
+        for c in range(n_chunks):
+            k = int(min(per_chunk[c], n_samples - s))
+            if k <= 0:
+                continue
+            offsets[s : s + k] = chunk_off[c] + np.concatenate(
+                ([0], np.cumsum(sizes[s : s + k - 1]))
+            )
+            s += k
+        if s < n_samples:
+            return None  # chunk map doesn't cover the sample count
+    except (struct.error, ValueError, IndexError):
+        return None
+    return timescale, offsets, sizes, t_units
+
+
+def sample_frames_bmff(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """REAL container-aware frame sampling (the former byte-stride stub,
+    retired): reconstruct each payload's per-sample (offset, size,
+    timestamp) from its ISO-BMFF sample tables
+    (:func:`parse_bmff_sample_table`) and keep every ``every_k``-th
+    sample — true frame OFFSETS and presentation times without a codec,
+    exactly what a decode stage seeks to. One row per kept sample
+    (frame_idx = kept ordinal, sample_idx = container sample number),
+    Arrow-batched over ``mapInPandas``, executor-parallel, output
+    bounded by n_samples / k; payloads without a parseable sample table
+    contribute no rows."""
+
+    media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ids, out_idx, out_off = [], [], []
-            for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                n = len(content) if content is not None else 0
-                for i, off in enumerate(range(0, n, every_n_bytes)):
-                    out_ids.append(media_id)
-                    out_idx.append(i)
-                    out_off.append(off)
+            ids, fidx, sidx, offs, szs, tus, tms = [], [], [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                parsed = parse_bmff_sample_table(bytes(content or b""))
+                if parsed is None:
+                    continue
+                timescale, offsets, sizes, t_units = parsed
+                for j, i in enumerate(range(0, len(sizes), every_k)):
+                    ids.append(mid)
+                    fidx.append(j)
+                    sidx.append(i)
+                    offs.append(int(offsets[i]))
+                    szs.append(int(sizes[i]))
+                    tus.append(int(t_units[i]))
+                    tms.append(int(t_units[i]) * 1000 // timescale)
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(out_ids, dtype="int64"),
-                    "frame_idx": pd.Series(out_idx, dtype="int32"),
-                    "frame_offset": pd.Series(out_off, dtype="int64"),
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "sample_idx": pd.Series(sidx, dtype="int32"),
+                    "sample_offset": pd.Series(offs, dtype="int64"),
+                    "sample_bytes": pd.Series(szs, dtype="int32"),
+                    "t_units": pd.Series(tus, dtype="int64"),
+                    "t_ms": pd.Series(tms, dtype="int64"),
                 }
             )
 
-    return media.select("media_id", "content").mapInPandas(_kernel, schema)
+    return media.select("media_id", "content").mapInPandas(
+        _kernel, FRAME_SAMPLE_SCHEMA
+    )
 
 
 AUDIO_META_SCHEMA = T.StructType(
@@ -739,18 +877,34 @@ def _mp4_box(kind: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + kind + payload
 
 
+def mp4_frames_for_id(media_id: int, timescale: int) -> tuple[int, list[int], int]:
+    """Deterministic fixture sample-table parameters
+    (n_frames, per-frame byte sizes, stts delta) — arithmetic on the id
+    only, so an external oracle can replay every sample offset and
+    timestamp without touching the bytes."""
+    n_frames = 8 + media_id % 25
+    sizes = [64 + (media_id * 7 + i * 13) % 129 for i in range(n_frames)]
+    return n_frames, sizes, max(timescale // 24, 1)
+
+
 def synthesize_mp4(
     media_id: int, timescale: int, duration: int, width: int, height: int
 ) -> bytes:
     """Build a minimal ISO-BMFF (MP4) box structure — ftyp + moov
     containing a version-0 mvhd (movie timescale/duration) and a trak
     with a version-0 tkhd (track presentation geometry as 16.16 fixed
-    point) — deterministically from ``media_id``. Minimal means no mdia/
-    sample tables (no frames to decode), but every box, size field, and
-    payload offset follows ISO/IEC 14496-12, so a standards box walk
-    recovers the encoded values: the video twin of
+    point) plus a REAL sample table (mdia > mdhd + minf > stbl with
+    stts/stsc/stsz/stco, one chunk) indexing an mdat whose frame bytes
+    the stco/stsz entries address exactly — deterministically from
+    ``media_id``. Every box, size field, and payload offset follows
+    ISO/IEC 14496-12, so a standards box walk recovers the encoded
+    values AND the true frame offsets: the video twin of
     :func:`synthesize_png` / :func:`synthesize_wav`, exercising the
-    big-endian nested-container layout the other two formats don't."""
+    big-endian nested-container layout the other two formats don't.
+    With one stts run, one chunk, and the table sizes fixed except for
+    stsz's 4·n_frames entry array, the mdat payload starts at
+    416 + 4·n_frames — the affine layout constant the external oracle
+    uses (pinned against these bytes in tests/test_multimodal.py)."""
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     mvhd_payload = (
         struct.pack(">I", 0)                      # version 0 + flags
@@ -774,9 +928,36 @@ def synthesize_mp4(
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", width << 16, height << 16)  # 16.16 fixed point
     )
-    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_payload))
-    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_payload) + trak)
-    return ftyp + moov
+    n_frames, sizes, delta = mp4_frames_for_id(media_id, timescale)
+    mdhd_payload = (
+        struct.pack(">I", 0)                      # version 0 + flags
+        + struct.pack(">II", media_id, media_id)  # creation, modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0)           # language 'und', pre_defined
+    )
+    stsd = _mp4_box(b"stsd", struct.pack(">II", 0, 0))
+    stts = _mp4_box(b"stts", struct.pack(">IIII", 0, 1, n_frames, delta))
+    stsc = _mp4_box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n_frames, 1))
+    stsz = _mp4_box(
+        b"stsz", struct.pack(f">III{n_frames}I", 0, 0, n_frames, *sizes)
+    )
+
+    def assemble(chunk_offset: int) -> tuple[bytes, bytes]:
+        stco = _mp4_box(b"stco", struct.pack(">III", 0, 1, chunk_offset))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdia = _mp4_box(b"mdia", _mp4_box(b"mdhd", mdhd_payload) + _mp4_box(b"minf", stbl))
+        trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_payload) + mdia)
+        moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_payload) + trak)
+        return ftyp + moov, moov
+
+    # two-pass: same-sized stco regardless of value, so pass 1's layout
+    # is pass 2's layout with the REAL mdat payload offset patched in
+    header, _ = assemble(0)
+    header, _ = assemble(len(header) + 8)
+    frames = b"".join(
+        bytes([(media_id * 3 + i) % 256]) * sz for i, sz in enumerate(sizes)
+    )
+    return header + _mp4_box(b"mdat", frames)
 
 
 def parse_mp4_meta(

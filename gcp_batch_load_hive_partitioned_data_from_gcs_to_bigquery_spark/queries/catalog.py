@@ -3661,19 +3661,54 @@ FROM rs
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-expanding mapInPandas stub (1 payload → N frames @ 64-byte
-    stride) — the shape of real video frame sampling."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.documents_as_media(docs)
-    return MM.frame_sample_stub(media, every_n_bytes=64)
+    """REAL container-aware frame sampling (the byte-stride stub,
+    retired): reconstruct per-sample (offset, size, timestamp) from the
+    ISO-BMFF sample tables (stts/stsc/stsz/stco — the container's own
+    frame index) of each materialized MP4 payload and keep every 4th
+    sample. The oracle replays the whole sample table from id
+    arithmetic alone, including the affine mdat layout constant
+    (416 + 4·n_frames) pinned against the real bytes in
+    tests/test_multimodal.py — a hash match proves the box walk
+    recovered the true frame offsets and presentation times."""
+    media = spark.read.parquet(_media_fixture_root(spark, sf_dir, "mp4"))
+    return MM.sample_frames_bmff(media, every_k=4).orderBy("media_id", "sample_idx")
 
 
+# Replays mp4_frames_for_id + the sample-table layout: one stts run
+# (delta = max(timescale//24, 1)), one chunk at 416 + 4*n_frames, sizes
+# 64 + (id*7 + i*13) % 129; within-chunk offsets are the stsz prefix sum.
 ORACLE_MM_FRAMES = """
-SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, CAST(i * 64 AS BIGINT) AS frame_offset
-FROM (
-  SELECT doc_id, unnest(generate_series(0, (octet_length(encode(text)) - 1) // 64)) AS i
-  FROM documents WHERE octet_length(encode(text)) > 0
+WITH params AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                         WHEN 2 THEN 24000 ELSE 90000 END AS ts,
+         8 + doc_id % 25 AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT media_id, ts, n_frames, i,
+         64 + (media_id * 7 + i * 13) % 129 AS sz,
+         greatest(ts // 24, 1) AS delta
+  FROM params, LATERAL unnest(generate_series(0, n_frames - 1)) AS t(i)
+),
+offs AS (
+  SELECT media_id, ts, i, sz, delta,
+         416 + 4 * n_frames
+           + coalesce(sum(sz) OVER (PARTITION BY media_id ORDER BY i
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS off
+  FROM frames
 )
+SELECT media_id,
+       CAST(i // 4 AS INT) AS frame_idx,
+       CAST(i AS INT) AS sample_idx,
+       CAST(off AS BIGINT) AS sample_offset,
+       CAST(sz AS INT) AS sample_bytes,
+       CAST(i * delta AS BIGINT) AS t_units,
+       CAST(i * delta * 1000 // ts AS BIGINT) AS t_ms
+FROM offs
+WHERE i % 4 = 0
+ORDER BY media_id, sample_idx
 """
 
 
@@ -4512,6 +4547,12 @@ _ROUND_QUEUE = [
     # r10: stub retired — real PCM decode + integer frame features, new
     # schema and oracle (peak/sum_sq/zero-cross replayed from id math)
     "multimodal_audio_frames",
+    # r10: stub retired — ISO-BMFF stts/stsc/stsz/stco walk yields true
+    # frame offsets/timestamps; oracle replays the whole sample table
+    "multimodal_frame_sample",
+    # r10: fixture payloads gained sample tables + mdat (oracle is
+    # byte-independent but the decode input changed)
+    "multimodal_video_meta",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]

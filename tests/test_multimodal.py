@@ -345,6 +345,72 @@ def test_wav_channel0_pcm_and_frame_features(spark):
     assert (r.win_samples, r.peak_abs, r.sum_sq, r.n_zero_cross) == (1, 4, 16, 1)
 
 
+def test_bmff_sample_table_layout_and_multichunk(spark):
+    """(a) The oracle's affine layout constant (mdat payload at
+    416 + 4·n_frames) holds against the REAL synthesized bytes, and the
+    parsed offsets/sizes/timestamps equal the id-arithmetic replay.
+    (b) A hand-built multi-run stsc / multi-chunk stco payload (the
+    general chunk map the fixture's single chunk doesn't exercise)
+    resolves per-sample offsets correctly."""
+    import struct as st
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        _mp4_box,
+        mp4_frames_for_id,
+        mp4_params_for_id,
+        parse_bmff_sample_table,
+        sample_frames_bmff,
+        synthesize_mp4,
+    )
+
+    for mid in (0, 3, 42, 4800):
+        ts, dur, w, h = mp4_params_for_id(mid)
+        buf = synthesize_mp4(mid, ts, dur, w, h)
+        n, sizes, delta = mp4_frames_for_id(mid, ts)
+        timescale, offs, got_sizes, tus = parse_bmff_sample_table(buf)
+        assert timescale == ts and got_sizes.tolist() == sizes
+        assert offs[0] == 416 + 4 * n  # the oracle's layout constant
+        expect = [416 + 4 * n]
+        for s in sizes[:-1]:
+            expect.append(expect[-1] + s)
+        assert offs.tolist() == expect
+        assert tus.tolist() == [i * delta for i in range(n)]
+        assert buf[offs[-1]] == (mid * 3 + (n - 1)) % 256  # mdat bytes match
+
+    # multi-chunk: 5 samples, chunks of (2, 2, 1) via two stsc runs
+    sizes = [10, 20, 30, 40, 50]
+    chunk_offs = [1000, 2000, 3000]
+    mdhd = _mp4_box(b"mdhd", st.pack(">IIIIIHH", 0, 0, 0, 48000, 500, 0x55C4, 0))
+    stts = _mp4_box(b"stts", st.pack(">IIII", 0, 1, 5, 100))
+    stsc = _mp4_box(b"stsc", st.pack(">I I III III", 0, 2, 1, 2, 1, 3, 1, 1))
+    stsz = _mp4_box(b"stsz", st.pack(">III5I", 0, 0, 5, *sizes))
+    stco = _mp4_box(b"stco", st.pack(">II3I", 0, 3, *chunk_offs))
+    stbl = _mp4_box(b"stbl", stts + stsc + stsz + stco)
+    mdia = _mp4_box(b"mdia", mdhd + _mp4_box(b"minf", stbl))
+    buf = (
+        _mp4_box(b"ftyp", b"isom" + b"\x00" * 8)
+        + _mp4_box(b"moov", _mp4_box(b"trak", mdia))
+    )
+    timescale, offs, got_sizes, tus = parse_bmff_sample_table(buf)
+    assert timescale == 48000
+    assert offs.tolist() == [1000, 1010, 2000, 2030, 3000]
+    assert tus.tolist() == [0, 100, 200, 300, 400]
+
+    media = spark.createDataFrame(
+        [(7, bytearray(buf)), (8, bytearray(b"not video"))],
+        "media_id long, content binary",
+    )
+    rows = sample_frames_bmff(media, every_k=2).collect()
+    got = {(r.media_id, r.frame_idx): (r.sample_idx, r.sample_offset,
+                                       r.sample_bytes, r.t_units, r.t_ms)
+           for r in rows}
+    assert got == {
+        (7, 0): (0, 1000, 10, 0, 0),
+        (7, 1): (2, 2000, 30, 200, 4),
+        (7, 2): (4, 3000, 50, 400, 8),
+    }
+
+
 # --- parser robustness: arbitrary bytes must never crash an executor ---------
 # (the decode kernels run inside tasks; an unhandled exception on one
 # malformed payload kills the whole stage — fuzz the full byte space,
