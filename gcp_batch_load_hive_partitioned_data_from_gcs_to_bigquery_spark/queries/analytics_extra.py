@@ -1636,6 +1636,16 @@ def q_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       needs correlated/clustered vectors to concentrate neighbors, and
       this corpus is near-uniform, so single-bucket recall is honestly
       low. The gate pins that expectation instead of hiding it.
+    - ``ivf_pq_nprobe3_m8`` (ann_ivf_pq_oracle's persisted-index path:
+      8-byte ADC scoring over the partition-pruned codes table): floor
+      0.10 (measured 0.18 at sf0.1, 0.245 at sf0.01). Honestly low by
+      construction — the 16-entry SEED codebooks quantize coarsely, so
+      ADC ranking inside the probed cells loses most of what plain IVF
+      (0.70) keeps; production raises it with trained codebooks and an
+      exact-rescore stage over the ADC shortlist (the ann_int8_rescore
+      pattern). The gate pins the measured seed-quantizer reality
+      instead of hiding the PQ family from recall measurement (the
+      round-9 blind spot).
 
     Gate comparisons are INTEGER (n_hits >= min_hits over 20 x 10
     candidate slots) so no float threshold can flake across engines.
@@ -1646,10 +1656,18 @@ def q_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as SIM
     from ..operators.similarity import md5_signature
 
+    from .catalog import _FIXTURES, _tmp
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     exact = SIM.cosine_topk_blas(emb, queries, k=10).select("query_id", "vec_id")
     ex = _scoped_persist(exact, "analytics_extra.ann_recall_exact")
+    # same persisted index (and fixture key) as ann_ivf_pq_oracle
+    key = ("ivf_pq_index", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("ivfpq")
+        SIM.build_ivf_pq_index(emb, root, nlist=8, m=8, codebook_size=16)
+        _FIXTURES[key] = root
     # (method, approx result, display floor, integer min-hits = floor*200)
     methods = [
         ("int8_shortlist20", SIM.int8_topk(emb, queries, k=20), 0.95, 190),
@@ -1673,6 +1691,12 @@ def q_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             0.20,
             40,
+        ),
+        (
+            "ivf_pq_nprobe3_m8",
+            SIM.ivf_pq_search(spark, _FIXTURES[key], queries, k=10, nprobe=3),
+            0.10,
+            20,
         ),
     ]
     out = None
@@ -1816,6 +1840,46 @@ i8 AS (
            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
     FROM i8_s) WHERE rnk <= 20
 ),
+cb AS (SELECT vec_id AS cid, cv FROM c WHERE vec_id < 16),
+pq_enc AS (
+  SELECT cv2.vec_id, t.s, cb.cid,
+         sum(pow(cv2.cv[t.s * 8 + u.i] - cb.cv[t.s * 8 + u.i], 2)) AS d2
+  FROM c cv2
+  CROSS JOIN cb
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) t
+  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) u
+  GROUP BY cv2.vec_id, t.s, cb.cid
+),
+pq_codes AS MATERIALIZED (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+    FROM pq_enc) WHERE rn = 1
+),
+pq_qd AS (
+  SELECT q.query_id, t.s, cb.cid,
+         sum(pow(q.qv[t.s * 8 + u.i] - cb.cv[t.s * 8 + u.i], 2)) AS d2
+  FROM q
+  CROSS JOIN cb
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) t
+  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) u
+  GROUP BY q.query_id, t.s, cb.cid
+),
+pq_score AS (
+  SELECT qd.query_id, pc.vec_id, sum(qd.d2) AS adc_dist
+  FROM pq_codes pc
+  JOIN assigned a ON a.vec_id = pc.vec_id
+  JOIN iprobes p ON p.cell = a.cell
+  JOIN pq_qd qd ON qd.query_id = p.query_id AND pc.s = qd.s AND pc.cid = qd.cid
+  WHERE pc.vec_id <> qd.query_id
+  GROUP BY qd.query_id, pc.vec_id
+),
+ivfpq AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist ASC, vec_id ASC) AS rank
+    FROM pq_score) WHERE rank <= 10
+),
 hits AS (
   SELECT 'int8_shortlist20' AS method, count(*) AS n
   FROM ex e JOIN i8 a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
@@ -1828,12 +1892,16 @@ hits AS (
   UNION ALL
   SELECT 'lsh_planes6_multiprobe6', count(*)
   FROM ex e JOIN lshm a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  UNION ALL
+  SELECT 'ivf_pq_nprobe3_m8', count(*)
+  FROM ex e JOIN ivfpq a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
 ),
 meth(method, recall_floor, min_hits) AS (
   VALUES ('int8_shortlist20', 0.95, 190),
          ('ivf_nlist8_nprobe3', 0.60, 120),
          ('lsh_planes6_bucket', 0.02, 4),
-         ('lsh_planes6_multiprobe6', 0.20, 40)
+         ('lsh_planes6_multiprobe6', 0.20, 40),
+         ('ivf_pq_nprobe3_m8', 0.10, 20)
 )
 SELECT m.method,
        CAST(20 AS INT) AS n_queries,

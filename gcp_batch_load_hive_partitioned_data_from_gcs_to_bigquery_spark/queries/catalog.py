@@ -4553,6 +4553,9 @@ _ROUND_QUEUE = [
     # r10: fixture payloads gained sample tables + mdat (oracle is
     # byte-independent but the decode input changed)
     "multimodal_video_meta",
+    # r10: fifth gated method added (ivf_pq ADC over the persisted
+    # codes table, floor 0.10) — schema rows and oracle both changed
+    "ann_recall_gate",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]
