@@ -1399,6 +1399,31 @@ def _build_store_version(
     return data_t
 
 
+def _audit_store_ids(stored: DataFrame, cells_table: str) -> int:
+    """Enforce :func:`append_corpus_cells`'s id-immutability contract at
+    the maintenance steps that already scan the whole store: a
+    redelivered id with a DIFFERENT embedding assigns to a different
+    cell, evades the pruned presence check, and lands as a silent
+    duplicate — invisible to the O(batch) ingest path by design, so
+    retrain/compact (the only full passes) are where it must surface.
+    One aggregate (count + countDistinct in the same job); raises with
+    the offending magnitude instead of carrying duplicates into the new
+    version. Returns the audited row count."""
+    row = stored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("n_ids"),
+    ).collect()[0]
+    if row["n"] != row["n_ids"]:
+        raise ValueError(
+            f"cells store {cells_table} violates the append id-immutability "
+            f"contract: {row['n']} rows but {row['n_ids']} distinct vec_ids "
+            f"({row['n'] - row['n_ids']} duplicate-id rows — an id was "
+            "re-sent with a different embedding; route corrections through "
+            "retrain_corpus_cells on corrected vectors, not append)"
+        )
+    return row["n"]
+
+
 def _reclaim_old_versions(spark, cells_table: str, keep: set) -> None:
     """The ONE reclamation rule every rebuild path (persist / retrain /
     compact) routes through: after a view flip, drop every physical
@@ -1496,7 +1521,10 @@ def append_corpus_cells(
     id with a DIFFERENT embedding is a mutation, not an append retry
     (it would assign to a different cell, evade the pruned check, and
     duplicate the id); route corrections through a rebuild
-    (:func:`retrain_corpus_cells` on corrected vectors).
+    (:func:`retrain_corpus_cells` on corrected vectors). ENFORCED at
+    the next full-store pass: retrain and compact run an id-uniqueness
+    audit (:func:`_audit_store_ids`) inside the scan they already pay
+    for and raise instead of carrying duplicates forward.
     Column order follows the table schema (insertInto is positional).
     ``nlist`` is retained for interface symmetry; the quantizer
     geometry comes entirely from the frozen companion table."""
@@ -1540,8 +1568,8 @@ def retrain_corpus_cells(
     enables. Returns {n_rows, nlist}.
     """
     stored = spark.table(cells_table)
+    n_rows = _audit_store_ids(stored, cells_table)  # doubles as the count
     vectors = stored.select("vec_id", F.col("c_vec").alias("embedding"))
-    n_rows = vectors.count()
     persist_corpus_cells(vectors, cells_table, nlist=nlist)
     return {"n_rows": n_rows, "nlist": nlist}
 
@@ -1566,6 +1594,9 @@ def compact_corpus_cells(spark, cells_table: str) -> dict:
     v = _live_version(spark, cells_table)  # resolve ONCE; derive both names
     data_t = _versioned(cells_table, v)
     cent_t = _centroids_table(data_t)
+    # id-immutability audit BEFORE any mutation: a violating store fails
+    # here with versions and pointer untouched
+    n_rows = _audit_store_ids(spark.table(data_t), cells_table)
     before = store_file_stats(spark, data_t)["n_files"]
     new_v = max(_store_versions(spark, cells_table) + [v]) + 1
     new_data = _versioned(cells_table, new_v)
@@ -1588,7 +1619,7 @@ def compact_corpus_cells(spark, cells_table: str) -> dict:
     return {
         "files_before": before,
         "files_after": store_file_stats(spark, new_data)["n_files"],
-        "n_rows": spark.table(new_data).count(),
+        "n_rows": n_rows,
     }
 
 

@@ -1358,6 +1358,52 @@ def test_cells_store_pointer_never_missing_across_lifecycle(spark, emb):
     assert not spark.catalog.tableExists(name)
 
 
+def test_store_maintenance_rejects_mutated_redelivery(spark, emb):
+    """The append id-immutability contract is ENFORCED, not just
+    documented: re-sending a stored id with a different embedding slips
+    past append's cell-pruned presence check (by design — it assigns to
+    a different cell), but the next retrain/compact audits id
+    uniqueness inside its full scan and raises, leaving the live store
+    untouched. A clean store still retrains/compacts fine."""
+    import pytest
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _live_version,
+        append_corpus_cells,
+        compact_corpus_cells,
+        drop_corpus_cells,
+        persist_corpus_cells,
+        retrain_corpus_cells,
+    )
+
+    name = "t_corpus_cells_mut"
+    corpus = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 400))
+    drop_corpus_cells(spark, name)
+    persist_corpus_cells(corpus, name, nlist=4)
+    # redeliver id 10 with a DIFFERENT embedding (vec 497's) — negated to
+    # guarantee it assigns away from the stored copy's cell
+    mutated = emb.filter(F.col("vec_id") == 497).select(
+        F.lit(10).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    append_corpus_cells(spark, name, mutated, nlist=4)
+    dup = spark.table(name).filter(F.col("vec_id") == 10).count()
+    assert dup == 2, "mutated redelivery should evade the pruned check"
+    v_before = _live_version(spark, name)
+    with pytest.raises(ValueError, match="id-immutability"):
+        compact_corpus_cells(spark, name)
+    with pytest.raises(ValueError, match="id-immutability"):
+        retrain_corpus_cells(spark, name, nlist=8)
+    assert _live_version(spark, name) == v_before  # store untouched
+    drop_corpus_cells(spark, name)
+    # clean store: both maintenance steps still run
+    persist_corpus_cells(corpus, name, nlist=4)
+    n = spark.table(name).count()
+    assert compact_corpus_cells(spark, name)["n_rows"] == n
+    assert retrain_corpus_cells(spark, name, nlist=8)["n_rows"] == n
+    drop_corpus_cells(spark, name)
+
+
 def test_int8_rescore_matches_exact_topk(spark, emb):
     """With a 20-deep shortlist the two-stage rescore must return the
     SAME ids and ranks as exact brute-force cosine top-k: the int8
