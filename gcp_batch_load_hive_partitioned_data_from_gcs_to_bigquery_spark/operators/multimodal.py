@@ -233,6 +233,8 @@ def decode_png_gray(buf: bytes) -> tuple[int, int, bytes]:
         kind = buf[pos + 4 : pos + 8]
         body = buf[pos + 8 : pos + 8 + ln]
         if kind == b"IHDR":
+            if len(body) < 10:  # truncated IHDR: ValueError, not a
+                raise ValueError("truncated IHDR")  # struct.error crash
             w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
         elif kind == b"IDAT":
             idat += body
@@ -357,7 +359,7 @@ def resize_image_nearest(media: DataFrame, width: int = 256, height: int = 256) 
                 rows["target_height"].append(height)
                 try:
                     sw, sh, px = decode_png_gray(bytes(content or b""))
-                except (ValueError, NotImplementedError, zlib.error):
+                except (ValueError, NotImplementedError, zlib.error, struct.error):
                     rows["content"].append(None)
                     rows["src_width"].append(None)
                     rows["src_height"].append(None)

@@ -285,10 +285,18 @@ def maybe_refresh_zone_map(
 def _norm_file_path(p: str) -> str:
     """Normalize a file URI/path to its plain path component so store
     entries (``file:///x`` from ``_metadata.file_path``) compare equal
-    to Hadoop listing output (``file:/x`` or bare ``/x``)."""
-    from urllib.parse import unquote, urlparse
+    to Hadoop listing output (``file:/x`` or bare ``/x``). Scheme
+    stripping is the same regex as :func:`_norm_path_expr` (NOT
+    ``urlparse``, which would also truncate at ``?``/``#`` — legal
+    filename bytes — where the SQL twin does not), and the decode is
+    percent-only (``unquote`` keeps ``+``), so driver and executor
+    normalize identically."""
+    import re
+    from urllib.parse import unquote
 
-    return unquote(urlparse(p).path) or p
+    s = re.sub(r"^[a-z][a-zA-Z0-9+.-]*://[^/]*", "", p)
+    s = re.sub(r"^[a-z][a-zA-Z0-9+.-]*:", "", s)
+    return unquote(s) or p
 
 
 def _data_file_paths(spark: SparkSession, table_root: str) -> set[str]:
@@ -344,14 +352,22 @@ def _data_file_paths(spark: SparkSession, table_root: str) -> set[str]:
 DISTRIBUTED_PRUNE_FILES = 100_000
 
 def _norm_path_expr() -> Column:
-    """SQL twin of :func:`_norm_file_path`: strip ``scheme://authority``
-    or ``scheme:`` and percent-decoding so store URIs (``file:///x``)
-    compare equal to driver/Hadoop listing paths (``/x``). Built lazily
-    — Column construction needs an active SparkContext."""
+    """SQL twin of :func:`_norm_file_path` — the SAME transform (strip
+    ``scheme://authority`` or ``scheme:``, then PERCENT-ONLY decode) so
+    store URIs (``file:///x``) compare equal to driver/Hadoop listing
+    paths (``/x``) on both sides of the coverage check. ``url_decode``
+    is form decoding (``+`` → space), which the driver's ``unquote``
+    does NOT do — a path containing ``+`` would spuriously fail the
+    check and force full scans forever — so literal ``+`` is protected
+    as ``%2B`` first, making the decode percent-only. Built lazily —
+    Column construction needs an active SparkContext."""
     return F.try_url_decode(
         F.regexp_replace(
-            F.regexp_replace("file_path", "^[a-z][a-zA-Z0-9+.-]*://[^/]*", ""),
-            "^[a-z][a-zA-Z0-9+.-]*:", "",
+            F.regexp_replace(
+                F.regexp_replace("file_path", "^[a-z][a-zA-Z0-9+.-]*://[^/]*", ""),
+                "^[a-z][a-zA-Z0-9+.-]*:", "",
+            ),
+            r"\+", "%2B",
         )
     )
 
@@ -453,7 +469,15 @@ def skipping_scan(
             pruned = _distributed_prune(spark, table_root, col, lo, hi, live)
             if pruned is not None:
                 keep, files_total = pruned
-        if keep is None:
+            else:
+                # stale/unusable store at distributed scale: go STRAIGHT
+                # to on-the-fly stats — falling into the driver-snapshot
+                # branch would collect the whole store, the exact cost
+                # the cutoff exists to avoid at ~10^6 files. Pop the
+                # cache so a later refresh is re-read, not served stale.
+                _STORE_CACHE.pop(zone_map_path(table_root), None)
+                live = None
+        if keep is None and live is not None:
             stored_rows = _cached_store_rows(spark, table_root)
             if stored_rows and f"min_{col}" in stored_rows[0].__fields__:
                 store_files = {_norm_file_path(r["file_path"]) for r in stored_rows}

@@ -116,6 +116,38 @@ def test_skipping_scan_empty_range(spark):
     assert df.count() == 0
 
 
+def test_norm_path_sql_and_driver_agree(spark):
+    """The coverage check compares store paths normalized on the
+    EXECUTORS (_norm_path_expr) against a driver listing normalized by
+    _norm_file_path — any divergence makes the check spuriously stale
+    and forces full scans forever. Pin byte-equality on the tricky
+    cases: '+' (form decoding would turn it into a space), '%20',
+    '?'/'#' (urlparse would truncate), and scheme://authority forms."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.zonemap import (
+        _norm_file_path,
+        _norm_path_expr,
+    )
+
+    paths = [
+        "file:///t/day=a+b/part-0.parquet",
+        "/t/day=a+b/part-1.parquet",
+        "file:///t/sp%20ace/part-2.parquet",
+        "hdfs://nn:8020/w/part-3.parquet",
+        "/t/odd?mark/part-4.parquet",
+        "/t/hash#tag/part-5.parquet",
+        "file:/t/single-slash.parquet",
+    ]
+    got = [
+        r["p"]
+        for r in spark.createDataFrame([(p,) for p in paths], "file_path string")
+        .select(_norm_path_expr().alias("p"))
+        .collect()
+    ]
+    assert got == [_norm_file_path(p) for p in paths]
+    assert got[0] == "/t/day=a+b/part-0.parquet"  # '+' survives
+    assert got[2] == "/t/sp ace/part-2.parquet"   # %20 decodes
+
+
 def test_skipping_scan_distributed_path_matches_driver_path(spark, events):
     """Above the file-count cutoff the candidate list is pruned on the
     executors (stats rows never collected); forcing that path with
