@@ -280,6 +280,86 @@ def main() -> None:
         "corpus_growth_ratio": round(tk / t1, 3),
     }
 
+    # Two-stage int8 ANN (ann_int8_rescore): stage 1 scores the WHOLE
+    # corpus with an integer GEMM — must be ~linear in corpus size;
+    # stage 2 exact-rescores only n_queries x shortlist survivors — its
+    # increment over stage 1 must stay ~flat as the corpus grows (same
+    # fixed-queries discipline as the semantic screen probe).
+    queries20 = (
+        tbl(base, "embeddings").filter(F.col("vec_id") < 20).localCheckpoint(eager=True)
+    )
+    probe(
+        "ann_int8_shortlist_gemm",
+        lambda sf, kk: timed(SIM.int8_topk(tbl(sf, "embeddings"), queries20, k=20)),
+    )
+    probe(
+        "ann_int8_rescore_total",
+        lambda sf, kk: timed(
+            SIM.int8_rescore_topk(tbl(sf, "embeddings"), queries20, k=10, shortlist=20)
+        ),
+    )
+    g, tot = results["ann_int8_shortlist_gemm"], results["ann_int8_rescore_total"]
+    results["ann_int8_rescore_stage2_increment"] = {
+        "t_sf0.1": round(tot["t_sf0.1"] - g["t_sf0.1"], 3),
+        f"t_{k}x": round(tot[f"t_{k}x"] - g[f"t_{k}x"], 3),
+    }
+
+    # stream_sliding_distinct store-age curve: the sink merges ONLY the
+    # batch's touched hour partitions (existence-probed per key, never a
+    # root listing), so the per-TRIGGER cost must be flat in store AGE.
+    # Seed hour-grain stores 10x apart in history depth (240 vs 2400
+    # hours, 64 chunk rows per hour) whose newest hours overlap the
+    # batch, stream the SAME one-file two-hour batch into each, and
+    # report the per-trigger ratio — ~1.0 is the touched-partition
+    # evidence (the semantic screen's corpus_growth_ratio, for age).
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming import drain_stream
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.bitmap_distinct import (
+        stream_bitmap_distinct,
+    )
+
+    ev1 = tbl(base, "events")
+    hr_expr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600).cast("long")
+    lo_hr = ev1.select(F.min(hr_expr).alias("lo")).collect()[0]["lo"]
+    batch_src = f"{DERIVED}_agebatch"
+    shutil.rmtree(batch_src, ignore_errors=True)
+    ev1.filter(hr_expr < lo_hr + 2).coalesce(1).write.mode("overwrite").parquet(batch_src)
+    ev_schema = spark.read.parquet(batch_src).schema
+
+    def age_trigger_time(age_hours: int) -> float:
+        store = f"{DERIVED}_agestore_{age_hours}"
+        shutil.rmtree(store, ignore_errors=True)
+        seed = (
+            spark.range(age_hours)
+            .select(
+                (F.lit(lo_hr + 2) - F.col("id") - 1).alias("hr"),
+                F.explode(F.sequence(F.lit(0), F.lit(63))).alias("chunk"),
+            )
+            .withColumn("bits", (F.col("hr") * 31 + F.col("chunk")).cast("long"))
+        )
+        seed.repartition(F.col("hr")).write.partitionBy("hr").mode(
+            "overwrite"
+        ).parquet(store)
+        best = None
+        for r in range(2):
+            ckpt = f"{store}_ckpt_{r}"
+            shutil.rmtree(ckpt, ignore_errors=True)
+            t0 = time.time()
+            q = stream_bitmap_distinct(
+                spark, batch_src, store, ev_schema, ckpt,
+                max_files_per_trigger=10, grain="hour",
+            )
+            drain_stream(q, what="store-age probe")
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+        return round(best, 3)
+
+    t_young, t_old = age_trigger_time(240), age_trigger_time(2400)
+    results["stream_sliding_distinct_store_age"] = {
+        "t_trigger_age_240h": t_young,
+        "t_trigger_age_2400h": t_old,
+        "store_age_ratio": round(t_old / t_young, 3),
+    }
+
     print(json.dumps({"metric": "scale_probe", "k": k, "operators": results}))
 
 
