@@ -4556,6 +4556,10 @@ _ROUND_QUEUE = [
     # r10: fifth gated method added (ivf_pq ADC over the persisted
     # codes table, floor 0.10) — schema rows and oracle both changed
     "ann_recall_gate",
+    # r10: decode_png_gray now rejects truncated IHDRs with ValueError
+    # (error path only — valid-input pixels and the oracle unchanged,
+    # queued anyway per the changed-kernel discipline)
+    "multimodal_resize",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]
