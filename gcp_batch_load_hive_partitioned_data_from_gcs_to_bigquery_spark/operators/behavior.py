@@ -253,6 +253,89 @@ def resample_ffill(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid resample with LINEAR interpolation: like
+    :func:`resample_ffill` but gap buckets get the straight line between
+    the bracketing observed aggregates instead of a step function — the
+    fill a metrics backfill or training-curve resampler wants when the
+    quantity drifts rather than holds.
+
+    Same single-shuffle shape as the ffill twin (spine, hourly
+    aggregate, grid join, and both bracketing windows all key on the
+    entity column). The bracketing observations come from two
+    ignoreNulls windows (last-preceding / first-following); the spine
+    spans each key's first..last OBSERVED bucket, so both brackets
+    always exist and no edge extrapolation is needed. Emits
+    (key, bucket_ts, n_obs, value_interp) with observed buckets passed
+    through exactly.
+
+    Interpolated values are computed in integer CENTS with a floor at
+    the end — prev_c + floor((next_c - prev_c) * dt / span) — not in
+    rounded floating point: linear interpolation lands on exact decimal
+    midpoints constantly (the halfway bucket between two 2-decimal
+    aggregates IS a x.xx5), and half-way rounding of doubles is where
+    engines disagree (round-the-shortest-decimal vs round-the-binary-
+    value). Integer floor is deterministic and identical everywhere;
+    all products stay far below 2^53 so the arithmetic is exact.
+    """
+    grain = "hour" if step == "1 hour" else "day"
+    k, ts = F.col(key_col), F.col(ts_col)
+    bucket = F.date_trunc(grain, ts)
+    actual = df.groupBy(k.alias("__key"), bucket.alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.sum(value_col), 2).alias("__sum_val"),
+    )
+    spans = df.groupBy(k.alias("__key")).agg(
+        F.date_trunc(grain, F.min(ts)).alias("__lo"),
+        F.date_trunc(grain, F.max(ts)).alias("__hi"),
+    )
+    spine = spans.select(
+        "__key",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket_ts"),
+    )
+    grid = spine.join(actual, ["__key", "bucket_ts"], "left")
+    w_prev = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("bucket_ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("bucket_ts").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    grid = grid.withColumn(
+        "__sum_c", F.round(F.col("__sum_val") * 100, 0).cast("long")
+    )
+    obs_ts = F.when(F.col("__sum_val").isNotNull(), F.col("bucket_ts"))
+    prev_c = F.last("__sum_c", ignorenulls=True).over(w_prev)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(w_prev)
+    next_c = F.first("__sum_c", ignorenulls=True).over(w_next)
+    next_t = F.first(obs_ts, ignorenulls=True).over(w_next)
+    span_s = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+    dt_s = F.unix_timestamp("bucket_ts") - F.unix_timestamp(prev_t)
+    interp_c = prev_c + F.floor(
+        ((next_c - prev_c) * dt_s).cast("double") / span_s
+    )
+    interp = interp_c.cast("double") / 100.0
+    return grid.select(
+        F.col("__key").alias(key_col),
+        "bucket_ts",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.when(F.col("__sum_val").isNotNull(), F.col("__sum_val"))
+        .otherwise(interp)
+        .alias("value_interp"),
+    )
+
+
 def concurrency_sweep(
     df: DataFrame,
     start_col: str,

@@ -2301,3 +2301,61 @@ def pca_fit_project(
         explained_var = explained
 
     return out, _Model()
+
+
+def embedding_health(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+) -> DataFrame:
+    """One-row health audit of an embedding store — the preflight every
+    operator in this module silently assumes has passed: consistent
+    dimensionality, no NULL/NaN/Inf payloads, no zero-norm vectors
+    (cosine is undefined on them), and unique ids (the append-id
+    immutability contract, checked here WITHOUT mutating anything).
+
+    A corrupt embedding column does not fail ANN queries loudly — it
+    skews centroids, poisons normalized dot products, and silently
+    drops recall — so pipelines gate index builds on this audit the way
+    loads gate on row counts. Everything folds into one partial
+    aggregate over a single scan (per-row signals are higher-order
+    array expressions, JVM-side); the exchange moves one row, so the
+    audit costs one pass at any corpus size.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ss = F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)
+    nonfinite = F.exists(
+        vd, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    per = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).isNull().alias("__isnull"),
+        F.size(F.col(vec_col)).alias("__dim"),
+        F.when(F.col(vec_col).isNotNull(), nonfinite).alias("__bad"),
+        F.when(F.col(vec_col).isNotNull(), ss).alias("__ss"),
+        *([F.col(label_col).isNull().alias("__lab_null")] if label_col else []),
+    )
+    norm = F.when(
+        (~F.col("__bad")) & F.col("__ss").isNotNull(), F.sqrt("__ss")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("__isnull").cast("long")).alias("n_null_vec"),
+        (F.count("__id") - F.countDistinct("__id")).alias("n_dup_ids"),
+        F.countDistinct("__dim").alias("n_dims"),
+        F.min("__dim").alias("dim_min"),
+        F.max("__dim").alias("dim_max"),
+        F.sum(F.coalesce(F.col("__bad").cast("long"), F.lit(0))).alias(
+            "n_nonfinite"
+        ),
+        F.sum(
+            ((~F.col("__bad")) & (F.col("__ss") == 0)).cast("long")
+        ).alias("n_zero_norm"),
+        F.round(F.min(norm), 4).alias("norm_min"),
+        F.round(F.max(norm), 4).alias("norm_max"),
+        F.round(F.avg(norm), 4).alias("norm_mean"),
+    ]
+    if label_col:
+        aggs.append(F.sum(F.col("__lab_null").cast("long")).alias("n_null_label"))
+    return per.agg(*aggs)

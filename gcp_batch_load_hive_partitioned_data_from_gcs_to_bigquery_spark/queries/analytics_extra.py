@@ -2873,6 +2873,62 @@ ORDER BY metric
 """
 
 
+def q_profile_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store preflight (operators/similarity.py
+    embedding_health): dimension consistency, NULL/NaN/Inf payloads,
+    zero-norm vectors, duplicate ids, and L2-norm range/mean in ONE
+    single-pass aggregate — the audit every ANN / semantic-dedup build
+    in this repo assumes has passed (a poisoned embedding column skews
+    centroids and drops recall silently, never loudly). Per-row signals
+    are higher-order array expressions (JVM-side, no UDF); the exchange
+    moves one row."""
+    from ..operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_health(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    )
+
+
+ORACLE_EMBEDDING_HEALTH = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+per AS (
+  SELECT vec_id, label,
+    (v IS NULL) AS vec_is_null,
+    len(v) AS dim,
+    CASE WHEN v IS NULL THEN NULL
+         ELSE len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 END AS bad,
+    CASE WHEN v IS NULL THEN NULL
+         ELSE list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)
+    END AS ss
+  FROM e
+),
+n AS (
+  SELECT CASE WHEN NOT bad AND ss IS NOT NULL THEN sqrt(ss) END AS nrm, *
+  FROM per
+)
+SELECT
+  count(*) AS n_vecs,
+  CAST(sum(CASE WHEN vec_is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
+  count(vec_id) - count(DISTINCT vec_id) AS n_dup_ids,
+  count(DISTINCT dim) AS n_dims,
+  min(dim) AS dim_min,
+  max(dim) AS dim_max,
+  CAST(sum(CASE WHEN coalesce(bad, false) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nonfinite,
+  CAST(sum(CASE WHEN NOT bad AND ss = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_zero_norm,
+  round(min(nrm), 4) AS norm_min,
+  round(max(nrm), 4) AS norm_max,
+  round(avg(nrm), 4) AS norm_mean,
+  CAST(sum(CASE WHEN label IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_label
+FROM n
+"""
+
+
 ANALYTICS_QUERIES: dict[str, callable] = {
     "text_js_divergence": q_text_js_divergence,
     "agg_autocorrelation": q_agg_autocorrelation,
@@ -2907,6 +2963,7 @@ ANALYTICS_QUERIES: dict[str, callable] = {
     "approx_hll_set_ops": q_approx_hll_set_ops,
     "ann_radius_search": q_ann_radius_search,
     "ann_recall_gate": q_ann_recall_gate,
+    "profile_embedding_health": q_profile_embedding_health,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_dedup_watermark": q_stream_dedup_watermark,
     "stream_join_static": q_stream_join_static,
@@ -2958,6 +3015,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "approx_hll_set_ops": ORACLE_HLL_SET_OPS,
     "ann_radius_search": ORACLE_ANN_RADIUS,
     "ann_recall_gate": ORACLE_ANN_RECALL_GATE,
+    "profile_embedding_health": ORACLE_EMBEDDING_HEALTH,
     "stream_sliding_window": ORACLE_STREAM_SLIDING,
     "stream_dedup_watermark": ORACLE_STREAM_DEDUP,
     "stream_join_static": ORACLE_STREAM_JOIN_STATIC,

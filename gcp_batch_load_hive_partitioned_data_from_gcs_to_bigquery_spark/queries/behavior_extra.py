@@ -419,11 +419,70 @@ FROM seqs
 """
 
 
+def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + LINEAR interpolation (operators/behavior.py
+    resample_interpolate) for the same bounded user set as the ffill
+    twin: gap buckets get the straight line between the bracketing
+    observed hourly sums — the drift-aware fill, where ffill is the
+    hold-last fill. Spine, join, and both bracketing windows key on
+    user_id: one shuffle, no UDFs."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = B.resample_interpolate(ev, "user_id", "ts", "value", step="1 hour")
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n_obs",
+        "value_interp",
+    )
+
+
+ORACLE_INTERPOLATE = """
+WITH e AS (SELECT * FROM events WHERE user_id < 30),
+spans AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM e GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM spans
+),
+actual AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_obs, round(sum(value), 2) AS sv
+  FROM e GROUP BY 1, 2
+),
+g AS (
+  SELECT s.user_id, s.bucket_ts, coalesce(a.n_obs, 0) AS n_obs, a.sv,
+    last_value(CAST(round(a.sv * 100, 0) AS BIGINT) IGNORE NULLS) OVER (
+      PARTITION BY s.user_id ORDER BY s.bucket_ts
+      ROWS UNBOUNDED PRECEDING) AS pc,
+    last_value(CASE WHEN a.sv IS NOT NULL THEN s.bucket_ts END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.bucket_ts
+            ROWS UNBOUNDED PRECEDING) AS pt,
+    first_value(CAST(round(a.sv * 100, 0) AS BIGINT) IGNORE NULLS) OVER (
+      PARTITION BY s.user_id ORDER BY s.bucket_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+    first_value(CASE WHEN a.sv IS NOT NULL THEN s.bucket_ts END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.bucket_ts
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM spine s LEFT JOIN actual a USING (user_id, bucket_ts)
+)
+SELECT user_id, strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts, n_obs,
+  CASE WHEN sv IS NOT NULL THEN sv
+       ELSE (pc + floor((nc - pc) * (epoch(bucket_ts) - epoch(pt))
+                        / (epoch(nt) - epoch(pt)))) / 100.0
+  END AS value_interp
+FROM g
+"""
+
+
 BEHAVIOR_QUERIES: dict[str, callable] = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "dim_scd2": q_dim_scd2,
     "ts_resample_ffill": q_ts_resample_ffill,
+    "ts_interpolate_linear": q_ts_interpolate_linear,
     "window_concurrency": q_window_concurrency,
     "monitor_seasonal_anomaly": q_monitor_seasonal_anomaly,
     "path_topk": q_path_topk,
@@ -437,6 +496,7 @@ BEHAVIOR_ORACLES: dict[str, str] = {
     "cohort_retention": ORACLE_COHORT,
     "dim_scd2": ORACLE_SCD2,
     "ts_resample_ffill": ORACLE_RESAMPLE,
+    "ts_interpolate_linear": ORACLE_INTERPOLATE,
     "window_concurrency": ORACLE_CONCURRENCY,
     "monitor_seasonal_anomaly": ORACLE_SEASONAL,
     "path_topk": ORACLE_PATH_TOPK,

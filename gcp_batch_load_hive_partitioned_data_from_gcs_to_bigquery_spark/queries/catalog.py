@@ -4560,6 +4560,12 @@ _ROUND_QUEUE = [
     # (error path only — valid-input pixels and the oracle unchanged,
     # queued anyway per the changed-kernel discipline)
     "multimodal_resize",
+    # r10: NEW — hourly resample with linear interpolation (the
+    # drift-aware twin of ts_resample_ffill)
+    "ts_interpolate_linear",
+    # r10: NEW — one-pass embedding-store audit (dims, NaN/Inf,
+    # zero-norm, dup ids, norm stats) gating every ANN/semantic build
+    "profile_embedding_health",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]

@@ -94,6 +94,45 @@ def test_resample_ffill_gap_and_leading_null(spark):
     assert got == [(1, 2.0), (0, 2.0), (0, 2.0), (1, 5.0)]
 
 
+def test_resample_interpolate_straight_line(spark):
+    rows = [
+        (1, _ts("2024-01-01 00:10:00"), 1.0),
+        (1, _ts("2024-01-01 03:20:00"), 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = B.resample_interpolate(df, "k", "ts", "value").orderBy("bucket_ts")
+    got = [(r["n_obs"], r["value_interp"]) for r in out.collect()]
+    # hours 00..03: obs 1.0, then the straight line to 4.0
+    assert got == [(1, 1.0), (0, 2.0), (0, 3.0), (1, 4.0)]
+
+
+def test_resample_interpolate_midpoint_floors_at_cents(spark):
+    # midpoint between 1.00 and 1.01 is 1.005 — the exact half-cent
+    # case engines round differently; the cents-floor contract pins it
+    # to 1.00 deterministically.
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 1.00),
+        (1, _ts("2024-01-01 02:00:00"), 1.01),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = B.resample_interpolate(df, "k", "ts", "value").orderBy("bucket_ts")
+    got = [r["value_interp"] for r in out.collect()]
+    assert got == [1.00, 1.00, 1.01]
+
+
+def test_resample_interpolate_observed_buckets_pass_through(spark):
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 2.25),
+        (1, _ts("2024-01-01 00:30:00"), 2.25),
+        (1, _ts("2024-01-01 01:00:00"), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = B.resample_interpolate(df, "k", "ts", "value").orderBy("bucket_ts")
+    got = [(r["n_obs"], r["value_interp"]) for r in out.collect()]
+    # hour 0 observed twice (sum 4.5) — emitted exactly, never re-derived
+    assert got == [(2, 4.5), (1, 7.0)]
+
+
 def test_concurrency_touching_intervals_do_not_overlap(spark):
     rows = [
         (_ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00")),

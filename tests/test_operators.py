@@ -1611,3 +1611,44 @@ def test_interval_overlap_join_boundary_and_bucket_spanning(spark):
         for r in interval_overlap_join(left2, right, bucket_secs=600).collect()
     )
     assert dup_pairs == [(1, 10), (1, 10), (3, 10), (3, 20), (3, 30)]
+
+
+def test_embedding_health_counts_each_defect_class(spark):
+    rows = [
+        (1, [0.6, 0.8], 0),            # clean, norm 1.0
+        (2, [3.0, 4.0], None),         # clean, norm 5.0; null label
+        (3, [0.0, 0.0], 1),            # zero-norm
+        (4, [float("nan"), 1.0], 1),   # non-finite
+        (5, [float("inf"), 1.0], 1),   # non-finite
+        (6, [1.0, 0.0, 0.0], 1),       # wrong dimension
+        (7, None, 1),                  # null payload
+        (2, [3.0, 4.0], 1),            # duplicate id
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = SIM.embedding_health(df, "vec_id", "embedding", "label").collect()[0]
+    assert out["n_vecs"] == 8
+    assert out["n_null_vec"] == 1
+    assert out["n_dup_ids"] == 1
+    assert out["n_dims"] == 2          # {2, 3}
+    assert (out["dim_min"], out["dim_max"]) == (2, 3)
+    assert out["n_nonfinite"] == 2
+    assert out["n_zero_norm"] == 1
+    # norm stats cover only finite vectors (zero-norm included: norm 0)
+    assert (out["norm_min"], out["norm_max"]) == (0.0, 5.0)
+    assert out["n_null_label"] == 1
+
+
+def test_embedding_health_clean_store_is_all_zero_defects(spark):
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(10)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = SIM.embedding_health(df, "vec_id", "embedding", "label").collect()[0]
+    assert (
+        out["n_null_vec"], out["n_dup_ids"], out["n_nonfinite"],
+        out["n_zero_norm"], out["n_null_label"],
+    ) == (0, 0, 0, 0, 0)
+    assert out["n_dims"] == 1
+    assert out["norm_min"] == out["norm_max"] == out["norm_mean"] == 1.0
