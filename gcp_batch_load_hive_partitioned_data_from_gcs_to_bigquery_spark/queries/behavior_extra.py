@@ -424,8 +424,10 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample_interpolate) for the same bounded user set as the ffill
     twin: gap buckets get the straight line between the bracketing
     observed hourly sums — the drift-aware fill, where ffill is the
-    hold-last fill. Spine, join, and both bracketing windows key on
-    user_id: one shuffle, no UDFs."""
+    hold-last fill. Every exchange hashes the entity key family
+    (user_id for spans/spine/windows, user_id+bucket for the hourly
+    pre-aggregate — the map-side combine that keeps the shuffle small);
+    no UDFs anywhere."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     out = B.resample_interpolate(ev, "user_id", "ts", "value", step="1 hour")
     return out.select(
