@@ -180,6 +180,35 @@ def hyperplane_signature(vec, num_planes: int, dim: int, seed: int = 42):
     return sig
 
 
+TRAIN_SAMPLE_PER_CELL = 256  # k-means fit sees ≤ this many vectors per cell
+
+
+def _train_sample(c: DataFrame, nlist: int, seed: int) -> DataFrame:
+    """Deterministic, partitioning-independent sample of the corpus for
+    quantizer training, capped at ~``TRAIN_SAMPLE_PER_CELL * nlist``
+    rows: keep exactly the ids whose seed-keyed ``xxhash64`` falls under
+    a threshold derived from one corpus ``count()``. Unlike
+    ``DataFrame.sample`` (partition-layout-dependent) the kept set is a
+    pure function of (ids, nlist, seed), so a rebuilt or repartitioned
+    corpus trains the identical quantizer. Cost: one count scan + one
+    filtered scan — both single passes, versus the per-iteration
+    full-corpus scans a direct ``KMeans.fit(corpus)`` pays (the 100-TB
+    killer when ``nlist ∝ N``). 256 samples/centroid is the standard
+    IVF training density (FAISS's documented default regime)."""
+    cap = TRAIN_SAMPLE_PER_CELL * nlist
+    n = c.count()
+    if n <= cap:
+        return c
+    buckets = 1 << 20
+    keep = -(-cap * buckets // n)  # ceil: expected sample size >= cap
+    return c.filter(
+        F.pmod(
+            F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)), F.lit(buckets)
+        )
+        < keep
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -194,11 +223,17 @@ def ivf_topk(
     partitions the corpus into ``nlist`` cells; each query scores only its
     ``nprobe`` nearest cells.
 
-    Index build = one KMeans fit (on a sample at 100 TB) + one assignment
-    pass; the cell id becomes the shuffle/partition key, so a query reads
-    ~``nprobe/nlist`` of the corpus instead of all of it. Centroids are
-    tiny (nlist × dim) and ride along as a broadcast join — the corpus is
-    never collected.
+    Index build = one KMeans fit on a DETERMINISTIC HASH-SAMPLE (seed-keyed
+    ``xxhash64(vec_id)`` threshold, capped at ~256·nlist vectors — see
+    ``_train_sample``) + one full-corpus assignment pass; the cell id
+    becomes the shuffle/partition key, so a query reads ~``nprobe/nlist``
+    of the corpus instead of all of it. Sampling the fit is what keeps the
+    build LINEAR at 100 TB: with ``nlist ∝ N`` a full-corpus fit would
+    re-scan the corpus every k-means iteration (the one super-linear term
+    this operator used to carry); the sample is partitioning-independent
+    (pure hash predicate), so the trained quantizer is stable for a given
+    (corpus, nlist, seed). Centroids are tiny (nlist × dim) and ride along
+    as a broadcast join — the corpus is never collected.
 
     Assignment deliberately stays on ``model.transform`` — a SHUFFLE-FREE
     narrow map (JVM BLAS argmin per row). The deterministic twin
@@ -215,7 +250,9 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
 
-    train = c.select(array_to_vector("c_vec").alias("features"))
+    train = _train_sample(c, nlist, seed).select(
+        array_to_vector("c_vec").alias("features")
+    )
     model = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cell").fit(train)
 
     assigned = model.transform(
@@ -1412,7 +1449,16 @@ def _audit_store_ids(stored: DataFrame, cells_table: str) -> int:
     row = stored.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("vec_id").alias("n_ids"),
+        # countDistinct ignores NULLs — count them separately or a NULL
+        # id would masquerade as (and miscount) an id-duplication defect
+        F.sum(F.col("vec_id").isNull().cast("long")).alias("n_null"),
     ).collect()[0]
+    if row["n_null"]:
+        raise ValueError(
+            f"cells store {cells_table} holds {row['n_null']} NULL vec_id "
+            "row(s) — ids are the append/dedup key and must be non-null; "
+            "repair the source and rebuild via retrain_corpus_cells"
+        )
     if row["n"] != row["n_ids"]:
         raise ValueError(
             f"cells store {cells_table} violates the append id-immutability "
@@ -1537,6 +1583,9 @@ def append_corpus_cells(
     assigned = _assign_cells_blas(b, centroid_rows).withColumn(
         "c_norm", _norm(F.col("c_vec"))
     ).localCheckpoint(eager=True)  # one assignment GEMM, reused below
+    # bounded collect: the batch assigns to <= min(|batch|, nlist)
+    # distinct cells — cell-id metadata, pushed into the store scan
+    # as a static partition filter, never corpus-sized
     cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
     if not cells:
         return
@@ -1656,6 +1705,9 @@ def semdedup_batch_vs_table(
     ba = _assign_cells_blas(b, centroid_rows).withColumn(
         "c_norm", _norm(F.col("c_vec"))
     ).localCheckpoint(eager=True)  # one assignment GEMM, reused below
+    # bounded collect: the batch assigns to <= min(|batch|, nlist)
+    # distinct cells — cell-id metadata, pushed into the store scan
+    # as a static partition filter, never corpus-sized
     cells = [r["cell"] for r in ba.select("cell").distinct().collect()]
     stored = spark.table(data_t)
     pruned = (
@@ -1711,6 +1763,9 @@ def semdedup_ingest_batch(
     ba = _assign_cells_blas(b, centroid_rows).withColumn(
         "c_norm", _norm(F.col("c_vec"))
     ).localCheckpoint(eager=True)
+    # bounded collect: the batch assigns to <= min(|batch|, nlist)
+    # distinct cells — cell-id metadata, pushed into the store scan
+    # as a static partition filter, never corpus-sized
     cells = [r["cell"] for r in ba.select("cell").distinct().collect()]
     stored = spark.table(data_t)
     pruned = (

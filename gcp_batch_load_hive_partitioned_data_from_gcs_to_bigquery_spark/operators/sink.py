@@ -175,6 +175,8 @@ def write_partition_overwrite(
         out = out.localCheckpoint(eager=True)
         # distinct over the 4 partition columns of an hourly batch —
         # map-side-combined, a handful of rows out.
+        # bounded collect: one row per PARTITION the batch touches (an
+        # hourly batch lands in a handful of hive partitions), never per-row
         touched = [
             r["part_key"] for r in out.select(part_key_expr()).distinct().collect()
         ]

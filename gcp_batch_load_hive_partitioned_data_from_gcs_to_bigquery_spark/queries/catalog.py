@@ -3660,6 +3660,47 @@ FROM rs
 """
 
 
+def q_multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pixel decode as a first-class operator
+    (operators/multimodal.py decode_image_pixels — the retired PIL gate,
+    now the stdlib inflate+defilter kernel over mapInPandas): decode
+    every materialized PNG payload to its raw pixel buffer, then reduce
+    each buffer to exact integer evidence (count / sum / first / last
+    byte) with whole-buffer numpy kernels. The oracle replays all four
+    stats from the fixture's id arithmetic — pixels are
+    (media_id + x) % 251, identical rows — so a hash match proves the
+    engine recovered the true encoded pixel CONTENT end-to-end."""
+    media = spark.read.parquet(_media_fixture_root(spark, sf_dir, "png"))
+    decoded = MM.decode_image_pixels(media)
+    return MM.image_pixel_stats(decoded).orderBy("media_id")
+
+
+# Fixture pixel model (synthesize_png): row byte x = (id + x) % 251,
+# every row identical, dims from png_dims_for_id.
+ORACLE_MM_PIXELS = """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 64 AS w,
+         16 + (doc_id // 8) % 48 AS h
+  FROM documents
+),
+rs AS (
+  SELECT media_id, w, h, sum((media_id + t.x) % 251) AS row_sum
+  FROM d, unnest(generate_series(0, w - 1)) AS t(x)
+  GROUP BY media_id, w, h
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(row_sum * h AS BIGINT) AS pixel_sum,
+       CAST(media_id % 251 AS INT) AS first_pixel,
+       CAST((media_id + w - 1) % 251 AS INT) AS last_pixel
+FROM rs
+ORDER BY media_id
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container-aware frame sampling (the byte-stride stub,
     retired): reconstruct per-sample (offset, size, timestamp) from the
@@ -4363,6 +4404,7 @@ QUERIES: dict[str, callable] = {
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_pixel_decode": q_multimodal_pixel_decode,
     "multimodal_meta_arrow": q_multimodal_meta_arrow,
     "multimodal_audio_meta": q_multimodal_audio_meta,
     "multimodal_video_meta": q_multimodal_video_meta,
@@ -4479,6 +4521,7 @@ ORACLES: dict[str, str] = {
     "multimodal_image_meta": ORACLE_MM_META,
     "multimodal_frame_sample": ORACLE_MM_FRAMES,
     "multimodal_resize": ORACLE_MM_RESIZE,
+    "multimodal_pixel_decode": ORACLE_MM_PIXELS,
     "multimodal_meta_arrow": ORACLE_MM_META,
     "multimodal_audio_meta": ORACLE_MM_AUDIO,
     "multimodal_video_meta": ORACLE_MM_VIDEO,
@@ -4523,49 +4566,46 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-10 queue — keys whose implementation OR oracle changed in r9/r10
-# without a driver row attesting the CURRENT form (the changed-key
-# discipline the r9 miss was about):
-# window_sliding_distinct — r9 split the key into production
-#   (hour, n_active) + a _gate twin; only the gate got an r9 row, so the
-#   production projection over the shared bitmap pipeline is unattested;
-# scan_file_skipping — the r9 executor-side prune path (distributed
-#   coverage check above the file-count cutoff) reworked the plan under
-#   its green row.
-# Keys changed in ROUND 10 itself are appended as they land (each entry
-# commented with what changed).
+# Round-11 queue — keys whose implementation changed in r11 (each entry
+# commented with what changed), per the changed-kernel discipline: a
+# green row from an earlier round attests the OLD code and must not
+# satisfy the queue.
 # _ROUND_QUEUE_ROUND pins the round this queue demands evidence FROM:
-# the queue retires only when CORRECTNESS_r10 lands (rotation.py).
+# the queue retires only when CORRECTNESS_r11 lands (rotation.py).
 # Gate (per project discipline): every queued key verified with
 # scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
 # rotation landed; the whole 50-key window swept in one process at both
 # SFs before freezing.
-_ROUND_QUEUE_ROUND = 10
+_ROUND_QUEUE_ROUND = 11
 _ROUND_QUEUE = [
-    "window_sliding_distinct",
-    "scan_file_skipping",
-    # r10: stub retired — real PCM decode + integer frame features, new
-    # schema and oracle (peak/sum_sq/zero-cross replayed from id math)
-    "multimodal_audio_frames",
-    # r10: stub retired — ISO-BMFF stts/stsc/stsz/stco walk yields true
-    # frame offsets/timestamps; oracle replays the whole sample table
+    # r11: NEW — decode_image_pixels (the retired PIL gate) is now the
+    # stdlib decode kernel as a catalog operator; oracle replays
+    # count/sum/first/last pixel bytes from id arithmetic
+    "multimodal_pixel_decode",
+    # r11: parse_bmff_sample_table hardened against lying u32 counts
+    # (stts must cover stsz exactly, counts bounded by len(buf), stsc
+    # chunk-map validated — error paths only, valid-input output and
+    # oracle unchanged; queued per the changed-kernel discipline)
     "multimodal_frame_sample",
-    # r10: fixture payloads gained sample tables + mdat (oracle is
-    # byte-independent but the decode input changed)
-    "multimodal_video_meta",
-    # r10: fifth gated method added (ivf_pq ADC over the persisted
-    # codes table, floor 0.10) — schema rows and oracle both changed
+    # r11: wav_channel0_pcm now rejects non-PCM wFormatTag (error path
+    # only; queued per the changed-kernel discipline)
+    "multimodal_audio_frames",
+    # r11: ivf_topk's KMeans now fits on a deterministic hash-sample
+    # (inactive at these SFs — corpus under the 256·nlist cap; the
+    # deterministic-twin oracles are unchanged) — the IVF/semantic
+    # family queued per the r10 verdict so fresh green rows attest the
+    # post-change code
+    "ann_ivf_topk",
+    "ann_ivf_pq_oracle",
+    "ann_ivf_pq_append",
     "ann_recall_gate",
-    # r10: decode_png_gray now rejects truncated IHDRs with ValueError
-    # (error path only — valid-input pixels and the oracle unchanged,
-    # queued anyway per the changed-kernel discipline)
-    "multimodal_resize",
-    # r10: NEW — hourly resample with linear interpolation (the
-    # drift-aware twin of ts_resample_ffill)
-    "ts_interpolate_linear",
-    # r10: NEW — one-pass embedding-store audit (dims, NaN/Inf,
-    # zero-norm, dup ids, norm stats) gating every ANN/semantic build
-    "profile_embedding_health",
+    "dedup_semantic",
+    "dedup_semantic_incremental",
+    "dedup_semantic_bucketed",
+    "dedup_semantic_jl",
+    # (the r11 _audit_store_ids NULL-id hardening lives on the
+    # retrain/compact maintenance path, pytest-covered in
+    # tests/test_operators.py — no catalog key runs maintenance)
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]

@@ -92,6 +92,8 @@ def stream_bitmap_distinct(
         sess = batch_df.sparkSession
         fresh = _batch_chunks(batch_df, grain).persist()
         try:
+            # bounded collect: one key per PERIOD the micro-batch touches
+            # (days/hours, not rows) — a few entries per trigger by design
             keys = [r[kname] for r in fresh.select(kname).distinct().collect()]
             if not keys:
                 return

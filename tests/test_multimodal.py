@@ -530,3 +530,188 @@ def test_decode_video_meta_distributed(spark):
         assert (r.format, r.brand, r.timescale, r.duration_units, r.width, r.height) == (
             "mp4", "isom", ts, du, w, h,
         )
+
+
+# --- r11 hardening: untrusted sample-table counts (ADVICE round 10) ----------
+# parse_bmff_sample_table consumes four u32-counted tables from untrusted
+# bytes; a count that lies about coverage or magnitude must yield None —
+# never an executor crash (IndexError/MemoryError) or silently-wrong
+# offsets from uninitialized memory.
+
+
+def _bmff_payload(stts_body, stsc_body, stsz_body, stco_body):
+    import struct as st
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import _mp4_box
+
+    mdhd = _mp4_box(b"mdhd", st.pack(">IIIIIHH", 0, 0, 0, 48000, 500, 0x55C4, 0))
+    stbl = _mp4_box(
+        b"stbl",
+        _mp4_box(b"stts", stts_body)
+        + _mp4_box(b"stsc", stsc_body)
+        + _mp4_box(b"stsz", stsz_body)
+        + _mp4_box(b"stco", stco_body),
+    )
+    mdia = _mp4_box(b"mdia", mdhd + _mp4_box(b"minf", stbl))
+    return _mp4_box(b"ftyp", b"isom" + b"\x00" * 8) + _mp4_box(
+        b"moov", _mp4_box(b"trak", mdia)
+    )
+
+
+def test_bmff_stts_undercount_returns_none():
+    """stts runs covering 2 of stsz's 5 samples used to truncate deltas
+    and crash sample_frames_bmff's kernel with IndexError at t_units[i];
+    it must parse to None instead (the round-10 ADVICE reproduction)."""
+    import struct as st
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        parse_bmff_sample_table,
+        sample_frames_bmff,
+    )
+
+    buf = _bmff_payload(
+        st.pack(">IIII", 0, 1, 2, 100),            # 1 run x 2 samples: undercount
+        st.pack(">IIII", 0, 1, 1, 5),              # all 5 samples in chunk 1
+        st.pack(">III5I", 0, 0, 5, 10, 20, 30, 40, 50),
+        st.pack(">III", 0, 1, 1000),
+    )
+    assert parse_bmff_sample_table(buf) is None
+    # overcoverage must equally fail (runs cover 9 samples, stsz says 5)
+    over = _bmff_payload(
+        st.pack(">IIII", 0, 1, 9, 100),
+        st.pack(">IIII", 0, 1, 1, 5),
+        st.pack(">III5I", 0, 0, 5, 10, 20, 30, 40, 50),
+        st.pack(">III", 0, 1, 1000),
+    )
+    assert parse_bmff_sample_table(over) is None
+    # and the Spark kernel simply emits no rows for the bad payload
+    spark = __import__("tests.conftest", fromlist=["x"])  # reuse fixture session
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        media = s.createDataFrame(
+            [(1, bytearray(buf))], "media_id long, content binary"
+        )
+        assert sample_frames_bmff(media, every_k=1).count() == 0
+
+
+def test_bmff_forged_giant_counts_return_none():
+    """A lying n_samples of 0xFFFFFFFF with fixed_size set used to ask
+    np.full for ~32 GiB; counts beyond len(buf) are rejected before any
+    allocation, and MemoryError is in the caught set as belt-and-braces."""
+    import struct as st
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        parse_bmff_sample_table,
+    )
+
+    buf = _bmff_payload(
+        st.pack(">IIII", 0, 1, 0xFFFFFFFF, 100),
+        st.pack(">IIII", 0, 1, 1, 5),
+        st.pack(">II I", 0, 4, 0xFFFFFFFF),         # fixed_size=4, n_samples=2^32-1
+        st.pack(">III", 0, 1, 1000),
+    )
+    assert parse_bmff_sample_table(buf) is None
+    # zero samples is equally a non-table
+    zero = _bmff_payload(
+        st.pack(">II", 0, 0),
+        st.pack(">IIII", 0, 1, 1, 5),
+        st.pack(">III", 0, 4, 0),
+        st.pack(">III", 0, 1, 1000),
+    )
+    assert parse_bmff_sample_table(zero) is None
+
+
+def test_bmff_malformed_stsc_first_chunk_returns_none():
+    """An stsc whose first run starts past chunk 1 (or runs out of
+    order) used to leave leading per_chunk entries uninitialized —
+    silently wrong offsets; both shapes must now parse to None."""
+    import struct as st
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        parse_bmff_sample_table,
+    )
+
+    stsz = st.pack(">III5I", 0, 0, 5, 10, 20, 30, 40, 50)
+    stts = st.pack(">IIII", 0, 1, 5, 100)
+    stco = st.pack(">II3I", 0, 3, 1000, 2000, 3000)
+    starts_at_2 = _bmff_payload(
+        stts, st.pack(">I I III", 0, 1, 2, 5, 1), stsz, stco
+    )
+    assert parse_bmff_sample_table(starts_at_2) is None
+    non_increasing = _bmff_payload(
+        stts, st.pack(">I I III III", 0, 2, 1, 2, 1, 1, 3, 1), stsz, stco
+    )
+    assert parse_bmff_sample_table(non_increasing) is None
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    buf=st.one_of(
+        st.binary(max_size=300),
+        st.binary(max_size=300).map(
+            lambda b: struct.pack(">I", len(b) + 8) + b"ftyp" + b
+        ),
+    )
+)
+def test_parse_bmff_sample_table_never_raises(buf):
+    """Arbitrary bytes — including valid-ftyp prefixes over corrupt box
+    structure — must parse to None or a coherent 4-tuple, never raise
+    (the kernel runs inside executor tasks)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        parse_bmff_sample_table,
+    )
+
+    out = parse_bmff_sample_table(buf)
+    if out is not None:
+        timescale, offs, sizes, tus = out
+        assert timescale > 0
+        assert len(offs) == len(sizes) == len(tus) > 0
+
+
+def test_wav_channel0_rejects_non_pcm_format_tags():
+    """A 16-bit payload tagged ADPCM (2) or EXTENSIBLE (0xFFFE) is not
+    sample-per-int16 PCM and must decode to None, not garbage frames
+    (the round-10 ADVICE reproduction); tag 1 still decodes."""
+    import numpy as np
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import wav_channel0_pcm
+
+    samples = np.array([100, -200, 300, -400], dtype="<i2").tobytes()
+
+    def wav(tag):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 16000, 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(samples)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples)) + samples
+        )
+
+    assert wav_channel0_pcm(wav(1)).tolist() == [100, -200, 300, -400]
+    assert wav_channel0_pcm(wav(2)) is None
+    assert wav_channel0_pcm(wav(3)) is None
+    assert wav_channel0_pcm(wav(0xFFFE)) is None
+
+
+def test_decode_image_pixels_operator(spark):
+    """The former PIL-gated stub is now the stdlib decode kernel lifted
+    over mapInPandas: synthesized PNGs round-trip their exact pixel
+    bytes; non-PNG payloads contribute no rows."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        decode_image_pixels,
+        png_dims_for_id,
+        synthesize_png,
+    )
+
+    rows = [(i, bytearray(synthesize_png(i, *png_dims_for_id(i)))) for i in range(6)]
+    rows.append((99, bytearray(b"not an image")))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in decode_image_pixels(media).collect()}
+    assert set(got) == set(range(6))
+    for i in range(6):
+        w, h = png_dims_for_id(i)
+        r = got[i]
+        assert (r.width, r.height) == (w, h)
+        # synthesize_png's fixture formula: row byte x = (id + x) % 251
+        assert bytes(r.pixels) == bytes((i + x) % 251 for x in range(w)) * h

@@ -1652,3 +1652,59 @@ def test_embedding_health_clean_store_is_all_zero_defects(spark):
     ) == (0, 0, 0, 0, 0)
     assert out["n_dims"] == 1
     assert out["norm_min"] == out["norm_max"] == out["norm_mean"] == 1.0
+
+
+def test_store_audit_reports_null_ids_as_distinct_defect(spark):
+    """countDistinct ignores NULLs, so a NULL vec_id used to surface as
+    a miscounted 'duplicate id' — the audit must name the real defect
+    (NULL ids) and raise before the uniqueness comparison."""
+    import pytest
+
+    null_rows = spark.createDataFrame(
+        [(1,), (None,), (2,)], "vec_id long"
+    )
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        SIM._audit_store_ids(null_rows, "t_store_nulls")
+    # NULL + a genuine duplicate: the NULL defect is reported first,
+    # never folded into the duplicate magnitude
+    both = spark.createDataFrame([(1,), (1,), (None,)], "vec_id long")
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        SIM._audit_store_ids(both, "t_store_nulls")
+    clean = spark.createDataFrame([(1,), (2,), (3,)], "vec_id long")
+    assert SIM._audit_store_ids(clean, "t_store_nulls") == 3
+
+
+def test_ivf_train_sample_deterministic_and_partition_independent(spark, emb):
+    """The r11 sampled quantizer fit: the kept training set is a pure
+    hash function of (ids, nlist, seed) — identical after an arbitrary
+    repartition (unlike DataFrame.sample), different under a different
+    seed, pass-through when the corpus is under the cap — and the
+    trained path still returns full top-k with sampling ACTIVE."""
+    c = SIM.with_double_embedding(emb, "embedding").select(
+        "vec_id", F.col("embedding").alias("c_vec")
+    )
+    n_corpus = c.count()  # 500 at sf0.001
+    cap = SIM.TRAIN_SAMPLE_PER_CELL * 1
+    assert n_corpus > cap, "fixture must exceed the nlist=1 cap"
+
+    ids1 = sorted(r.vec_id for r in SIM._train_sample(c, 1, 42).collect())
+    assert 0 < len(ids1) < n_corpus
+    ids2 = sorted(
+        r.vec_id for r in SIM._train_sample(c.repartition(7), 1, 42).collect()
+    )
+    assert ids1 == ids2  # partition-layout independent
+    ids3 = sorted(r.vec_id for r in SIM._train_sample(c, 1, 43).collect())
+    assert ids1 != ids3  # seed-keyed
+    under_cap = c.limit(50)
+    assert SIM._train_sample(under_cap, 1, 42).count() == 50  # pass-through
+
+    # end-to-end with the sample ACTIVE (cap forced under the corpus;
+    # nprobe == nlist probes every cell, so k rows must still come back)
+    import unittest.mock as mock
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    with mock.patch.object(SIM, "TRAIN_SAMPLE_PER_CELL", 100):
+        out = SIM.ivf_topk(emb, queries, k=3, nlist=2, nprobe=2)
+        per_q = {r.query_id: r.cnt for r in
+                 out.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_q == {0: 3, 1: 3, 2: 3}
