@@ -1046,6 +1046,33 @@ def _seed_centroid_rows(c: DataFrame, nlist: int):
     return [(i, list(r["c_vec"])) for i, r in enumerate(rows)]
 
 
+def _trained_centroid_rows(c: DataFrame, nlist: int, seed: int = 42):
+    """Trained k-means centroids, fit on the deterministic hash-sample
+    (:func:`_train_sample`, capped ~256·nlist vectors) — the PRODUCTION
+    quantizer the seed-vector path (:func:`_seed_centroid_rows`) stands
+    in for in the oracle-checked twins. Same return shape
+    ``[(cell, [float, ...])]`` so every consumer (freeze into the store
+    companion table, :func:`_assign_cells_blas` broadcast) is shared.
+    Sampling the fit is the 100-TB contract: with ``nlist ∝ N`` a
+    full-corpus fit re-scans the corpus every k-means iteration; the
+    sample keeps train cost O(nlist·d) per iteration regardless of
+    corpus size, and the hash predicate makes the fit a pure function
+    of (ids, nlist, seed) — partitioning-independent, so a rebuilt
+    corpus trains the identical quantizer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = _train_sample(c, nlist, seed).select(
+        array_to_vector("c_vec").alias("features")
+    )
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(train)
+    return [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+
+
 def ivf_topk_fixed(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1167,9 +1194,19 @@ def semdedup(
     # pair join each row would otherwise recompute both sides' norms,
     # tripling the dominant expression cost of the whole operator. The
     # norm stays a Catalyst expression (not numpy) so the cosine math is
-    # bit-identical to the SQL oracle's.
-    assigned = _assign_cells_blas(c, centroid_rows).withColumn(
-        "c_norm", _norm(F.col("c_vec"))
+    # bit-identical to the SQL oracle's. The assignment is PERSISTED
+    # (bounded via scoped_persist) because three plan branches consume
+    # it (pair-join left, pair-join right, final verdict join) — without
+    # the cache each branch re-derives its whole lineage and the GEMM
+    # kernel runs 3x per action (measured ~3x the assignment stage at
+    # both 1x and 10x in scripts/semantic_stage_probe.py).
+    from ._cache import scoped_persist
+
+    assigned = scoped_persist(
+        _assign_cells_blas(c, centroid_rows).withColumn(
+            "c_norm", _norm(F.col("c_vec"))
+        ),
+        "similarity.semdedup.assigned",
     )
     a = assigned.select("vec_id", "cell", "c_vec", "c_norm")
     b = assigned.select(
@@ -1401,11 +1438,17 @@ def _build_store_version(
     nlist: int,
     id_col: str,
     vec_col: str,
+    trained: bool = False,
+    seed: int = 42,
 ) -> str:
     """Fully materialize one store version under its versioned physical
     names: frozen centroids first, then the data table PARTITIONED BY
     ``cell`` with one file per cell (the ``repartition(cell)`` ahead of
     the dynamic-partition write puts each cell in exactly one task).
+    ``trained=True`` freezes sampled-fit k-means centroids
+    (:func:`_trained_centroid_rows`) instead of the deterministic seed
+    vectors — every downstream consumer (append, screen, retrain,
+    compact) reads the companion table and is quantizer-agnostic.
     Reclaims same-version orphans from a crashed prior build; never
     touches the live version."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
@@ -1418,7 +1461,11 @@ def _build_store_version(
     c = with_double_embedding(corpus, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
     )
-    centroid_rows = _seed_centroid_rows(c, nlist)
+    centroid_rows = (
+        _trained_centroid_rows(c, nlist, seed)
+        if trained
+        else _seed_centroid_rows(c, nlist)
+    )
     spark.createDataFrame(
         [(cell, vec) for cell, vec in centroid_rows],
         "cell int, c_vec array<double>",
@@ -1495,6 +1542,8 @@ def persist_corpus_cells(
     nlist: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained: bool = False,
+    seed: int = 42,
 ) -> str:
     """Materialize the corpus's cell assignments (+ precomputed norms)
     as a table PARTITIONED BY the cell key — the amortization step for
@@ -1518,12 +1567,17 @@ def persist_corpus_cells(
     one-deep by design: a reader slower than TWO full rebuild cycles
     re-resolves the public view instead. Crashed-build orphans (never
     live, so no reader can hold them) are reclaimed immediately.
-    The seed centroids are FROZEN into a per-version companion table
+    The centroids are FROZEN into a per-version companion table
     (``<name>__v{N}__centroids``) — the quantizer is part of the
     store's state, never re-derived from the data (an append with a low
-    id must not re-seed it); production swaps trained k-means centroids
-    into the same companion shape. Data rows: (vec_id, c_vec, c_norm)
-    partitioned by ``cell``."""
+    id must not re-seed it). ``trained=False`` (default) freezes the
+    deterministic seed vectors — the quantizer every value-exact SQL
+    oracle can replay; ``trained=True`` freezes sampled-fit k-means
+    centroids (:func:`_trained_centroid_rows` — fit on the
+    deterministic ~256·nlist hash-sample, NEVER the full corpus) — the
+    production quantizer, identical store shape, so append / screen /
+    retrain / compact work unchanged on either. Data rows:
+    (vec_id, c_vec, c_norm) partitioned by ``cell``."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
 
     spark = corpus.sparkSession
@@ -1536,7 +1590,9 @@ def persist_corpus_cells(
             drop_managed_table(spark, _centroids_table(table_name))
     orphans = _store_versions(spark, table_name)
     new_v = max(orphans + ([live] if live is not None else []) + [0]) + 1
-    data_t = _build_store_version(corpus, table_name, new_v, nlist, id_col, vec_col)
+    data_t = _build_store_version(
+        corpus, table_name, new_v, nlist, id_col, vec_col, trained=trained, seed=seed
+    )
     spark.sql(f"CREATE OR REPLACE VIEW {table_name} AS SELECT * FROM {data_t}")
     _reclaim_old_versions(
         spark, table_name, {new_v} | ({live} if live is not None else set())
@@ -1598,13 +1654,19 @@ def retrain_corpus_cells(
     spark,
     cells_table: str,
     nlist: int,
+    trained: bool = False,
+    seed: int = 42,
 ) -> dict:
     """Refit the quantizer and remap the whole store — the maintenance
     step that makes the ``nlist ∝ corpus`` rule OPERATIONAL: as the
     corpus grows, cells fatten and the O(Σ cell²) screen degrades, so a
     periodic retrain (e.g. each time the corpus doubles) re-seeds with
     a larger ``nlist``, reassigns every stored vector, and freezes the
-    new centroids in the new version's companion table.
+    new centroids in the new version's companion table. With
+    ``trained=True`` the refit is a sampled k-means
+    (:func:`_trained_centroid_rows` — ~256·nlist hash-sampled vectors,
+    never a per-iteration full-store scan), so retrain stays one
+    assignment pass + one partition shuffle at any store size.
 
     Built entirely through :func:`persist_corpus_cells`: version N+1 is
     fully materialized (reading version N lazily — the originals stay
@@ -1619,7 +1681,7 @@ def retrain_corpus_cells(
     stored = spark.table(cells_table)
     n_rows = _audit_store_ids(stored, cells_table)  # doubles as the count
     vectors = stored.select("vec_id", F.col("c_vec").alias("embedding"))
-    persist_corpus_cells(vectors, cells_table, nlist=nlist)
+    persist_corpus_cells(vectors, cells_table, nlist=nlist, trained=trained, seed=seed)
     return {"n_rows": n_rows, "nlist": nlist}
 
 

@@ -2983,6 +2983,49 @@ def q_dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cell", "keep")
 
 
+def q_ann_store_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-quantizer cells store (operators/similarity.py
+    persist_corpus_cells trained=True): the coarse quantizer is a real
+    k-means fit — on the deterministic ~256·nlist hash-sample
+    (_train_sample), never the full corpus, so index build stays linear
+    at 100 TB even with nlist ∝ N — frozen into the same companion-table
+    shape the seed-vector twin uses, so append/screen/retrain/compact
+    are quantizer-agnostic. Trained centroid VALUES are Spark-MLlib-
+    specific (no external engine replays the fit), so the value-exact
+    oracle pins the quantizer-independent store invariants instead:
+    every corpus row lands in the store exactly once (count / distinct /
+    exact integer id-sum — order-free, overflow-free at these SFs) and
+    every assigned cell id is in [0, nlist). The quantizer-dependent
+    behavior is pinned engine-side by tests/test_operators.py
+    (trained-store screen == semdedup_incremental on the same frozen
+    centroids; append prunes to touched partitions)."""
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    key = ("corpus_cells_trained", sf_dir)
+    if key not in _FIXTURES:
+        name = "corpus_cells_tr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        SIM.persist_corpus_cells(corpus, name, nlist=16, trained=True)
+        _FIXTURES[key] = name
+    stored = spark.table(_FIXTURES[key])
+    return stored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.sum("vec_id").alias("id_sum"),
+        F.every((F.col("cell") >= 0) & (F.col("cell") < 16)).alias("cells_bounded"),
+    )
+
+
+ORACLE_ANN_STORE_TRAINED = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT vec_id) AS n_ids,
+       sum(vec_id) AS id_sum,
+       TRUE AS cells_bounded
+FROM embeddings WHERE vec_id % 4 <> 0
+"""
+
+
 def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous semantic dedup (streaming/semantic_stream.py): the
     embeddings replayed as two drops — the corpus (vec_id % 4 != 0)
@@ -4391,6 +4434,7 @@ QUERIES: dict[str, callable] = {
     "dedup_semantic_incremental": q_dedup_semantic_incremental,
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "dedup_semantic_bucketed": q_dedup_semantic_bucketed,
+    "ann_store_trained": q_ann_store_trained,
     "dedup_semantic_jl": q_dedup_semantic_jl,
     "embedding_label_centroids": q_embedding_label_centroids,
     # text analysis
@@ -4510,6 +4554,7 @@ ORACLES: dict[str, str] = {
     "dedup_semantic_incremental": ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
     "stream_semantic_dedup": ORACLE_STREAM_SEMANTIC,
     "dedup_semantic_bucketed": ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
+    "ann_store_trained": ORACLE_ANN_STORE_TRAINED,
     "dedup_semantic_jl": ORACLE_DEDUP_SEMANTIC_JL,
     "embedding_label_centroids": ORACLE_EMB_CENTROIDS,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
@@ -4603,6 +4648,11 @@ _ROUND_QUEUE = [
     "dedup_semantic_incremental",
     "dedup_semantic_bucketed",
     "dedup_semantic_jl",
+    # r11: NEW — persist_corpus_cells/retrain_corpus_cells grew the
+    # trained=True production-quantizer path (sampled k-means fit via
+    # _train_sample, frozen into the same companion shape); the key
+    # pins the quantizer-independent store invariants value-exactly
+    "ann_store_trained",
     # (the r11 _audit_store_ids NULL-id hardening lives on the
     # retrain/compact maintenance path, pytest-covered in
     # tests/test_operators.py — no catalog key runs maintenance)

@@ -1708,3 +1708,58 @@ def test_ivf_train_sample_deterministic_and_partition_independent(spark, emb):
         per_q = {r.query_id: r.cnt for r in
                  out.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
     assert per_q == {0: 3, 1: 3, 2: 3}
+
+
+def test_trained_corpus_cells_store_lifecycle(spark, emb):
+    """persist_corpus_cells(trained=True) freezes SAMPLED-FIT k-means
+    centroids into the same companion shape the seed twin uses, so
+    every consumer is quantizer-agnostic: the fit sees only the
+    ~256·nlist hash-sample (forced ACTIVE here via a lowered cap) while
+    the ASSIGNMENT covers the full corpus — every row lands in the
+    store exactly once with a bounded cell id; an exact duplicate of a
+    stored vector still screens to keep=False (identical vectors share
+    a cell under ANY quantizer); append and trained retrain preserve
+    the contract."""
+    import unittest.mock as mock
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_corpus_cells,
+        persist_corpus_cells,
+        retrain_corpus_cells,
+        semdedup_batch_vs_table,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    n_corpus = corpus.count()
+    name = "t_corpus_cells_trained"
+    with mock.patch.object(SIM, "TRAIN_SAMPLE_PER_CELL", 50):
+        assert n_corpus > 50 * 4  # cap 200 < corpus: the fit IS sampled
+        persist_corpus_cells(corpus, name, nlist=4, trained=True)
+    stored = spark.table(name)
+    assert stored.count() == n_corpus  # full-corpus assignment despite sampled fit
+    cells = {r.cell for r in stored.select("cell").distinct().collect()}
+    assert cells <= set(range(4)) and cells
+
+    # identical vector ⇒ same cell under any quantizer ⇒ screened out
+    echo = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(900001).alias("vec_id"), F.col("embedding")
+    )
+    verdicts = {
+        r.vec_id: r.keep
+        for r in semdedup_batch_vs_table(
+            spark, name, echo, nlist=4, min_cosine=0.99
+        ).collect()
+    }
+    assert verdicts == {900001: False}
+
+    # append against the FROZEN trained centroids, then trained retrain
+    newcomer = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(900002).alias("vec_id"), F.col("embedding")
+    )
+    append_corpus_cells(spark, name, newcomer, nlist=4)
+    assert spark.table(name).count() == n_corpus + 1
+    info = retrain_corpus_cells(spark, name, nlist=8, trained=True)
+    assert info == {"n_rows": n_corpus + 1, "nlist": 8}
+    assert spark.table(name).count() == n_corpus + 1
+    cells8 = {r.cell for r in spark.table(name).select("cell").distinct().collect()}
+    assert cells8 <= set(range(8))
