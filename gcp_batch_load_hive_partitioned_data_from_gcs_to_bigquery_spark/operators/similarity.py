@@ -2296,9 +2296,18 @@ def semdedup_jl(
                 }
             )
 
-    assigned = c.mapInPandas(_kernel, out_schema).withColumn(
-        "c_norm", _norm(F.col("c_vec"))
-    ).withColumn("p_norm", _norm(F.col("p_vec")))
+    # Persisted for the same reason as semdedup's assignment: three plan
+    # branches (pair-join left/right, final verdict join) would each
+    # re-run the projection+assignment kernel — 3x the GEMM per action
+    # (measured on the full-dim twin in scripts/semantic_stage_probe.py).
+    from ._cache import scoped_persist
+
+    assigned = scoped_persist(
+        c.mapInPandas(_kernel, out_schema)
+        .withColumn("c_norm", _norm(F.col("c_vec")))
+        .withColumn("p_norm", _norm(F.col("p_vec"))),
+        "similarity.semdedup_jl.assigned",
+    )
     a = assigned.select("vec_id", "cell", "c_vec", "p_vec", "c_norm", "p_norm")
     b = assigned.select(
         F.col("vec_id").alias("b_vec_id"),
