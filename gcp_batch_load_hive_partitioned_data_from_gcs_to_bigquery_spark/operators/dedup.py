@@ -1029,6 +1029,8 @@ def edit_distance_pairs(
     prefilter (|len(a)-len(b)| <= d, a lower bound on edit distance)
     drops most survivors before the O(len²) DP evaluates.
     """
+    from ._cache import scoped_persist
+
     normed = df.select(
         F.col(id_col).alias("__id"),
         normalize_text(F.col(text_col)).alias("__norm"),
@@ -1036,12 +1038,15 @@ def edit_distance_pairs(
     block_sizes = normed.groupBy("__block").agg(
         F.count(F.lit(1)).alias("__bn")
     )
-    capped = normed.join(
-        F.broadcast(
-            block_sizes.filter(F.col("__bn") <= max_block_size).select("__block")
-        ),
-        "__block",
+    # the surviving-block list is block-count-sized (small) but its
+    # lineage is a full corpus scan; both self-join sides consume it, so
+    # persist it — 4 corpus scans -> the self-join minimum of 2
+    # (caching `capped` itself would pin a corpus-sized frame instead)
+    ok_blocks = scoped_persist(
+        block_sizes.filter(F.col("__bn") <= max_block_size).select("__block"),
+        "dedup.edit_distance.blocks",
     )
+    capped = normed.join(F.broadcast(ok_blocks), "__block")
     a = capped.select(
         F.col("__block"),
         F.col("__id").alias("doc"),

@@ -152,14 +152,25 @@ def temperature_weights(
     membership itself.
 
     One tiny aggregation (rows = distinct domains) + a broadcast of the
-    1-row totals: nothing here scales with corpus volume.
+    1-row totals: nothing here scales with corpus volume. The per-domain
+    aggregate is PERSISTED (bounded, domain-count-sized): its two
+    consumers (the totals aggregate, the threshold projection) would
+    each re-scan the corpus otherwise — and because scoped_persist
+    serves identical plans from the live cache, a caller that derives
+    weights twice (e.g. :func:`temperature_mix` after an explicit
+    weights audit) still pays ONE corpus scan.
     """
+    from ._cache import scoped_persist
+
     per = df.groupBy(domain_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(size_col).cast("long").alias("domain_size"),
     )
-    per = per.withColumn(
-        "wgt", F.round(F.sqrt(F.col("domain_size")) * 1000).cast("long")
+    per = scoped_persist(
+        per.withColumn(
+            "wgt", F.round(F.sqrt(F.col("domain_size")) * 1000).cast("long")
+        ),
+        "sampling.temperature_weights.per",
     )
     totals = per.agg(
         F.sum("wgt").alias("total_wgt"), F.sum("n_docs").alias("total_docs")

@@ -1315,8 +1315,18 @@ def semdedup_incremental(
         F.col("c_vec").alias("b_vec"),
         F.col("c_norm").alias("b_norm"),
     )
-    ba = _assign_cells_blas(b, centroid_rows).withColumn(
-        "c_norm", _norm(F.col("c_vec"))
+    # batch assignment persisted (bounded): _screen_batch consumes it in
+    # two branches (screen join + final verdict join), which would each
+    # re-run the batch GEMM and re-scan the batch source — batch-bounded
+    # work, but free to cache (same reasoning as semdedup's assignment;
+    # the store-backed production form localCheckpoints instead)
+    from ._cache import scoped_persist
+
+    ba = scoped_persist(
+        _assign_cells_blas(b, centroid_rows).withColumn(
+            "c_norm", _norm(F.col("c_vec"))
+        ),
+        "similarity.semdedup_incremental.ba",
     )
     return _screen_batch(ba, corp, min_cosine)
 

@@ -2087,6 +2087,10 @@ def q_monitor_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pe = F.greatest(F.col("p"), F.lit(eps))
     qe = F.greatest(F.col("q"), F.lit(eps))
     contrib = (pe - qe) * F.log(pe / qe)
+    # per_bin is <=10 rows but its LINEAGE is two corpus scans (p, q);
+    # the per-bin rows and the PSI_TOTAL union branch would each replay
+    # both — persist so the pair of scans runs once (replan_audit).
+    per_bin = _scoped_persist(per_bin, "analytics_extra.psi_per_bin")
     rows = per_bin.select(
         F.col("bin").cast("string").alias("bin"),
         "n_base",
@@ -2707,25 +2711,25 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _term(p):  # p·ln(p) with 0·ln0 = 0
         return F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
 
-    out = []
+    # ALL pair divergences in ONE aggregation, then unpivot — a union of
+    # per-pair aggregates would re-derive the whole counts/tots lineage
+    # per branch (3 branches × 2 corpus scans each at 100 TB; caught by
+    # scripts/replan_audit.py), where this shape scans the corpus once.
+    aggs, stack_args = [], []
     for i in range(3):
         for j in range(i + 1, 3):
             p = F.col(f"c{i}") / F.col(f"t{i}")
             q = F.col(f"c{j}") / F.col(f"t{j}")
             m = (p + q) / 2
             contrib = _term(p) / 2 + _term(q) / 2 - _term(m)
-            out.append(
-                joined.agg(
-                    F.lit(f"{_JSD_SOURCES[i]}~{_JSD_SOURCES[j]}").alias(
-                        "pair"
-                    ),
-                    F.round(F.sum(contrib), 6).alias("jsd"),
-                )
+            aggs.append(F.round(F.sum(contrib), 6).alias(f"jsd_{i}{j}"))
+            stack_args.append(
+                f"'{_JSD_SOURCES[i]}~{_JSD_SOURCES[j]}', jsd_{i}{j}"
             )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res.orderBy("pair")
+    sums = joined.agg(*aggs)
+    return sums.select(
+        F.expr(f"stack(3, {', '.join(stack_args)}) AS (pair, jsd)")
+    ).orderBy("pair")
 
 
 ORACLE_JSD = r"""

@@ -4653,6 +4653,16 @@ _ROUND_QUEUE = [
     # _train_sample, frozen into the same companion shape); the key
     # pins the quantizer-independent store invariants value-exactly
     "ann_store_trained",
+    # r11: repeated-derivation fixes (scripts/replan_audit.py) — plans
+    # changed (shared parents persisted / per-branch aggregates fused
+    # into one), values unchanged; queued per the changed-kernel
+    # discipline:
+    "text_js_divergence",      # 3 union branches -> one agg + stack (6 scans -> 1)
+    "sample_temperature_mix",  # per-domain aggregate persisted (5 scans -> 2)
+    "approx_cms_counts",       # removed construction-time unpersist (5 -> 1)
+    "monitor_psi_drift",       # per_bin persisted (4 scans -> 3)
+    "text_rank_rbo",           # both rankings in one aggregation (4 -> 2)
+    "dedup_edit_distance",     # surviving-block list persisted (4 -> 2)
     # (the r11 _audit_store_ids NULL-id hardening lives on the
     # retrain/compact maintenance path, pytest-covered in
     # tests/test_operators.py — no catalog key runs maintenance)

@@ -1959,7 +1959,13 @@ def q_approx_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = words.count()
     eps_n = int(math.ceil((math.e / 2048) * n_total))
     joined = top.join(est, "key")
-    out = joined.select(
+    # NO eager unpersist here: the returned frame is lazy, so dropping
+    # the cache at construction time would make every consumer (sketch,
+    # heavy hitters, estimate join) re-derive the tokenized corpus at
+    # execution — 5 corpus scans instead of 1 (caught by
+    # scripts/replan_audit.py). scoped_persist bounds the cache to one
+    # live copy per scope; the next invocation evicts this one.
+    return joined.select(
         F.col("key").alias("word"),
         F.col("n").alias("n_exact"),
         (F.col("cms_estimate") >= F.col("n")).cast("int").alias("cms_ge_exact"),
@@ -1967,8 +1973,6 @@ def q_approx_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("cms_within_eps"),
     )
-    words.unpersist()
-    return out
 
 
 ORACLE_CMS = r"""
@@ -2909,25 +2913,24 @@ def q_text_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_tfdf"),
     )
 
-    def ranking(col):
-        return scored.agg(
-            F.slice(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct((-F.col(col)).alias("ns"), F.col("doc_id").alias("d"))
-                        )
-                    ),
-                    lambda x: x["d"],
+    def rank_expr(col):
+        return F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct((-F.col(col)).alias("ns"), F.col("doc_id").alias("d"))
+                    )
                 ),
-                1,
-                _RBO_K,
-            ).alias(col + "_list")
-        )
+                lambda x: x["d"],
+            ),
+            1,
+            _RBO_K,
+        ).alias(col + "_list")
 
-    a = ranking("s_tf")
-    b = ranking("s_tfdf")
-    both = a.crossJoin(b)
+    # both rankings in ONE aggregation: as separate per-ranker aggs the
+    # crossJoin re-derived the whole per_doc+dfreq lineage per side —
+    # 4 corpus scans instead of this shape's 2 (replan_audit)
+    both = scored.agg(rank_expr("s_tf"), rank_expr("s_tfdf"))
     rbo = F.aggregate(
         F.sequence(F.lit(1), F.lit(_RBO_K)),
         F.lit(0.0),
