@@ -2697,11 +2697,16 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.filter(F.col("source").isin(*_JSD_SOURCES)).select(
         "source", F.explode(tokenize(F.col("text"))).alias("w")
     )
-    counts = toks.groupBy("w").agg(
-        *[
-            F.sum((F.col("source") == s).cast("long")).alias(f"c{i}")
-            for i, s in enumerate(_JSD_SOURCES)
-        ]
+    # vocab-sized but with a full-corpus lineage: persisted so the
+    # totals aggregate and the divergence fold share ONE corpus scan
+    counts = _scoped_persist(
+        toks.groupBy("w").agg(
+            *[
+                F.sum((F.col("source") == s).cast("long")).alias(f"c{i}")
+                for i, s in enumerate(_JSD_SOURCES)
+            ]
+        ),
+        "analytics_extra.jsd_counts",
     )
     tots = counts.agg(
         *[F.sum(f"c{i}").cast("double").alias(f"t{i}") for i in range(3)]

@@ -101,3 +101,59 @@ def test_semantic_store_screen_is_partition_pruned(spark):
         assert "cell" in tail and ("INSET" in tail or " IN " in tail), (
             f"no cell IN-filter: {tail}"
         )
+
+
+def _distinct_scan_counts(plan: str) -> dict:
+    """Distinct FileScan derivations per parquet location. A persisted
+    intermediate's scan is echoed verbatim (same attribute ids) inside
+    every InMemoryTableScan relation description, while a genuinely
+    re-derived branch gets FRESH attribute ids — so dedup on a prefix
+    of the node signature (echoes truncate the same node at different
+    widths; the distinguishing ids appear early)."""
+    import re
+
+    scans: dict[str, set] = {}
+    for m in re.finditer(
+        r"FileScan parquet [^\n]*?\[([^\]]*)\][^\n]*Location: "
+        r"InMemoryFileIndex(?:\(\d+ paths\))?\[([^\],]+)",
+        plan,
+    ):
+        scans.setdefault(m.group(2).rsplit("/", 1)[-1], set()).add(
+            m.group(1)[:60]
+        )
+    return {loc: len(sigs) for loc, sigs in scans.items()}
+
+
+def test_no_repeated_expensive_derivations(spark):
+    """Regression pin for the round-11 repeated-derivation fixes
+    (scripts/replan_audit.py): each of these plans used to re-derive a
+    shared expensive parent once per consuming branch — 4-6 corpus
+    scans where the algorithm needs 1-3. The bound is the documented
+    minimum for each shape; a regression (dropped persist, re-split
+    aggregation) re-inflates the count and fails here long before a
+    bench regression is noticed."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.queries.catalog import QUERIES
+
+    max_scans = {
+        "text_js_divergence": 1,    # one agg + stack unpivot
+        "sample_temperature_mix": 2,  # persisted per-domain agg + mix join
+        "approx_cms_counts": 1,     # persisted tokenized words
+        "monitor_psi_drift": 3,     # thr collect + p + q (the minimum)
+        "text_rank_rbo": 2,         # dfreq + fused ranking agg
+        "dedup_edit_distance": 3,   # self-join 2 + one cached-echo variant
+        "dedup_semantic": 1,        # persisted assignment
+        "dedup_semantic_jl": 1,     # persisted projection+assignment
+        "dedup_semantic_incremental": 2,  # corpus + persisted batch side
+    }
+    issues = []
+    for name, bound in max_scans.items():
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for loc, n in _distinct_scan_counts(plan).items():
+            if n > bound:
+                issues.append(f"{name}: {loc} derived x{n} (bound {bound})")
+    assert not issues, "\n".join(issues)
