@@ -4663,6 +4663,7 @@ _ROUND_QUEUE = [
     "monitor_psi_drift",       # per_bin persisted (4 scans -> 3)
     "text_rank_rbo",           # both rankings in one aggregation (4 -> 2)
     "dedup_edit_distance",     # surviving-block list persisted (4 -> 2)
+    "profile_corpus_report",   # eager count() at construction -> window share
     # (the r11 _audit_store_ids NULL-id hardening lives on the
     # retrain/compact maintenance path, pytest-covered in
     # tests/test_operators.py — no catalog key runs maintenance)

@@ -2543,11 +2543,21 @@ def q_profile_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'dup_rate', dup_rate, 'repetition_keep_rate',"
         " repetition_keep_rate) as (metric, value)"
     )
-    n = docs.count()
+    # source shares via a partitionless window over the source-count
+    # rollup (bounded: one row per source) — the previous docs.count()
+    # was an EAGER extra corpus pass at query-construction time, paid
+    # even before the report executed (replan_audit)
+    from pyspark.sql import Window as W
+
     mix = (
         docs.groupBy("source")
-        .agg(F.round(F.count(F.lit(1)) / F.lit(n), 6).alias("value"))
-        .select(F.concat(F.lit("frac_"), F.col("source")).alias("metric"), "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(F.lit("frac_"), F.col("source")).alias("metric"),
+            F.round(
+                F.col("cnt") / F.sum("cnt").over(W.partitionBy()), 6
+            ).alias("value"),
+        )
     )
     return main.unionByName(mix).orderBy("metric")
 

@@ -144,6 +144,7 @@ def test_no_repeated_expensive_derivations(spark):
         "dedup_semantic": 1,        # persisted assignment
         "dedup_semantic_jl": 1,     # persisted projection+assignment
         "dedup_semantic_incremental": 2,  # corpus + persisted batch side
+        "profile_corpus_report": 3,  # docs + repetition join + source mix
     }
     issues = []
     for name, bound in max_scans.items():
