@@ -400,9 +400,21 @@ def incremental_dedup_batch(
     survivors to the sink and duplicates to an audit table. Both stages
     broadcast the (small) batch side against the corpus scan under AQE.
     """
+    from ._cache import scoped_persist
+
     sign = minhash_signatures_md5 if md5_family else minhash_signatures
     corpus_hashes = content_hash(corpus, id_col, text_col).select("content_sha256").distinct()
-    batch_hashed = batch.withColumn("_sha", F.sha2(F.col(text_col), 256))
+    # the batch side is bounded by the micro-batch contract and feeds
+    # THREE branches (exact-stage semi-join, MinHash signatures, final
+    # annotation join) — persist it once instead of re-scanning the
+    # batch source per branch; the corpus's two scans (sha set, band
+    # signatures) stay un-cached on purpose: caching a corpus-sized
+    # frame at 100 TB costs more than two column-pruned parquet passes
+    batch_hashed = scoped_persist(
+        batch.withColumn("_sha", F.sha2(F.col(text_col), 256)),
+        "dedup.incremental_batch.hashed",
+    )
+    b = batch_hashed.drop("_sha")
     exact_ids = (
         batch_hashed.join(
             corpus_hashes, batch_hashed["_sha"] == corpus_hashes["content_sha256"], "left_semi"
@@ -412,7 +424,7 @@ def incremental_dedup_batch(
     )
     near_ids = incremental_near_dup_ids(
         sign(corpus, id_col, text_col, num_hashes=num_hashes),
-        sign(batch, id_col, text_col, num_hashes=num_hashes),
+        sign(b, id_col, text_col, num_hashes=num_hashes),
         num_bands=num_bands,
         num_hashes=num_hashes,
         threshold=threshold,
@@ -425,9 +437,9 @@ def incremental_dedup_batch(
         # exact wins when both stages flag the same doc
         .agg(F.min("dup_kind").alias("dup_kind"))
     )
-    return batch.join(
-        flags, batch[id_col] == flags["doc_id"], "left"
-    ).select(batch["*"], flags["dup_kind"])
+    return b.join(flags, b[id_col] == flags["doc_id"], "left").select(
+        *[b[c] for c in batch.columns], flags["dup_kind"]
+    )
 
 
 # Per-row SimHash fold: one pass over the token-hash array carrying an

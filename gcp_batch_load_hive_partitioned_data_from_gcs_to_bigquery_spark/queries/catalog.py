@@ -4664,6 +4664,7 @@ _ROUND_QUEUE = [
     "text_rank_rbo",           # both rankings in one aggregation (4 -> 2)
     "dedup_edit_distance",     # surviving-block list persisted (4 -> 2)
     "profile_corpus_report",   # eager count() at construction -> window share
+    "dedup_incremental",       # batch side persisted (3 batch scans -> 1)
     # (the r11 _audit_store_ids NULL-id hardening lives on the
     # retrain/compact maintenance path, pytest-covered in
     # tests/test_operators.py — no catalog key runs maintenance)

@@ -145,6 +145,7 @@ def test_no_repeated_expensive_derivations(spark):
         "dedup_semantic_jl": 1,     # persisted projection+assignment
         "dedup_semantic_incremental": 2,  # corpus + persisted batch side
         "profile_corpus_report": 3,  # docs + repetition join + source mix
+        "dedup_incremental": 3,  # corpus sha + corpus bands + cached batch
     }
     issues = []
     for name, bound in max_scans.items():
