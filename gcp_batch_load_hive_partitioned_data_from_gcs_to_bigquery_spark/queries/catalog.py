@@ -2519,6 +2519,110 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
 """
 
 
+def q_dedup_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-recall gate for the MinHash-LSH dedup pipeline — the
+    dedup-family twin of ann_recall_gate: every other dedup key proves
+    REPRODUCIBILITY (value-exact hashing), this one measures whether
+    the banding actually catches the pairs a user cares about. Ground
+    truth = exact 3-gram Jaccard >= 0.5 (ngram_jaccard_pairs — the
+    verification operator); pipeline = the catalog's md5-family
+    MinHash-LSH at its own parameterization (32 slots, 8 bands x 4
+    rows, est >= 0.3). Floor = the analytic WORST CASE at the truth
+    boundary: P(share a band | s=0.5) = 1-(1-s^4)^8 ~ 0.403, so 400
+    permille; measured recall on this corpus is 1000 permille at
+    sf0.001/0.01/0.1 (the synthetic near-dup pairs sit far above the
+    banding S-curve knee, where catch probability ~ 1) — the gate
+    would catch a banding regression long before it visibly leaked
+    duplicates. The truth side is derived ONCE and the hit
+    flag rides a left join (the replan_audit discipline — a separate
+    caught-count aggregate would re-derive the O(df^2) shingle
+    self-join). Integer gate arithmetic (n_caught*1000 >= floor*n_true)
+    so no float threshold can flake across engines; both sides replay
+    verbatim in the composed SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    sigs = D.minhash_signatures_md5(docs, "doc_id", "text", num_hashes=32)
+    cand = D.minhash_lsh_pairs(
+        sigs, num_bands=8, threshold=0.3, num_hashes=32, hash_buckets=False
+    ).select("doc_a", "doc_b", F.lit(1).alias("_hit"))
+    flagged = truth.join(cand, ["doc_a", "doc_b"], "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_caught"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long") * 1000
+            >= F.lit(400) * F.count(F.lit(1))
+        )
+        .cast("int")
+        .alias("gate_recall_400pm"),
+    )
+
+
+# truth CTEs = ORACLE_NGRAM_JACCARD at threshold 0.5; pipeline CTEs =
+# ORACLE_MINHASH (pipeline_extra.py) verbatim; the gate join + integer
+# arithmetic mirror the Spark side exactly
+ORACLE_DEDUP_LSH_RECALL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+),
+slots AS (
+  SELECT doc_id, md5(shingle) AS m, unnest(generate_series(0, 31)) AS slot FROM sh
+),
+sig AS (
+  SELECT doc_id, slot,
+         min(('0x' || substr(md5(m || '_' || slot), 1, 7))::BIGINT) AS mh
+  FROM slots GROUP BY doc_id, slot
+),
+bands AS (
+  SELECT doc_id, slot // 4 AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY slot) AS band_key
+  FROM sig GROUP BY doc_id, slot // 4
+),
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand0 c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sa.slot = sb.slot
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 >= 0.3
+),
+flagged AS (
+  SELECT t.doc_a, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth t LEFT JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(hit) AS BIGINT) AS n_caught,
+       CAST(CASE WHEN sum(hit) * 1000 >= 400 * count(*) THEN 1 ELSE 0 END AS INT)
+         AS gate_recall_400pm
+FROM flagged
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (operators/dedup.py
     ngram_containment_pairs, Broder 1997): fraction of a document's
@@ -4419,6 +4523,7 @@ QUERIES: dict[str, callable] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_lsh_recall_gate": q_dedup_lsh_recall_gate,
     "dedup_containment": q_dedup_containment,
     # similarity
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -4541,6 +4646,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_content_hash": ORACLE_CONTENT_HASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_lsh_recall_gate": ORACLE_DEDUP_LSH_RECALL,
     "dedup_containment": ORACLE_CONTAINMENT,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_cosine_expr": ORACLE_ANN,
@@ -4665,6 +4771,10 @@ _ROUND_QUEUE = [
     "dedup_edit_distance",     # surviving-block list persisted (4 -> 2)
     "profile_corpus_report",   # eager count() at construction -> window share
     "dedup_incremental",       # batch side persisted (3 batch scans -> 1)
+    # r11: NEW — dedup-family candidate-recall gate (the ann_recall_gate
+    # twin): exact Jaccard>=0.5 truth vs the md5 MinHash-LSH pipeline,
+    # integer gate, fully composed SQL oracle
+    "dedup_lsh_recall_gate",
     # (the r11 _audit_store_ids NULL-id hardening lives on the
     # retrain/compact maintenance path, pytest-covered in
     # tests/test_operators.py — no catalog key runs maintenance)
