@@ -222,9 +222,9 @@ def minhash_lsh_pairs(
     64 longs), so MEMORY_AND_DISK persistence is the right trade at any
     scale: compute once, stream twice.
     """
-    from pyspark import StorageLevel
+    from ._cache import scoped_persist
 
-    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+    signatures = scoped_persist(signatures, "dedup.lsh_pairs.signatures")
     banded = band_signatures(signatures, num_bands, num_hashes, hash_buckets)
     if max_bucket_size is not None:
         small = (
@@ -508,9 +508,9 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
     Fingerprints are persisted before the self-join so the upstream
     tokenize+hash pipeline runs once, not once per join side (16 B/doc —
     cheap at any scale)."""
-    from pyspark import StorageLevel
+    from ._cache import scoped_persist
 
-    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
+    fingerprints = scoped_persist(fingerprints, "dedup.simhash_pairs.fps")
     blocks = fingerprints.select(
         "doc_id",
         "simhash",
@@ -575,7 +575,7 @@ def ngram_jaccard_pairs(
 
     The exploded shingle set feeds both self-join sides plus the size
     aggregate — persisted so tokenization runs once, not three times."""
-    from pyspark import StorageLevel
+    from ._cache import scoped_persist
 
     sh = df.select(
         F.col(id_col).alias("doc_id"),
@@ -589,7 +589,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scoped_persist(sh, "dedup.jaccard_pairs.shingles")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -634,13 +634,13 @@ def connected_components(
     cluster-level dedup: keep min-id per component, drop the rest.
     Returns (node, component) with component = min node id reachable.
     """
-    from pyspark import StorageLevel
+    from ._cache import scoped_persist
 
-    sym = (
+    sym = scoped_persist(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        "dedup.connected_components.sym",
     )
     labels = (
         sym.select("a")
@@ -717,9 +717,9 @@ def simhash_near_pairs_md5(fingerprints: DataFrame, max_hamming: int = 12) -> Da
     equality join on (block, value), exact Hamming verify — the same
     plan as :func:`simhash_near_pairs` with block arithmetic that a SQL
     oracle replicates bit-for-bit."""
-    from pyspark import StorageLevel
+    from ._cache import scoped_persist
 
-    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
+    fingerprints = scoped_persist(fingerprints, "dedup.simhash_pairs_md5.fps")
     blocks = fingerprints.select(
         "doc_id",
         "simhash",
@@ -944,7 +944,7 @@ def ngram_containment_pairs(
     differs, so the candidate-join cost is identical and the same
     MinHash/LSH candidates can feed it at 100 TB.
     """
-    from pyspark import StorageLevel
+    from ._cache import scoped_persist
 
     sh = df.select(
         F.col(id_col).alias("doc_id"),
@@ -960,7 +960,7 @@ def ngram_containment_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scoped_persist(sh, "dedup.containment_pairs.shingles")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

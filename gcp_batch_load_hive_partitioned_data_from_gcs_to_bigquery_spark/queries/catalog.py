@@ -4775,6 +4775,16 @@ _ROUND_QUEUE = [
     # twin): exact Jaccard>=0.5 truth vs the md5 MinHash-LSH pipeline,
     # integer gate, fully composed SQL oracle
     "dedup_lsh_recall_gate",
+    # r11: raw .persist(MEMORY_AND_DISK) leaks in the pair operators
+    # migrated to bounded scoped_persist (same storage level, same
+    # plans/values; one live cache per scope instead of one per
+    # invocation) — queued per the changed-kernel discipline
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_connected_components",
+    "dedup_end_to_end",
     # (the r11 _audit_store_ids NULL-id hardening lives on the
     # retrain/compact maintenance path, pytest-covered in
     # tests/test_operators.py — no catalog key runs maintenance)
