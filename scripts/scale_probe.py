@@ -339,8 +339,14 @@ def main() -> None:
         seed.repartition(F.col("hr")).write.partitionBy("hr").mode(
             "overwrite"
         ).parquet(store)
+        # run 0 is an UNTIMED warm-up: the first drain after the (age-
+        # proportional, up to ~60 s at 2400 partitions) seed write pays
+        # cold Python workers + post-write IO/GC pressure — timing it
+        # once inflated the old-store number ~4x and faked an age
+        # dependence the warm triggers don't have (r11 re-measurement:
+        # warm triggers are ~1.6-1.8 s at BOTH ages)
         best = None
-        for r in range(2):
+        for r in range(3):
             ckpt = f"{store}_ckpt_{r}"
             shutil.rmtree(ckpt, ignore_errors=True)
             t0 = time.time()
@@ -350,6 +356,8 @@ def main() -> None:
             )
             drain_stream(q, what="store-age probe")
             t = time.time() - t0
+            if r == 0:
+                continue
             best = t if best is None else min(best, t)
         return round(best, 3)
 
