@@ -30,7 +30,15 @@ def scoped_persist(df: DataFrame, scope: str) -> DataFrame:
     a retried report) returns the previous scope's frame instead of
     re-persisting: the warm cache is served, nothing is dropped, and
     the bound of one live cache per scope still holds. Only a CHANGED
-    plan evicts the old cache."""
+    plan evicts the old cache.
+
+    STALENESS CONTRACT: the fast-path compares PLANS, not data — a
+    session that rewrites the underlying files at the same path (a
+    regenerated fixture, refreshed embeddings) and re-runs the identical
+    plan is served the stale cache. Callers that rebuild inputs
+    in-session must call :func:`release_scope` (or
+    ``spark.catalog.refreshByPath``) after the rewrite; steady-state
+    pipelines reading immutable snapshot paths are unaffected."""
     prev = _SCOPED.get(scope)
     if prev is not None:
         try:

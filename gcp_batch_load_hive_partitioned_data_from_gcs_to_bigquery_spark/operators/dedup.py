@@ -410,14 +410,20 @@ def incremental_dedup_batch(
     # batch source per branch; the corpus's two scans (sha set, band
     # signatures) stay un-cached on purpose: caching a corpus-sized
     # frame at 100 TB costs more than two column-pruned parquet passes
+    # collision-safe internal name: a caller's own "_sha" column must
+    # pass through unchanged (deterministic, not uuid-suffixed, so
+    # scoped_persist's plan-identity cache still hits across calls)
+    sha_col = "_sha"
+    while sha_col in batch.columns:
+        sha_col = "_" + sha_col
     batch_hashed = scoped_persist(
-        batch.withColumn("_sha", F.sha2(F.col(text_col), 256)),
+        batch.withColumn(sha_col, F.sha2(F.col(text_col), 256)),
         "dedup.incremental_batch.hashed",
     )
-    b = batch_hashed.drop("_sha")
+    b = batch_hashed.drop(sha_col)
     exact_ids = (
         batch_hashed.join(
-            corpus_hashes, batch_hashed["_sha"] == corpus_hashes["content_sha256"], "left_semi"
+            corpus_hashes, batch_hashed[sha_col] == corpus_hashes["content_sha256"], "left_semi"
         )
         .select(F.col(id_col).alias("doc_id"))
         .distinct()

@@ -57,6 +57,10 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Hard ceiling on a single decoded image's scanline payload: payloads
+# are untrusted, and every decode kernel must stay task-safe on forged
+# headers (64 MiB ~= an 8k x 8k grayscale frame — far above the corpus).
+_MAX_PIXEL_BYTES = 64 << 20
 # JPEG start-of-frame markers that carry dimensions (all SOFn except the
 # non-frame DHT/DAC/RST C4/C8/CC).
 _JPEG_SOF = {
@@ -247,8 +251,14 @@ def decode_png_gray(buf: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(
             f"only 8-bit grayscale supported (depth={depth}, color_type={ctype})"
         )
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w + 1):
+    # w/h are UNTRUSTED u32s: bound the allocation BEFORE inflating — a
+    # forged IHDR would otherwise size a multi-GiB buffer, and a zlib
+    # bomb in IDAT would inflate unbounded regardless of the header
+    expected = h * (w + 1)
+    if expected == 0 or expected > _MAX_PIXEL_BYTES:
+        raise ValueError(f"refusing {w}x{h} decode ({expected} bytes)")
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("scanline payload size mismatch")
     out = bytearray(h * w)
     prev = bytes(w)
@@ -359,7 +369,8 @@ def resize_image_nearest(media: DataFrame, width: int = 256, height: int = 256) 
                 rows["target_height"].append(height)
                 try:
                     sw, sh, px = decode_png_gray(bytes(content or b""))
-                except (ValueError, NotImplementedError, zlib.error, struct.error):
+                except (ValueError, NotImplementedError, zlib.error,
+                        struct.error, MemoryError, OverflowError):
                     rows["content"].append(None)
                     rows["src_width"].append(None)
                     rows["src_height"].append(None)
@@ -435,7 +446,8 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
                     w, h, px = decode_png_gray(bytes(content or b""))
-                except (ValueError, NotImplementedError, zlib.error):
+                except (ValueError, NotImplementedError, zlib.error,
+                        struct.error, MemoryError, OverflowError):
                     continue
                 ids.append(mid)
                 ws.append(w)

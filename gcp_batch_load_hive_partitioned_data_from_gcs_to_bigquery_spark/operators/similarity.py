@@ -187,26 +187,49 @@ def _train_sample(c: DataFrame, nlist: int, seed: int) -> DataFrame:
     """Deterministic, partitioning-independent sample of the corpus for
     quantizer training, capped at ~``TRAIN_SAMPLE_PER_CELL * nlist``
     rows: keep exactly the ids whose seed-keyed ``xxhash64`` falls under
-    a threshold derived from one corpus ``count()``. Unlike
+    a threshold derived from the corpus row count. Unlike
     ``DataFrame.sample`` (partition-layout-dependent) the kept set is a
     pure function of (ids, nlist, seed), so a rebuilt or repartitioned
-    corpus trains the identical quantizer. Cost: one count scan + one
-    filtered scan — both single passes, versus the per-iteration
-    full-corpus scans a direct ``KMeans.fit(corpus)`` pays (the 100-TB
-    killer when ``nlist ∝ N``). 256 samples/centroid is the standard
+    corpus trains the identical quantizer.
+
+    Cost discipline: corpora at or under the cap (every retrain-on-store
+    path, all test SFs) are detected with a short-circuiting ``limit``
+    probe — at most ``cap+1`` id rows touched per partition, never a full
+    count. Above the cap, ONE id-pruned ``count()`` sizes the threshold:
+    that single pass is irreducible for a deterministic
+    partition-independent sample (the hash predicate can't come from
+    metadata) and is amortized into an index build that already pays a
+    full assignment pass plus the k-means iterations; the alternative
+    (``KMeans.fit(corpus)`` directly) re-scans the corpus EVERY
+    iteration — the 100-TB killer when ``nlist ∝ N``. The kept set is
+    guarded against pathological id sets (massive vec_id collisions can
+    starve the hash-bucket filter): a sample with fewer than ``nlist``
+    rows falls back to the full corpus so ``KMeans(k=nlist)`` always
+    sees at least k candidates. 256 samples/centroid is the standard
     IVF training density (FAISS's documented default regime)."""
     cap = TRAIN_SAMPLE_PER_CELL * nlist
-    n = c.count()
-    if n <= cap:
+    ids = c.select("vec_id")
+    if ids.limit(cap + 1).count() <= cap:
         return c
+    n = ids.count()
     buckets = 1 << 20
     keep = -(-cap * buckets // n)  # ceil: expected sample size >= cap
-    return c.filter(
+    sampled = c.filter(
         F.pmod(
             F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)), F.lit(buckets)
         )
         < keep
     )
+    # persist-then-count: the count that guards the k>n KMeans crash is
+    # the same scan that materializes the ~cap-row cache the fit's
+    # iterations read — the guard costs no extra corpus pass (bounded to
+    # one live cache via scoped_persist)
+    from ._cache import scoped_persist
+
+    sampled = scoped_persist(sampled, "similarity.train_sample")
+    if sampled.count() < nlist:
+        return c
+    return sampled
 
 
 def ivf_topk(

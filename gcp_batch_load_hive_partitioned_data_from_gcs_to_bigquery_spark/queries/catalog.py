@@ -3223,9 +3223,9 @@ def q_ann_store_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANN_STORE_TRAINED = """
-SELECT count(*) AS n_rows,
-       count(DISTINCT vec_id) AS n_ids,
-       sum(vec_id) AS id_sum,
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_ids,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum,
        TRUE AS cells_bounded
 FROM embeddings WHERE vec_id % 4 <> 0
 """

@@ -24,11 +24,13 @@ import os
 import sys
 import time
 
+# repo root (package import) AND scripts dir (sibling scale_probe) must
+# both be on the path BEFORE the sibling import, or `python -m` / other
+# cwds break — only direct invocation puts scripts/ on sys.path[0]
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from scale_probe import BASE_SF, build_derived, timed  # noqa: E402
-
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+from scale_probe import build_derived, timed  # noqa: E402
 
 
 def main() -> None:
