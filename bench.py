@@ -120,6 +120,16 @@ EXTRA_QUERIES_R8 = [
     "corpus_release_manifest",
 ]
 
+# Added round 12 — outside the baseline-comparable total: the
+# amortized-trigger twin of stream_semantic_dedup (pre-seeded store,
+# 16 batch drops drained at maxFilesPerTrigger=16). The mft=1 key keeps
+# measuring the per-trigger scheduler floor; this one measures the data
+# work — the pair quantifies the amortization lever BASELINE.md's
+# round-11 probe table documents.
+EXTRA_QUERIES_R12 = [
+    "stream_semantic_dedup_amortized",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -149,7 +159,7 @@ def main() -> None:
     # measures the query, not the noise.
     timings: dict[str, float] = {}
     for _pass in range(4):
-        for name in BENCH_QUERIES + EXTRA_QUERIES_R4 + EXTRA_QUERIES_R5 + EXTRA_QUERIES_R6 + EXTRA_QUERIES_R8:
+        for name in BENCH_QUERIES + EXTRA_QUERIES_R4 + EXTRA_QUERIES_R5 + EXTRA_QUERIES_R6 + EXTRA_QUERIES_R8 + EXTRA_QUERIES_R12:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

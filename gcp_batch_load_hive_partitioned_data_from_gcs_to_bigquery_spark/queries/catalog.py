@@ -3231,6 +3231,67 @@ FROM embeddings WHERE vec_id % 4 <> 0
 """
 
 
+def q_ann_store_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store MAINTENANCE lifecycle as a driver-checkable row (the r11
+    verdict's missing-surface item — retrain/compact were pytest-only):
+    from a clean slate, (1) persist a seed-quantizer cells store over
+    the corpus drop (vec_id % 4 != 0, nlist=8), (2) O(batch) APPEND the
+    held-out quarter against the frozen centroids, (3) RETRAIN to the
+    doubled nlist=16 with the PRODUCTION sampled-fit k-means quantizer
+    (the ``nlist ∝ corpus`` rule made operational — one assignment pass,
+    never a per-iteration full-store scan), (4) COMPACT the per-append
+    small files back to one file per cell. Completes the reference's own
+    partition-maintenance TODO (ingestion/bigquery_interaction.py:19) on
+    the engine's store surface.
+
+    The oracle pins the quantizer-INDEPENDENT invariants of the final
+    store: every embedding present exactly once across the whole
+    lifecycle (count / distinct / exact id-sum over corpus+batch = the
+    full table), every cell id inside the retrained [0, 16) range, the
+    live pointer at version 3 (persist → retrain → compact, each one
+    atomic view flip), and the compacted layout at exactly one data
+    file per populated cell. The quantizer-dependent behavior is pinned
+    engine-side by tests/test_maintenance.py."""
+    import hashlib
+
+    from ..operators.similarity import _live_version
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ("corpus_cells_retrain", sf_dir)
+    if key not in _FIXTURES:
+        name = "corpus_cells_mt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        # clean slate: the version number is part of the pinned values
+        SIM.drop_corpus_cells(spark, name)
+        SIM.persist_corpus_cells(
+            emb.filter(F.col("vec_id") % 4 != 0), name, nlist=8
+        )
+        SIM.append_corpus_cells(spark, name, emb.filter(F.col("vec_id") % 4 == 0))
+        SIM.retrain_corpus_cells(spark, name, nlist=16, trained=True)
+        stats = SIM.compact_corpus_cells(spark, name)
+        _FIXTURES[key] = (name, stats["files_after"])
+    name, files_after = _FIXTURES[key]
+    stored = spark.table(name)
+    return stored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.sum("vec_id").alias("id_sum"),
+        F.every((F.col("cell") >= 0) & (F.col("cell") < 16)).alias("cells_bounded"),
+        F.lit(_live_version(spark, name)).cast("int").alias("live_version"),
+        (F.lit(files_after) == F.countDistinct("cell")).alias("one_file_per_cell"),
+    )
+
+
+ORACLE_ANN_STORE_RETRAIN = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_ids,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       TRUE AS cells_bounded,
+       CAST(3 AS INT) AS live_version,
+       TRUE AS one_file_per_cell
+FROM embeddings
+"""
+
+
 def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous semantic dedup (streaming/semantic_stream.py): the
     embeddings replayed as two drops — the corpus (vec_id % 4 != 0)
@@ -3289,6 +3350,58 @@ ORACLE_STREAM_SEMANTIC = (
 SELECT vec_id, cell FROM disagreements ORDER BY vec_id
 """
 )
+
+
+def q_stream_semantic_dedup_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amortized-trigger twin of :func:`q_stream_semantic_dedup` (r11
+    verdict task 5): the SAME corpus/batch split and audit semantics,
+    but the corpus is PRE-SEEDED into the cells store before the stream
+    starts (the trigger-amortization probe's fixture — the cold-start
+    wholesale-accept branch stays out of the stream) and the batch
+    arrives as 16 single-file drops drained at ``maxFilesPerTrigger=16``
+    — ONE screen+append cycle for the whole backlog, so the bench
+    figure measures the DATA work (one assignment GEMM over the batch,
+    one partition-pruned store read, one append) instead of the
+    ~1.1–1.4 s/trigger scheduler floor the mft=1 key deliberately
+    maximizes (BASELINE.md round-11 amortization table). Values are
+    identical to the two-drop key's audit — the whole batch shares one
+    trigger in both, and intra-trigger pairs are never compared — so
+    the same stream/batch-equivalence oracle value-checks both. At
+    100 TB this is the tuning lever the probe measured: size triggers
+    so per-trigger data work dominates the scheduling floor."""
+    import shutil
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import drop_corpus_cells
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.semantic_stream import (
+        stream_semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    src = _two_drop_fixture(
+        spark, "stream_sem_amort_src", sf_dir,
+        tuple(
+            emb.filter(F.pmod(F.col("vec_id"), 64) == 4 * i) for i in range(16)
+        ),
+    )
+    audit_root, ckpt = _tmp("sem_am_audit"), _tmp("sem_am_ckpt")
+    for d in (audit_root, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    # fresh pre-seeded store per invocation: the corpus append is
+    # stateful by design, so re-runs start from the corpus-only store
+    corpus_table = "stream_sem_amort_cells"
+    drop_corpus_cells(spark, corpus_table)
+    SIM.persist_corpus_cells(corpus, corpus_table, nlist=64)
+    q = stream_semantic_dedup(
+        spark, src, corpus_table, audit_root, emb.schema,
+        nlist=64, min_cosine=0.3, checkpoint=ckpt, max_files_per_trigger=16,
+    )
+    q.awaitTermination()
+    try:
+        audit = spark.read.parquet(audit_root).select("vec_id", "cell")
+    except Exception:  # no drops at all → audit dir never created
+        audit = spark.createDataFrame([], "vec_id long, cell int")
+    return audit.orderBy("vec_id")
 
 
 def q_dedup_semantic_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4640,8 +4753,10 @@ QUERIES: dict[str, callable] = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_incremental": q_dedup_semantic_incremental,
     "stream_semantic_dedup": q_stream_semantic_dedup,
+    "stream_semantic_dedup_amortized": q_stream_semantic_dedup_amortized,
     "dedup_semantic_bucketed": q_dedup_semantic_bucketed,
     "ann_store_trained": q_ann_store_trained,
+    "ann_store_retrain": q_ann_store_retrain,
     "dedup_semantic_jl": q_dedup_semantic_jl,
     "embedding_label_centroids": q_embedding_label_centroids,
     # text analysis
@@ -4762,8 +4877,10 @@ ORACLES: dict[str, str] = {
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "dedup_semantic_incremental": ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
     "stream_semantic_dedup": ORACLE_STREAM_SEMANTIC,
+    "stream_semantic_dedup_amortized": ORACLE_STREAM_SEMANTIC,
     "dedup_semantic_bucketed": ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
     "ann_store_trained": ORACLE_ANN_STORE_TRAINED,
+    "ann_store_retrain": ORACLE_ANN_STORE_RETRAIN,
     "dedup_semantic_jl": ORACLE_DEDUP_SEMANTIC_JL,
     "embedding_label_centroids": ORACLE_EMB_CENTROIDS,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
@@ -4820,79 +4937,45 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-11 queue — keys whose implementation changed in r11 (each entry
+# Round-12 queue — keys whose implementation changed in r12 (each entry
 # commented with what changed), per the changed-kernel discipline: a
 # green row from an earlier round attests the OLD code and must not
 # satisfy the queue.
 # _ROUND_QUEUE_ROUND pins the round this queue demands evidence FROM:
-# the queue retires only when CORRECTNESS_r11 lands (rotation.py).
+# the queue retires only when CORRECTNESS_r12 lands (rotation.py).
 # Gate (per project discipline): every queued key verified with
 # scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
 # rotation landed; the whole 50-key window swept in one process at both
 # SFs before freezing.
-_ROUND_QUEUE_ROUND = 11
+_ROUND_QUEUE_ROUND = 12
 _ROUND_QUEUE = [
-    # r11: NEW — decode_image_pixels (the retired PIL gate) is now the
-    # stdlib decode kernel as a catalog operator; oracle replays
-    # count/sum/first/last pixel bytes from id arithmetic
-    "multimodal_pixel_decode",
-    # r11: parse_bmff_sample_table hardened against lying u32 counts
-    # (stts must cover stsz exactly, counts bounded by len(buf), stsc
-    # chunk-map validated — error paths only, valid-input output and
-    # oracle unchanged; queued per the changed-kernel discipline)
-    "multimodal_frame_sample",
-    # r11: wav_channel0_pcm now rejects non-PCM wFormatTag (error path
-    # only; queued per the changed-kernel discipline)
-    "multimodal_audio_frames",
-    # r11: ivf_topk's KMeans now fits on a deterministic hash-sample
-    # (inactive at these SFs — corpus under the 256·nlist cap; the
-    # deterministic-twin oracles are unchanged) — the IVF/semantic
-    # family queued per the r10 verdict so fresh green rows attest the
-    # post-change code
-    "ann_ivf_topk",
-    "ann_ivf_pq_oracle",
-    "ann_ivf_pq_append",
-    "ann_recall_gate",
-    "dedup_semantic",
-    "dedup_semantic_incremental",
-    "dedup_semantic_bucketed",
-    "dedup_semantic_jl",
-    # r11: NEW — persist_corpus_cells/retrain_corpus_cells grew the
-    # trained=True production-quantizer path (sampled k-means fit via
-    # _train_sample, frozen into the same companion shape); the key
-    # pins the quantizer-independent store invariants value-exactly
+    # r12: ORACLE_ANN_STORE_TRAINED grew the repo-convention BIGINT
+    # casts (DuckDB's bare sum() widens to HUGEINT — the r11 verdict's
+    # one red row; operator unchanged, first green row earned here)
     "ann_store_trained",
-    # r11: repeated-derivation fixes (scripts/replan_audit.py) — plans
-    # changed (shared parents persisted / per-branch aggregates fused
-    # into one), values unchanged; queued per the changed-kernel
-    # discipline:
-    "text_js_divergence",      # 3 union branches -> one agg + stack (6 scans -> 1)
-    "sample_temperature_mix",  # per-domain aggregate persisted (5 scans -> 2)
-    "approx_cms_counts",       # removed construction-time unpersist (5 -> 1)
-    "monitor_psi_drift",       # per_bin persisted (4 scans -> 3)
-    "text_rank_rbo",           # both rankings in one aggregation (4 -> 2)
-    "dedup_edit_distance",     # surviving-block list persisted (4 -> 2)
-    "profile_corpus_report",   # eager count() at construction -> window share
-    "dedup_incremental",       # batch side persisted (3 batch scans -> 1)
-    # r11: NEW — dedup-family candidate-recall gate (the ann_recall_gate
-    # twin): exact Jaccard>=0.5 truth vs the md5 MinHash-LSH pipeline,
-    # integer gate, fully composed SQL oracle
-    "dedup_lsh_recall_gate",
-    # r11: NEW — the precision twin (emitted pairs vs exact truth)
-    "dedup_lsh_precision_gate",
-    # r11: raw .persist(MEMORY_AND_DISK) leaks in the pair operators
-    # migrated to bounded scoped_persist (same storage level, same
-    # plans/values; one live cache per scope instead of one per
-    # invocation) — queued per the changed-kernel discipline
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_connected_components",
-    "dedup_end_to_end",
-    # (the r11 _audit_store_ids NULL-id hardening lives on the
-    # retrain/compact maintenance path, pytest-covered in
-    # tests/test_operators.py — no catalog key runs maintenance)
+    # r12: NEW — the store MAINTENANCE lifecycle key (persist → append →
+    # trained retrain at doubled nlist → compact) pinning the
+    # quantizer-independent invariants; retrain/compact are no longer
+    # pytest-only
+    "ann_store_retrain",
+    # r12: _train_sample reworked (limit-probe smallness short-circuit,
+    # persist-then-count k>n guard) — every sampled-fit consumer queued
+    # per the changed-kernel discipline
+    "ann_ivf_topk",
+    # r12: decode_png_gray now bounds the IDAT inflate (64 MiB payload
+    # ceiling, max_length decompressobj) and both decode kernels catch
+    # MemoryError/OverflowError/struct.error — error paths only,
+    # valid-input output and oracles unchanged
+    "multimodal_pixel_decode",
+    "multimodal_resize",
+    # r12: incremental_dedup_batch uses a collision-safe internal hash
+    # column (plan changes on a caller-owned "_sha"; values unchanged
+    # here) — both the batch key and its streaming wrapper queued
+    "dedup_incremental",
+    "stream_incremental_dedup",
+    # r12: NEW — amortized-trigger twin of stream_semantic_dedup
+    # (pre-seeded store, 16 drops at mft=16; same audit oracle)
+    "stream_semantic_dedup_amortized",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]
