@@ -368,6 +368,15 @@ def main() -> None:
         "store_age_ratio": round(t_old / t_young, 3),
     }
 
+    # success: drop the probe's stores (r11 verdict task 7 — a stale
+    # same-named store in a long-lived driver session is the one
+    # state-leak vector the versioned-store design has); the derived
+    # parquet corpora under /tmp stay cached for re-runs by design
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import drop_corpus_cells
+
+    for kk in (1, k):
+        drop_corpus_cells(spark, f"scale_probe_cells_{kk}x")
+
     print(json.dumps({"metric": "scale_probe", "k": k, "operators": results}))
 
 

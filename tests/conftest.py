@@ -29,10 +29,34 @@ EVENTS_SCHEMA = T.StructType(
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def _drop_test_stores(session) -> None:
+    """Sweep every store the test suite creates (all named ``t_*`` /
+    ``test_*``) out of the metastore AND the warehouse dir — including
+    orphan dirs a crashed previous session left behind (r11 verdict
+    task 7: a stale same-named store in a long-lived driver session is
+    the one state-leak vector the versioned-store design has). Catalog
+    fixture stores (``corpus_*``, ``stream_sem_*``) are NOT touched:
+    they are process-cached by design and re-persisted per process."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._tables import drop_managed_table
+
+    prefixes = ("t_", "test_")
+    for t in session.catalog.listTables():
+        if t.name.startswith(prefixes) and (t.tableType or "").upper() == "VIEW":
+            session.sql(f"DROP VIEW IF EXISTS {t.name}")
+    names = {t.name for t in session.catalog.listTables() if t.name.startswith(prefixes)}
+    warehouse = session.conf.get("spark.sql.warehouse.dir")
+    warehouse = warehouse.removeprefix("file:").rstrip("/")
+    if os.path.isdir(warehouse):
+        names |= {d for d in os.listdir(warehouse) if d.startswith(prefixes)}
+    for n in sorted(names):
+        drop_managed_table(session, n)
+
+
 @pytest.fixture(scope="session")
 def spark():
     session = get_spark(app_name="tests", shuffle_partitions=8)
     yield session
+    _drop_test_stores(session)
 
 
 @pytest.fixture(scope="session")
