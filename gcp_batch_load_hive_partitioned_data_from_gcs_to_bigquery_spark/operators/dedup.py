@@ -413,8 +413,12 @@ def incremental_dedup_batch(
     # collision-safe internal name: a caller's own "_sha" column must
     # pass through unchanged (deterministic, not uuid-suffixed, so
     # scoped_persist's plan-identity cache still hits across calls)
+    # compare case-INSENSITIVELY: Spark column resolution is
+    # case-insensitive by default, so a caller's "_SHA" would collide
+    # with our "_sha" even though the strings differ
+    lowered = {c.lower() for c in batch.columns}
     sha_col = "_sha"
-    while sha_col in batch.columns:
+    while sha_col in lowered:
         sha_col = "_" + sha_col
     batch_hashed = scoped_persist(
         batch.withColumn(sha_col, F.sha2(F.col(text_col), 256)),

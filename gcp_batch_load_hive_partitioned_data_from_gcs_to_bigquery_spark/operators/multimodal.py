@@ -257,9 +257,13 @@ def decode_png_gray(buf: bytes) -> tuple[int, int, bytes]:
     expected = h * (w + 1)
     if expected == 0 or expected > _MAX_PIXEL_BYTES:
         raise ValueError(f"refusing {w}x{h} decode ({expected} bytes)")
-    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
-    if len(raw) != expected:
-        raise ValueError("scanline payload size mismatch")
+    # keep a handle on the decompressor: a TRUNCATED zlib stream (missing
+    # the adler32 trailer) can still inflate to exactly `expected` bytes,
+    # and the bounded max_length call would otherwise accept it silently
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not d.eof:
+        raise ValueError("scanline payload size mismatch or incomplete stream")
     out = bytearray(h * w)
     prev = bytes(w)
     for y in range(h):

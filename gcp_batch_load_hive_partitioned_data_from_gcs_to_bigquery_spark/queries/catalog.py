@@ -3292,6 +3292,97 @@ FROM embeddings
 """
 
 
+def q_pca_fit_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/similarity.py pca_fit_project) as a
+    driver-checkable row — the last §2.11 family member without one
+    (r12 verdict task 3). Eigendecomposition has no SQL twin, so —
+    following the ann_store_trained invariant pattern — the value-exact
+    oracle pins the eigen-INDEPENDENT invariants as exact counts and
+    booleans:
+
+    * every input row projected exactly once (count / distinct / exact
+      integer id-sum — order-free, overflow-free at these SFs), every
+      output vector exactly k=8 wide;
+    * the component matrix is ORTHONORMAL (max |CCᵀ − I| < 1e-9,
+      driver-side over the k×d model — d is the embedding width, tiny);
+    * explained variances are non-negative and MONOTONE non-increasing
+      (the top-k eigenvalue ordering);
+    * the projected data is MEAN-CENTERED per output dimension and the
+      per-dimension population variance equals the matching explained
+      variance (the defining eigh identity: var(Xc·eᵢ) = λᵢ) — computed
+      distributed via one posexplode aggregation (8 groups, bounded
+      collect), compared at 1e-8 relative tolerance.
+
+    Together the booleans force the projection to BE a PCA (orthonormal
+    axes, variance-ordered, variance-preserving), while the counts make
+    the distributed two-pass (moment partials + BLAS project) row-exact.
+    Engine-side agreement with single-node numpy PCA is pinned by
+    tests/test_operators.py."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    proj, model = SIM.pca_fit_project(emb, "vec_id", "embedding", k=k)
+    proj = proj.persist()  # two consumers: count-invariants + per-dim stats
+    try:
+        c = model.components  # k x d, float64
+        gram_resid = float(np.max(np.abs(c @ c.T - np.eye(k))))
+        ev = model.explained_var
+        var_monotone = bool(
+            np.all(ev >= -1e-12) and np.all(ev[:-1] >= ev[1:] - 1e-12)
+        )
+        dim_stats = (
+            proj.select(F.posexplode("pca").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.avg("val").alias("m"), F.var_pop("val").alias("v"))
+            .collect()  # bounded: k rows
+        )
+        by_pos = {int(r.pos): (float(r.m), float(r.v)) for r in dim_stats}
+        mean_centered = all(abs(by_pos[i][0]) < 1e-8 for i in range(k))
+        var_matches = all(
+            abs(by_pos[i][1] - float(ev[i])) <= 1e-8 * max(1.0, float(ev[i]))
+            for i in range(k)
+        )
+        counts = proj.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("vec_id").alias("n_ids"),
+            F.sum("vec_id").alias("id_sum"),
+            F.every(F.size("pca") == k).alias("proj_dim_ok"),
+        ).collect()[0]  # eager while persisted, so unpersist is safe
+    finally:
+        proj.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                counts.n_rows,
+                counts.n_ids,
+                counts.id_sum,
+                bool(counts.proj_dim_ok),
+                gram_resid < 1e-9,
+                var_monotone,
+                mean_centered,
+                var_matches,
+            )
+        ],
+        "n_rows long, n_ids long, id_sum long, proj_dim_ok boolean, "
+        "orthonormal boolean, var_monotone boolean, mean_centered boolean, "
+        "var_matches_explained boolean",
+    )
+
+
+ORACLE_PCA_FIT_PROJECT = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_ids,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       TRUE AS proj_dim_ok,
+       TRUE AS orthonormal,
+       TRUE AS var_monotone,
+       TRUE AS mean_centered,
+       TRUE AS var_matches_explained
+FROM embeddings
+"""
+
+
 def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous semantic dedup (streaming/semantic_stream.py): the
     embeddings replayed as two drops — the corpus (vec_id % 4 != 0)
@@ -3352,7 +3443,24 @@ SELECT vec_id, cell FROM disagreements ORDER BY vec_id
 )
 
 
-def q_stream_semantic_dedup_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def seed_amortized_store(spark: SparkSession, sf_dir: str) -> None:
+    """(Re-)seed the amortized twin's corpus-only cells store: drop every
+    version and persist the corpus fresh. Factored out of the query so
+    bench.py can pay the O(corpus) seed OUTSIDE the timed region — the
+    timed figure then isolates the per-trigger data work (one assignment
+    GEMM + one partition-pruned store read + one append), which is what
+    the key exists to measure."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import drop_corpus_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    drop_corpus_cells(spark, "stream_sem_amort_cells")
+    SIM.persist_corpus_cells(corpus, "stream_sem_amort_cells", nlist=64)
+
+
+def q_stream_semantic_dedup_amortized(
+    spark: SparkSession, sf_dir: str, *, pre_seeded: bool = False
+) -> DataFrame:
     """Amortized-trigger twin of :func:`q_stream_semantic_dedup` (r11
     verdict task 5): the SAME corpus/batch split and audit semantics,
     but the corpus is PRE-SEEDED into the cells store before the stream
@@ -3371,13 +3479,11 @@ def q_stream_semantic_dedup_amortized(spark: SparkSession, sf_dir: str) -> DataF
     so per-trigger data work dominates the scheduling floor."""
     import shutil
 
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import drop_corpus_cells
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.semantic_stream import (
         stream_semantic_dedup,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") % 4 != 0)
     src = _two_drop_fixture(
         spark, "stream_sem_amort_src", sf_dir,
         tuple(
@@ -3388,10 +3494,12 @@ def q_stream_semantic_dedup_amortized(spark: SparkSession, sf_dir: str) -> DataF
     for d in (audit_root, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     # fresh pre-seeded store per invocation: the corpus append is
-    # stateful by design, so re-runs start from the corpus-only store
+    # stateful by design, so re-runs start from the corpus-only store.
+    # bench.py passes pre_seeded=True after calling seed_amortized_store
+    # outside its timer, so the timed figure excludes the O(corpus) seed
     corpus_table = "stream_sem_amort_cells"
-    drop_corpus_cells(spark, corpus_table)
-    SIM.persist_corpus_cells(corpus, corpus_table, nlist=64)
+    if not pre_seeded:
+        seed_amortized_store(spark, sf_dir)
     q = stream_semantic_dedup(
         spark, src, corpus_table, audit_root, emb.schema,
         nlist=64, min_cosine=0.3, checkpoint=ckpt, max_files_per_trigger=16,
@@ -4757,6 +4865,7 @@ QUERIES: dict[str, callable] = {
     "dedup_semantic_bucketed": q_dedup_semantic_bucketed,
     "ann_store_trained": q_ann_store_trained,
     "ann_store_retrain": q_ann_store_retrain,
+    "pca_fit_project": q_pca_fit_project,
     "dedup_semantic_jl": q_dedup_semantic_jl,
     "embedding_label_centroids": q_embedding_label_centroids,
     # text analysis
@@ -4881,6 +4990,7 @@ ORACLES: dict[str, str] = {
     "dedup_semantic_bucketed": ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
     "ann_store_trained": ORACLE_ANN_STORE_TRAINED,
     "ann_store_retrain": ORACLE_ANN_STORE_RETRAIN,
+    "pca_fit_project": ORACLE_PCA_FIT_PROJECT,
     "dedup_semantic_jl": ORACLE_DEDUP_SEMANTIC_JL,
     "embedding_label_centroids": ORACLE_EMB_CENTROIDS,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
@@ -4937,44 +5047,35 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-12 queue — keys whose implementation changed in r12 (each entry
+# Round-13 queue — keys whose implementation changed in r13 (each entry
 # commented with what changed), per the changed-kernel discipline: a
 # green row from an earlier round attests the OLD code and must not
 # satisfy the queue.
 # _ROUND_QUEUE_ROUND pins the round this queue demands evidence FROM:
-# the queue retires only when CORRECTNESS_r12 lands (rotation.py).
+# the queue retires only when CORRECTNESS_r13 lands (rotation.py).
 # Gate (per project discipline): every queued key verified with
 # scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
 # rotation landed; the whole 50-key window swept in one process at both
 # SFs before freezing.
-_ROUND_QUEUE_ROUND = 12
+_ROUND_QUEUE_ROUND = 13
 _ROUND_QUEUE = [
-    # r12: ORACLE_ANN_STORE_TRAINED grew the repo-convention BIGINT
-    # casts (DuckDB's bare sum() widens to HUGEINT — the r11 verdict's
-    # one red row; operator unchanged, first green row earned here)
-    "ann_store_trained",
-    # r12: NEW — the store MAINTENANCE lifecycle key (persist → append →
-    # trained retrain at doubled nlist → compact) pinning the
-    # quantizer-independent invariants; retrain/compact are no longer
-    # pytest-only
-    "ann_store_retrain",
-    # r12: _train_sample reworked (limit-probe smallness short-circuit,
-    # persist-then-count k>n guard) — every sampled-fit consumer queued
-    # per the changed-kernel discipline
-    "ann_ivf_topk",
-    # r12: decode_png_gray now bounds the IDAT inflate (64 MiB payload
-    # ceiling, max_length decompressobj) and both decode kernels catch
-    # MemoryError/OverflowError/struct.error — error paths only,
-    # valid-input output and oracles unchanged
+    # r13: NEW — the last catalog-less §2.11 operator (r12 verdict task
+    # 3): eigen-independent invariants (counts, orthonormality, variance
+    # ordering, per-dim variance == explained) as a value-exact row
+    "pca_fit_project",
+    # r13: decode_png_gray now rejects truncated zlib streams (d.eof
+    # check, r12 ADVICE) — error paths only, valid-input output
+    # unchanged; both decode consumers queued per the changed-kernel
+    # discipline
     "multimodal_pixel_decode",
     "multimodal_resize",
-    # r12: incremental_dedup_batch uses a collision-safe internal hash
-    # column (plan changes on a caller-owned "_sha"; values unchanged
-    # here) — both the batch key and its streaming wrapper queued
+    # r13: incremental_dedup_batch's collision-safe hash column now
+    # compares case-insensitively (r12 ADVICE; values unchanged for
+    # callers without a _sha-cased column) — batch key + stream wrapper
     "dedup_incremental",
     "stream_incremental_dedup",
-    # r12: NEW — amortized-trigger twin of stream_semantic_dedup
-    # (pre-seeded store, 16 drops at mft=16; same audit oracle)
+    # r13: seeding factored out behind pre_seeded (bench isolates the
+    # per-trigger data work; driver path identical — seed still runs)
     "stream_semantic_dedup_amortized",
 ]
 

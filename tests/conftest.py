@@ -55,6 +55,10 @@ def _drop_test_stores(session) -> None:
 @pytest.fixture(scope="session")
 def spark():
     session = get_spark(app_name="tests", shuffle_partitions=8)
+    # sweep BEFORE the session's tests too: orphan t_*/test_* stores a
+    # crashed previous session left behind would otherwise skew
+    # version-number/store-content assertions before the teardown sweep
+    _drop_test_stores(session)
     yield session
     _drop_test_stores(session)
 

@@ -81,6 +81,35 @@ def test_decode_png_gray_recovers_fixture_pixels():
     assert px == row * h
 
 
+def test_decode_png_gray_rejects_truncated_zlib_stream():
+    """An IDAT zlib stream with its trailer cut off can still inflate to
+    exactly the expected byte count under the bounded max_length call —
+    the decoder must check d.eof and reject it (r12 ADVICE), matching
+    the old whole-stream zlib.decompress Error -5 behavior."""
+    import pytest
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png_gray,
+    )
+
+    w, h = 7, 3
+    raw = bytes([0] + [9] * w) * h  # filter 0 scanlines
+    full = zlib.compress(raw, 6)
+    truncated = full[:-4]  # drop the adler32 trailer only: data intact
+    # sanity: the truncated stream still yields every payload byte
+    assert zlib.decompressobj().decompress(truncated) == raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", truncated)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="incomplete"):
+        decode_png_gray(buf)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)

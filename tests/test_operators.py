@@ -344,6 +344,30 @@ def test_incremental_dedup_batch_flags(spark):
     assert flags == {10: "exact", 11: "near", 12: None}
 
 
+def test_incremental_dedup_batch_preserves_caller_upper_sha_column(spark):
+    """Spark column resolution is case-insensitive by default, so a
+    caller column named '_SHA' collides with the operator's internal
+    '_sha' unless the collision check also compares case-insensitively
+    (r12 ADVICE): the caller's column must pass through unchanged."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again today")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again today", "keep-me"),
+            (12, "zebra xylophone quartz vortex jigsaw plumb krypton onyx umbra fjord", "mine"),
+        ],
+        ["doc_id", "text", "_SHA"],
+    )
+    out = D.incremental_dedup_batch(
+        corpus, batch, "doc_id", "text", num_bands=8, num_hashes=32, threshold=0.3
+    )
+    assert out.columns == ["doc_id", "text", "_SHA", "dup_kind"]
+    got = {r.doc_id: (r["_SHA"], r.dup_kind) for r in out.collect()}
+    assert got == {10: ("keep-me", "exact"), 12: ("mine", None)}
+
+
 def test_persisted_corpus_bands_match_direct_and_skip_corpus_shuffle(spark):
     """The bucketed corpus-bands table must (a) yield the same near-dup
     ids as banding the corpus on the fly, and (b) let a non-broadcast
