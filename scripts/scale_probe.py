@@ -368,14 +368,83 @@ def main() -> None:
         "store_age_ratio": round(t_old / t_young, 3),
     }
 
+    # Amortized-trigger semantic stream (r12 verdict task 5): the bench
+    # pair (mft=1 vs mft=16 at sf0.1) quantified scheduler floor vs data
+    # work; this row pins the CORPUS-scaling claim — one mft=16 trigger
+    # (screen + append of a FIXED 16-drop micro-batch) against a 1x vs
+    # Kx pre-seeded store (nlist ∝ corpus) must be ~flat. Same
+    # fixed-batch discipline as the screen row above: the batch is 96
+    # vectors, SMALLER than the Kx nlist, so the store read prunes to
+    # ≤96/640 of the cells and the bound actually bites (a
+    # corpus-proportional batch would touch every cell and read the
+    # whole store — that measures the batch, not the store). The figure
+    # includes the one-trigger Structured Streaming floor (~1.1-1.4 s)
+    # at BOTH scales, so a flat ratio is conservative evidence. Run 0 is
+    # an untimed warm-up (post-seed IO/worker pressure, same discipline
+    # as the store-age row); the store is re-seeded per run so appends
+    # never accumulate into the next run's corpus.
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.semantic_stream import (
+        stream_semantic_dedup,
+    )
+
+    amort_src = f"{DERIVED}_amortbatch96"
+    if not os.path.exists(os.path.join(amort_src, "_READY")):
+        shutil.rmtree(amort_src, ignore_errors=True)
+        os.makedirs(amort_src, exist_ok=True)
+        for i in range(16):
+            part = tbl(base, "embeddings").filter(
+                (F.col("vec_id") < 96) & (F.pmod(F.col("vec_id"), 16) == i)
+            )
+            stage = f"{amort_src}_stage"
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            fname = next(f_ for f_ in os.listdir(stage) if f_.endswith(".parquet"))
+            dst = os.path.join(amort_src, f"{i:04d}.parquet")
+            os.replace(os.path.join(stage, fname), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(f"{amort_src}_stage", ignore_errors=True)
+        open(os.path.join(amort_src, "_READY"), "w").close()
+    emb_schema = spark.read.parquet(amort_src).schema
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import drop_corpus_cells
+
+    def amort_trigger_time(sf, kk) -> float:
+        name = f"scale_probe_amort_{kk}x"
+        best = None
+        for r in range(3):
+            drop_corpus_cells(spark, name)
+            persist_corpus_cells(tbl(sf, "embeddings"), name, nlist=64 * kk)
+            ckpt = f"{DERIVED}_amort_ckpt_{kk}_{r}"
+            audit = f"{DERIVED}_amort_audit_{kk}_{r}"
+            for d_ in (ckpt, audit):
+                shutil.rmtree(d_, ignore_errors=True)
+            t0 = time.time()
+            q = stream_semantic_dedup(
+                spark, amort_src, name, audit, emb_schema,
+                nlist=64 * kk, min_cosine=0.3, checkpoint=ckpt,
+                max_files_per_trigger=16,
+            )
+            q.awaitTermination()
+            t = time.time() - t0
+            if r == 0:
+                continue
+            best = t if best is None else min(best, t)
+        drop_corpus_cells(spark, name)
+        return round(best, 3)
+
+    ta1, tak = amort_trigger_time(base, 1), amort_trigger_time(derived, k)
+    results["stream_semantic_amortized_trigger"] = {
+        "t_trigger_corpus_1x": ta1,
+        f"t_trigger_corpus_{k}x": tak,
+        "corpus_growth_ratio": round(tak / ta1, 3),
+    }
+
     # success: drop the probe's stores (r11 verdict task 7 — a stale
     # same-named store in a long-lived driver session is the one
     # state-leak vector the versioned-store design has); the derived
     # parquet corpora under /tmp stay cached for re-runs by design
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import drop_corpus_cells
-
     for kk in (1, k):
         drop_corpus_cells(spark, f"scale_probe_cells_{kk}x")
+        drop_corpus_cells(spark, f"scale_probe_amort_{kk}x")
 
     print(json.dumps({"metric": "scale_probe", "k": k, "operators": results}))
 

@@ -431,3 +431,41 @@ def test_dpp_join_prunes_fact_partitions(spark):
     rows = {str(r["day"]): r["n_events"] for r in out.collect()}
     assert set(rows) == {"2024-01-05", "2024-01-12", "2024-01-20"}
     assert all(n > 0 for n in rows.values())
+
+
+def test_warehouse_audit_classifier(tmp_path):
+    """The hygiene audit (scripts/warehouse_audit.py) must accept every
+    catalog-fixture store layout and flag everything else — pinned here
+    so a new fixture family or a renamed leak can't silently pass."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from warehouse_audit import audit
+
+    ok = [
+        "corpus_bands_a1e8d12c",
+        "corpus_cells_a1e8d12c__v1",
+        "corpus_cells_a1e8d12c__v1__centroids",
+        "corpus_cells_tr_cfc1c0f8__v2",
+        "corpus_cells_mt_ddbe1476__v3__centroids",
+        "stream_sem_corpus_cells__v1",
+        "stream_sem_amort_cells__v2__centroids",
+        "stream_sem_amort_cells",
+    ]
+    leaks = [
+        "t_retrain_store__v1",
+        "test_bands_ext_collision",
+        "scale_probe_cells_10x__v1",
+        "scale_probe_amort_1x__v1__centroids",
+        "corpus_cells_nothex99",
+        "random_table",
+    ]
+    for d in ok + leaks:
+        (tmp_path / d).mkdir()
+    assert audit(str(tmp_path)) == sorted(leaks)
+    # a clean warehouse (fixtures only) passes
+    empty = tmp_path / "clean"
+    empty.mkdir()
+    for d in ok:
+        (empty / d).mkdir()
+    assert audit(str(empty)) == []
