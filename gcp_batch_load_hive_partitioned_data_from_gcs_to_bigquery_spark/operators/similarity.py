@@ -2441,8 +2441,51 @@ def pca_fit_project(
             comps[i] = -comps[i]
     explained = np.maximum(evals[order], 0.0)
 
-    comps_f = comps.astype(np.float64)
-    mean_f = mean.astype(np.float64)
+    class _Model:
+        components = comps
+        mean_vec = mean
+        explained_var = explained
+
+    model = _Model()
+    return pca_apply(df, model, id_col, vec_col), model
+
+
+def pca_apply(
+    df: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project an embedding column with a FROZEN PCA model — the
+    production shape for a growing corpus: fit once (on a snapshot or a
+    sample, :func:`pca_fit_project`), freeze ``(components, mean,
+    explained_var)``, then apply to every later batch/partition with
+    this one narrow pass. The same freeze-then-apply discipline as the
+    frozen BPE tokenizer (text.bpe_encode) and the trained coarse
+    quantizer (persist_corpus_cells trained=True): the expensive fit
+    never re-runs with corpus growth, and projections stay mutually
+    comparable because the axes never move.
+
+    One Arrow-batched BLAS pass (``(X - mean) @ componentsᵀ``), zero
+    shuffles, linear in rows and embarrassingly parallel. With
+    ``whiten=True`` each output dimension is additionally scaled to
+    unit variance (1/√λᵢ — the usual preconditioner ahead of cosine/
+    k-means on anisotropic embeddings); eigenvalues below 1e-12 are
+    clamped to keep a degenerate component from exploding noise.
+
+    Returns ``(id_col, pca: array<double>)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    comps_f = np.asarray(model.components, dtype=np.float64)
+    mean_f = np.asarray(model.mean_vec, dtype=np.float64)
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(np.asarray(model.explained_var, dtype=np.float64), 1e-12))
+        comps_f = comps_f * scale[:, None]
+
+    src = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
 
     def project(batches):
         for pdf in batches:
@@ -2452,14 +2495,7 @@ def pca_fit_project(
                 {id_col: pdf[id_col], "pca": [row.tolist() for row in p]}
             )
 
-    out = src.mapInPandas(project, f"{id_col} long, pca array<double>")
-
-    class _Model:
-        components = comps
-        mean_vec = mean
-        explained_var = explained
-
-    return out, _Model()
+    return src.mapInPandas(project, f"{id_col} long, pca array<double>")
 
 
 def embedding_health(

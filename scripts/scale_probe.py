@@ -225,6 +225,21 @@ def main() -> None:
         ),
     )
 
+    # PCA with a FROZEN model (same freeze-then-apply discipline as the
+    # tokenizer row above): fit once on the 1x corpus, apply the frozen
+    # axes at both scales — one Arrow-batched BLAS pass, zero shuffles,
+    # claim ~linear. (The FIT itself is O(N) partials + an O(d^2)
+    # driver eigh, dominated by the same single pass.)
+    _, frozen_pca = SIM.pca_fit_project(tbl(base, "embeddings"), "vec_id", "embedding", k=8)
+    probe(
+        "pca_apply_frozen_model",
+        lambda sf, kk: timed(
+            SIM.pca_apply(tbl(sf, "embeddings"), frozen_pca, "vec_id", "embedding").select(
+                "vec_id", F.size("pca").alias("w")
+            )
+        ),
+    )
+
     # Sliding-window family: raw events are touched once (map-side
     # bitmap collapse / per-hour top-k), then the trailing merge moves
     # only hours x 24 x (chunks | k) metadata rows. Replicas remap

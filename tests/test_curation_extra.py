@@ -248,6 +248,45 @@ def test_pca_matches_single_node_numpy(spark):
         assert np.allclose(got[i], want[i], atol=1e-8), i
 
 
+def test_pca_apply_frozen_model_and_whitening(spark):
+    """The freeze-then-apply discipline: pca_apply with a model fit on
+    one snapshot must (a) reproduce the fit's own projection exactly,
+    (b) project NEW rows with the frozen axes (no refit — a vector the
+    fit never saw still lands at (x - mean) @ compsT), and (c) under
+    whiten=True yield ~unit variance per output dim on the fit data."""
+    import numpy as np
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_apply, pca_fit_project
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(150, 2) @ rng.randn(2, 6) * 4 + rng.randn(150, 6) * 0.2
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(150)], "doc_id long, emb array<double>"
+    ).repartition(4)
+    out, model = pca_fit_project(df, "doc_id", "emb", k=2)
+
+    # (a) apply == fit's own projection
+    re_applied = {r.doc_id: np.array(r.pca) for r in pca_apply(df, model, "doc_id", "emb").collect()}
+    for r in out.collect():
+        assert np.allclose(np.array(r.pca), re_applied[r.doc_id], atol=1e-12)
+
+    # (b) frozen axes on unseen rows
+    new = rng.randn(5, 6) * 3
+    new_df = spark.createDataFrame(
+        [(1000 + i, new[i].tolist()) for i in range(5)], "doc_id long, emb array<double>"
+    )
+    got = {r.doc_id: np.array(r.pca) for r in pca_apply(new_df, model, "doc_id", "emb").collect()}
+    want = (new - model.mean_vec) @ model.components.T
+    for i in range(5):
+        assert np.allclose(got[1000 + i], want[i], atol=1e-10)
+
+    # (c) whitening: per-dim population variance ~1 on the fit data
+    white = np.stack([
+        np.array(r.pca)
+        for r in pca_apply(df, model, "doc_id", "emb", whiten=True).collect()
+    ])
+    assert np.allclose(white.var(axis=0, ddof=0), 1.0, atol=1e-6)
+
+
 def test_pca_rejects_degenerate_input(spark):
     import pytest as _pytest
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_fit_project
