@@ -3476,7 +3476,12 @@ def q_stream_semantic_dedup_amortized(
     trigger in both, and intra-trigger pairs are never compared — so
     the same stream/batch-equivalence oracle value-checks both. At
     100 TB this is the tuning lever the probe measured: size triggers
-    so per-trigger data work dominates the scheduling floor."""
+    so per-trigger data work dominates the scheduling floor. Round 13
+    pinned both halves at scale: the per-trigger cost of a fixed
+    micro-batch is FLAT in corpus size (0.92x against a 10x store,
+    BASELINE.md round-13 probe table), and bench.py now seeds the store
+    outside the timer (``seed_amortized_store`` + ``pre_seeded=True``)
+    so the benched figure is the one screen+append trigger alone."""
     import shutil
 
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.streaming.semantic_stream import (
