@@ -2407,6 +2407,8 @@ def pca_fit_project(
         s = None
         ss = None
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             n += m.shape[0]
             s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
@@ -2471,10 +2473,18 @@ def pca_apply(
     shuffles, linear in rows and embarrassingly parallel. With
     ``whiten=True`` each output dimension is additionally scaled to
     unit variance (1/√λᵢ — the usual preconditioner ahead of cosine/
-    k-means on anisotropic embeddings); eigenvalues below 1e-12 are
-    clamped to keep a degenerate component from exploding noise.
+    k-means on anisotropic embeddings). DEGENERATE components — those
+    with λᵢ ≤ 1e-9·λ₁ relative to the leading eigenvalue — are ZEROED
+    rather than scaled: a near-zero-variance axis carries numerical
+    noise, not signal, and dividing it by √λᵢ would amplify that noise
+    by up to ~10⁶ and let it dominate every downstream cosine/k-means
+    distance. Zeroing makes the degenerate axis inert (sklearn-style
+    behavior for exactly-singular covariances, chosen here with a
+    relative rather than absolute floor so the rule is scale-free).
 
-    Returns ``(id_col, pca: array<double>)``.
+    The output id column keeps the INPUT id column's type (string doc
+    ids project as readily as long vec ids). Returns
+    ``(id_col, pca: array<double>)``.
     """
     import numpy as np
     import pandas as pd
@@ -2482,20 +2492,27 @@ def pca_apply(
     comps_f = np.asarray(model.components, dtype=np.float64)
     mean_f = np.asarray(model.mean_vec, dtype=np.float64)
     if whiten:
-        scale = 1.0 / np.sqrt(np.maximum(np.asarray(model.explained_var, dtype=np.float64), 1e-12))
+        ev = np.asarray(model.explained_var, dtype=np.float64)
+        lead = float(ev.max(initial=0.0))
+        live = ev > 1e-9 * lead if lead > 0 else np.zeros(ev.shape, dtype=bool)
+        scale = np.zeros_like(ev)
+        scale[live] = 1.0 / np.sqrt(ev[live])
         comps_f = comps_f * scale[:, None]
 
+    id_type = df.schema[id_col].dataType.simpleString()
     src = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
 
     def project(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             p = (m - mean_f) @ comps_f.T
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "pca": [row.tolist() for row in p]}
             )
 
-    return src.mapInPandas(project, f"{id_col} long, pca array<double>")
+    return src.mapInPandas(project, f"{id_col} {id_type}, pca array<double>")
 
 
 def embedding_health(

@@ -3311,7 +3311,16 @@ def q_pca_fit_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-dimension population variance equals the matching explained
       variance (the defining eigh identity: var(Xc·eᵢ) = λᵢ) — computed
       distributed via one posexplode aggregation (8 groups, bounded
-      collect), compared at 1e-8 relative tolerance.
+      collect), compared at 1e-6 relative tolerance (Spark's Welford
+      var_pop vs the moment-method eigenvalue ss/n − μμᵀ can disagree
+      by cancellation on large-mean embeddings; 1e-8 was needlessly
+      tight for two numerically different variance computations — r13
+      ADVICE);
+    * the FROZEN-MODEL WHITEN path (pca_apply(..., whiten=True),
+      operators/similarity.py) yields unit population variance on every
+      non-degenerate output dimension (the defining whitening
+      invariant, λᵢ/λᵢ = 1) — the one r13 code path that previously had
+      only pytest evidence (r13 verdict task 2).
 
     Together the booleans force the projection to BE a PCA (orthonormal
     axes, variance-ordered, variance-preserving), while the counts make
@@ -3340,8 +3349,23 @@ def q_pca_fit_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_pos = {int(r.pos): (float(r.m), float(r.v)) for r in dim_stats}
         mean_centered = all(abs(by_pos[i][0]) < 1e-8 for i in range(k))
         var_matches = all(
-            abs(by_pos[i][1] - float(ev[i])) <= 1e-8 * max(1.0, float(ev[i]))
+            abs(by_pos[i][1] - float(ev[i])) <= 1e-6 * max(1.0, float(ev[i]))
             for i in range(k)
+        )
+        # whiten path: per-dim var_pop == 1 on every live component
+        # (degenerate axes, λᵢ ≤ 1e-9·λ₁, are zeroed by design — none
+        # expected on real embeddings, but the gate is the live set)
+        live = [i for i in range(k) if float(ev[i]) > 1e-9 * float(ev[0])]
+        white_stats = (
+            SIM.pca_apply(emb, model, "vec_id", "embedding", whiten=True)
+            .select(F.posexplode("pca").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.var_pop("val").alias("v"))
+            .collect()  # bounded: k rows
+        )
+        wv = {int(r.pos): float(r.v) for r in white_stats}
+        whiten_unit_var = all(abs(wv[i] - 1.0) <= 1e-6 for i in live) and all(
+            wv[i] <= 1e-12 for i in range(k) if i not in live
         )
         counts = proj.agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -3362,11 +3386,12 @@ def q_pca_fit_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 var_monotone,
                 mean_centered,
                 var_matches,
+                whiten_unit_var,
             )
         ],
         "n_rows long, n_ids long, id_sum long, proj_dim_ok boolean, "
         "orthonormal boolean, var_monotone boolean, mean_centered boolean, "
-        "var_matches_explained boolean",
+        "var_matches_explained boolean, whiten_unit_var boolean",
     )
 
 
@@ -3378,7 +3403,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        TRUE AS orthonormal,
        TRUE AS var_monotone,
        TRUE AS mean_centered,
-       TRUE AS var_matches_explained
+       TRUE AS var_matches_explained,
+       TRUE AS whiten_unit_var
 FROM embeddings
 """
 
@@ -5052,36 +5078,25 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-13 queue — keys whose implementation changed in r13 (each entry
+# Round-14 queue — keys whose implementation changed in r14 (each entry
 # commented with what changed), per the changed-kernel discipline: a
 # green row from an earlier round attests the OLD code and must not
 # satisfy the queue.
 # _ROUND_QUEUE_ROUND pins the round this queue demands evidence FROM:
-# the queue retires only when CORRECTNESS_r13 lands (rotation.py).
+# the queue retires only when CORRECTNESS_r14 lands (rotation.py).
 # Gate (per project discipline): every queued key verified with
 # scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
 # rotation landed; the whole 50-key window swept in one process at both
 # SFs before freezing.
-_ROUND_QUEUE_ROUND = 13
+_ROUND_QUEUE_ROUND = 14
 _ROUND_QUEUE = [
-    # r13: NEW — the last catalog-less §2.11 operator (r12 verdict task
-    # 3): eigen-independent invariants (counts, orthonormality, variance
-    # ordering, per-dim variance == explained) as a value-exact row
+    # r14: kernel + invariant changes (r13 verdict tasks 2/3/5 + ADVICE):
+    # empty-batch guards in both PCA Arrow kernels; pca_apply carries
+    # the input id type and zeroes degenerate components under whiten
+    # (relative 1e-9*lambda_1 floor, was an absolute 1e-12 clamp); the
+    # driver row gains the whiten_unit_var invariant column and the
+    # var_matches tolerance loosened 1e-8 -> 1e-6
     "pca_fit_project",
-    # r13: decode_png_gray now rejects truncated zlib streams (d.eof
-    # check, r12 ADVICE) — error paths only, valid-input output
-    # unchanged; both decode consumers queued per the changed-kernel
-    # discipline
-    "multimodal_pixel_decode",
-    "multimodal_resize",
-    # r13: incremental_dedup_batch's collision-safe hash column now
-    # compares case-insensitively (r12 ADVICE; values unchanged for
-    # callers without a _sha-cased column) — batch key + stream wrapper
-    "dedup_incremental",
-    "stream_incremental_dedup",
-    # r13: seeding factored out behind pre_seeded (bench isolates the
-    # per-trigger data work; driver path identical — seed still runs)
-    "stream_semantic_dedup_amortized",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]

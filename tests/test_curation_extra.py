@@ -296,6 +296,76 @@ def test_pca_rejects_degenerate_input(spark):
         pca_fit_project(df, "doc_id", "emb", k=1)
 
 
+def test_pca_kernels_tolerate_empty_partitions(spark):
+    """Both PCA Arrow kernels must skip empty batches (r13 verdict
+    task 3 — np.stack on an empty batch raises 'need at least one
+    array'): fit over a DataFrame repartitioned far wider than its row
+    count (guaranteeing empty partitions), apply over a zero-row input
+    (every partition empty)."""
+    import numpy as np
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_apply, pca_fit_project
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(5, 4)
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(5)], "doc_id long, emb array<double>"
+    ).repartition(32)  # 5 rows in 32 partitions: >=27 empty
+    out, model = pca_fit_project(df, "doc_id", "emb", k=2)
+    assert out.count() == 5
+
+    empty = df.filter(F.col("doc_id") < 0)
+    assert pca_apply(empty, model, "doc_id", "emb").count() == 0
+
+
+def test_pca_whiten_zeroes_degenerate_components(spark):
+    """Whitening semantics on rank-deficient input (r13 verdict task
+    5): a component with eigenvalue <= 1e-9x the leading one is ZEROED,
+    not scaled by 1/sqrt(~0) — data exactly on a line in 3-D must whiten
+    to (unit-variance axis, inert zeros), never to amplified noise."""
+    import numpy as np
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_apply, pca_fit_project
+
+    t = np.linspace(-3.0, 3.0, 40)
+    line = np.outer(t, np.array([1.0, 2.0, -1.0]))  # exactly rank 1
+    df = spark.createDataFrame(
+        [(i, line[i].tolist()) for i in range(40)], "doc_id long, emb array<double>"
+    ).repartition(4)
+    _, model = pca_fit_project(df, "doc_id", "emb", k=2)
+    assert model.explained_var[1] <= 1e-9 * model.explained_var[0]
+
+    white = np.stack(
+        [np.array(r.pca) for r in pca_apply(df, model, "doc_id", "emb", whiten=True).collect()]
+    )
+    v = white.var(axis=0, ddof=0)
+    assert abs(v[0] - 1.0) < 1e-9  # live axis: unit variance
+    assert np.all(white[:, 1] == 0.0)  # degenerate axis: inert, not 1e6x noise
+
+
+def test_pca_apply_carries_string_id_type(spark):
+    """pca_apply's output id column keeps the input's type (r13 ADVICE:
+    the schema hardcoded `long`, so string doc ids failed at runtime)."""
+    import numpy as np
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_apply, pca_fit_project
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(20, 4)
+    fit_df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(20)], "doc_id long, emb array<double>"
+    )
+    _, model = pca_fit_project(fit_df, "doc_id", "emb", k=2)
+
+    str_df = spark.createDataFrame(
+        [(f"doc-{i}", base[i].tolist()) for i in range(20)],
+        "doc_id string, emb array<double>",
+    )
+    out = pca_apply(str_df, model, "doc_id", "emb")
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r.doc_id: np.array(r.pca) for r in out.collect()}
+    want = (base - model.mean_vec) @ model.components.T
+    for i in (0, 7, 19):
+        assert np.allclose(got[f"doc-{i}"], want[i], atol=1e-10)
+
+
 def test_dedup_keep_longest_prefers_complete_copy(spark):
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import dedup_keep_longest
 

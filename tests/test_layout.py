@@ -437,9 +437,12 @@ def test_warehouse_audit_classifier(tmp_path):
     """The hygiene audit (scripts/warehouse_audit.py) must accept every
     catalog-fixture store layout and flag everything else — pinned here
     so a new fixture family or a renamed leak can't silently pass."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/scripts")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "scripts")
+    )
     from warehouse_audit import audit
 
     ok = [
