@@ -259,6 +259,14 @@ def main() -> None:
             open(os.path.join(root, "_READY"), "w").close()
         return root
 
+    # untimed warm-up: the FIRST decode pass in a session pays ~4 s of
+    # Python-worker/Arrow setup for this kernel shape (measured: pass0
+    # 5.4 s vs warm 1.2-1.4 s at 1x) — without it the 1x min-of-2 stays
+    # partially cold while the 10x runs fully warm, faking a NEGATIVE
+    # exponent (r14 runs A/B reproduced -0.13/-0.18 before this fix)
+    MM.image_pixel_stats(
+        MM.decode_image_pixels(spark.read.parquet(media_root(base, 1)))
+    ).write.format("noop").mode("overwrite").save()
     probe(
         "multimodal_pixel_decode",
         lambda sf, kk: timed(
