@@ -2381,14 +2381,25 @@ def pca_fit_project(
     projection — same output shape, data-adapted axes).
 
     The scalable shape: each partition computes its moment partials
-    (n, Σx, Σxxᵀ) in one mapInPandas pass — a d²-sized summary per
-    partition regardless of row count — the driver combines the
-    metadata-sized partials, eigendecomposes the d×d covariance (d is
-    the embedding width, tiny), fixes eigenvector sign by the
+    (n, Σ(x−p), Σ(x−p)(x−p)ᵀ) in one mapInPandas pass — a d²-sized
+    summary per partition regardless of row count — the driver combines
+    the metadata-sized partials, eigendecomposes the d×d covariance (d
+    is the embedding width, tiny), fixes eigenvector sign by the
     largest-|component|-positive convention (eigh's sign is otherwise
     arbitrary), and broadcasts the components into a BLAS projection
     kernel. Two narrow passes over the corpus, zero shuffles, driver
     work bounded by d², never by N.
+
+    ``p`` is a PILOT vector (any sample row, fetched with one cheap
+    ``first()``): accumulating shifted moments makes the covariance
+    ``SS/n − (S/n)(S/n)ᵀ`` numerically stable on large-mean embeddings
+    — with raw moments the two terms both grow as ‖μ‖² and their
+    difference (the actual variance) cancels away in float64 once
+    ‖μ‖ ≫ σ, which is exactly the regime normalized-but-uncentered
+    embedding stores live in (r13 ADVICE: the Welford-vs-moment
+    variance comparison was flaky for this reason). Variance is
+    shift-invariant, so the eigenvectors are unchanged; only the
+    conditioning improves.
 
     Returns ``(projected_df, model)`` where projected_df has
     ``(id_col, pca: array<float>)`` and model carries ``components``
@@ -2402,6 +2413,11 @@ def pca_fit_project(
 
     src = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
 
+    pilot_row = src.select("__v").first()
+    if pilot_row is None or pilot_row[0] is None:
+        raise ValueError("PCA needs at least 2 vectors")
+    pilot = np.asarray(pilot_row[0], dtype=np.float64)
+
     def partials(batches):
         n = 0
         s = None
@@ -2409,7 +2425,7 @@ def pca_fit_project(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            m = np.stack(pdf["__v"].to_numpy()).astype(np.float64) - pilot
             n += m.shape[0]
             s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
             g = m.T @ m
@@ -2431,8 +2447,9 @@ def pca_fit_project(
     for r in rows:
         s += np.array(r.s)
         ss += np.array(r.ss).reshape(d, d)
-    mean = s / n
-    cov = ss / n - np.outer(mean, mean)
+    sbar = s / n  # shifted mean: true mean = pilot + sbar
+    mean = pilot + sbar
+    cov = ss / n - np.outer(sbar, sbar)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T  # k x d

@@ -5094,8 +5094,10 @@ _ROUND_QUEUE = [
     # empty-batch guards in both PCA Arrow kernels; pca_apply carries
     # the input id type and zeroes degenerate components under whiten
     # (relative 1e-9*lambda_1 floor, was an absolute 1e-12 clamp); the
-    # driver row gains the whiten_unit_var invariant column and the
-    # var_matches tolerance loosened 1e-8 -> 1e-6
+    # fit's moment accumulation is pilot-shifted (removes the
+    # ss/n - uuT cancellation on large-mean embeddings); the driver row
+    # gains the whiten_unit_var invariant column and the var_matches
+    # tolerance loosened 1e-8 -> 1e-6
     "pca_fit_project",
 ]
 

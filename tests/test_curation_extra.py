@@ -341,6 +341,30 @@ def test_pca_whiten_zeroes_degenerate_components(spark):
     assert np.all(white[:, 1] == 0.0)  # degenerate axis: inert, not 1e6x noise
 
 
+def test_pca_fit_is_stable_on_large_mean_embeddings(spark):
+    """Pilot-shifted moment accumulation (r13 ADVICE, second suggested
+    fix): with ||mean|| >> sigma the raw-moment covariance ss/n - uuT
+    cancels catastrophically (1e6 mean, unit variance -> ~1e-4 absolute
+    error in float64); the pilot shift must keep eigenvalues at
+    ~machine precision of the numpy reference."""
+    import numpy as np
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_fit_project
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(300, 5) + 1e6  # huge common offset, unit-ish variance
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(300)], "doc_id long, emb array<double>"
+    ).repartition(8)
+    _, model = pca_fit_project(df, "doc_id", "emb", k=3)
+
+    c = base - base.mean(axis=0)
+    evals = np.sort(np.linalg.eigvalsh(np.cov(c.T, bias=True)))[::-1][:3]
+    # raw-moment accumulation errs at ~1e-4 here; the shifted form must
+    # track numpy (which centers first) to near machine precision
+    assert np.allclose(model.explained_var, evals, rtol=1e-9)
+    assert np.allclose(model.mean_vec, base.mean(axis=0), rtol=0, atol=1e-6)
+
+
 def test_pca_apply_carries_string_id_type(spark):
     """pca_apply's output id column keeps the input's type (r13 ADVICE:
     the schema hardcoded `long`, so string doc ids failed at runtime)."""
