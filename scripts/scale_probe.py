@@ -231,6 +231,23 @@ def main() -> None:
     # claim ~linear. (The FIT itself is O(N) partials + an O(d^2)
     # driver eigh, dominated by the same single pass.)
     _, frozen_pca = SIM.pca_fit_project(tbl(base, "embeddings"), "vec_id", "embedding", k=8)
+
+    # The FIT itself (r14 addition — pca_apply had an exponent, the fit
+    # didn't): one O(N) pilot-shifted partials pass collected as one
+    # d^2-sized row per partition + an O(d^3) driver eigh. Expect
+    # ~linear-bounded in rows with a large fixed floor at these sizes.
+    # pca_fit_project's partials .collect() is the action, so time the
+    # call directly (min-of-2, same discipline as timed()).
+    def pca_fit_time(sf, kk):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            SIM.pca_fit_project(tbl(sf, "embeddings"), "vec_id", "embedding", k=8)
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+        return round(best, 3)
+
+    probe("pca_fit_moment_pass", pca_fit_time)
     probe(
         "pca_apply_frozen_model",
         lambda sf, kk: timed(

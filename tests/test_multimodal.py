@@ -744,3 +744,65 @@ def test_decode_image_pixels_operator(spark):
         assert (r.width, r.height) == (w, h)
         # synthesize_png's fixture formula: row byte x = (id + x) % 251
         assert bytes(r.pixels) == bytes((i + x) % 251 for x in range(w)) * h
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    media_id=st.integers(min_value=0, max_value=2**40),
+    w=st.integers(min_value=1, max_value=200),
+    h=st.integers(min_value=1, max_value=120),
+)
+def test_decode_png_gray_roundtrips_arbitrary_dims(media_id, w, h):
+    """Property form of the fixed-dim roundtrip tests: ANY (id, w, h)
+    synthesized PNG must decode to exactly its fixture pixels — the
+    encoder and decoder are independent code paths (struct-pack chunks
+    vs chunk-walk + inflate + defilter), so agreement over the whole
+    dim space pins both."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        decode_png_gray,
+        synthesize_png,
+    )
+
+    got_w, got_h, px = decode_png_gray(synthesize_png(media_id, w, h))
+    assert (got_w, got_h) == (w, h)
+    assert px == bytes((media_id + x) % 251 for x in range(w)) * h
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    media_id=st.integers(min_value=0, max_value=1000),
+    flips=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000), st.integers(min_value=0, max_value=255)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_decode_png_gray_crash_contract_on_mutated_png(media_id, flips):
+    """The executor-survival contract of decode_image_pixels: its kernel
+    catches exactly (ValueError, NotImplementedError, zlib.error,
+    struct.error, MemoryError, OverflowError) — any OTHER exception
+    type escaping decode_png_gray kills the whole Spark stage on one
+    bad payload. Mutating VALID PNGs (random byte flips) reaches deep
+    parser states (bad CRC layouts, corrupt zlib mid-stream, lying
+    lengths) that pure-random fuzz bytes never exercise. The decode
+    must either succeed with self-consistent output or raise from that
+    exact tuple."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.multimodal import (
+        decode_png_gray,
+        png_dims_for_id,
+        synthesize_png,
+    )
+
+    buf = bytearray(synthesize_png(media_id, *png_dims_for_id(media_id)))
+    for pos, val in flips:
+        buf[pos % len(buf)] = val
+    try:
+        w, h, px = decode_png_gray(bytes(buf))
+    except (ValueError, NotImplementedError, _zlib.error, _struct.error,
+            MemoryError, OverflowError):
+        return  # rejected cleanly — the kernel's catch list handles it
+    assert w >= 1 and h >= 1
+    assert len(px) == w * h
