@@ -180,6 +180,15 @@ def main() -> None:
     # value = the 22-query set BASELINE.md totals compare against;
     # grand_total additionally includes the post-baseline additions.
     total = round(sum(timings[q] for q in BENCH_QUERIES), 3)
+    # Self-describing host context (r14 verdict task 7): the host drifts
+    # between a fast and a ~1.7x slow era on multi-hour timescales
+    # (BASELINE.md, rounds 10-14), so a single JSON artifact must carry
+    # its own load snapshot and the comparison rule instead of relying
+    # on prose in another file.
+    try:
+        load_avg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        load_avg = None
     print(
         json.dumps(
             {
@@ -190,6 +199,13 @@ def main() -> None:
                 "sf": sf,
                 "baseline_comparable_queries": len(BENCH_QUERIES),
                 "grand_total": round(sum(timings.values()), 3),
+                "load_avg_1_5_15": load_avg,
+                "era_note": (
+                    "host alternates fast/slow eras (~1.7x) on multi-hour"
+                    " waves; a round's number is the QUIETEST of >=3 spaced"
+                    " runs — a single run may sit in the slow era"
+                    " (BASELINE.md host-era sections)"
+                ),
             }
         )
     )

@@ -459,22 +459,30 @@ def _pq_seed_books(corpus: DataFrame, codebook_size: int, m: int, id_col: str, v
     return C, [C[:, s * sub : (s + 1) * sub] for s in range(m)], sub
 
 
-def _pq_encode_kernel(cents, books, m: int, sub: int, id_col: str, vec_col: str):
+def _pq_encode_kernel(
+    cents, books, m: int, sub: int, id_col: str, vec_col: str, keep_vec: bool = False
+):
     """Arrow-batched assignment+encode kernel shared by index build and
     append: argmin-L2 coarse cell (ties → lowest cell: np.argmin picks
     the first minimum) plus per-subspace nearest-codebook-entry codes.
-    Centroids/codebooks ride in the closure — nothing shuffles."""
+    Centroids/codebooks ride in the closure — nothing shuffles.
+    ``keep_vec=True`` additionally carries the raw float64 vector into
+    a ``c_vec`` output column — the refine store (FAISS
+    IndexRefineFlat analog) that makes exact rescoring a
+    partition-pruned GET instead of a second corpus scan; parquet's
+    columnar layout means code-only scans never read those pages."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
-            T.StructField("cell", T.IntegerType()),
-        ]
-    )
+    fields = [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ]
+    if keep_vec:
+        fields.append(T.StructField("c_vec", T.ArrayType(T.DoubleType())))
+    fields.append(T.StructField("cell", T.IntegerType()))
+    out_schema = T.StructType(fields)
 
     def _kernel(batches):
         for pdf in batches:
@@ -493,13 +501,14 @@ def _pq_encode_kernel(cents, books, m: int, sub: int, id_col: str, vec_col: str)
                 ],
                 axis=1,
             )
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "codes": [list(map(int, r)) for r in codes],
-                    "cell": cells.astype("int32"),
-                }
-            )
+            out = {
+                "vec_id": ids,
+                "codes": [list(map(int, r)) for r in codes],
+            }
+            if keep_vec:
+                out["c_vec"] = [row.tolist() for row in V]
+            out["cell"] = cells.astype("int32")
+            yield pd.DataFrame(out)
 
     return _kernel, out_schema
 
@@ -539,11 +548,17 @@ def append_ivf_pq_index(
     handles drift."""
     spark = new_vectors.sparkSession
     cents, books, m, sub = _load_pq_quantizer(spark, index_path)
-    kernel, out_schema = _pq_encode_kernel(cents, books, m, sub, id_col, vec_col)
+    # match the live index's layout: a refine-store index (c_vec column,
+    # build_ivf_pq_index store_vectors=True) appends vectors too
+    keep_vec = "c_vec" in spark.read.parquet(index_path).columns
+    kernel, out_schema = _pq_encode_kernel(
+        cents, books, m, sub, id_col, vec_col, keep_vec=keep_vec
+    )
     (
         with_double_embedding(new_vectors, vec_col)
         .select(id_col, vec_col)
         .mapInPandas(kernel, out_schema)
+        .sortWithinPartitions("vec_id")
         .write.partitionBy("cell")
         .mode("append")
         .parquet(index_path)
@@ -559,6 +574,7 @@ def build_ivf_pq_index(
     codebook_size: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    store_vectors: bool = False,
 ) -> str:
     """Build a persisted IVF-PQ index — the FAISS index layout mapped
     onto Spark storage primitives:
@@ -578,6 +594,19 @@ def build_ivf_pq_index(
 
     Deterministic seed quantizer (lowest-id vectors) keeps the whole
     index reproducible in SQL; production swaps k-means training in.
+
+    ``store_vectors=True`` additionally stores each raw float64 vector
+    in a ``c_vec`` column of the SAME partitioned table — the FAISS
+    ``IndexRefineFlat`` layout mapped onto parquet: because parquet is
+    columnar, the ADC search's code scan still reads only
+    (vec_id, codes, cell) pages (8 B of codes per vector; assert via
+    ``.explain`` ReadSchema), while :func:`ivf_pq_rescore_topk`
+    resolves its Q×shortlist exact-rescore lookups against the c_vec
+    pages of ONLY the probed cells — partition-pruned gets instead of
+    a second full-corpus scan. Rows are sorted by vec_id within each
+    cell's files so the id-IN pushdown also prunes row groups (parquet
+    min/max stats), keeping the get cost bounded by the shortlist
+    rather than the cell population.
     """
     import numpy as np
     import pandas as pd
@@ -587,11 +616,14 @@ def build_ivf_pq_index(
     C, books, sub = _pq_seed_books(corpus, codebook_size, m, id_col, vec_col)
     cents = C[:nlist]
 
-    kernel, out_schema = _pq_encode_kernel(cents, books, m, sub, id_col, vec_col)
+    kernel, out_schema = _pq_encode_kernel(
+        cents, books, m, sub, id_col, vec_col, keep_vec=store_vectors
+    )
     (
         with_double_embedding(corpus, vec_col)
         .select(id_col, vec_col)
         .mapInPandas(kernel, out_schema)
+        .sortWithinPartitions("vec_id")  # tight per-row-group id ranges
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(index_path)
@@ -627,8 +659,38 @@ def ivf_pq_search(
     the index scan — Catalyst prunes every other cell's files before a
     byte is read (assert via ``.explain``: PartitionFilters on ``cell``).
     Raw vectors are never touched at search time; the scan is 8 B of
-    codes per corpus vector in the probed cells. Returns
+    codes per corpus vector in the probed cells (the index read is
+    column-pruned to (vec_id, codes, cell), so a refine-store index's
+    c_vec pages are never decoded here). Returns
     (query_id, vec_id, adc_dist, rank) under (adc asc, vec_id asc)."""
+    scored = _ivf_pq_adc_scored(
+        spark, index_path, queries, k, nprobe, id_col, vec_col
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def _ivf_pq_adc_scored(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared stage 1 of :func:`ivf_pq_search` and
+    :func:`ivf_pq_rescore_topk`: per query, the ``nprobe`` nearest
+    cells by centroid distance, then ADC scores for ONLY those cells'
+    codes, with a per-Arrow-batch partial top-k. Emits
+    (query_id, vec_id, cell, adc_dist) — ``cell`` rides along so the
+    rescore stage can turn its float lookups into partition-pruned
+    gets. The probed-cell restriction is a static partition filter on
+    the (column-pruned) index scan."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -661,6 +723,7 @@ def ivf_pq_search(
         [
             T.StructField("query_id", T.LongType()),
             T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
             T.StructField("adc_dist", T.DoubleType()),
         ]
     )
@@ -682,19 +745,116 @@ def ivf_pq_search(
                 order = np.lexsort((cand_ids, s_dist))[:k]
                 outs.append(
                     pd.DataFrame(
-                        {"query_id": qid, "vec_id": cand_ids[order], "adc_dist": s_dist[order]}
+                        {
+                            "query_id": qid,
+                            "vec_id": cand_ids[order],
+                            "cell": cells[mask][order].astype("int32"),
+                            "adc_dist": s_dist[order],
+                        }
                     )
                 )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    index = spark.read.parquet(index_path).filter(F.col("cell").isin(all_cells))
-    scored = index.mapInPandas(_kernel, out_schema)
-    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    index = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(all_cells))
+        .select("vec_id", "codes", "cell")  # never decode c_vec pages here
+    )
+    return index.mapInPandas(_kernel, out_schema)
+
+
+def ivf_pq_rescore_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN whose stage 2 is STORE-BACKED — the 100-TB follow-up
+    :func:`int8_rescore_topk`'s docstring names (and the r14 probes
+    showed that operator's broadcast-join stage 2 does NOT deliver: it
+    re-scans the full float corpus, measured exponent ~0.31-0.37 at
+    K=30). Here both stages are index reads (FAISS IndexIVFPQ +
+    IndexRefineFlat, mapped onto one parquet layout by
+    :func:`build_ivf_pq_index` ``store_vectors=True``):
+
+    * stage 1 — ADC shortlist of ``shortlist`` per query over the
+      ``nprobe`` probed cells' PQ codes (partition-pruned, 8 B/vector,
+      column-pruned away from the c_vec pages);
+    * stage 2 — exact float64 cosine over ONLY the Q×shortlist
+      survivors, resolved against the SAME index's ``c_vec`` column as
+      a partition-pruned get: the shortlist (collected driver-side —
+      Q×shortlist rows, metadata-sized) carries each candidate's cell
+      from stage 1, so the read is filtered to the probed cells
+      (static partition pruning) AND the candidate ids (parquet
+      row-group pruning — the build sorts each cell's files by vec_id,
+      and the session raises the parquet IN-pushdown threshold so the
+      id set reaches the reader as per-row-group filters). The float
+      pages touched are bounded by the shortlist, independent of the
+      corpus — the contract the broadcast-join variant could not keep.
+
+    Scale shape: no corpus shuffle anywhere; stage-1 output is a
+    partial top-k per Arrow batch; stage-2 reads O(Q x shortlist) rows
+    however large the index grows. Every ADC distance, cosine,
+    tie-break and rank is reproducible verbatim in ANSI SQL (seed
+    quantizer + float64 arithmetic), so the whole two-stage pipeline is
+    value-checkable. Returns (query_id, vec_id, cosine, rank) under
+    (cosine desc, vec_id asc)."""
+    shortlist = max(shortlist, k)
+    sample = spark.read.parquet(index_path)
+    if "c_vec" not in sample.columns:
+        raise ValueError(
+            "ivf_pq_rescore_topk needs a refine-store index — rebuild with "
+            "build_ivf_pq_index(..., store_vectors=True)"
+        )
+    scored = _ivf_pq_adc_scored(
+        spark, index_path, queries, shortlist, nprobe, id_col, vec_col
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    short = (
+        scored.withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") <= shortlist)
+        .select("query_id", "vec_id", "cell")
+        .collect()  # bounded: Q x shortlist rows of ids — metadata-sized
+    )
+    if not short:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
+    cells = sorted({r["cell"] for r in short})
+    ids = sorted({r["vec_id"] for r in short})
+    pairs = spark.createDataFrame(
+        [(r["query_id"], r["vec_id"]) for r in short], "query_id long, vec_id long"
+    )
+    # the GET: partition filter (probed cells) + id IN filter (row-group
+    # pruning over vec_id-sorted files) — reads ~|shortlist| rows' float
+    # pages, never the corpus
+    vecs = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(cells) & F.col("vec_id").isin(ids))
+        .select("vec_id", "c_vec")
+    )
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = (
+        vecs.join(F.broadcast(pairs), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("c_vec"), F.col("q_vec"))
+            / (_norm(F.col("c_vec")) * _norm(F.col("q_vec"))),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist", "rank")
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
 
 
@@ -1972,16 +2132,21 @@ def int8_rescore_topk(
     of ``shortlist`` candidates; stage 2 rescores ONLY those Q×shortlist
     candidates with the exact float cosine and re-ranks the top ``k``.
     The quantization error that can reorder near-ties inside the
-    shortlist is repaired by the exact pass, while the expensive float
-    vectors are touched for a candidate set whose size is independent
-    of the corpus.
+    shortlist is repaired by the exact pass, which re-ranks a candidate
+    set whose SIZE is independent of the corpus.
 
     Scale shape (100 TB): stage 1 is the :func:`int8_topk` plan
     (partial top-k per Arrow batch, metadata-sized final window); stage
     2 broadcasts the Q×shortlist id set against the float corpus scan —
-    a broadcast-semi-shaped point lookup reading only (id, vector), no
-    corpus shuffle (with the IVF-PQ store the same lookups are
-    partition-pruned gets). Every score, tie-break, and rank is
+    no corpus shuffle, but the scan itself is a full pass over the
+    float vector column, so stage 2's COST is scan-bound linear in the
+    corpus, not flat (measured: r14 K=30 probe runs D/F, stage-2
+    increment exponent ~0.31-0.37 — the scan emerging from the
+    scheduler floor). Use this variant when the corpus has no
+    maintained index; the store-backed path that makes stage 2 a true
+    corpus-independent get is :func:`ivf_pq_rescore_topk` (refine
+    store, partition-pruned + row-group-pruned id lookups).
+    Every score, tie-break, and rank is
     reproducible verbatim in ANSI SQL (exact integer dots + published
     6-decimal scales + float64 cosine), so the whole two-stage pipeline
     is value-checkable. Returns (query_id, vec_id, cosine, rank)."""
@@ -2404,6 +2569,9 @@ def pca_fit_project(
     Returns ``(projected_df, model)`` where projected_df has
     ``(id_col, pca: array<float>)`` and model carries ``components``
     (k×d), ``mean`` (d) and ``explained_var`` (k) as numpy arrays.
+    Rows with a NULL embedding are excluded from both the fit and the
+    returned projection (fit-on-present-vectors); :func:`pca_apply`
+    on a null-containing column raises a named-id error instead.
     Eigendecomposition has no SQL twin, so this operator is
     pytest-pinned (orthonormality, variance ordering, agreement with
     single-node numpy PCA) rather than DuckDB-oracled.
@@ -2411,11 +2579,20 @@ def pca_fit_project(
     import numpy as np
     import pandas as pd
 
-    src = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    # Null embeddings are excluded from the fit AND the returned
+    # projection (the standard fit-on-present-vectors contract): a null
+    # row carries no moment information, and np.stack over a column
+    # containing None crashes deep inside an executor with an opaque
+    # message. The pilot fetch must skip nulls too — a null FIRST row
+    # over a mostly-valid column previously raised the misleading
+    # "needs at least 2 vectors" (r14 ADVICE).
+    src = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    )
 
     pilot_row = src.select("__v").first()
-    if pilot_row is None or pilot_row[0] is None:
-        raise ValueError("PCA needs at least 2 vectors")
+    if pilot_row is None:
+        raise ValueError(f"PCA fit: no non-null vectors in column {vec_col!r}")
     pilot = np.asarray(pilot_row[0], dtype=np.float64)
 
     def partials(batches):
@@ -2440,7 +2617,7 @@ def pca_fit_project(
     ).collect()  # bounded: one row per partition, each O(d^2)
     n = sum(r.n for r in rows)
     if n < 2:
-        raise ValueError("PCA needs at least 2 vectors")
+        raise ValueError("PCA needs at least 2 non-null vectors")
     d = len(rows[0].s)
     s = np.zeros(d)
     ss = np.zeros((d, d))
@@ -2466,7 +2643,12 @@ def pca_fit_project(
         explained_var = explained
 
     model = _Model()
-    return pca_apply(df, model, id_col, vec_col), model
+    # project the same non-null subset the fit saw (row-for-row parity
+    # between fit input and projection output)
+    return (
+        pca_apply(df.filter(F.col(vec_col).isNotNull()), model, id_col, vec_col),
+        model,
+    )
 
 
 def pca_apply(
@@ -2523,6 +2705,12 @@ def pca_apply(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if pdf["__v"].isna().any():
+                bad = pdf.loc[pdf["__v"].isna(), id_col].iloc[0]
+                raise ValueError(
+                    f"pca_apply: null embedding at {id_col}={bad!r} — "
+                    "drop or impute nulls before projecting"
+                )
             m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             p = (m - mean_f) @ comps_f.T
             yield pd.DataFrame(

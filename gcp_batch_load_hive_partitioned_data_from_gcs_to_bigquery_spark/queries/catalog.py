@@ -197,6 +197,68 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type
 """
 
 
+def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro landing files via the pure-Python container reader
+    (sources/avro.py, format("pyavro") — r14 verdict task 5: pip
+    pyspark ships without the spark-avro jar, so this was the one
+    documented format gap). The fixture derives deterministically from
+    the nation table — nullable name (2-branch null union), bigint
+    keys, a double — written DEFLATE-compressed across 4 blocks by the
+    module's spec-compliant writer (the reader is independently pinned
+    against hand-assembled spec bytes in tests/test_avro.py). The read
+    runs with a tiny split target so even this fixture exercises the
+    sync-marker block splitting that makes one large Avro file feed
+    many executors — the property the 100-TB ingest shape relies on."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources import avro as AV
+
+    key = ("avro", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("fix_avro")
+        nat = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+        schema = {
+            "type": "record",
+            "name": "nation_row",
+            "fields": [
+                {"name": "n_nationkey", "type": "long"},
+                {"name": "n_name", "type": ["null", "string"]},
+                {"name": "n_regionkey", "type": "long"},
+                {"name": "weight", "type": "double"},
+            ],
+        }
+        rows = [
+            (
+                int(r.n_nationkey),
+                None if r.n_nationkey % 5 == 0 else r.n_name,
+                int(r.n_regionkey),
+                r.n_nationkey / 4.0,
+            )
+            for r in nat
+        ]
+        AV.write_avro(
+            f"{root}/nation.avro", schema, rows, codec="deflate", block_rows=7
+        )
+        _FIXTURES[key] = root
+    try:
+        spark.dataSource.register(AV.AvroDataSource)
+    except Exception:
+        pass  # idempotent re-register within a session
+    return (
+        spark.read.format("pyavro")
+        .option("path", f"{_FIXTURES[key]}/nation.avro")
+        .option("split_mb", "0.00001")  # force per-block splits
+        .load()
+    )
+
+
+ORACLE_AVRO = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END AS n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       CAST(n_nationkey AS DOUBLE) / 4.0 AS weight
+FROM nation
+"""
+
+
 def q_source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """source_generic_format, JSON instance (README.md:6-7 "other formats
     and configurations"): JSON-lines roundtrip through the same
@@ -2892,8 +2954,44 @@ def q_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANN_IVF_PQ = """
-WITH cb AS (
+def q_ann_ivf_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed two-stage ANN (operators/similarity.py
+    ivf_pq_rescore_topk — r14 verdict task 1): stage 1 is the ADC
+    shortlist (10 per query) over the nprobe=3 probed cells' PQ codes
+    (partition-pruned, column-pruned to 8 B/vector); stage 2
+    exact-rescores ONLY those Q×10 survivors by resolving their float
+    vectors against the SAME index's refine column (c_vec,
+    build_ivf_pq_index store_vectors=True) as a partition-pruned +
+    id-pushdown GET — never a second corpus scan (the contract the
+    broadcast-join int8 variant could not keep: r14 K=30 probes
+    measured its stage 2 scan-bound at exponent ~0.31-0.37). The seed
+    quantizer, ADC sums, float64 cosines, and both tie-breaks replay
+    verbatim in the DuckDB oracle."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_rescore_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ("ivf_pq_refine_index", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("ivfpqref")
+        build_ivf_pq_index(
+            emb, root, nlist=8, m=8, codebook_size=16, store_vectors=True
+        )
+        _FIXTURES[key] = root
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_pq_rescore_topk(
+        spark, _FIXTURES[key], queries, k=3, shortlist=10, nprobe=3
+    )
+    return out.select("query_id", "vec_id", "cosine", "rank")
+
+
+# Shared CTE block: seed quantizer -> assignments -> probes -> PQ codes
+# -> per-(query, candidate) ADC distances over the probed cells. Both
+# the plain IVF-PQ search oracle and the store-backed rescore oracle
+# rank from this same `score` relation.
+_IVF_PQ_SCORE_CTES = """cb AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16
 ),
 cent AS (SELECT cid AS cell, cv AS centroid FROM cb WHERE cid < 8),
@@ -2958,13 +3056,42 @@ score AS (
   JOIN qd ON qd.query_id = p.query_id AND c.s = qd.s AND c.cid = qd.cid
   WHERE c.vec_id <> qd.query_id
   GROUP BY qd.query_id, c.vec_id
-),
+)"""
+
+ORACLE_ANN_IVF_PQ = f"""
+WITH {_IVF_PQ_SCORE_CTES},
 r AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
   FROM score
 )
 SELECT query_id, vec_id, round(CAST(adc_dist AS DOUBLE), 4) AS adc_dist, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 3
+"""
+
+ORACLE_ANN_IVF_PQ_RESCORE = f"""
+WITH {_IVF_PQ_SCORE_CTES},
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+    FROM score
+  ) WHERE rnk <= 10
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         list_dot_product(cv.vv, qv.qv)
+           / (sqrt(list_dot_product(cv.vv, cv.vv)) * sqrt(list_dot_product(qv.qv, qv.qv)))
+           AS cosine
+  FROM short s
+  JOIN v cv ON cv.vec_id = s.vec_id
+  JOIN q qv ON qv.query_id = s.query_id
+),
+rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM exact
+)
+SELECT query_id, vec_id, round(CAST(cosine AS DOUBLE), 6) AS cosine, CAST(rank AS INT) AS rank
+FROM rr WHERE rank <= 3
 """
 
 
@@ -3320,7 +3447,11 @@ def q_pca_fit_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       operators/similarity.py) yields unit population variance on every
       non-degenerate output dimension (the defining whitening
       invariant, λᵢ/λᵢ = 1) — the one r13 code path that previously had
-      only pytest evidence (r13 verdict task 2).
+      only pytest evidence (r13 verdict task 2). Since r15 the whitened
+      variance is DERIVED driver-side (v[i]/λᵢ — whiten is a per-row
+      rescale of the same projection) instead of re-projecting the
+      corpus, removing a second full scan (r14 ADVICE); the rescale
+      arithmetic stays pytest-pinned.
 
     Together the booleans force the projection to BE a PCA (orthonormal
     axes, variance-ordered, variance-preserving), while the counts make
@@ -3354,16 +3485,19 @@ def q_pca_fit_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # whiten path: per-dim var_pop == 1 on every live component
         # (degenerate axes, λᵢ ≤ 1e-9·λ₁, are zeroed by design — none
-        # expected on real embeddings, but the gate is the live set)
-        live = [i for i in range(k) if float(ev[i]) > 1e-9 * float(ev[0])]
-        white_stats = (
-            SIM.pca_apply(emb, model, "vec_id", "embedding", whiten=True)
-            .select(F.posexplode("pca").alias("pos", "val"))
-            .groupBy("pos")
-            .agg(F.var_pop("val").alias("v"))
-            .collect()  # bounded: k rows
-        )
-        wv = {int(r.pos): float(r.v) for r in white_stats}
+        # expected on real embeddings, but the gate is the live set).
+        # Derived DRIVER-SIDE from the measured projection variances:
+        # whiten multiplies component row i by 1/√λᵢ ahead of the same
+        # BLAS kernel, so var(whitened_i) = v[i]/λᵢ on live dims and
+        # exactly 0 on zeroed ones — re-projecting the corpus to
+        # measure it was a second unpersisted full scan that roughly
+        # doubled this row's corpus passes (r14 ADVICE); the scale/zero
+        # arithmetic inside pca_apply is pytest-pinned separately.
+        live = set(i for i in range(k) if float(ev[i]) > 1e-9 * float(ev[0]))
+        wv = {
+            i: (by_pos[i][1] / float(ev[i]) if i in live else 0.0)
+            for i in range(k)
+        }
         whiten_unit_var = all(abs(wv[i] - 1.0) <= 1e-6 for i in live) and all(
             wv[i] <= 1e-12 for i in range(k) if i not in live
         )
@@ -4786,6 +4920,7 @@ QUERIES: dict[str, callable] = {
     "scan_hive_partitioned": q_scan_hive_partitioned,
     "scan_csv_tab_delimited": q_scan_csv_tab_delimited,
     "source_generic_format": q_source_generic_format,
+    "source_avro": q_source_avro,
     "source_json_lines": q_source_json_lines,
     "source_xml": q_source_xml,
     "source_json_variant": q_source_json_variant,
@@ -4885,6 +5020,7 @@ QUERIES: dict[str, callable] = {
     "ann_pq_oracle": q_ann_pq_oracle,
     "ann_ivf_pq_oracle": q_ann_ivf_pq_oracle,
     "ann_ivf_pq_append": q_ann_ivf_pq_append,
+    "ann_ivf_pq_rescore": q_ann_ivf_pq_rescore,
     "ann_knn_classify": q_ann_knn_classify,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -4921,6 +5057,7 @@ ORACLES: dict[str, str] = {
     "scan_hive_partitioned": ORACLE_SCAN_HIVE,
     "scan_csv_tab_delimited": ORACLE_SCAN_CSV,
     "source_generic_format": ORACLE_GENERIC,
+    "source_avro": ORACLE_AVRO,
     "source_json_lines": ORACLE_JSON_LINES,
     "source_xml": ORACLE_SOURCE_XML,
     "source_json_variant": ORACLE_JSON_VARIANT,
@@ -5011,6 +5148,7 @@ ORACLES: dict[str, str] = {
     "ann_pq_oracle": ORACLE_ANN_PQ,
     "ann_ivf_pq_oracle": ORACLE_ANN_IVF_PQ,
     "ann_ivf_pq_append": ORACLE_ANN_IVF_PQ,
+    "ann_ivf_pq_rescore": ORACLE_ANN_IVF_PQ_RESCORE,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
@@ -5078,26 +5216,38 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-14 queue — keys whose implementation changed in r14 (each entry
-# commented with what changed), per the changed-kernel discipline: a
-# green row from an earlier round attests the OLD code and must not
-# satisfy the queue.
+# Round-15 queue — new keys and keys whose implementation changed in
+# r15 (each entry commented with what changed), per the changed-kernel
+# discipline: a green row from an earlier round attests the OLD code
+# and must not satisfy the queue.
 # _ROUND_QUEUE_ROUND pins the round this queue demands evidence FROM:
-# the queue retires only when CORRECTNESS_r14 lands (rotation.py).
+# the queue retires only when CORRECTNESS_r15 lands (rotation.py).
+# Behind the queue, the evidence-driven rotation automatically fronts
+# the 27-key r9 evidence tail (r14 verdict task 2 — the s–w cluster).
 # Gate (per project discipline): every queued key verified with
 # scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
 # rotation landed; the whole 50-key window swept in one process at both
 # SFs before freezing.
-_ROUND_QUEUE_ROUND = 14
+_ROUND_QUEUE_ROUND = 15
 _ROUND_QUEUE = [
-    # r14: kernel + invariant changes (r13 verdict tasks 2/3/5 + ADVICE):
-    # empty-batch guards in both PCA Arrow kernels; pca_apply carries
-    # the input id type and zeroes degenerate components under whiten
-    # (relative 1e-9*lambda_1 floor, was an absolute 1e-12 clamp); the
-    # fit's moment accumulation is pilot-shifted (removes the
-    # ss/n - uuT cancellation on large-mean embeddings); the driver row
-    # gains the whiten_unit_var invariant column and the var_matches
-    # tolerance loosened 1e-8 -> 1e-6
+    # r15 NEW: store-backed two-stage ANN (r14 verdict task 1) — ADC
+    # shortlist over probed cells + exact rescore via the refine store's
+    # partition-pruned id gets
+    "ann_ivf_pq_rescore",
+    # r15 NEW: Avro landing files via the pure-Python container reader
+    # (r14 verdict task 5 — closes the one documented format gap)
+    "source_avro",
+    # r15 kernel changes: the IVF-PQ build now sorts each cell's files
+    # by vec_id (row-group-prunable id gets) and the search's index
+    # read is column-pruned to (vec_id, codes, cell); same values,
+    # changed plan — re-evidence both
+    "ann_ivf_pq_oracle",
+    "ann_ivf_pq_append",
+    # r15 kernel changes (r14 ADVICE): pca_fit_project skips null
+    # embeddings (pilot + moment pass + projection) with a distinct
+    # error when none remain; the whiten_unit_var invariant is now
+    # derived driver-side from the measured projection variances
+    # instead of re-projecting the corpus (one fewer full scan)
     "pca_fit_project",
 ]
 

@@ -29,6 +29,11 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # Scan sizing: 128 MiB splits is the right default for 100 TB of
     # parquet; local SFs just produce fewer tasks.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # id-get reads (ivf_pq_rescore_topk stage 2) push a Q x shortlist
+    # IN(vec_id) set to parquet; above this threshold Spark degrades the
+    # pushdown to a min/max range, which cannot row-group-prune a
+    # scattered id set — raise it so shortlist-sized sets stay exact.
+    "spark.sql.parquet.pushdown.inFilterThreshold": "1024",
     "spark.ui.enabled": "false",
     # Single-JVM local mode runs all 32 executor threads in the driver
     # heap; the 1g default causes GC thrash under concurrent hash-aggs.

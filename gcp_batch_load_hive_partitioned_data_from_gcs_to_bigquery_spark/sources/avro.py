@@ -1,0 +1,464 @@
+"""Pure-Python Avro Object Container File source (Spark 4
+``pyspark.sql.datasource`` API, ``format("pyavro")``).
+
+pip-installed pyspark ships WITHOUT the spark-avro jar, so
+``spark.read.format("avro")`` fails out of the box — the one landing
+format a real ingest user hits that this engine previously documented
+as unavailable (r14 verdict task 5). This module closes the gap with
+no new dependency: a stdlib decoder for the public Avro 1.x container
+format (spec: https://avro.apache.org/docs/current/specification/ —
+magic ``Obj\\x01``, metadata map with ``avro.schema``/``avro.codec``,
+16-byte sync marker, then blocks of ``<count, byte-size, data, sync>``
+with zigzag-varint primitives), wired into Spark's custom-data-source
+extension point that :mod:`.pydatasource` already proves out.
+
+Scale shape: Avro container files are SPLITTABLE on their sync markers
+by design. ``partitions()`` exploits that without reading data: the
+planner seeks block-to-block using each block's byte-size prefix (two
+varints + one seek per block — footer-less random access), then packs
+contiguous block runs into ~``split_mb`` input partitions. Each
+partition's ``read`` opens the file on the executor, seeks straight to
+its first block, and decodes only its own run — a 10 GB file feeds
+many executors, the driver touches O(blocks) varints, never the data.
+Decode is a per-record closure chain compiled from the writer schema
+once per partition (no per-field dict dispatch in the hot loop).
+
+Supported writer-schema subset (the landing-table shapes): records of
+``null/boolean/int/long/float/double/bytes/string``, 2-branch unions
+with ``null`` (nullable columns), ``array`` of a supported type, and
+the common logical types ``date`` (int), ``timestamp-millis``/
+``timestamp-micros`` (long). Codecs ``null`` and ``deflate`` (raw zlib
+— both from the spec's required set). Anything else raises a
+clear NotImplementedError naming the unsupported node — schema
+evolution beyond this subset belongs to a full avro library, not an
+ingest path.
+
+A spec-compliant writer (:func:`write_avro`) rides along for tests and
+fixture generation; the reader is additionally pinned against
+hand-assembled spec bytes in tests/test_avro.py so reader and writer
+cannot drift together.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from datetime import date, datetime, timedelta, timezone
+
+MAGIC = b"Obj\x01"
+_EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_TS = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+# ---------------------------------------------------------------------------
+# binary primitives (Avro spec "Binary encoding")
+
+
+def _read_long(fh) -> int:
+    """Zigzag varint (int and long share one encoding)."""
+    shift = 0
+    acc = 0
+    while True:
+        b = fh.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_long(out: bytearray, v: int) -> None:
+    z = (v << 1) ^ (v >> 63)  # zigzag (Python ints: arithmetic shift)
+    z &= (1 << 64) - 1
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_bytes(fh) -> bytes:
+    n = _read_long(fh)
+    data = fh.read(n)
+    if len(data) != n:
+        raise EOFError("truncated bytes")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# schema -> decoder compilation
+
+
+def _compile(node):
+    """Return (decode(fh) -> python value) for a writer-schema node."""
+    if isinstance(node, list):  # union
+        if len(node) != 2 or "null" not in node:
+            raise NotImplementedError(f"only 2-branch null unions supported: {node}")
+        branches = [(_none_decoder if b == "null" else _compile(b)) for b in node]
+
+        def dec_union(fh, branches=branches):
+            idx = _read_long(fh)
+            return branches[idx](fh)
+
+        return dec_union
+    if isinstance(node, dict):
+        t = node.get("type")
+        logical = node.get("logicalType")
+        if t == "array":
+            item = _compile(node["items"])
+
+            def dec_array(fh, item=item):
+                out = []
+                while True:
+                    n = _read_long(fh)
+                    if n == 0:
+                        return out
+                    if n < 0:  # block with byte-size prefix
+                        n = -n
+                        _read_long(fh)  # byte size — sequential decode skips it
+                    for _ in range(n):
+                        out.append(item(fh))
+
+            return dec_array
+        if t == "int" and logical == "date":
+            return lambda fh: _EPOCH_DATE + timedelta(days=_read_long(fh))
+        if t == "long" and logical == "timestamp-micros":
+            return lambda fh: _EPOCH_TS + timedelta(microseconds=_read_long(fh))
+        if t == "long" and logical == "timestamp-millis":
+            return lambda fh: _EPOCH_TS + timedelta(milliseconds=_read_long(fh))
+        if t in _PRIMITIVES:  # {"type": "string"} style or ignorable logical
+            return _compile(t)
+        raise NotImplementedError(f"unsupported Avro node: {node}")
+    if node in _PRIMITIVES:
+        return _PRIMITIVES[node]
+    raise NotImplementedError(f"unsupported Avro type: {node!r}")
+
+
+def _none_decoder(fh):
+    return None
+
+
+_PRIMITIVES = {
+    "null": _none_decoder,
+    "boolean": lambda fh: fh.read(1) == b"\x01",
+    "int": _read_long,
+    "long": _read_long,
+    "float": lambda fh: struct.unpack("<f", fh.read(4))[0],
+    "double": lambda fh: struct.unpack("<d", fh.read(8))[0],
+    "bytes": _read_bytes,
+    "string": lambda fh: _read_bytes(fh).decode("utf-8"),
+}
+
+
+def _spark_type(node) -> str:
+    if isinstance(node, list):
+        other = [b for b in node if b != "null"]
+        if len(node) != 2 or len(other) != 1:
+            raise NotImplementedError(f"only 2-branch null unions supported: {node}")
+        return _spark_type(other[0])
+    if isinstance(node, dict):
+        t, logical = node.get("type"), node.get("logicalType")
+        if t == "array":
+            return f"array<{_spark_type(node['items'])}>"
+        if t == "int" and logical == "date":
+            return "date"
+        if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
+            return "timestamp"
+        if t in _SPARK_PRIM:
+            return _SPARK_PRIM[t]
+        raise NotImplementedError(f"unsupported Avro node: {node}")
+    if node in _SPARK_PRIM:
+        return _SPARK_PRIM[node]
+    raise NotImplementedError(f"unsupported Avro type: {node!r}")
+
+
+_SPARK_PRIM = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "bytes": "binary",
+    "string": "string",
+}
+
+
+# ---------------------------------------------------------------------------
+# container-file plumbing
+
+
+def read_header(fh):
+    """(schema_dict, codec, sync16, header_end_offset) from an open
+    container file positioned at 0."""
+    if fh.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta = {}
+    while True:
+        n = _read_long(fh)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _read_long(fh)  # byte size of the map block
+        for _ in range(n):
+            key = _read_bytes(fh).decode("utf-8")
+            meta[key] = _read_bytes(fh)
+    sync = fh.read(16)
+    if len(sync) != 16:
+        raise EOFError("truncated sync marker")
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"unsupported Avro codec: {codec}")
+    return schema, codec, sync, fh.tell()
+
+
+def scan_blocks(path: str):
+    """Planner-side block index WITHOUT reading data: per block, seek
+    over the payload using its byte-size prefix. Yields
+    (offset, n_records, byte_size) per block."""
+    with open(path, "rb") as fh:
+        _, _, _, pos = read_header(fh)
+        size = os.fstat(fh.fileno()).st_size
+        while pos < size:
+            fh.seek(pos)
+            n = _read_long(fh)
+            nbytes = _read_long(fh)
+            data_at = fh.tell()
+            yield pos, n, nbytes
+            pos = data_at + nbytes + 16  # payload + sync marker
+
+
+def _field_decoders(schema):
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise NotImplementedError("top-level Avro schema must be a record")
+    names = [f["name"] for f in schema["fields"]]
+    decoders = [_compile(f["type"]) for f in schema["fields"]]
+    return names, decoders
+
+
+def spark_schema_of(path: str) -> str:
+    """DDL string for a container file's writer schema."""
+    with open(path, "rb") as fh:
+        schema, _, _, _ = read_header(fh)
+    names, _ = _field_decoders(schema)
+    return ", ".join(
+        f"{n} {_spark_type(f['type'])}" for n, f in zip(names, schema["fields"])
+    )
+
+
+def read_avro_records(path: str, offset: int | None = None, n_blocks: int | None = None):
+    """Decode records as tuples in field order; with (offset, n_blocks)
+    decode only that run of blocks (an input split)."""
+    with open(path, "rb") as fh:
+        schema, codec, sync, pos = read_header(fh)
+        _, decoders = _field_decoders(schema)
+        size = os.fstat(fh.fileno()).st_size
+        if offset is not None:
+            pos = offset
+        done = 0
+        while pos < size and (n_blocks is None or done < n_blocks):
+            fh.seek(pos)
+            n = _read_long(fh)
+            nbytes = _read_long(fh)
+            payload = fh.read(nbytes)
+            if len(payload) != nbytes:
+                raise EOFError("truncated block")
+            marker = fh.read(16)
+            if marker != sync:
+                raise ValueError("sync marker mismatch (corrupt block boundary)")
+            pos = fh.tell()
+            done += 1
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)  # raw deflate per spec
+            buf = io.BytesIO(payload)
+            for _ in range(n):
+                yield tuple(d(buf) for d in decoders)
+
+
+# ---------------------------------------------------------------------------
+# Spark data source
+
+try:  # pyspark optional at import time (pure decoder usable standalone)
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class AvroDataSource(DataSource):
+        """``spark.read.format("pyavro").option("path", p).load()`` —
+        ``p`` a container file or a directory of ``*.avro`` files.
+        Schema comes from the first file's writer schema; option
+        ``split_mb`` (default 32) sets the per-partition block-run
+        target so large files split across executors on sync-marker
+        boundaries."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pyavro"
+
+        def _paths(self):
+            p = self.options.get("path")
+            if not p:
+                raise ValueError("pyavro: .option('path', ...) is required")
+            if os.path.isdir(p):
+                files = sorted(
+                    os.path.join(p, f) for f in os.listdir(p) if f.endswith(".avro")
+                )
+                if not files:
+                    raise ValueError(f"pyavro: no *.avro files under {p}")
+                return files
+            return [p]
+
+        def schema(self) -> str:
+            return spark_schema_of(self._paths()[0])
+
+        def reader(self, schema) -> "AvroReader":
+            return AvroReader(
+                self._paths(), float(self.options.get("split_mb", 32))
+            )
+
+    class AvroReader(DataSourceReader):
+        def __init__(self, paths, split_mb: float) -> None:
+            self.paths = paths
+            self.split_bytes = max(1, int(split_mb * 1024 * 1024))
+
+        def partitions(self):
+            parts = []
+            for path in self.paths:
+                run_start, run_blocks, run_bytes = None, 0, 0
+                for off, _n, nbytes in scan_blocks(path):
+                    if run_start is None:
+                        run_start = off
+                    run_blocks += 1
+                    run_bytes += nbytes
+                    if run_bytes >= self.split_bytes:
+                        parts.append(InputPartition((path, run_start, run_blocks)))
+                        run_start, run_blocks, run_bytes = None, 0, 0
+                if run_blocks:
+                    parts.append(InputPartition((path, run_start, run_blocks)))
+            # an all-empty source still needs one partition for schema
+            return parts or [InputPartition((self.paths[0], None, 0))]
+
+        def read(self, partition: InputPartition):
+            path, offset, n_blocks = partition.value
+            if n_blocks == 0:
+                return iter(())
+            return read_avro_records(path, offset=offset, n_blocks=n_blocks)
+
+except ImportError:  # pragma: no cover
+    AvroDataSource = None  # type: ignore[assignment]
+
+
+# ---------------------------------------------------------------------------
+# writer (tests / fixture generation)
+
+
+def _encode(node, value, out: bytearray) -> None:
+    if isinstance(node, list):
+        null_at = node.index("null")
+        if value is None:
+            _write_long(out, null_at)
+            return
+        other_at = 1 - null_at
+        _write_long(out, other_at)
+        _encode(node[other_at], value, out)
+        return
+    if isinstance(node, dict):
+        t, logical = node.get("type"), node.get("logicalType")
+        if t == "array":
+            if value:
+                _write_long(out, len(value))
+                for v in value:
+                    _encode(node["items"], v, out)
+            _write_long(out, 0)
+            return
+        if t == "int" and logical == "date":
+            _write_long(out, (value - _EPOCH_DATE).days)
+            return
+        if t == "long" and logical == "timestamp-micros":
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=timezone.utc)
+            _write_long(out, round((value - _EPOCH_TS).total_seconds() * 1_000_000))
+            return
+        if t == "long" and logical == "timestamp-millis":
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=timezone.utc)
+            _write_long(out, round((value - _EPOCH_TS).total_seconds() * 1_000))
+            return
+        _encode(t, value, out)
+        return
+    if node in ("int", "long"):
+        _write_long(out, value)
+    elif node == "boolean":
+        out.append(1 if value else 0)
+    elif node == "float":
+        out.extend(struct.pack("<f", value))
+    elif node == "double":
+        out.extend(struct.pack("<d", value))
+    elif node == "bytes":
+        _write_long(out, len(value))
+        out.extend(value)
+    elif node == "string":
+        raw = value.encode("utf-8")
+        _write_long(out, len(raw))
+        out.extend(raw)
+    elif node == "null":
+        pass
+    else:
+        raise NotImplementedError(f"unsupported Avro type: {node!r}")
+
+
+def write_avro(
+    path: str,
+    schema: dict,
+    rows,
+    codec: str = "null",
+    block_rows: int = 1000,
+) -> str:
+    """Spec-compliant container-file writer over the same supported
+    subset as the reader. Deterministic: the sync marker derives from
+    the schema text (md5), so identical inputs produce identical bytes."""
+    import hashlib
+
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"unsupported Avro codec: {codec}")
+    schema_raw = json.dumps(schema, sort_keys=True).encode("utf-8")
+    sync = hashlib.md5(b"pyavro-sync:" + schema_raw).digest()
+    fields = schema["fields"]
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        head = bytearray()
+        _write_long(head, 2)
+        for k, v in (("avro.schema", schema_raw), ("avro.codec", codec.encode())):
+            kb = k.encode()
+            _write_long(head, len(kb))
+            head.extend(kb)
+            _write_long(head, len(v))
+            head.extend(v)
+        _write_long(head, 0)
+        fh.write(bytes(head))
+        fh.write(sync)
+        rows = list(rows)
+        for at in range(0, len(rows), block_rows):
+            chunk = rows[at : at + block_rows]
+            body = bytearray()
+            for row in chunk:
+                for f, v in zip(fields, row):
+                    _encode(f["type"], v, body)
+            payload = bytes(body)
+            if codec == "deflate":
+                payload = zlib.compress(payload, 6)[2:-4]  # raw deflate
+            block = bytearray()
+            _write_long(block, len(chunk))
+            _write_long(block, len(payload))
+            fh.write(bytes(block))
+            fh.write(payload)
+            fh.write(sync)
+    return path

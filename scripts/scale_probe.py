@@ -372,6 +372,66 @@ def main() -> None:
         f"t_{k}x": round(tot[f"t_{k}x"] - g[f"t_{k}x"], 3),
     }
 
+    # Store-backed two-stage ANN (r15, r14 verdict task 1): the refine
+    # store must keep the contract the broadcast-join variant could not
+    # — stage 2's float lookups are partition-pruned + id-pushdown GETS
+    # against the index, so the stage-2 increment over the stage-1
+    # shortlist must stay ~flat in corpus size. The index is built with
+    # nlist ∝ corpus, exactly as the IVF maintenance contract
+    # prescribes (retrain_corpus_cells: "nlist ∝ corpus" — same
+    # discipline as the semdedup rows above), so probed cells stay
+    # bounded; the id-sorted layout additionally row-group-prunes
+    # inside them. Build is NOT in the timed path (a production index
+    # is maintained by O(batch) appends, not rebuilt per query).
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_rescore_topk,
+        ivf_pq_search,
+    )
+
+    def refine_root(sf, kk):
+        root = f"{DERIVED}_ivfpqref_{kk}x"
+        if not os.path.exists(os.path.join(root, "_READY")):
+            shutil.rmtree(root, ignore_errors=True)
+            build_ivf_pq_index(
+                tbl(sf, "embeddings"), root,
+                nlist=16 * kk, m=8, codebook_size=16 * kk, store_vectors=True,
+            )
+            open(os.path.join(root, "_READY"), "w").close()
+        return root
+
+    # untimed warm-up of the ADC kernel shape (per-kernel cold start
+    # fakes exponents — r14 lesson)
+    ivf_pq_search(
+        spark, refine_root(base, 1), queries20, k=1, nprobe=1
+    ).write.format("noop").mode("overwrite").save()
+
+    def rescore_total_time(sf, kk):
+        root = refine_root(sf, kk)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            ivf_pq_rescore_topk(
+                spark, root, queries20, k=10, shortlist=20, nprobe=3
+            ).write.format("noop").mode("overwrite").save()
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+        return round(best, 3)
+
+    probe(
+        "ann_ivf_pq_shortlist_stage1",
+        lambda sf, kk: timed(
+            ivf_pq_search(spark, refine_root(sf, kk), queries20, k=20, nprobe=3)
+        ),
+    )
+    probe("ann_ivf_pq_rescore_total", rescore_total_time)
+    s1 = results["ann_ivf_pq_shortlist_stage1"]
+    st = results["ann_ivf_pq_rescore_total"]
+    results["ann_ivf_pq_rescore_stage2_increment"] = {
+        "t_sf0.1": round(st["t_sf0.1"] - s1["t_sf0.1"], 3),
+        f"t_{k}x": round(st[f"t_{k}x"] - s1[f"t_{k}x"], 3),
+    }
+
     # stream_sliding_distinct store-age curve: the sink merges ONLY the
     # batch's touched hour partitions (existence-probed per key, never a
     # root listing), so the per-TRIGGER cost must be flat in store AGE.

@@ -390,6 +390,61 @@ def test_pca_apply_carries_string_id_type(spark):
         assert np.allclose(got[f"doc-{i}"], want[i], atol=1e-10)
 
 
+def test_pca_fit_skips_null_embeddings(spark):
+    """A null vector anywhere in the column — including the FIRST row,
+    which previously hijacked the pilot fetch into a misleading 'needs
+    at least 2 vectors' error (r14 ADVICE) — is excluded from the fit
+    and the returned projection; the model matches a fit on the
+    non-null subset alone."""
+    import numpy as np
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_fit_project
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(12, 3)
+    rows = [(0, None)] + [(i + 1, base[i].tolist()) for i in range(12)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, emb array<double>")
+    out, model = pca_fit_project(df, "doc_id", "emb", k=2)
+    assert out.count() == 12  # null rows excluded from the projection
+    clean = spark.createDataFrame(
+        [(i + 1, base[i].tolist()) for i in range(12)], "doc_id long, emb array<double>"
+    )
+    _, clean_model = pca_fit_project(clean, "doc_id", "emb", k=2)
+    assert np.allclose(model.mean_vec, clean_model.mean_vec, atol=1e-12)
+    assert np.allclose(model.components, clean_model.components, atol=1e-12)
+
+
+def test_pca_fit_all_null_raises_distinct_error(spark):
+    import pytest as _pytest
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_fit_project
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, emb array<double>"
+    )
+    with _pytest.raises(ValueError, match="non-null"):
+        pca_fit_project(df, "doc_id", "emb", k=1)
+
+
+def test_pca_apply_names_the_null_id(spark):
+    """pca_apply on a null-containing column fails with the offending
+    id in the message, not an opaque np.stack crash (r14 ADVICE)."""
+    import numpy as np
+    import pytest as _pytest
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import pca_apply, pca_fit_project
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(8, 3)
+    fit_df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(8)], "doc_id long, emb array<double>"
+    )
+    _, model = pca_fit_project(fit_df, "doc_id", "emb", k=2)
+    dirty = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(8)] + [(42, None)],
+        "doc_id long, emb array<double>",
+    )
+    with _pytest.raises(Exception, match="null embedding"):
+        pca_apply(dirty, model, "doc_id", "emb").collect()
+
+
 def test_dedup_keep_longest_prefers_complete_copy(spark):
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.dedup import dedup_keep_longest
 

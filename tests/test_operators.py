@@ -559,6 +559,82 @@ def test_ivf_pq_index_prunes_unprobed_cells(spark, emb, tmp_path):
     )
 
 
+def test_ivf_pq_rescore_is_store_backed_and_exact(spark, emb, tmp_path):
+    """The refine-store rescore (r14 verdict task 1): stage 1's ADC
+    shortlist comes from the partition-pruned code scan, stage 2's
+    exact cosines resolve against the SAME index's c_vec column as a
+    partition-pruned id get — never a second corpus scan — and the
+    result equals a driver-side numpy rerank of that shortlist."""
+    import numpy as np
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_rescore_topk,
+        ivf_pq_search,
+    )
+
+    root = str(tmp_path / "ivfpqref")
+    build_ivf_pq_index(emb, root, nlist=8, m=8, codebook_size=16, store_vectors=True)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_pq_rescore_topk(spark, root, queries, k=3, shortlist=8, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # stage-2 get: partition filter on cell + pushed id filter on vec_id
+    assert "PartitionFilters" in plan and "cell" in plan
+    pushed = plan.split("PushedFilters:", 1)[1].split("]", 1)[0]
+    assert "vec_id" in pushed and ("In(vec_id" in pushed or "INSET" in pushed)
+    rows = out.collect()
+
+    # oracle-in-miniature: the plain search's shortlist, exactly
+    # reranked by float cosine in numpy
+    short = ivf_pq_search(spark, root, queries, k=8, nprobe=2).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+    want = []
+    for qid in (0, 1, 2):
+        cands = [r.vec_id for r in short if r.query_id == qid]
+        scored = sorted(
+            ((cos(vecs[c], vecs[qid]), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        want += [(qid, c, i + 1) for i, (_, c) in enumerate(scored)]
+    assert sorted((r.query_id, r.vec_id, r.rank) for r in rows) == sorted(want)
+    # cosine values are the exact float64 cosines (6-decimal display)
+    got = {(r.query_id, r.vec_id): r.cosine for r in rows}
+    for qid, c, _ in want:
+        assert abs(got[(qid, c)] - round(cos(vecs[c], vecs[qid]), 6)) < 1e-12
+
+
+def test_ivf_pq_refine_store_keeps_code_scan_pruned(spark, emb, tmp_path):
+    """store_vectors=True must not change search results OR widen the
+    code scan: the ADC search over a refine index reads only
+    (vec_id, codes, cell) — c_vec never appears in its ReadSchema —
+    and a codes-only index rejects the rescore with a clear error."""
+    import pytest as _pytest
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_rescore_topk,
+        ivf_pq_search,
+    )
+
+    plain_root = str(tmp_path / "plain")
+    refine_root = str(tmp_path / "refine")
+    build_ivf_pq_index(emb, plain_root, nlist=8, m=8, codebook_size=16)
+    build_ivf_pq_index(
+        emb, refine_root, nlist=8, m=8, codebook_size=16, store_vectors=True
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = ivf_pq_search(spark, plain_root, queries, k=5, nprobe=2)
+    b = ivf_pq_search(spark, refine_root, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan_b = b._jdf.queryExecution().executedPlan().toString()
+    scan = plan_b.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "c_vec" not in scan  # column pruning holds on the refine layout
+    with _pytest.raises(ValueError, match="store_vectors"):
+        ivf_pq_rescore_topk(spark, plain_root, queries, k=3)
+
+
 def test_line_dedup_first_occurrence_wins(spark):
     """Cross-corpus line dedup: a line survives only at its first
     (doc_id, pos) anywhere — later docs AND later repeats inside the
