@@ -16,6 +16,7 @@ corpus is never collected.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -549,8 +550,19 @@ def append_ivf_pq_index(
     spark = new_vectors.sparkSession
     cents, books, m, sub = _load_pq_quantizer(spark, index_path)
     # match the live index's layout: a refine-store index (c_vec column,
-    # build_ivf_pq_index store_vectors=True) appends vectors too
-    keep_vec = "c_vec" in spark.read.parquet(index_path).columns
+    # build_ivf_pq_index store_vectors=True) appends vectors too. The
+    # build stamps a `_refine_store` marker so this is ONE stat call;
+    # the fallback root-schema read (O(nlist) listing) only runs for
+    # indexes built before the marker existed.
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _read_small_file
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _glob_status
+
+    base = index_path.rstrip("/")
+    meta_path = f"{base}/_quantizer/meta.json"
+    if _glob_status(spark, meta_path):
+        keep_vec = bool(json.loads(_read_small_file(spark, meta_path)).get("store_vectors"))
+    else:  # pre-meta index: one root-schema read (O(nlist) listing)
+        keep_vec = "c_vec" in spark.read.parquet(index_path).columns
     kernel, out_schema = _pq_encode_kernel(
         cents, books, m, sub, id_col, vec_col, keep_vec=keep_vec
     )
@@ -558,6 +570,12 @@ def append_ivf_pq_index(
         with_double_embedding(new_vectors, vec_col)
         .select(id_col, vec_col)
         .mapInPandas(kernel, out_schema)
+        # one small shuffle of the ENCODED batch → one file per touched
+        # cell per append (same clustering rationale as the build; an
+        # unshuffled partitionBy append would add a file per
+        # (input split x touched cell) every batch and re-grow the
+        # file-count the clustered build bounded)
+        .repartition(F.col("cell"))
         .sortWithinPartitions("vec_id")
         .write.partitionBy("cell")
         .mode("append")
@@ -623,6 +641,19 @@ def build_ivf_pq_index(
         with_double_embedding(corpus, vec_col)
         .select(id_col, vec_col)
         .mapInPandas(kernel, out_schema)
+        # CLUSTER the encoded rows by cell before the partitioned write:
+        # without this, every input split emits a file into every cell
+        # it touches — O(splits x nlist) small files, and since the
+        # maintenance contract scales nlist ∝ corpus, the index's FILE
+        # COUNT would grow with the corpus and every probed-cell read
+        # (search scan AND rescore get) would pay corpus-proportional
+        # footer opens (measured: the r15 K=10 probe read the rescore
+        # get climbing before this change). One shuffle of the encoded
+        # rows at BUILD time — the standard clustering-write cost —
+        # buys one sorted file per cell: reads open O(nprobe x Q)
+        # files however large the corpus, and vec_id-sorted row groups
+        # prune inside them.
+        .repartition(F.col("cell"))
         .sortWithinPartitions("vec_id")  # tight per-row-group id ranges
         .write.partitionBy("cell")
         .mode("overwrite")
@@ -641,6 +672,15 @@ def build_ivf_pq_index(
         ],
         "s int, code int, subvector array<double>",
     ).write.mode("overwrite").parquet(f"{qroot}/codebooks")
+    # layout metadata: lets append_ivf_pq_index learn store_vectors with
+    # ONE stat+read instead of an O(nlist)-listing root-schema read
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _write_small_file
+
+    _write_small_file(
+        spark,
+        f"{qroot}/meta.json",
+        json.dumps({"store_vectors": bool(store_vectors), "nlist": int(nlist), "m": int(m)}),
+    )
     return index_path
 
 
@@ -756,12 +796,47 @@ def _ivf_pq_adc_scored(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    index = (
-        spark.read.parquet(index_path)
-        .filter(F.col("cell").isin(all_cells))
-        .select("vec_id", "codes", "cell")  # never decode c_vec pages here
+    store = (
+        _read_index_cells(spark, index_path, all_cells) if all_cells else None
     )
+    if store is None:  # no queries, or every probed cell is empty
+        return spark.createDataFrame([], out_schema)
+    index = store.select("vec_id", "codes", "cell")  # never decode c_vec pages
     return index.mapInPandas(_kernel, out_schema)
+
+
+def _read_index_cells(spark: SparkSession, index_path: str, cells: list) -> DataFrame:
+    """Read ONLY the given cells' partition directories of an IVF-PQ
+    index. ``spark.read.parquet(index_path)`` would LIST the whole
+    ``cell=N`` tree — O(nlist) driver-side metadata, and the IVF
+    maintenance contract scales nlist ∝ corpus, so a full-root read
+    makes every query batch pay corpus-proportional listing (measured:
+    the r15 decomposition saw end-to-end rescore growing ~0.5 s per
+    extra root listing at 10x while both stages' data work stayed
+    flat). Enumerating the probed directories caps the listing at
+    O(len(cells)) = O(nprobe x Q), corpus-independent; ``basePath``
+    keeps the ``cell`` partition column alive. The redundant
+    ``isin`` partition filter stays as defense in depth (it also makes
+    the pruning visible in the plan's PartitionFilters).
+
+    A probed cell can be EMPTY (a seed centroid no corpus vector maps
+    to writes no ``cell=N`` dir), so each candidate dir is existence-
+    probed first with the same metadata-only Hadoop ``globStatus`` the
+    ingest probe uses (sources/probe.py — any Hadoop FS, not just
+    local): O(len(cells)) stat calls, still corpus-independent."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _glob_status
+
+    base = index_path.rstrip("/")
+    paths = [
+        p for c in cells if _glob_status(spark, (p := f"{base}/cell={int(c)}"))
+    ]
+    if not paths:
+        return None  # every probed cell empty — caller picks its semantics
+    return (
+        spark.read.option("basePath", base)
+        .parquet(*paths)
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+    )
 
 
 def ivf_pq_rescore_topk(
@@ -805,12 +880,10 @@ def ivf_pq_rescore_topk(
     value-checkable. Returns (query_id, vec_id, cosine, rank) under
     (cosine desc, vec_id asc)."""
     shortlist = max(shortlist, k)
-    sample = spark.read.parquet(index_path)
-    if "c_vec" not in sample.columns:
-        raise ValueError(
-            "ivf_pq_rescore_topk needs a refine-store index — rebuild with "
-            "build_ivf_pq_index(..., store_vectors=True)"
-        )
+    # c_vec presence is checked inside _refine_rescore on the PRUNED
+    # read — a root spark.read.parquet here would list all nlist cell
+    # dirs just to fetch the schema (corpus-proportional driver
+    # metadata; see _read_index_cells)
     scored = _ivf_pq_adc_scored(
         spark, index_path, queries, shortlist, nprobe, id_col, vec_col
     )
@@ -825,19 +898,47 @@ def ivf_pq_rescore_topk(
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rank int"
         )
+    return _refine_rescore(spark, index_path, short, queries, k, id_col, vec_col)
+
+
+def _refine_rescore(
+    spark: SparkSession,
+    index_path: str,
+    short: list,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage 2 of :func:`ivf_pq_rescore_topk` in isolation — the refine
+    GET: resolve the collected (query_id, vec_id, cell) shortlist rows
+    against the index's ``c_vec`` column (partition filter on the
+    shortlist's cells + id-IN row-group pruning over the build's
+    one-sorted-file-per-cell layout), exact-cosine against the
+    broadcast queries, rank, top-k. Split out so the contract — the
+    get reads O(Q x shortlist) rows however large the index grows —
+    is probeable on its own (scripts/scale_probe.py times this helper
+    with a fixed pre-collected shortlist; the end-to-end operator
+    re-runs stage 1 internally, which would conflate the two stages'
+    scaling)."""
     cells = sorted({r["cell"] for r in short})
     ids = sorted({r["vec_id"] for r in short})
     pairs = spark.createDataFrame(
         [(r["query_id"], r["vec_id"]) for r in short], "query_id long, vec_id long"
     )
-    # the GET: partition filter (probed cells) + id IN filter (row-group
+    # the GET: directory-enumerated read of the shortlist's cells only
+    # (listing O(|cells|), never O(nlist)) + id IN filter (row-group
     # pruning over vec_id-sorted files) — reads ~|shortlist| rows' float
     # pages, never the corpus
-    vecs = (
-        spark.read.parquet(index_path)
-        .filter(F.col("cell").isin(cells) & F.col("vec_id").isin(ids))
-        .select("vec_id", "c_vec")
-    )
+    store = _read_index_cells(spark, index_path, cells)
+    if store is None:  # unreachable: shortlist rows came from these cells
+        raise ValueError(f"shortlist cells missing under {index_path}")
+    if "c_vec" not in store.columns:
+        raise ValueError(
+            "ivf_pq_rescore_topk needs a refine-store index — rebuild with "
+            "build_ivf_pq_index(..., store_vectors=True)"
+        )
+    vecs = store.filter(F.col("vec_id").isin(ids)).select("vec_id", "c_vec")
     q = with_double_embedding(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

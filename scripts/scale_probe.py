@@ -390,7 +390,9 @@ def main() -> None:
     )
 
     def refine_root(sf, kk):
-        root = f"{DERIVED}_ivfpqref_{kk}x"
+        # _v2: the r15 cluster-by-cell build layout (one sorted file per
+        # cell) — cached pre-change indexes must not satisfy this name
+        root = f"{DERIVED}_ivfpqref_v2_{kk}x"
         if not os.path.exists(os.path.join(root, "_READY")):
             shutil.rmtree(root, ignore_errors=True)
             build_ivf_pq_index(
@@ -427,10 +429,47 @@ def main() -> None:
     probe("ann_ivf_pq_rescore_total", rescore_total_time)
     s1 = results["ann_ivf_pq_shortlist_stage1"]
     st = results["ann_ivf_pq_rescore_total"]
+    # end-to-end increment: total re-runs stage 1 internally (ADC scan +
+    # shortlist collect), so this difference still CONTAINS one stage-1
+    # pass — the isolated get row below is the contract's measurement
     results["ann_ivf_pq_rescore_stage2_increment"] = {
         "t_sf0.1": round(st["t_sf0.1"] - s1["t_sf0.1"], 3),
         f"t_{k}x": round(st[f"t_{k}x"] - s1[f"t_{k}x"], 3),
     }
+
+    # The refine GET in isolation (the contract row): resolve a FIXED
+    # pre-collected Q x shortlist against each scale's index — must be
+    # ~flat in corpus size (partition filter -> O(nprobe x Q) files in
+    # the clustered layout, id-IN -> row-group pruning inside them).
+    # The shortlist is collected per index UNTIMED (cells are index-
+    # specific: nlist ∝ corpus), then only the get is timed.
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _ivf_pq_adc_scored,
+        _refine_rescore,
+    )
+    from pyspark.sql import Window as _W
+
+    def refine_get_time(sf, kk):
+        root = refine_root(sf, kk)
+        scored = _ivf_pq_adc_scored(spark, root, queries20, 20, 3, "vec_id", "embedding")
+        w1 = _W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        short = (
+            scored.withColumn("rnk", F.row_number().over(w1))
+            .filter(F.col("rnk") <= 20)
+            .select("query_id", "vec_id", "cell")
+            .collect()
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _refine_rescore(spark, root, short, queries20, 10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+        return round(best, 3)
+
+    probe("ann_ivf_pq_refine_get", refine_get_time)
 
     # stream_sliding_distinct store-age curve: the sink merges ONLY the
     # batch's touched hour partitions (existence-probed per key, never a
