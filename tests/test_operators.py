@@ -1863,3 +1863,82 @@ def test_trained_corpus_cells_store_lifecycle(spark, emb):
     assert spark.table(name).count() == n_corpus + 1
     cells8 = {r.cell for r in spark.table(name).select("cell").distinct().collect()}
     assert cells8 <= set(range(8))
+
+
+def test_ivf_pq_clustered_layout_and_probed_cell_listing(spark, emb, tmp_path):
+    """r15 scale fix: the index's file count and its readers' listings
+    must be bounded by cells probed, never by nlist (which the
+    maintenance contract scales with the corpus):
+
+    * the clustered build writes exactly ONE data file per cell (an
+      unclustered partitionBy would write one per input-split x cell);
+    * search/rescore reads enumerate only the probed cells' dirs —
+      a missing (empty) probed cell is skipped by an existence probe,
+      all-missing degrades to empty/None, and the scan's inputFiles
+      witness that unprobed cells were never listed;
+    * an append stays clustered (one NEW file per touched cell) and
+      learns store_vectors from _quantizer/meta.json, not a root read.
+    """
+    import json as _json
+    import os
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _read_index_cells,
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_rescore_topk,
+        ivf_pq_search,
+    )
+
+    root = str(tmp_path / "ivfpq_clustered")
+    build_ivf_pq_index(emb, root, nlist=8, m=8, codebook_size=16, store_vectors=True)
+
+    def files_per_cell():
+        return {
+            d: [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+            for d in os.listdir(root)
+            if d.startswith("cell=")
+        }
+
+    before = files_per_cell()
+    assert before and all(len(fs) == 1 for fs in before.values())
+
+    # probed-cell-only listing: inputFiles of a 2-cell read name exactly
+    # those two cells' dirs (inputFiles reflects the static file index,
+    # which is the LISTING this test pins — not execution-time pruning)
+    cells = sorted(int(d.split("=")[1]) for d in before)
+    two = _read_index_cells(spark, root, cells[:2])
+    listed = {f.split("/cell=")[1].split("/")[0] for f in two.inputFiles()}
+    assert listed == {str(c) for c in cells[:2]}
+    # a missing cell is skipped, not crashed on; rows come from the live one
+    ghost = max(cells) + 1000
+    mixed = _read_index_cells(spark, root, [cells[0], ghost])
+    assert mixed.select("cell").distinct().collect()[0]["cell"] == cells[0]
+    assert _read_index_cells(spark, root, [ghost]) is None
+
+    # meta stamp: append learns the refine layout without a root read
+    meta = _json.loads(open(os.path.join(root, "_quantizer", "meta.json")).read())
+    assert meta["store_vectors"] is True and meta["nlist"] == 8
+    batch = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    append_ivf_pq_index(batch, root)
+    after = files_per_cell()
+    touched = {d for d in after if len(after[d]) > len(before.get(d, []))}
+    assert touched and all(len(after[d]) - len(before.get(d, [])) == 1 for d in touched)
+    # appended rows carry c_vec (refine layout honored) and are findable
+    got = ivf_pq_rescore_topk(
+        spark, root, emb.filter(F.col("vec_id") < 2), k=3, shortlist=8, nprobe=8
+    )
+    assert got.count() > 0
+    appended = (
+        spark.read.option("basePath", root)
+        .parquet(*[os.path.join(root, d) for d in touched])
+        .filter(F.col("vec_id") >= 100000)
+    )
+    assert appended.count() == 5
+    assert all(r.c_vec is not None for r in appended.select("c_vec").collect())
+
+    # search over an index with genuinely probed-empty cells still works
+    out = ivf_pq_search(spark, root, emb.filter(F.col("vec_id") < 3), k=5, nprobe=2)
+    assert out.count() > 0
