@@ -378,14 +378,10 @@ def pq_topk(
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
     # ADC tables: for each query and subspace, distance to every centroid
-    # — Qn×m×cb doubles, tiny, computed once on the driver
+    # — Qn×m×cb doubles, computed once on the driver (chunked: cb ∝
+    # corpus under the maintenance contract, Q can be a real batch)
     adc = np.stack(
-        [
-            ((Q[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2).sum(
-                axis=2
-            )
-            for s in range(m)
-        ],
+        [_sqdist_chunked(Q[:, s * sub : (s + 1) * sub], books[s]) for s in range(m)],
         axis=1,
     )  # q×m×cb
 
@@ -407,9 +403,7 @@ def pq_topk(
             # numpy argmin picks the first = lowest index)
             codes = np.stack(
                 [
-                    ((V[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2)
-                    .sum(axis=2)
-                    .argmin(axis=1)
+                    _sqdist_chunked(V[:, s * sub : (s + 1) * sub], books[s]).argmin(axis=1)
                     for s in range(m)
                 ],
                 axis=1,
@@ -460,6 +454,35 @@ def _pq_seed_books(corpus: DataFrame, codebook_size: int, m: int, id_col: str, v
     return C, [C[:, s * sub : (s + 1) * sub] for s in range(m)], sub
 
 
+def _sqdist_chunked(A, B, budget: int = 1 << 24):
+    """Exact squared-L2 distance matrix (|A|×|B|) without materializing
+    the |A|×|B|×d broadcast intermediate. Each (i, j) entry is computed
+    by the SAME per-element arithmetic as
+    ``((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)`` — B is merely
+    processed in row chunks — so every distance, every argmin and every
+    first-minimum tie-break is bit-identical to the unchunked form (the
+    oracles recompute these values; they must not move). Peak extra
+    memory is ≤ ``budget`` float64s (default 128 MB) however large B
+    grows. This matters because B is the centroid/codebook table and
+    the IVF maintenance contract scales nlist (and codebook_size) ∝
+    corpus: at nlist=1600 the broadcast form materialized ~8 GB per
+    Arrow batch per worker and crashed the executors (r15 K=100 index
+    build) — the kernel's memory must be corpus-independent."""
+    import numpy as np
+
+    a, d = A.shape
+    step = max(1, int(budget // max(1, a * d)))
+    if step >= B.shape[0]:
+        return ((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+    return np.concatenate(
+        [
+            ((A[:, None, :] - B[s : s + step][None, :, :]) ** 2).sum(axis=2)
+            for s in range(0, B.shape[0], step)
+        ],
+        axis=1,
+    )
+
+
 def _pq_encode_kernel(
     cents, books, m: int, sub: int, id_col: str, vec_col: str, keep_vec: bool = False
 ):
@@ -491,13 +514,12 @@ def _pq_encode_kernel(
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             if V.size == 0:
                 continue
-            cd = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            cells = cd.argmin(axis=1)
+            # chunked: cents/books rows scale ∝ corpus (nlist contract)
+            # — the kernel's memory must not (r15 K=100 OOM lesson)
+            cells = _sqdist_chunked(V, cents).argmin(axis=1)
             codes = np.stack(
                 [
-                    ((V[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2)
-                    .sum(axis=2)
-                    .argmin(axis=1)
+                    _sqdist_chunked(V[:, s * sub : (s + 1) * sub], books[s]).argmin(axis=1)
                     for s in range(m)
                 ],
                 axis=1,
@@ -744,18 +766,16 @@ def _ivf_pq_adc_scored(
     )
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
-    # probe cells per query: nprobe nearest centroids, ties -> lowest cell
-    cd = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    # probe cells per query: nprobe nearest centroids, ties -> lowest
+    # cell (chunked: nlist/cb ∝ corpus; driver memory stays O(Q x nlist))
+    cd = _sqdist_chunked(Q, cents)
     probe_sets = [
         set(np.lexsort((np.arange(cents.shape[0]), cd[j]))[:nprobe].tolist())
         for j in range(len(q_ids))
     ]
     all_cells = sorted(set().union(*probe_sets)) if probe_sets else []
     adc = np.stack(
-        [
-            ((Q[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-            for s in range(m)
-        ],
+        [_sqdist_chunked(Q[:, s * sub : (s + 1) * sub], books[s]) for s in range(m)],
         axis=1,
     )  # q×m×cb
 
