@@ -356,25 +356,17 @@ def pq_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    seed_rows = (
-        with_double_embedding(
-            corpus.filter(F.col(id_col) < codebook_size).orderBy(id_col), vec_col
-        )
-        .select(vec_col)
-        .collect()
-    )
-    C = np.array([r[0] for r in seed_rows], dtype=np.float64)  # cb×d
-    d = C.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    sub = d // m
-    books = [C[:, s * sub : (s + 1) * sub] for s in range(m)]  # m × (cb×sub)
+    _, books, sub = _pq_seed_books(corpus, codebook_size, m, id_col, vec_col)
 
     q_rows = (
         with_double_embedding(queries, vec_col)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .collect()
     )
+    if not q_rows:  # empty queries: empty result, not a shape error
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, adc_dist double, rank int"
+        )
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
     # ADC tables: for each query and subspace, distance to every centroid
@@ -403,11 +395,11 @@ def pq_topk(
             # numpy argmin picks the first = lowest index)
             codes = np.stack(
                 [
-                    _sqdist_chunked(V[:, s * sub : (s + 1) * sub], books[s]).argmin(axis=1)
+                    _argmin_sqdist_chunked(V[:, s * sub : (s + 1) * sub], books[s])
                     for s in range(m)
                 ],
                 axis=1,
-            )  # b×m
+            )  # b×m — running argmin: no b×cb matrix, cb ∝ corpus
             outs = []
             for j, qid in enumerate(q_ids):
                 # ADC score: sum of per-subspace table lookups
@@ -461,26 +453,65 @@ def _sqdist_chunked(A, B, budget: int = 1 << 24):
     ``((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)`` — B is merely
     processed in row chunks — so every distance, every argmin and every
     first-minimum tie-break is bit-identical to the unchunked form (the
-    oracles recompute these values; they must not move). Peak extra
-    memory is ≤ ``budget`` float64s (default 128 MB) however large B
-    grows. This matters because B is the centroid/codebook table and
-    the IVF maintenance contract scales nlist (and codebook_size) ∝
-    corpus: at nlist=1600 the broadcast form materialized ~8 GB per
-    Arrow batch per worker and crashed the executors (r15 K=100 index
-    build) — the kernel's memory must be corpus-independent."""
+    oracles recompute these values; they must not move). The 3-D
+    temporary is capped at ~``budget`` float64s (default 128 MB, one
+    in-place-squared array per chunk); the RETURNED |A|×|B| matrix
+    still scales with |B| — callers that only need assignments use
+    :func:`_argmin_sqdist_chunked`, which folds the chunks into a
+    running argmin and allocates nothing |B|-sized. This matters
+    because B is the centroid/codebook table and the IVF maintenance
+    contract scales nlist (and codebook_size) ∝ corpus: at nlist=1600
+    the broadcast form materialized ~8 GB per Arrow batch per worker
+    and crashed the executors (r15 K=100 index build)."""
+    import numpy as np
+
+    a, d = A.shape
+
+    def block(chunk):
+        dv = A[:, None, :] - chunk[None, :, :]
+        np.square(dv, out=dv)  # in place: one a×step×d temporary, not two
+        return dv.sum(axis=2)
+
+    step = max(1, int(budget // max(1, a * d)))
+    if step >= B.shape[0]:
+        return block(B)
+    return np.concatenate(
+        [block(B[s : s + step]) for s in range(0, B.shape[0], step)],
+        axis=1,
+    )
+
+
+def _argmin_sqdist_chunked(A, B, budget: int = 1 << 24):
+    """``_sqdist_chunked(A, B).argmin(axis=1)`` without materializing
+    the |A|×|B| distance matrix either: a running (min, argmin) folds
+    over the same chunks, with a strict ``<`` update so the FIRST
+    minimum wins across chunk boundaries — exactly ``np.argmin``'s
+    first-minimum tie rule on the full matrix, entry arithmetic
+    unchanged. This is the assignment path's memory story completed:
+    the 3-D intermediate is chunk-bounded (above) AND the 2-D result
+    no longer grows with nlist/codebook_size, so encode memory is
+    genuinely corpus-independent (the full-matrix form still backs the
+    callers that need every distance, e.g. query-side ADC tables and
+    nprobe cell ranking, whose output is bounded by the query batch)."""
     import numpy as np
 
     a, d = A.shape
     step = max(1, int(budget // max(1, a * d)))
-    if step >= B.shape[0]:
-        return ((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
-    return np.concatenate(
-        [
-            ((A[:, None, :] - B[s : s + step][None, :, :]) ** 2).sum(axis=2)
-            for s in range(0, B.shape[0], step)
-        ],
-        axis=1,
-    )
+    best = None
+    best_idx = None
+    for s in range(0, B.shape[0], step):
+        dv = A[:, None, :] - B[s : s + step][None, :, :]
+        np.square(dv, out=dv)
+        dist = dv.sum(axis=2)
+        idx = dist.argmin(axis=1)
+        val = dist[np.arange(a), idx]
+        if best is None:
+            best, best_idx = val, idx + s
+        else:
+            upd = val < best  # strict: earlier chunk keeps ties (first-min)
+            best = np.where(upd, val, best)
+            best_idx = np.where(upd, idx + s, best_idx)
+    return best_idx
 
 
 def _pq_encode_kernel(
@@ -514,12 +545,14 @@ def _pq_encode_kernel(
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             if V.size == 0:
                 continue
-            # chunked: cents/books rows scale ∝ corpus (nlist contract)
-            # — the kernel's memory must not (r15 K=100 OOM lesson)
-            cells = _sqdist_chunked(V, cents).argmin(axis=1)
+            # chunked running argmin: cents/books rows scale ∝ corpus
+            # (nlist contract) — the kernel's memory must not; neither
+            # the 3-D temporary NOR a batch×nlist distance matrix may
+            # materialize (r15 K=100 OOM lesson)
+            cells = _argmin_sqdist_chunked(V, cents)
             codes = np.stack(
                 [
-                    _sqdist_chunked(V[:, s * sub : (s + 1) * sub], books[s]).argmin(axis=1)
+                    _argmin_sqdist_chunked(V[:, s * sub : (s + 1) * sub], books[s])
                     for s in range(m)
                 ],
                 axis=1,
@@ -534,6 +567,20 @@ def _pq_encode_kernel(
             yield pd.DataFrame(out)
 
     return _kernel, out_schema
+
+
+def _load_pq_meta(spark: SparkSession, index_path: str) -> dict | None:
+    """The index's layout metadata (`_quantizer/meta.json`, stamped by
+    :func:`build_ivf_pq_index`) via one metadata-only stat + one small
+    read — never a data-directory listing. ``None`` for an index built
+    before the stamp existed."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _read_small_file
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _glob_status
+
+    meta_path = f"{index_path.rstrip('/')}/_quantizer/meta.json"
+    if not _glob_status(spark, meta_path):
+        return None
+    return json.loads(_read_small_file(spark, meta_path))
 
 
 def _load_pq_quantizer(spark: SparkSession, index_path: str):
@@ -573,18 +620,22 @@ def append_ivf_pq_index(
     cents, books, m, sub = _load_pq_quantizer(spark, index_path)
     # match the live index's layout: a refine-store index (c_vec column,
     # build_ivf_pq_index store_vectors=True) appends vectors too. The
-    # build stamps a `_refine_store` marker so this is ONE stat call;
-    # the fallback root-schema read (O(nlist) listing) only runs for
-    # indexes built before the marker existed.
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _read_small_file
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _glob_status
-
-    base = index_path.rstrip("/")
-    meta_path = f"{base}/_quantizer/meta.json"
-    if _glob_status(spark, meta_path):
-        keep_vec = bool(json.loads(_read_small_file(spark, meta_path)).get("store_vectors"))
-    else:  # pre-meta index: one root-schema read (O(nlist) listing)
+    # build stamps store_vectors into _quantizer/meta.json so this is
+    # one stat+read; for a pre-meta index the fallback root-schema read
+    # (O(nlist) listing) runs ONCE and stamps the meta it learned, so
+    # only the first append of an old index pays it.
+    meta = _load_pq_meta(spark, index_path)
+    if meta is not None:
+        keep_vec = bool(meta.get("store_vectors"))
+    else:
         keep_vec = "c_vec" in spark.read.parquet(index_path).columns
+        from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _write_small_file
+
+        _write_small_file(
+            spark,
+            f"{index_path.rstrip('/')}/_quantizer/meta.json",
+            json.dumps({"store_vectors": keep_vec}),
+        )
     kernel, out_schema = _pq_encode_kernel(
         cents, books, m, sub, id_col, vec_col, keep_vec=keep_vec
     )
@@ -598,7 +649,9 @@ def append_ivf_pq_index(
         # (input split x touched cell) every batch and re-grow the
         # file-count the clustered build bounded)
         .repartition(F.col("cell"))
-        .sortWithinPartitions("vec_id")
+        .sortWithinPartitions("cell", "vec_id")  # see build: leading cell
+        # key keeps Spark from inserting its own (stability-unguaranteed)
+        # sort above the vec_id order
         .write.partitionBy("cell")
         .mode("append")
         .parquet(index_path)
@@ -676,7 +729,12 @@ def build_ivf_pq_index(
         # files however large the corpus, and vec_id-sorted row groups
         # prune inside them.
         .repartition(F.col("cell"))
-        .sortWithinPartitions("vec_id")  # tight per-row-group id ranges
+        # sort by (cell, vec_id): the leading cell key satisfies the
+        # dynamic-partition writer's required ordering, so Spark does
+        # NOT insert its own Sort(cell) above this one — an insert
+        # whose stability is not contractual and could silently undo
+        # the vec_id order the row-group-pruning contract depends on
+        .sortWithinPartitions("cell", "vec_id")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(index_path)
@@ -764,6 +822,10 @@ def _ivf_pq_adc_scored(
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .collect()
     )
+    if not q_rows:  # empty queries: empty result, not a shape error
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cell int, adc_dist double"
+        )
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
     # probe cells per query: nprobe nearest centroids, ties -> lowest
@@ -900,10 +962,16 @@ def ivf_pq_rescore_topk(
     value-checkable. Returns (query_id, vec_id, cosine, rank) under
     (cosine desc, vec_id asc)."""
     shortlist = max(shortlist, k)
-    # c_vec presence is checked inside _refine_rescore on the PRUNED
-    # read — a root spark.read.parquet here would list all nlist cell
-    # dirs just to fetch the schema (corpus-proportional driver
-    # metadata; see _read_index_cells)
+    # fail-fast BEFORE paying the stage-1 scan: the build stamps
+    # store_vectors into _quantizer/meta.json, so this is one stat+read
+    # (never the O(nlist)-listing root-schema read). Pre-meta indexes
+    # skip the fast check; _refine_rescore's pruned read still raises.
+    meta = _load_pq_meta(spark, index_path)
+    if meta is not None and not meta.get("store_vectors"):
+        raise ValueError(
+            "ivf_pq_rescore_topk needs a refine-store index — rebuild with "
+            "build_ivf_pq_index(..., store_vectors=True)"
+        )
     scored = _ivf_pq_adc_scored(
         spark, index_path, queries, shortlist, nprobe, id_col, vec_col
     )

@@ -41,7 +41,14 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 sys.path.insert(0, _HERE)
 
-from scale_probe import BASE_SF, build_derived, timed  # noqa: E402
+from scale_probe import build_derived, timed  # noqa: E402
+
+# NOTE: the probe bodies below (bm25 / interval-overlap / shards / int8
+# rescore) intentionally mirror scripts/scale_probe.py's rows — same
+# replica time-shift (35-day stride off event_id), same interval-width
+# formula, same n_shards ∝ N knob — so the K=100 exponents are directly
+# comparable with the standing K=10/K=30 tables; a semantics change in
+# either file must be mirrored in the other.
 
 KS = [1, 10, 30, 100]
 
@@ -69,14 +76,14 @@ def main() -> None:
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.shards import write_training_shards
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.temporal import interval_overlap_join
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.text import token_count
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.tables import load_table
 
     spark = get_spark(app_name="riser_probe")
     dirs = {k: build_derived(spark, k) for k in KS}
 
     def tbl(k, name):
-        if k == 1 and dirs[1] == BASE_SF:
-            return load_table(spark, BASE_SF, name)
+        # every scale INCLUDING 1x reads a derived Spark-written copy
+        # (same multi-file layout at all scales — scale_probe.py's
+        # single-input-split rationale)
         return spark.read.parquet(os.path.join(dirs[k], name + ".parquet"))
 
     results = {}

@@ -1902,6 +1902,17 @@ def test_ivf_pq_clustered_layout_and_probed_cell_listing(spark, emb, tmp_path):
 
     before = files_per_cell()
     assert before and all(len(fs) == 1 for fs in before.values())
+    # intra-file ordering: each cell's file is vec_id-sorted (the
+    # row-group-pruning contract; sortWithinPartitions("cell","vec_id")
+    # satisfies the dynamic-partition writer's required ordering, so
+    # Spark inserts no extra — stability-unguaranteed — sort above it)
+    import pyarrow.parquet as pq_
+
+    for d, fs in before.items():
+        col = pq_.read_table(os.path.join(root, d, fs[0]), columns=["vec_id"])[
+            "vec_id"
+        ].to_pylist()
+        assert col == sorted(col), f"{d} not vec_id-sorted"
 
     # probed-cell-only listing: inputFiles of a 2-cell read name exactly
     # those two cells' dirs (inputFiles reflects the static file index,
