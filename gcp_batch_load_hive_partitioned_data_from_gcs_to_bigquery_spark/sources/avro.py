@@ -28,10 +28,14 @@ Supported writer-schema subset (the landing-table shapes): records of
 with ``null`` (nullable columns), ``array`` of a supported type, and
 the common logical types ``date`` (int), ``timestamp-millis``/
 ``timestamp-micros`` (long). Codecs ``null`` and ``deflate`` (raw zlib
-— both from the spec's required set). Anything else raises a
-clear NotImplementedError naming the unsupported node — schema
-evolution beyond this subset belongs to a full avro library, not an
-ingest path.
+— the spec's required set) plus ``snappy`` (the spec's
+optional-but-ubiquitous default of real producers; r15 verdict task 3)
+via a pure-Python snappy block decoder — full format: literals, all
+three copy tags, overlapping copies — with the 4-byte big-endian
+CRC32-of-uncompressed suffix Avro appends per block verified on read.
+Anything else raises a clear NotImplementedError naming the
+unsupported node — schema evolution beyond this subset belongs to a
+full avro library, not an ingest path.
 
 A spec-compliant writer (:func:`write_avro`) rides along for tests and
 fixture generation; the reader is additionally pinned against
@@ -92,6 +96,143 @@ def _read_bytes(fh) -> bytes:
     if len(data) != n:
         raise EOFError("truncated bytes")
     return data
+
+
+# ---------------------------------------------------------------------------
+# snappy block format (pure Python, no new dependency)
+#
+# Avro's ``snappy`` codec — optional in the spec but the de-facto default
+# real producers emit — compresses each block's payload with RAW snappy
+# (the block format, not the framing format) and appends a 4-byte
+# BIG-ENDIAN CRC32 of the UNCOMPRESSED data. The snappy block format
+# (github.com/google/snappy/blob/main/format_description.txt) is a
+# varint length preamble followed by literal/copy elements:
+#   tag & 3 == 0: literal, length (tag>>2)+1 (60..63 ⇒ 1..4 extra
+#                 little-endian length bytes holding length-1);
+#   tag & 3 == 1: copy, length ((tag>>2)&7)+4, offset 11 bits
+#                 ((tag>>5)<<8 | next byte);
+#   tag & 3 == 2: copy, length (tag>>2)+1, offset 2-byte little-endian;
+#   tag & 3 == 3: copy, length (tag>>2)+1, offset 4-byte little-endian.
+# Copies may reach back into just-written output and may OVERLAP
+# (offset < length ⇒ byte-wise repeat — the RLE trick).
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    """Full decoder for the snappy block format: all literal length
+    forms and all three copy tags, overlap-correct. Raises on
+    truncated input, bad offsets, or a preamble/output length
+    mismatch — corrupt ingest blocks must fail loudly."""
+    n = len(data)
+    pos, ulen, shift = 0, 0, 0
+    while True:  # preamble: uncompressed length, little-endian varint
+        if pos >= n:
+            raise EOFError("truncated snappy preamble")
+        b = data[pos]
+        pos += 1
+        ulen |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = (tag >> 2) + 1
+            if ln > 60:
+                nb = ln - 60
+                if pos + nb > n:
+                    raise EOFError("truncated snappy literal length")
+                ln = int.from_bytes(data[pos : pos + nb], "little") + 1
+                pos += nb
+            if pos + ln > n:
+                raise EOFError("truncated snappy literal")
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            if pos >= n:
+                raise EOFError("truncated snappy copy")
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            if pos + 2 > n:
+                raise EOFError("truncated snappy copy")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            if pos + 4 > n:
+                raise EOFError("truncated snappy copy")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy copy offset out of range")
+        start = len(out) - off
+        if off >= ln:  # disjoint: one slice
+            out += out[start : start + ln]
+        else:  # overlapping: byte-wise repeat per the spec
+            for i in range(ln):
+                out.append(out[start + i])
+    if len(out) != ulen:
+        raise ValueError(
+            f"snappy length mismatch: got {len(out)}, expected {ulen}"
+        )
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Spec-valid snappy block encoder emitting LITERALS ONLY — every
+    decoder must accept it (the format makes match-finding an encoder
+    quality choice, not a validity requirement), which is exactly what
+    a test/fixture writer needs: deterministic bytes, zero clever
+    state. Real compression ratios come from the upstream producer;
+    this engine only has to READ those — via the full decoder above."""
+    out = bytearray()
+    v = len(data)
+    while True:  # preamble varint
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | 0x80 if v else b)
+        if not v:
+            break
+    pos = 0
+    while pos < len(data):
+        ln = min(65536, len(data) - pos)
+        if ln <= 60:
+            out.append((ln - 1) << 2)
+        elif ln <= 256:
+            out.append(60 << 2)
+            out += (ln - 1).to_bytes(1, "little")
+        else:
+            out.append(61 << 2)
+            out += (ln - 1).to_bytes(2, "little")
+        out += data[pos : pos + ln]
+        pos += ln
+    return bytes(out)
+
+
+def _snappy_block_decode(payload: bytes) -> bytes:
+    """Avro-codec layer: strip + VERIFY the trailing big-endian CRC32
+    (of the uncompressed bytes) the spec appends per block, then
+    snappy-decompress."""
+    if len(payload) < 4:
+        raise EOFError("snappy block too short for its CRC32 suffix")
+    raw = _snappy_decompress(payload[:-4])
+    want = int.from_bytes(payload[-4:], "big")
+    got = zlib.crc32(raw) & 0xFFFFFFFF
+    if got != want:
+        raise ValueError(f"snappy block CRC mismatch: {got:#x} != {want:#x}")
+    return raw
+
+
+def _snappy_block_encode(raw: bytes) -> bytes:
+    return _snappy_compress(raw) + (zlib.crc32(raw) & 0xFFFFFFFF).to_bytes(
+        4, "big"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +358,7 @@ def read_header(fh):
         raise EOFError("truncated sync marker")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"unsupported Avro codec: {codec}")
     return schema, codec, sync, fh.tell()
 
@@ -280,6 +421,8 @@ def read_avro_records(path: str, offset: int | None = None, n_blocks: int | None
             done += 1
             if codec == "deflate":
                 payload = zlib.decompress(payload, -15)  # raw deflate per spec
+            elif codec == "snappy":
+                payload = _snappy_block_decode(payload)  # + CRC32 suffix check
             buf = io.BytesIO(payload)
             for _ in range(n):
                 yield tuple(d(buf) for d in decoders)
@@ -427,7 +570,7 @@ def write_avro(
     the schema text (md5), so identical inputs produce identical bytes."""
     import hashlib
 
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"unsupported Avro codec: {codec}")
     schema_raw = json.dumps(schema, sort_keys=True).encode("utf-8")
     sync = hashlib.md5(b"pyavro-sync:" + schema_raw).digest()
@@ -455,6 +598,8 @@ def write_avro(
             payload = bytes(body)
             if codec == "deflate":
                 payload = zlib.compress(payload, 6)[2:-4]  # raw deflate
+            elif codec == "snappy":
+                payload = _snappy_block_encode(payload)  # + CRC32 suffix
             block = bytearray()
             _write_long(block, len(chunk))
             _write_long(block, len(payload))

@@ -21,7 +21,12 @@ from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.functions.p
 
 
 def _glob_status(spark: SparkSession, pattern: str) -> list:
-    """Hadoop globStatus via py4j — metadata-only, no job."""
+    """Hadoop globStatus via py4j — metadata-only, no job. The pattern
+    IS interpreted as a glob (``* ? [ ] { }`` are metacharacters) —
+    that is the point for the hourly-partition probes whose paths this
+    module builds itself. For probing a path that may contain such
+    characters literally (user-supplied index roots), use
+    :func:`_path_exists`, which never glob-expands."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
@@ -29,6 +34,18 @@ def _glob_status(spark: SparkSession, pattern: str) -> list:
     fs = path.getFileSystem(conf)
     statuses = fs.globStatus(path)
     return list(statuses) if statuses is not None else []
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Exact-path existence probe (``fs.exists``) — metadata-only, no
+    job, and NO glob interpretation: a path containing ``[``/``{``/
+    ``*``/``?`` literally is checked as-is, where ``_glob_status``
+    would silently match nothing and read as "missing"."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    return bool(fs.exists(jpath))
 
 
 def partition_file_count(spark: SparkSession, root: str, partition: str) -> int:

@@ -177,3 +177,146 @@ def test_failure_contracts(tmp_path):
     open(enum_file, "wb").write(blob)
     with pytest.raises(NotImplementedError, match="enum"):
         AV.spark_schema_of(enum_file)
+
+
+def test_snappy_decompress_spec_bytes():
+    """The snappy block format pinned against hand-assembled bytes from
+    the public format description (NOT via _snappy_compress): every
+    literal length form, all three copy tags, the overlapping-copy RLE
+    rule, and the failure contracts."""
+    # literal "abc" + OVERLAPPING copy (tag 01, offset 3 < length 9) + literal "X"
+    s = b"\x0d" + b"\x08abc" + bytes([((9 - 4) << 2) | 1, 3]) + b"\x00X"
+    assert AV._snappy_decompress(s) == b"abcabcabcabcX"
+
+    # 2-byte-offset copy (tag 10): "0123456789" then copy len 4 @ off 10
+    s = (
+        b"\x0e"
+        + bytes([(10 - 1) << 2]) + b"0123456789"
+        + bytes([((4 - 1) << 2) | 2]) + (10).to_bytes(2, "little")
+    )
+    assert AV._snappy_decompress(s) == b"01234567890123"
+
+    # 4-byte-offset copy (tag 11), same semantics
+    s = (
+        b"\x0e"
+        + bytes([(10 - 1) << 2]) + b"0123456789"
+        + bytes([((4 - 1) << 2) | 3]) + (10).to_bytes(4, "little")
+    )
+    assert AV._snappy_decompress(s) == b"01234567890123"
+
+    # long literal (> 60 bytes -> 1-byte extended length form)
+    raw = bytes(range(256)) * 2  # 512 bytes
+    s = bytearray()
+    v = len(raw)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        s.append(b | 0x80 if v else b)
+        if not v:
+            break
+    s.append(61 << 2)  # 2-byte length form
+    s += (len(raw) - 1).to_bytes(2, "little")
+    s += raw
+    assert AV._snappy_decompress(bytes(s)) == raw
+
+    with pytest.raises(ValueError, match="offset"):
+        AV._snappy_decompress(b"\x04" + bytes([((4 - 4) << 2) | 1, 9]))  # off 9 > out 0
+    with pytest.raises(ValueError, match="length mismatch"):
+        AV._snappy_decompress(b"\x7f" + b"\x08abc")  # claims 127, yields 3
+    with pytest.raises(EOFError):
+        AV._snappy_decompress(b"\x0a\xf0")  # truncated extended literal length
+
+    # compressor: spec-valid literal-only stream, empty + >256 chunking
+    assert AV._snappy_decompress(AV._snappy_compress(b"")) == b""
+    big = bytes(i % 251 for i in range(70_000))  # spans 2-byte form + 2 chunks
+    assert AV._snappy_decompress(AV._snappy_compress(big)) == big
+
+
+def test_avro_snappy_golden_block_and_crc(tmp_path):
+    """Golden pin for the snappy CODEC layer: an Avro container
+    assembled byte-by-byte whose block payload is hand-built snappy —
+    including a genuine COPY element over the repeated record text —
+    plus the big-endian CRC32-of-uncompressed suffix the Avro spec
+    appends. A flipped CRC byte must fail loudly."""
+    import zlib
+
+    schema = (
+        b'{"type":"record","name":"r","fields":'
+        b'[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    )
+    sync = bytes(range(16))
+    # two records sharing text so the copy element has a real match
+    body = (
+        _zigzag(3) + _zigzag(6) + b"ababab" + _zigzag(-4) + _zigzag(6) + b"ababab"
+    )
+    head = body[: body.index(b"ababab") + 6 + len(_zigzag(-4) + _zigzag(6))]
+    assert body == head + b"ababab"  # tail is an exact 6-byte repeat
+    off = 6 + len(_zigzag(-4) + _zigzag(6))  # distance back to first "ababab"
+    snappy = bytearray()
+    v = len(body)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        snappy.append(b | 0x80 if v else b)
+        if not v:
+            break
+    snappy.append((len(head) - 1) << 2)  # literal: everything before the repeat
+    snappy += head
+    snappy.append(((6 - 4) << 2) | 1)  # copy tag 01: len 6, 1-byte offset
+    snappy.append(off)
+    payload = bytes(snappy) + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+    blob = (
+        b"Obj\x01"
+        + _zigzag(2)
+        + _zigzag(len(b"avro.schema")) + b"avro.schema"
+        + _zigzag(len(schema)) + schema
+        + _zigzag(len(b"avro.codec")) + b"avro.codec"
+        + _zigzag(len(b"snappy")) + b"snappy"
+        + b"\x00"
+        + sync
+        + _zigzag(2)
+        + _zigzag(len(payload))
+        + payload
+        + sync
+    )
+    p = tmp_path / "golden_snappy.avro"
+    p.write_bytes(blob)
+    assert list(AV.read_avro_records(str(p))) == [(3, "ababab"), (-4, "ababab")]
+
+    bad = bytearray(blob)
+    bad[-17] ^= 0xFF  # last CRC byte (payload tail, just before final sync)
+    p2 = tmp_path / "badcrc.avro"
+    p2.write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="CRC"):
+        list(AV.read_avro_records(str(p2)))
+
+
+def test_roundtrip_snappy_spark(spark, tmp_path):
+    """write_avro(codec='snappy') -> format('pyavro') round trip, split
+    planning unchanged (block seeks use the byte-size prefix, codec
+    doesn't matter to the planner)."""
+    schema = {
+        "type": "record",
+        "name": "n",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "w", "type": "double"},
+        ],
+    }
+    d = tmp_path / "land_snappy"
+    d.mkdir()
+    rows = [(i, None if i % 7 == 0 else f"s{i}" * 20, i / 3.0) for i in range(600)]
+    AV.write_avro(str(d / "s.avro"), schema, rows, codec="snappy", block_rows=40)
+    try:
+        spark.dataSource.register(AV.AvroDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("pyavro")
+        .option("path", str(d))
+        .option("split_mb", str(0.002))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() > 2
+    assert sorted((r.k, r.name, r.w) for r in df.collect()) == sorted(rows)

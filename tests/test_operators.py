@@ -1953,3 +1953,170 @@ def test_ivf_pq_clustered_layout_and_probed_cell_listing(spark, emb, tmp_path):
     # search over an index with genuinely probed-empty cells still works
     out = ivf_pq_search(spark, root, emb.filter(F.col("vec_id") < 3), k=5, nprobe=2)
     assert out.count() > 0
+
+
+def test_ivf_pq_compact_restores_one_file_per_cell(spark, emb, tmp_path):
+    """r16: compact_ivf_pq_index repairs the contract append erodes —
+    after ≥3 appends a hot cell holds ≥4 files (one per batch); compact
+    collapses every cell back to ONE vec_id-sorted file, leaves
+    _quantizer untouched, and search/rescore results are BIT-IDENTICAL
+    pre/post (pure re-layout). A crashed prior run's staging dir is
+    reclaimed, and the staging dir is gone after success."""
+    import json as _json
+    import os
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_index_file_stats,
+        ivf_pq_rescore_topk,
+        ivf_pq_search,
+    )
+
+    root = str(tmp_path / "ivfpq_compact")
+    build_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 200),
+        root,
+        nlist=8,
+        m=8,
+        codebook_size=16,
+        store_vectors=True,
+    )
+    for lo, hi in ((200, 300), (300, 400), (400, 1 << 62)):
+        append_ivf_pq_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), root
+        )
+    pre = ivf_pq_index_file_stats(spark, root)
+    assert pre["max_files_per_cell"] >= 4  # build + 3 appends on a hot cell
+    n_rows_pre = spark.read.parquet(root).count()
+    q = emb.filter(F.col("vec_id") < 5)
+    pre_search = sorted(map(tuple, ivf_pq_search(spark, root, q, k=3, nprobe=3).collect()))
+    pre_rescore = sorted(
+        map(tuple, ivf_pq_rescore_topk(spark, root, q, k=3, shortlist=10, nprobe=3).collect())
+    )
+
+    # a crashed prior compaction left a stale staging dir — reclaimed
+    os.makedirs(f"{root}__compacting/cell=0", exist_ok=True)
+    open(f"{root}__compacting/cell=0/garbage.parquet", "w").write("junk")
+
+    res = compact_ivf_pq_index(spark, root)
+    assert res["files_before"] == pre["n_files"]
+    assert res["files_after"] == res["n_cells"]  # exactly one per cell
+    assert res["n_rows"] == n_rows_pre
+    post = ivf_pq_index_file_stats(spark, root)
+    assert post["max_files_per_cell"] == 1 and post["n_cells"] == pre["n_cells"]
+    assert not os.path.exists(f"{root}__compacting")
+
+    # each compacted file is vec_id-sorted (row-group-pruning contract)
+    import pyarrow.parquet as pq_
+
+    for d in os.listdir(root):
+        if not d.startswith("cell="):
+            continue
+        (f,) = [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+        col = pq_.read_table(os.path.join(root, d, f), columns=["vec_id"])["vec_id"].to_pylist()
+        assert col == sorted(col), f"{d} not vec_id-sorted after compact"
+
+    # quantizer + meta survive; results identical
+    meta = _json.loads(open(os.path.join(root, "_quantizer", "meta.json")).read())
+    assert meta == {"store_vectors": True, "nlist": 8, "m": 8}
+    assert sorted(map(tuple, ivf_pq_search(spark, root, q, k=3, nprobe=3).collect())) == pre_search
+    assert (
+        sorted(map(tuple, ivf_pq_rescore_topk(spark, root, q, k=3, shortlist=10, nprobe=3).collect()))
+        == pre_rescore
+    )
+
+
+def test_profile_cell_skew_flags_hot_cell(spark, tmp_path):
+    """r16: a deliberately skewed embedding distribution (every
+    non-seed vector parked next to centroid 0) must surface as a hot
+    cell-0 row with skew ≫ 1 and trip the rebalance (re-train) signal;
+    shares sum to 1."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_rebalance_needed,
+        profile_cell_skew,
+    )
+
+    # 16 spread-out seed vectors (ids 0..15: the deterministic seed
+    # quantizer; cells = seeds 0..3), then 100 vectors glued to seed 0
+    rows = [(i, [float(i * 10 + 1), float(i), 0.0, 1.0]) for i in range(16)]
+    rows += [(100 + j, [1.0 + 0.001 * j, 0.0, 0.0, 1.0]) for j in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "ivf_skewed")
+    build_ivf_pq_index(df, root, nlist=4, m=2, codebook_size=16)
+
+    prof = profile_cell_skew(spark, root).collect()
+    assert prof[0]["cell"] == 0 and prof[0]["n_vectors"] >= 100
+    assert prof[0]["skew"] > 3.0
+    assert abs(sum(r["share"] for r in prof) - 1.0) < 0.01
+    sig = ivf_rebalance_needed(spark, root, max_skew=3.0)
+    assert sig == {"rebalance": True, "max_skew": prof[0]["skew"], "hot_cell": 0}
+
+    # a balanced corpus must NOT trip it: same 16 seeds, then the bulk
+    # round-robins the 4 CENTROID locations (seeds 0..3) evenly
+    bal = spark.createDataFrame(
+        rows[:16]
+        + [
+            (100 + j, [float(j % 4) * 10 + 1, float(j % 4), 0.0, 1.0])
+            for j in range(144)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    root2 = str(tmp_path / "ivf_balanced")
+    build_ivf_pq_index(bal, root2, nlist=4, m=2, codebook_size=16)
+    assert ivf_rebalance_needed(spark, root2, max_skew=3.0)["rebalance"] is False
+
+
+def test_pq_meta_torn_stamp_and_literal_path_probe(spark, emb, tmp_path):
+    """r16 (r15 ADVICE): (a) a TORN meta.json (crash mid-stamp before
+    the atomic write existed) degrades to the root-schema fallback —
+    rescore still works, and the next append re-stamps the FULL schema
+    (store_vectors + nlist + m); (b) the index existence probes are
+    exact-path (fs.exists), so a path containing glob metacharacters
+    is probed literally where globStatus would silently report it
+    missing; (c) meta writes are staged+renamed (no .tmp residue)."""
+    import json as _json
+    import os
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _load_pq_meta,
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_rescore_topk,
+    )
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _glob_status, _path_exists
+
+    root = str(tmp_path / "ivfpq_torn")
+    build_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 200), root, nlist=8, m=8,
+        codebook_size=16, store_vectors=True,
+    )
+    meta_path = os.path.join(root, "_quantizer", "meta.json")
+    assert not os.path.exists(meta_path + ".tmp") and not os.path.exists(
+        os.path.join(root, "_quantizer", ".meta.json.tmp")
+    )
+    # tear the stamp THROUGH the Hadoop FS (in-place create, no staging
+    # — the pre-atomic writer's crash shape, checksum sidecar consistent)
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(meta_path)
+    hfs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = hfs.create(jpath, True)
+    stream.write('{"store_vectors": tr'.encode())
+    stream.close()
+    assert _load_pq_meta(spark, root) is None  # degrades, never raises
+    q = emb.filter(F.col("vec_id") < 2)
+    assert ivf_pq_rescore_topk(spark, root, q, k=3, shortlist=8, nprobe=3).count() > 0
+    hfs.delete(jpath, False)  # pre-meta index: first append re-stamps
+    append_ivf_pq_index(
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 210)), root
+    )
+    meta = _json.loads(open(meta_path).read())
+    assert meta == {"store_vectors": True, "nlist": 8, "m": 8}
+
+    # literal-path probe: glob metachars in a real dir name
+    weird = tmp_path / "idx [1] {a}"
+    os.makedirs(weird / "cell=0", exist_ok=True)
+    assert _path_exists(spark, str(weird / "cell=0")) is True
+    assert _glob_status(spark, str(weird / "cell=0")) == []  # the old bug
