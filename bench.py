@@ -206,6 +206,14 @@ def main() -> None:
                     " runs — a single run may sit in the slow era"
                     " (BASELINE.md host-era sections)"
                 ),
+                "twin_note": (
+                    "stream_semantic_dedup is the per-batch-reassignment"
+                    " BASELINE twin kept for comparison; its documented"
+                    " scale path is stream_semantic_dedup_amortized"
+                    " (streaming/semantic_stream.py — measured 1.13x per"
+                    " trigger at a 10x corpus). Quote/optimize the"
+                    " amortized line, not the baseline twin."
+                ),
             }
         )
     )
