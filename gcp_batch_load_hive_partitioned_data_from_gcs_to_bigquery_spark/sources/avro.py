@@ -25,9 +25,11 @@ once per partition (no per-field dict dispatch in the hot loop).
 
 Supported writer-schema subset (the landing-table shapes): records of
 ``null/boolean/int/long/float/double/bytes/string``, 2-branch unions
-with ``null`` (nullable columns), ``array`` of a supported type, and
-the common logical types ``date`` (int), ``timestamp-millis``/
-``timestamp-micros`` (long). Codecs ``null`` and ``deflate`` (raw zlib
+with ``null`` (nullable columns), ``array``/``map`` of a supported
+type, ``enum`` (→ string), ``fixed`` (→ binary), and the common
+logical types ``date`` (int), ``timestamp-millis``/
+``timestamp-micros`` (long), ``decimal`` (bytes/fixed → DecimalType,
+big-endian two's-complement unscaled per the spec). Codecs ``null`` and ``deflate`` (raw zlib
 — the spec's required set) plus ``snappy`` (the spec's
 optional-but-ubiquitous default of real producers; r15 verdict task 3)
 via a pure-Python snappy block decoder — full format: literals, all
@@ -270,6 +272,62 @@ def _compile(node):
                         out.append(item(fh))
 
             return dec_array
+        if t == "map":  # blocks of (count, key-value pairs), 0-terminated
+            val = _compile(node["values"])
+
+            def dec_map(fh, val=val):
+                out = {}
+                while True:
+                    n = _read_long(fh)
+                    if n == 0:
+                        return out
+                    if n < 0:  # block with byte-size prefix
+                        n = -n
+                        _read_long(fh)  # byte size — sequential decode skips it
+                    for _ in range(n):
+                        # key MUST be read before the value (subscript
+                        # assignment evaluates its RHS first in Python)
+                        mk = _read_bytes(fh).decode("utf-8")
+                        out[mk] = val(fh)
+
+            return dec_map
+        if t == "enum":  # int index into the symbol table
+            symbols = list(node["symbols"])
+
+            def dec_enum(fh, symbols=symbols):
+                i = _read_long(fh)
+                if not 0 <= i < len(symbols):
+                    raise ValueError(f"enum index {i} out of range")
+                return symbols[i]
+
+            return dec_enum
+        if t == "fixed" and logical != "decimal":  # size bytes, no length prefix
+            size = int(node["size"])
+
+            def dec_fixed(fh, size=size):
+                raw = fh.read(size)
+                if len(raw) != size:
+                    raise EOFError("truncated fixed")
+                return raw
+
+            return dec_fixed
+        if logical == "decimal" and t in ("bytes", "fixed"):
+            # big-endian two's-complement unscaled integer (spec) — the
+            # Python Decimal round-trips into Spark's DecimalType
+            from decimal import Decimal
+
+            scale = int(node.get("scale", 0))
+            size = int(node["size"]) if t == "fixed" else None
+
+            def dec_decimal(fh, scale=scale, size=size):
+                raw = fh.read(size) if size is not None else _read_bytes(fh)
+                if size is not None and len(raw) != size:
+                    raise EOFError("truncated fixed decimal")
+                return Decimal(int.from_bytes(raw, "big", signed=True)).scaleb(
+                    -scale
+                )
+
+            return dec_decimal
         if t == "int" and logical == "date":
             return lambda fh: _EPOCH_DATE + timedelta(days=_read_long(fh))
         if t == "long" and logical == "timestamp-micros":
@@ -310,6 +368,14 @@ def _spark_type(node) -> str:
         t, logical = node.get("type"), node.get("logicalType")
         if t == "array":
             return f"array<{_spark_type(node['items'])}>"
+        if t == "map":
+            return f"map<string,{_spark_type(node['values'])}>"
+        if t == "enum":
+            return "string"
+        if logical == "decimal" and t in ("bytes", "fixed"):
+            return f"decimal({int(node.get('precision', 38))},{int(node.get('scale', 0))})"
+        if t == "fixed":
+            return "binary"
         if t == "int" and logical == "date":
             return "date"
         if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
@@ -505,6 +571,8 @@ except ImportError:  # pragma: no cover
 
 def _encode(node, value, out: bytearray) -> None:
     if isinstance(node, list):
+        if len(node) != 2 or "null" not in node:
+            raise NotImplementedError(f"only 2-branch null unions supported: {node}")
         null_at = node.index("null")
         if value is None:
             _write_long(out, null_at)
@@ -521,6 +589,35 @@ def _encode(node, value, out: bytearray) -> None:
                 for v in value:
                     _encode(node["items"], v, out)
             _write_long(out, 0)
+            return
+        if t == "map":
+            if value:
+                _write_long(out, len(value))
+                for mk, mv in value.items():
+                    raw = mk.encode("utf-8")
+                    _write_long(out, len(raw))
+                    out.extend(raw)
+                    _encode(node["values"], mv, out)
+            _write_long(out, 0)
+            return
+        if t == "enum":
+            _write_long(out, node["symbols"].index(value))
+            return
+        if logical == "decimal" and t in ("bytes", "fixed"):
+            scale = int(node.get("scale", 0))
+            unscaled = int(value.scaleb(scale).to_integral_value())
+            if t == "fixed":
+                out.extend(unscaled.to_bytes(int(node["size"]), "big", signed=True))
+            else:
+                n = max(1, (unscaled.bit_length() + 8) // 8)  # sign bit room
+                raw = unscaled.to_bytes(n, "big", signed=True)
+                _write_long(out, len(raw))
+                out.extend(raw)
+            return
+        if t == "fixed":
+            if len(value) != int(node["size"]):
+                raise ValueError(f"fixed size mismatch: {len(value)} != {node['size']}")
+            out.extend(value)
             return
         if t == "int" and logical == "date":
             _write_long(out, (value - _EPOCH_DATE).days)

@@ -151,32 +151,30 @@ def test_failure_contracts(tmp_path):
     with pytest.raises(ValueError, match="sync"):
         list(AV.read_avro_records(bad_sync))
 
-    enum_schema = {
+    # a MULTI-branch union (genuine schema evolution) stays a clear
+    # unsupported-feature guard (enum/map/fixed/decimal are supported
+    # as of r16 — see test_enum_map_fixed_decimal_roundtrip)
+    union_schema = {
         "type": "record",
         "name": "r",
-        "fields": [
-            {
-                "name": "e",
-                "type": {"type": "enum", "name": "E", "symbols": ["A"]},
-            }
-        ],
+        "fields": [{"name": "u", "type": ["null", "long", "string"]}],
     }
     with pytest.raises(NotImplementedError):
-        AV.write_avro(str(tmp_path / "enum.avro"), enum_schema, [("A",)])
-    # reader-side: a valid container whose schema holds the enum node
+        AV.write_avro(str(tmp_path / "union3.avro"), union_schema, [(1,)])
+    # reader-side: a valid container whose schema holds the 3-branch node
     import json as _json
 
-    raw = _json.dumps(enum_schema).encode()
+    raw = _json.dumps(union_schema).encode()
     sync = bytes(16)
     blob = (
         b"Obj\x01" + _zigzag(1)
         + _zigzag(11) + b"avro.schema" + _zigzag(len(raw)) + raw
         + b"\x00" + sync
     )
-    enum_file = str(tmp_path / "enum2.avro")
-    open(enum_file, "wb").write(blob)
-    with pytest.raises(NotImplementedError, match="enum"):
-        AV.spark_schema_of(enum_file)
+    union_file = str(tmp_path / "union3b.avro")
+    open(union_file, "wb").write(blob)
+    with pytest.raises(NotImplementedError, match="union"):
+        AV.spark_schema_of(union_file)
 
 
 def test_snappy_decompress_spec_bytes():
@@ -320,3 +318,84 @@ def test_roundtrip_snappy_spark(spark, tmp_path):
     )
     assert df.rdd.getNumPartitions() > 2
     assert sorted((r.k, r.name, r.w) for r in df.collect()) == sorted(rows)
+
+
+def test_enum_map_fixed_decimal_roundtrip(spark, tmp_path):
+    """r16: the last writer-type gaps the r15 verdict listed —
+    enum (→ string), map (→ map<string,V>), fixed (→ binary), and the
+    decimal logical type on bytes AND fixed (big-endian
+    two's-complement unscaled per the spec, → DecimalType) — round-trip
+    through write_avro → format('pyavro'), plus a golden decode of
+    hand-assembled spec bytes for each node so the reader is pinned to
+    the public format, not its sibling writer."""
+    from decimal import Decimal
+
+    schema = {
+        "type": "record",
+        "name": "n",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "status", "type": {"type": "enum", "name": "S",
+                                        "symbols": ["OK", "WARN", "ERR"]}},
+            {"name": "tags", "type": {"type": "map", "values": "long"}},
+            {"name": "sig", "type": {"type": "fixed", "name": "F4", "size": 4}},
+            {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                        "precision": 10, "scale": 2}},
+            {"name": "rate", "type": {"type": "fixed", "name": "F3", "size": 3,
+                                      "logicalType": "decimal",
+                                      "precision": 7, "scale": 3}},
+        ],
+    }
+    rows = [
+        (1, "OK", {"a": 2, "b": -3}, b"\x01\x02\x03\x04", Decimal("12345.67"), Decimal("1.500")),
+        (2, "ERR", {}, b"\xff\x00\xff\x00", Decimal("-0.01"), Decimal("-2.048")),
+    ]
+    p = str(tmp_path / "typed.avro")
+    AV.write_avro(p, schema, rows, codec="snappy", block_rows=1)
+    assert AV.spark_schema_of(p) == (
+        "k bigint, status string, tags map<string,bigint>, sig binary,"
+        " amount decimal(10,2), rate decimal(7,3)"
+    )
+    assert list(AV.read_avro_records(p)) == rows
+
+    try:
+        spark.dataSource.register(AV.AvroDataSource)
+    except Exception:
+        pass
+    df = spark.read.format("pyavro").option("path", p).load()
+    got = sorted(
+        (r.k, r.status, dict(r.tags), bytes(r.sig), r.amount, r.rate)
+        for r in df.collect()
+    )
+    assert got == sorted(rows)
+
+    # golden spec bytes: one record, hand-encoded per the Avro spec
+    schema2 = (
+        b'{"type":"record","name":"g","fields":['
+        b'{"name":"e","type":{"type":"enum","name":"E","symbols":["X","Y"]}},'
+        b'{"name":"m","type":{"type":"map","values":"string"}},'
+        b'{"name":"f","type":{"type":"fixed","name":"F","size":2}},'
+        b'{"name":"d","type":{"type":"bytes","logicalType":"decimal",'
+        b'"precision":6,"scale":2}}]}'
+    )
+    sync = bytes(range(16))
+    body = (
+        _zigzag(1)                       # enum index 1 -> "Y"
+        + _zigzag(1)                     # map: one entry in this block
+        + _zigzag(2) + b"hi"             # key "hi"
+        + _zigzag(3) + b"yes"            # value "yes"
+        + _zigzag(0)                     # map terminator
+        + b"\xab\xcd"                    # fixed, 2 raw bytes
+        + _zigzag(2) + b"\xfb\x2e"       # decimal bytes: -1234 -> -12.34
+    )
+    blob = (
+        b"Obj\x01" + _zigzag(1)
+        + _zigzag(11) + b"avro.schema" + _zigzag(len(schema2)) + schema2
+        + b"\x00" + sync
+        + _zigzag(1) + _zigzag(len(body)) + body + sync
+    )
+    g = tmp_path / "golden_typed.avro"
+    g.write_bytes(blob)
+    assert list(AV.read_avro_records(str(g))) == [
+        ("Y", {"hi": "yes"}, b"\xab\xcd", Decimal("-12.34"))
+    ]
