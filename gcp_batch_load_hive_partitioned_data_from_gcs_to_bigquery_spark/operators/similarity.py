@@ -826,17 +826,22 @@ def profile_cell_skew(spark: SparkSession, index_path: str) -> DataFrame:
         .groupBy(F.col("cell").cast("int").alias("cell"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
-    tot = counts.agg(
-        F.sum("n_vectors").alias("__total"),
-        F.avg("n_vectors").alias("__mean"),
-    )
+    # global window over the nlist-row aggregate: ONE index scan in the
+    # plan (a crossJoin-with-total twin re-derives the counts lineage
+    # and scans twice — verified via executedPlan FileScan count); the
+    # single-task window is fine because its input is already reduced
+    # to one row per non-empty cell
+    w_all = W.partitionBy()
     return (
-        counts.crossJoin(F.broadcast(tot))  # single-row constant attach
-        .select(
+        counts.select(
             "cell",
             "n_vectors",
-            F.round(F.col("n_vectors") / F.col("__total"), 4).alias("share"),
-            F.round(F.col("n_vectors") / F.col("__mean"), 4).alias("skew"),
+            F.round(
+                F.col("n_vectors") / F.sum("n_vectors").over(w_all), 4
+            ).alias("share"),
+            F.round(
+                F.col("n_vectors") / F.avg("n_vectors").over(w_all), 4
+            ).alias("skew"),
         )
         .orderBy(F.desc("n_vectors"), F.asc("cell"))
     )
