@@ -867,6 +867,49 @@ def ivf_rebalance_needed(
     }
 
 
+def maintain_ivf_pq_index(
+    spark: SparkSession,
+    index_path: str,
+    max_files_per_cell: int = 8,
+    max_skew: float = 4.0,
+) -> dict:
+    """One maintenance tick for a live IVF-PQ index — the runbook the
+    append/compact/skew pieces compose into (the semantic-cells store's
+    compact/retrain lifecycle, mapped onto the index layout):
+
+    1. file health (:func:`ivf_pq_index_file_stats`, metadata-only):
+       when appends have grown any cell past ``max_files_per_cell``
+       files, COMPACT (one clustering shuffle, values bit-identical,
+       restores the one-sorted-file-per-cell GET cost);
+    2. skew health (:func:`profile_cell_skew`, one zero-column scan):
+       when the hottest cell exceeds ``max_skew`` × the balanced-cell
+       budget, signal RETRAIN (centroids re-seeded on current data —
+       a rebuild the operator flags but does not perform: retraining
+       changes cell assignments, i.e. the index's physical layout
+       version, so its timing belongs to the owner's rollout policy,
+       exactly like retrain_corpus_cells vs compact_corpus_cells).
+
+    Hourly appends + this tick on a cron = a production index that
+    never degrades: compaction keeps the per-cell file count O(1)
+    between ticks, and the retrain flag bounds how far a drifting
+    embedding distribution can erode the nlist sizing. Returns
+    {compacted: bool, compact_stats: dict|None, retrain_needed: bool,
+    skew: dict, files: dict}."""
+    files = ivf_pq_index_file_stats(spark, index_path)
+    compact_stats = None
+    if files["max_files_per_cell"] > max_files_per_cell:
+        compact_stats = compact_ivf_pq_index(spark, index_path)
+        files = ivf_pq_index_file_stats(spark, index_path)
+    skew = ivf_rebalance_needed(spark, index_path, max_skew=max_skew)
+    return {
+        "compacted": compact_stats is not None,
+        "compact_stats": compact_stats,
+        "retrain_needed": skew["rebalance"],
+        "skew": skew,
+        "files": files,
+    }
+
+
 def build_ivf_pq_index(
     corpus: DataFrame,
     index_path: str,

@@ -2120,3 +2120,35 @@ def test_pq_meta_torn_stamp_and_literal_path_probe(spark, emb, tmp_path):
     os.makedirs(weird / "cell=0", exist_ok=True)
     assert _path_exists(spark, str(weird / "cell=0")) is True
     assert _glob_status(spark, str(weird / "cell=0")) == []  # the old bug
+
+
+def test_maintain_ivf_pq_index_tick(spark, emb, tmp_path):
+    """r16: the maintenance tick composes the round's pieces — below
+    the file threshold it does nothing; past it, it compacts (back to
+    one file per cell) and reports; the retrain flag follows the skew
+    audit (False on the balanced embeddings fixture)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_index_file_stats,
+        maintain_ivf_pq_index,
+    )
+
+    root = str(tmp_path / "ivfpq_maint")
+    build_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 400), root, nlist=8, m=8,
+        codebook_size=16, store_vectors=True,
+    )
+    append_ivf_pq_index(emb.filter(F.col("vec_id") >= 400), root)
+    # 2 files/cell max — under the threshold: no compaction
+    tick = maintain_ivf_pq_index(spark, root, max_files_per_cell=8)
+    assert tick["compacted"] is False and tick["compact_stats"] is None
+    assert tick["retrain_needed"] is False
+    assert tick["files"]["max_files_per_cell"] >= 2
+
+    # force the threshold: now it compacts and the stats agree
+    tick = maintain_ivf_pq_index(spark, root, max_files_per_cell=1)
+    assert tick["compacted"] is True
+    assert tick["compact_stats"]["files_after"] == tick["compact_stats"]["n_cells"]
+    assert tick["files"]["max_files_per_cell"] == 1
+    assert ivf_pq_index_file_stats(spark, root)["max_files_per_cell"] == 1
