@@ -2152,3 +2152,60 @@ def test_maintain_ivf_pq_index_tick(spark, emb, tmp_path):
     assert tick["compact_stats"]["files_after"] == tick["compact_stats"]["n_cells"]
     assert tick["files"]["max_files_per_cell"] == 1
     assert ivf_pq_index_file_stats(spark, root)["max_files_per_cell"] == 1
+
+
+def test_ivf_pq_compact_edge_cases(spark, tmp_path):
+    """r16: compaction corner cases — a heavily SPARSE index (all bulk
+    mass in 2 of 8 cells; the other cells hold only their own seed
+    vector, since a seed is always its own nearest centroid) compacts
+    every live dir; compact is idempotent; an append AFTER compact
+    stays clustered (exactly one new file per touched cell)."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_index_file_stats,
+        ivf_pq_search,
+    )
+
+    # 16 seeds, all bulk vectors glued to seeds 0 and 1 -> cells 2..7
+    # hold only single-seed populations (a seed is its own centroid,
+    # so under the seed quantizer no cell is ever truly empty)
+    rows = [(i, [float(i * 10 + 1), float(i), 0.0, 1.0]) for i in range(16)]
+    rows += [
+        (100 + j, [float(j % 2) * 10 + 1, float(j % 2), 0.0, 1.0])
+        for j in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "ivf_sparse")
+    build_ivf_pq_index(df, root, nlist=8, m=2, codebook_size=16, store_vectors=True)
+    stats = ivf_pq_index_file_stats(spark, root)
+    assert stats["n_cells"] == 8 and stats["max_files_per_cell"] == 1
+
+    batch = spark.createDataFrame(
+        [(500 + j, [1.0, 0.0, 0.0, 1.0]) for j in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    append_ivf_pq_index(batch, root)
+    res1 = compact_ivf_pq_index(spark, root)
+    assert res1["files_after"] == res1["n_cells"] == stats["n_cells"]
+    res2 = compact_ivf_pq_index(spark, root)  # idempotent
+    assert res2["files_before"] == res2["files_after"] == res1["files_after"]
+    assert res2["n_rows"] == res1["n_rows"] == 16 + 60 + 5
+
+    # append AFTER compact stays clustered: exactly one new file per
+    # touched cell, and search over the whole lifecycle still answers
+    before = ivf_pq_index_file_stats(spark, root)
+    append_ivf_pq_index(
+        spark.createDataFrame(
+            [(600, [1.0, 0.0, 0.0, 1.0]), (601, [11.0, 1.0, 0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        ),
+        root,
+    )
+    after = ivf_pq_index_file_stats(spark, root)
+    assert after["n_files"] - before["n_files"] in (1, 2)  # files == touched cells
+    assert after["max_files_per_cell"] == 2
+    q = df.filter(F.col("vec_id") < 2)
+    out = ivf_pq_search(spark, root, q, k=3, nprobe=2)
+    assert out.count() > 0
