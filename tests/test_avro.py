@@ -399,3 +399,42 @@ def test_enum_map_fixed_decimal_roundtrip(spark, tmp_path):
     assert list(AV.read_avro_records(str(g))) == [
         ("Y", {"hi": "yes"}, b"\xab\xcd", Decimal("-12.34"))
     ]
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): the snappy layer and the container writer
+# under arbitrary inputs — the hand-assembled pins above check known
+# byte sequences; these check the invariants hold everywhere.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=70_000))
+def test_snappy_roundtrip_property(data):
+    """decompress(compress(x)) == x for arbitrary bytes, across the
+    short/1-byte/2-byte literal length forms and the chunk boundary."""
+    assert AV._snappy_decompress(AV._snappy_compress(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-(2**40), 2**40), st.text(max_size=40)),
+        max_size=60,
+    ),
+    st.sampled_from(["null", "deflate", "snappy"]),
+)
+def test_container_roundtrip_property(tmp_path_factory, rows, codec):
+    """write_avro -> read_avro_records is identity for arbitrary
+    (long, string) rows under every supported codec (zigzag negatives,
+    unicode, empty blocks, empty files)."""
+    schema = {
+        "type": "record",
+        "name": "p",
+        "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}],
+    }
+    p = str(tmp_path_factory.mktemp("prop") / "p.avro")
+    AV.write_avro(p, schema, rows, codec=codec, block_rows=7)
+    assert list(AV.read_avro_records(p)) == rows
