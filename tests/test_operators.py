@@ -1997,8 +1997,13 @@ def test_ivf_pq_compact_restores_one_file_per_cell(spark, emb, tmp_path):
     )
 
     # a crashed prior compaction left a stale staging dir — reclaimed
-    os.makedirs(f"{root}__compacting/cell=0", exist_ok=True)
-    open(f"{root}__compacting/cell=0/garbage.parquet", "w").write("junk")
+    # (dot-prefixed sibling: hidden from listings of the parent, r16
+    # ADVICE)
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import _hidden_sibling
+
+    staging = _hidden_sibling(root, "__compacting")
+    os.makedirs(f"{staging}/cell=0", exist_ok=True)
+    open(f"{staging}/cell=0/garbage.parquet", "w").write("junk")
 
     res = compact_ivf_pq_index(spark, root)
     assert res["files_before"] == pre["n_files"]
@@ -2006,7 +2011,8 @@ def test_ivf_pq_compact_restores_one_file_per_cell(spark, emb, tmp_path):
     assert res["n_rows"] == n_rows_pre
     post = ivf_pq_index_file_stats(spark, root)
     assert post["max_files_per_cell"] == 1 and post["n_cells"] == pre["n_cells"]
-    assert not os.path.exists(f"{root}__compacting")
+    assert not os.path.exists(staging)
+    assert not os.path.exists(f"{root}/.__old")
 
     # each compacted file is vec_id-sorted (row-group-pruning contract)
     import pyarrow.parquet as pq_
@@ -2209,3 +2215,250 @@ def test_ivf_pq_compact_edge_cases(spark, tmp_path):
     q = df.filter(F.col("vec_id") < 2)
     out = ivf_pq_search(spark, root, q, k=3, nprobe=2)
     assert out.count() > 0
+
+
+def test_ivf_pq_compact_crash_at_every_swap_step(spark, emb, tmp_path):
+    """r17 (r16 verdict task 1): the per-cell swap is rename-aside —
+    park the original under .__old/, swap the staged copy in, drop the
+    parked copy — so the cell's rows exist under exactly one of two
+    well-known names at EVERY step. This test constructs each crash
+    boundary state by hand and proves, for each: (a) a search issued
+    against the half-swapped tree returns the full candidate set
+    (reader fallback to the parked name), and (b) a subsequent
+    compact run reconciles the crash and loses ZERO rows."""
+    import os
+    import shutil
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _hidden_sibling,
+        _read_index_cells,
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_index_file_stats,
+        ivf_pq_search,
+    )
+
+    root = str(tmp_path / "ivfpq_crash")
+    build_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 200), root, nlist=8, m=8,
+        codebook_size=16, store_vectors=True,
+    )
+    for lo, hi in ((200, 300), (300, 400), (400, 1 << 62)):
+        append_ivf_pq_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), root
+        )
+    n_total = spark.read.parquet(root).count()
+    q = emb.filter(F.col("vec_id") < 5)
+    expected = sorted(
+        map(tuple, ivf_pq_search(spark, root, q, k=3, nprobe=8).collect())
+    )
+    pristine = str(tmp_path / "pristine")
+    shutil.copytree(root, pristine)
+    # a genuine staged tree: compact a DONOR copy — its cell dirs are
+    # byte-wise what the crashed run's completed staging write held
+    donor = str(tmp_path / "donor")
+    shutil.copytree(pristine, donor)
+    compact_ivf_pq_index(spark, donor)
+    staging = _hidden_sibling(root, "__compacting")
+    aside = f"{root}/.__old"
+    cells = sorted(
+        d for d in os.listdir(donor) if d.startswith("cell=")
+    )
+    hot = cells[0]
+
+    def fresh():
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.copytree(pristine, root)
+
+    def stage_all():
+        shutil.copytree(donor, staging)
+        shutil.rmtree(f"{staging}/_quantizer")  # staging holds cells only
+
+    def check_recovers(state: str):
+        # (a) reader safety: full candidate set from the crashed tree
+        got = sorted(
+            map(tuple, ivf_pq_search(spark, root, q, k=3, nprobe=8).collect())
+        )
+        assert got == expected, f"{state}: search degraded mid-crash"
+        hot_cell = int(hot.split("=")[1])
+        rows = _read_index_cells(spark, root, [hot_cell])
+        assert rows is not None and rows.count() > 0, f"{state}: hot cell lost"
+        # (b) recovery: the next compact run loses zero rows
+        res = compact_ivf_pq_index(spark, root)
+        assert res["n_rows"] == n_total, f"{state}: rows lost in recovery"
+        assert spark.read.parquet(root).count() == n_total
+        assert (
+            spark.read.parquet(root).select("vec_id").distinct().count() == n_total
+        )
+        assert ivf_pq_index_file_stats(spark, root)["max_files_per_cell"] == 1
+        assert not os.path.exists(staging) and not os.path.exists(aside)
+        got = sorted(
+            map(tuple, ivf_pq_search(spark, root, q, k=3, nprobe=8).collect())
+        )
+        assert got == expected, f"{state}: search changed after recovery"
+
+    # state A — crash after the staging write, before any rename
+    fresh(); stage_all()
+    check_recovers("A: staged, no swap")
+
+    # state B — crash between rename 1 and rename 2 on the first cell:
+    # live dir missing, original parked under .__old/ (the state the
+    # old delete→rename protocol lost permanently)
+    fresh(); stage_all()
+    os.makedirs(aside, exist_ok=True)
+    os.rename(f"{root}/{hot}", f"{aside}/{hot}")
+    check_recovers("B: parked, not yet swapped in")
+
+    # state C — crash between rename 2 and the aside delete: staged
+    # copy live, stale parked copy still under .__old/
+    fresh(); stage_all()
+    os.makedirs(aside, exist_ok=True)
+    os.rename(f"{root}/{hot}", f"{aside}/{hot}")
+    os.rename(f"{staging}/{hot}", f"{root}/{hot}")
+    check_recovers("C: swapped in, aside not dropped")
+
+    # state D — crash after the first cell completed, before the next
+    # cell's rename 1 (partial-prefix state)
+    fresh(); stage_all()
+    os.makedirs(aside, exist_ok=True)
+    os.rename(f"{root}/{hot}", f"{aside}/{hot}")
+    os.rename(f"{staging}/{hot}", f"{root}/{hot}")
+    shutil.rmtree(f"{aside}/{hot}")
+    check_recovers("D: one cell done, rest pending")
+
+
+def test_retrain_ivf_pq_index_rebalances_and_recalls(spark, tmp_path):
+    """r17 (r16 verdict task 2): retrain_ivf_pq_index acts on the skew
+    signal — on a deliberately skewed fixture (100 vectors glued near
+    seed 0) the seed quantizer leaves one hot cell (skew ≫ 3); after a
+    k-means retrain the max skew drops below the threshold, every row
+    survives (count + distinct ids), and the RECALL GATE holds: the
+    retrained index's exact-rescore top-k (all cells probed) matches
+    brute-force cosine top-k, so retraining cannot silently destroy
+    search quality. maintain_ivf_pq_index(retrain=True) performs the
+    same retrain inline and clears its own flag."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        cosine_topk,
+        ivf_pq_rescore_topk,
+        ivf_rebalance_needed,
+        maintain_ivf_pq_index,
+        retrain_ivf_pq_index,
+    )
+
+    # degenerate SEED quantizer over genuinely BALANCED data: the four
+    # lowest-id vectors (= the seed centroids) sit almost on top of each
+    # other near the origin, so nearly every vector lands in the cell of
+    # the marginally-nearest seed (cell 3) — skew ≈ 3.9. The data itself
+    # is four well-separated, equally-populated clusters (ids 4..15
+    # spread across them seed the PQ codebooks sanely), so a k-means
+    # retrain finds the true clusters and the skew collapses to ~1.
+    centers = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0)]
+    rows = [(i, [i * 0.001, 0.0, 0.0, 1.0]) for i in range(4)]
+    rows += [
+        (4 + j, [centers[j % 4][0] + j * 0.1, centers[j % 4][1] + j * 0.07, 0.0, 1.0])
+        for j in range(12)
+    ]
+    rows += [
+        (
+            100 + j,
+            [
+                centers[j % 4][0] + (j % 7) * 0.3,
+                centers[j % 4][1] + (j % 5) * 0.3,
+                1.0,
+                1.0,
+            ],
+        )
+        for j in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "ivf_retrain")
+    build_ivf_pq_index(
+        df, root, nlist=4, m=2, codebook_size=16, store_vectors=True
+    )
+    before = ivf_rebalance_needed(spark, root, max_skew=3.0)
+    assert before["rebalance"] is True
+
+    res = retrain_ivf_pq_index(spark, root, nlist=4)
+    assert res["n_rows"] == 136 and res["nlist_after"] == 4
+    assert res["max_skew_after"] < res["max_skew_before"]
+    after = ivf_rebalance_needed(spark, root, max_skew=3.0)
+    assert after["rebalance"] is False, f"still skewed: {after}"
+    stored = spark.read.parquet(root)
+    assert stored.count() == 136 and stored.select("vec_id").distinct().count() == 136
+
+    # recall gate: all-cells-probed exact rescore == brute-force top-k
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(df, q, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_pq_rescore_topk(
+            spark, root, q, k=3, shortlist=40, nprobe=4
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"retrain recall gate failed: {recall}"
+
+    # the maintenance tick can perform the retrain inline
+    root2 = str(tmp_path / "ivf_retrain_tick")
+    build_ivf_pq_index(
+        df, root2, nlist=4, m=2, codebook_size=16, store_vectors=True
+    )
+    tick = maintain_ivf_pq_index(spark, root2, max_skew=3.0, retrain=True)
+    assert tick["retrained"] is True and tick["retrain_needed"] is False
+    assert tick["retrain_stats"]["max_skew_after"] < tick["retrain_stats"]["max_skew_before"]
+
+    # codes-only index: retrain refuses (codes are lossy) with guidance
+    root3 = str(tmp_path / "ivf_codes_only")
+    build_ivf_pq_index(df, root3, nlist=4, m=2, codebook_size=16)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refine-store"):
+        retrain_ivf_pq_index(spark, root3)
+
+
+def test_retrain_root_swap_crash_recovery(spark, emb, tmp_path):
+    """r17: retrain's publish is a root rename-aside — a crash between
+    the two renames leaves the complete pre-retrain index parked at the
+    __preretrain sibling; _recover_root_swap restores it (and a retried
+    retrain then succeeds end-to-end). A STALE aside next to a live
+    root (crash after publish, before the aside delete) is dropped."""
+    import os
+    import shutil
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _hidden_sibling,
+        _recover_root_swap,
+        build_ivf_pq_index,
+        ivf_pq_search,
+        retrain_ivf_pq_index,
+    )
+
+    root = str(tmp_path / "ivfpq_rootswap")
+    build_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 200), root, nlist=8, m=8,
+        codebook_size=16, store_vectors=True,
+    )
+    n = spark.read.parquet(root).count()
+    aside = _hidden_sibling(root, "__preretrain")
+
+    # crash between the renames: live root gone, aside holds the index
+    os.rename(root, aside)
+    assert _recover_root_swap(spark, root) is True
+    assert os.path.exists(root) and not os.path.exists(aside)
+    assert spark.read.parquet(root).count() == n
+    # the retried retrain completes from the restored state
+    res = retrain_ivf_pq_index(spark, root, nlist=8)
+    assert res["n_rows"] == n
+    q = emb.filter(F.col("vec_id") < 3)
+    assert ivf_pq_search(spark, root, q, k=3, nprobe=8).count() > 0
+
+    # stale aside next to a live root: dropped, not restored
+    shutil.copytree(root, aside)
+    assert _recover_root_swap(spark, root) is False
+    assert os.path.exists(root) and not os.path.exists(aside)
