@@ -3213,6 +3213,207 @@ ORDER BY c.n_vectors DESC, c.cell ASC
 """
 
 
+def q_ann_ivf_pq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full maintenance RUNBOOK under the value-exact oracle (r16
+    verdict task 4 — the tick was pytest-pinned only): build the
+    refine-store index on the first 200 vectors, APPEND three batches
+    (hot cells grow to 4 files), then run maintain_ivf_pq_index TWICE
+    with max_files_per_cell=2. Emitted as (step, metric, value) rows,
+    api_ingest_lifecycle-style:
+
+    * 0_before — the erosion the appends caused (max files/cell, total
+      files), replayed in SQL by counting DISTINCT write batches per
+      seed-quantizer-assigned cell (build = batch 0, appends 1..3; a
+      cell's file count is exactly the number of batches that touched
+      it);
+    * 1_tick — the first tick COMPACTS (files past threshold), reports
+      the row count its staging write observed, and evaluates the skew
+      gauge (seed quantizer → the max_skew value and the
+      retrain_needed threshold decision replay exactly in SQL);
+    * 2_after — the restored contract: one file per populated cell;
+    * 3_second_tick — idempotence: a healthy index gets NO compaction.
+
+    Every number is either measured from the live tree (Spark side) or
+    derived from first principles over the same parquet (oracle side) —
+    a hash match pins the whole compact-when-needed lifecycle, not just
+    the happy path."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_index_file_stats,
+        maintain_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ("ivf_pq_maintained", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("ivfpqmnt")
+        build_ivf_pq_index(
+            emb.filter(F.col("vec_id") < 200),
+            root,
+            nlist=8,
+            m=8,
+            codebook_size=16,
+            store_vectors=True,
+        )
+        for lo, hi in ((200, 300), (300, 400), (400, 1 << 62)):
+            append_ivf_pq_index(
+                emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), root
+            )
+        before = ivf_pq_index_file_stats(spark, root)
+        tick1 = maintain_ivf_pq_index(spark, root, max_files_per_cell=2, max_skew=4.0)
+        tick2 = maintain_ivf_pq_index(spark, root, max_files_per_cell=2, max_skew=4.0)
+        _FIXTURES[key] = (before, tick1, tick2)
+    before, tick1, tick2 = _FIXTURES[key]
+    rows = [
+        ("0_before", "max_files_per_cell", float(before["max_files_per_cell"])),
+        ("0_before", "n_files", float(before["n_files"])),
+        ("1_tick", "compacted", 1.0 if tick1["compacted"] else 0.0),
+        ("1_tick", "n_rows", float(tick1["compact_stats"]["n_rows"])),
+        ("1_tick", "retrain_needed", 1.0 if tick1["retrain_needed"] else 0.0),
+        ("1_tick", "max_skew", float(tick1["skew"]["max_skew"])),
+        ("2_after", "max_files_per_cell", float(tick1["files"]["max_files_per_cell"])),
+        ("2_after", "n_files", float(tick1["files"]["n_files"])),
+        ("3_second_tick", "compacted", 1.0 if tick2["compacted"] else 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "step string, metric string, value double"
+    ).orderBy("step", "metric")
+
+
+ORACLE_ANN_IVF_PQ_MAINTAIN = """
+WITH cb AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16
+),
+cent AS (SELECT cid AS cell, cv AS centroid FROM cb WHERE cid < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+vc AS (
+  SELECT v.vec_id, cent.cell,
+         list_reduce(list_transform(generate_series(1, len(v.vv)),
+           i -> (v.vv[i] - cent.centroid[i]) * (v.vv[i] - cent.centroid[i])),
+           (a, b) -> a + b) AS dist2
+  FROM v, cent
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+batched AS (
+  SELECT cell,
+         CASE WHEN vec_id < 200 THEN 0 WHEN vec_id < 300 THEN 1
+              WHEN vec_id < 400 THEN 2 ELSE 3 END AS batch
+  FROM assigned
+),
+files_before AS (
+  SELECT cell, count(DISTINCT batch) AS n FROM batched GROUP BY cell
+),
+counts AS (SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell),
+skew AS (
+  SELECT round(CAST(max(n_vectors) AS DOUBLE) / avg(n_vectors), 4) AS max_skew
+  FROM counts
+)
+SELECT step, metric, value FROM (
+  SELECT '0_before' AS step, 'max_files_per_cell' AS metric,
+         CAST(max(n) AS DOUBLE) AS value FROM files_before
+  UNION ALL SELECT '0_before', 'n_files', CAST(sum(n) AS DOUBLE) FROM files_before
+  UNION ALL SELECT '1_tick', 'compacted', 1.0
+  UNION ALL SELECT '1_tick', 'n_rows', CAST(count(*) AS DOUBLE) FROM v
+  UNION ALL SELECT '1_tick', 'retrain_needed',
+    CASE WHEN max_skew > 4.0 THEN 1.0 ELSE 0.0 END FROM skew
+  UNION ALL SELECT '1_tick', 'max_skew', CAST(max_skew AS DOUBLE) FROM skew
+  UNION ALL SELECT '2_after', 'max_files_per_cell', 1.0
+  UNION ALL SELECT '2_after', 'n_files', CAST(count(*) AS DOUBLE) FROM counts
+  UNION ALL SELECT '3_second_tick', 'compacted', 0.0
+) ORDER BY step, metric
+"""
+
+
+def q_ann_ivf_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index RETRAIN lifecycle as a driver-checkable row (r16 verdict
+    task 2 — operators/similarity.py retrain_ivf_pq_index): build the
+    refine-store index with the deterministic seed quantizer, then
+    retrain with the PRODUCTION sampled-fit k-means quantizer (codes
+    re-encoded against the carried-over codebooks, new tree staged at
+    a hidden sibling, atomically published by root rename-aside).
+
+    Trained centroid VALUES are Spark-MLlib-specific (no external
+    engine replays the fit), so — following the ann_store_trained /
+    pca_fit_project pattern — the value-exact oracle pins the
+    quantizer-INDEPENDENT invariants: every vector survives the
+    retrain exactly once (count / distinct / exact integer id-sum),
+    every reassigned cell id stays in [0, nlist), the operator's own
+    observed row count agrees with the republished tree, the
+    re-stamped meta carries the retrained layout, and the RECALL GATE
+    holds — recall-vs-brute-force-cosine of the all-cells-probed
+    rescore top-3, measured on the SAME index before and after the
+    retrain, must not DEGRADE (the scale-independent statement of
+    FAISS's retrain contract: re-fitting the coarse quantizer
+    re-buckets vectors but must not lose them from their own
+    shortlists; an absolute threshold would really pin the
+    ADC-vs-cosine agreement of the random test embeddings, which
+    shrinks with corpus/shortlist ratio). A retrain that drops rows or
+    scrambles c_vec cannot go green. The quantizer-dependent behavior
+    (skew actually dropping on a skewed fixture; crash recovery at
+    each publish step) is pinned engine-side by
+    tests/test_operators.py."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _load_pq_meta,
+        build_ivf_pq_index,
+        ivf_pq_rescore_topk,
+        retrain_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ("ivf_pq_retrained", sf_dir)
+    if key not in _FIXTURES:
+        root = _tmp("ivfpqrt")
+        build_ivf_pq_index(
+            emb, root, nlist=8, m=8, codebook_size=16, store_vectors=True
+        )
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = SIM.cosine_topk(emb, q, k=3).select("query_id", "vec_id")
+        n_exact = exact.count()
+
+        def _recall():
+            got = ivf_pq_rescore_topk(
+                spark, root, q, k=3, shortlist=100, nprobe=8
+            ).select("query_id", "vec_id")
+            return got.join(exact, ["query_id", "vec_id"]).count() / n_exact
+
+        recall_before = _recall()
+        res = retrain_ivf_pq_index(spark, root, nlist=8)
+        recall_after = _recall()
+        meta = _load_pq_meta(spark, root)
+        _FIXTURES[key] = (root, res, recall_before, recall_after, meta)
+    root, res, recall_before, recall_after, meta = _FIXTURES[key]
+    stored = spark.read.parquet(root)
+    return stored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.sum("vec_id").alias("id_sum"),
+        F.every((F.col("cell") >= 0) & (F.col("cell") < 8)).alias("cells_bounded"),
+        (F.count(F.lit(1)) == F.lit(int(res["n_rows"]))).alias("stats_consistent"),
+        F.lit(
+            bool(meta) and meta.get("nlist") == 8 and bool(meta.get("store_vectors"))
+        ).alias("meta_ok"),
+        F.lit(recall_after >= recall_before).alias("recall_ok"),
+    )
+
+
+ORACLE_ANN_IVF_PQ_RETRAIN = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_ids,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       TRUE AS cells_bounded,
+       TRUE AS stats_consistent,
+       TRUE AS meta_ok,
+       TRUE AS recall_ok
+FROM embeddings
+"""
+
+
 def q_ann_cosine_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-expression twin of ann_cosine_topk (zip_with/aggregate dot
     products, no Python anywhere) — same oracle; keeps the pure-Catalyst
@@ -5141,6 +5342,8 @@ QUERIES: dict[str, callable] = {
     "ann_ivf_pq_rescore": q_ann_ivf_pq_rescore,
     "ann_ivf_pq_compact": q_ann_ivf_pq_compact,
     "ann_ivf_cell_skew": q_ann_ivf_cell_skew,
+    "ann_ivf_pq_maintain": q_ann_ivf_pq_maintain,
+    "ann_ivf_pq_retrain": q_ann_ivf_pq_retrain,
     "ann_knn_classify": q_ann_knn_classify,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -5273,6 +5476,8 @@ ORACLES: dict[str, str] = {
     # hash match proves the compacted index byte-equivalent to a rebuild
     "ann_ivf_pq_compact": ORACLE_ANN_IVF_PQ,
     "ann_ivf_cell_skew": ORACLE_ANN_IVF_CELL_SKEW,
+    "ann_ivf_pq_maintain": ORACLE_ANN_IVF_PQ_MAINTAIN,
+    "ann_ivf_pq_retrain": ORACLE_ANN_IVF_PQ_RETRAIN,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_knn_classify": ORACLE_ANN_KNN,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
@@ -5340,38 +5545,38 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-16 queue — new keys and keys whose implementation changed in
-# r16 (each entry commented with what changed), per the changed-kernel
+# Round-17 queue — new keys and keys whose implementation changed in
+# r17 (each entry commented with what changed), per the changed-kernel
 # discipline: a green row from an earlier round attests the OLD code
 # and must not satisfy the queue.
 # _ROUND_QUEUE_ROUND pins the round this queue demands evidence FROM:
-# the queue retires only when CORRECTNESS_r16 lands (rotation.py).
+# the queue retires only when CORRECTNESS_r17 lands (rotation.py).
 # Behind the queue, the evidence-driven rotation automatically fronts
-# the r10/r11 evidence tail (r15 verdict task 2 — the 21 keys last
-# green r10 plus the oldest of the r11 band).
+# the r11/r12 evidence tail (r16 verdict task 3 — the 21 keys last
+# green r11 plus the oldest of the r12 band).
 # Gate (per project discipline): every queued key verified with
 # scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
 # rotation landed; the whole 50-key window swept in one process at both
 # SFs before freezing.
-_ROUND_QUEUE_ROUND = 16
+_ROUND_QUEUE_ROUND = 17
 _ROUND_QUEUE = [
-    # r16 NEW: IVF-PQ index compaction (r15 verdict task 1) — collapse
-    # each cell back to ONE vec_id-sorted file after appends erode the
-    # build's layout; shares the from-scratch-build oracle, hash match
-    # proves compaction value-preserving
+    # r17 NEW: the maintenance runbook under the oracle (r16 verdict
+    # task 4) — build → append×3 → tick compacts → tick idempotent,
+    # with the file erosion, skew gauge and threshold decision all
+    # replayed from first principles in SQL
+    "ann_ivf_pq_maintain",
+    # r17 NEW: k-means retrain lifecycle (r16 verdict task 2) —
+    # quantizer-independent invariants + recall gate; skew-drop and
+    # crash recovery pinned engine-side
+    "ann_ivf_pq_retrain",
+    # r17 swap rewrite (r16 verdict task 1): compaction's per-cell swap
+    # is now rename-aside (crash-reconcilable at every step, hidden
+    # staging sibling, Observation row count) — re-evidence hash
+    # equality with the from-scratch-build oracle
     "ann_ivf_pq_compact",
-    # r16 NEW: cell-population skew audit (r15 verdict task 5) — the
-    # rebalance/re-train signal for a skewed embedding distribution
-    "ann_ivf_cell_skew",
-    # r16 codec change: Avro snappy (r15 verdict task 3) — fixture now
-    # splits deflate + snappy files through the pure-Python snappy
-    # block decoder with per-block CRC32 verification
-    "source_avro",
-    # r16 kernel changes (r15 ADVICE): index existence probes are now
-    # exact-path fs.exists (glob metachars probed literally), meta.json
-    # reads tolerate torn stamps (fallback to root-schema), meta writes
-    # are staged+renamed, and the append backfill stamps the full
-    # {store_vectors, nlist, m} schema — re-evidence the whole family
+    # r17 reader change: _read_index_cells gained the parked-name
+    # fallback and _load_pq_meta the broad-degrade (r16 ADVICE) — the
+    # whole search/rescore family reads through those paths
     "ann_ivf_pq_rescore",
     "ann_ivf_pq_oracle",
     "ann_ivf_pq_append",
