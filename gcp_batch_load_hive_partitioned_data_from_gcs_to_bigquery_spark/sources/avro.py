@@ -604,8 +604,22 @@ def _encode(node, value, out: bytearray) -> None:
             _write_long(out, node["symbols"].index(value))
             return
         if logical == "decimal" and t in ("bytes", "fixed"):
+            import decimal
+
             scale = int(node.get("scale", 0))
-            unscaled = int(value.scaleb(scale).to_integral_value())
+            try:
+                # to_integral_EXACT with the Inexact trap armed: a value
+                # with more fractional digits than the declared scale
+                # must FAIL, not silently round (HALF_EVEN) — a fixture
+                # writer emitting different bytes than the value it was
+                # given would mask round-trip bugs (r16 ADVICE)
+                with decimal.localcontext() as ctx:
+                    ctx.traps[decimal.Inexact] = True
+                    unscaled = int(value.scaleb(scale).to_integral_exact())
+            except decimal.Inexact:
+                raise ValueError(
+                    f"decimal {value} does not fit scale {scale} exactly"
+                )
             if t == "fixed":
                 out.extend(unscaled.to_bytes(int(node["size"]), "big", signed=True))
             else:

@@ -401,6 +401,31 @@ def test_enum_map_fixed_decimal_roundtrip(spark, tmp_path):
     ]
 
 
+def test_decimal_writer_rejects_excess_scale(tmp_path):
+    """r17 (r16 ADVICE): a Decimal with more fractional digits than the
+    schema's declared scale must FAIL the encode, not silently round
+    HALF_EVEN — a fixture writer emitting different bytes than the
+    value it was given would mask round-trip bugs. Exact-trailing-zero
+    values still pass."""
+    import pytest
+    from decimal import Decimal
+
+    schema = {
+        "type": "record",
+        "name": "n",
+        "fields": [
+            {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                        "precision": 10, "scale": 2}},
+        ],
+    }
+    ok = str(tmp_path / "ok.avro")
+    AV.write_avro(ok, schema, [(Decimal("1.230"),)])  # exact at scale 2
+    assert list(AV.read_avro_records(ok)) == [(Decimal("1.23"),)]
+
+    with pytest.raises(ValueError, match="scale"):
+        AV.write_avro(str(tmp_path / "bad.avro"), schema, [(Decimal("1.234"),)])
+
+
 # ---------------------------------------------------------------------------
 # property tests (hypothesis): the snappy layer and the container writer
 # under arbitrary inputs — the hand-assembled pins above check known
