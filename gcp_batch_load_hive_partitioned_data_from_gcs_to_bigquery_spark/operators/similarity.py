@@ -912,25 +912,39 @@ def profile_cell_skew(spark: SparkSession, index_path: str) -> DataFrame:
     probed-cell scans then degrade toward linear (probing the hot cell
     reads a corpus-sized fraction). One column-pruned scan of the
     index's partition column (``cell`` — no code/c_vec pages decoded)
-    → per-cell counts, share of corpus, and ``skew`` = count / mean
-    count over non-empty cells: the max row's skew is the factor by
-    which the hottest probed cell exceeds the balanced-cell cost the
-    nlist sizing assumed. A maintenance loop triggers
-    :func:`retrain_corpus_cells`-style re-training (rebuild with fresh
-    centroids) when max skew crosses its threshold — see
-    ``ivf_rebalance_needed``. Returns (cell, n_vectors, share, skew)
-    ordered hottest-first (ties → cell asc)."""
+    → per-cell counts, share of corpus, and ``skew`` = count / the
+    BALANCED-CELL budget total/nlist (the FAISS imbalance-factor
+    denominator): the max row's skew is the factor by which the
+    hottest probed cell exceeds the cost the nlist sizing assumed.
+    nlist comes from the meta stamp (one stat+read); EMPTY cells count
+    in the denominator — r17 fix: a mean over non-empty cells only
+    read a fully-degenerate quantizer (every vector in ONE cell, the
+    other nlist−1 cells empty → no dirs on disk) as skew 1.0,
+    blinding the gauge to exactly the pathology it exists to catch.
+    A pre-meta index (no stamp) falls back to the non-empty count —
+    the old, weaker denominator — rather than failing. A maintenance
+    loop triggers :func:`retrain_ivf_pq_index` when max skew crosses
+    its threshold — see ``ivf_rebalance_needed``. Returns
+    (cell, n_vectors, share, skew) ordered hottest-first (ties → cell
+    asc)."""
     counts = (
         spark.read.parquet(index_path.rstrip("/"))
         .groupBy(F.col("cell").cast("int").alias("cell"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+    meta = _load_pq_meta(spark, index_path)
+    nlist = meta.get("nlist") if meta else None
     # global window over the nlist-row aggregate: ONE index scan in the
     # plan (a crossJoin-with-total twin re-derives the counts lineage
     # and scans twice — verified via executedPlan FileScan count); the
     # single-task window is fine because its input is already reduced
     # to one row per non-empty cell
     w_all = W.partitionBy()
+    budget = (
+        F.sum("n_vectors").over(w_all) / F.lit(int(nlist))
+        if nlist
+        else F.avg("n_vectors").over(w_all)
+    )
     return (
         counts.select(
             "cell",
@@ -938,9 +952,7 @@ def profile_cell_skew(spark: SparkSession, index_path: str) -> DataFrame:
             F.round(
                 F.col("n_vectors") / F.sum("n_vectors").over(w_all), 4
             ).alias("share"),
-            F.round(
-                F.col("n_vectors") / F.avg("n_vectors").over(w_all), 4
-            ).alias("skew"),
+            F.round(F.col("n_vectors") / budget, 4).alias("skew"),
         )
         .orderBy(F.desc("n_vectors"), F.asc("cell"))
     )

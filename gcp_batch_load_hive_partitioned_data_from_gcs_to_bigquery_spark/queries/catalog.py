@@ -3165,11 +3165,14 @@ def q_ann_ivf_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed embedding distribution concentrates vectors in few cells
     and stage-1 probed-cell scans degrade toward linear. One
     column-pruned scan of the persisted index's partition column →
-    per-cell (n_vectors, share, skew = count/mean over non-empty
-    cells), hottest first — the rebalance (re-train centroids)
-    trigger a maintenance loop thresholds on (ivf_rebalance_needed).
-    The oracle replays the deterministic seed-quantizer assignment in
-    SQL and aggregates the same three numbers."""
+    per-cell (n_vectors, share, skew = count / the total/nlist
+    balanced-cell budget — the FAISS imbalance-factor denominator,
+    EMPTY cells included, r17 fix: the old non-empty mean read a fully
+    degenerate quantizer as skew 1.0), hottest first — the rebalance
+    (re-train centroids) trigger a maintenance loop thresholds on
+    (ivf_rebalance_needed). The oracle replays the deterministic
+    seed-quantizer assignment in SQL and aggregates the same three
+    numbers."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
         build_ivf_pq_index,
         profile_cell_skew,
@@ -3204,10 +3207,13 @@ assigned AS (
   ) WHERE rn = 1
 ),
 counts AS (SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell),
-tot AS (SELECT sum(n_vectors) AS total, avg(n_vectors) AS mean FROM counts)
+-- balanced-cell budget = total/nlist (nlist=8, EMPTY cells included —
+-- the FAISS imbalance-factor denominator; r17 gauge fix), not the mean
+-- over non-empty cells
+tot AS (SELECT sum(n_vectors) AS total, sum(n_vectors) / 8.0 AS budget FROM counts)
 SELECT CAST(c.cell AS INT) AS cell, c.n_vectors,
        round(c.n_vectors / t.total, 4) AS share,
-       round(c.n_vectors / t.mean, 4) AS skew
+       round(c.n_vectors / t.budget, 4) AS skew
 FROM counts c, tot t
 ORDER BY c.n_vectors DESC, c.cell ASC
 """
@@ -3311,7 +3317,9 @@ files_before AS (
 ),
 counts AS (SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell),
 skew AS (
-  SELECT round(CAST(max(n_vectors) AS DOUBLE) / avg(n_vectors), 4) AS max_skew
+  -- balanced-cell budget = total/nlist (nlist=8, empty cells included;
+  -- r17 gauge fix), matching profile_cell_skew's meta-nlist denominator
+  SELECT round(CAST(max(n_vectors) AS DOUBLE) / (sum(n_vectors) / 8.0), 4) AS max_skew
   FROM counts
 )
 SELECT step, metric, value FROM (
@@ -5580,6 +5588,10 @@ _ROUND_QUEUE = [
     "ann_ivf_pq_rescore",
     "ann_ivf_pq_oracle",
     "ann_ivf_pq_append",
+    # r17 gauge fix: skew denominator is now the total/nlist balanced-
+    # cell budget (empty cells included) instead of the non-empty mean
+    # — re-evidence the skew audit against its updated oracle
+    "ann_ivf_cell_skew",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]

@@ -70,7 +70,11 @@ def build_landing_csv(spark, k: int) -> str:
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
-    ev = load_table(spark, BASE_SF, "events")
+    # sf0.1 events is ONE parquet split: repartition BEFORE the explode
+    # so the K×100k-row blowup runs on all cores instead of one task
+    # (the build is untimed, but at K=1000 a single-task explode of
+    # 100M rows stalls the fixture for many minutes)
+    ev = load_table(spark, BASE_SF, "events").repartition(32)
     reps = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("rep")
     folded = (
         ev.select("*", reps)

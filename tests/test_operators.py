@@ -2074,6 +2074,24 @@ def test_profile_cell_skew_flags_hot_cell(spark, tmp_path):
     build_ivf_pq_index(bal, root2, nlist=4, m=2, codebook_size=16)
     assert ivf_rebalance_needed(spark, root2, max_skew=3.0)["rebalance"] is False
 
+    # r17 gauge fix: a FULLY degenerate quantizer (identical seeds →
+    # every vector ties into cell 0, cells 1..3 empty → no dirs on
+    # disk) must read skew = nlist, not 1.0 — empty cells count in the
+    # balanced-cell budget (total/nlist from the meta stamp), so the
+    # worst possible imbalance can no longer masquerade as perfectly
+    # balanced
+    deg = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0, 1.0]) for i in range(4)]
+        + [(100 + j, [float(j), 1.0, 0.0, 1.0]) for j in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    root3 = str(tmp_path / "ivf_degenerate")
+    build_ivf_pq_index(deg, root3, nlist=4, m=2, codebook_size=16)
+    prof3 = profile_cell_skew(spark, root3).collect()
+    assert len(prof3) == 1 and prof3[0]["cell"] == 0  # one populated cell
+    assert prof3[0]["skew"] == 4.0  # = nlist: 100% of mass in 1 of 4 cells
+    assert ivf_rebalance_needed(spark, root3, max_skew=3.0)["rebalance"] is True
+
 
 def test_pq_meta_torn_stamp_and_literal_path_probe(spark, emb, tmp_path):
     """r16 (r15 ADVICE): (a) a TORN meta.json (crash mid-stamp before
