@@ -203,12 +203,14 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyspark ships without the spark-avro jar, so this was the one
     documented format gap). The fixture derives deterministically from
     the nation table — nullable name (2-branch null union), bigint
-    keys, a double — split across TWO files with different codecs: one
-    DEFLATE (spec-required) and one SNAPPY (the de-facto default real
+    keys, a double — split across THREE files with different codecs:
+    DEFLATE (spec-required), SNAPPY (the de-facto default real
     producers emit — r15 verdict task 3, decoded by the pure-Python
     snappy block decoder with the per-block big-endian CRC32 suffix
-    verified), both written by the module's spec-compliant writer
-    (reader AND snappy layer independently pinned against
+    verified), and ZSTANDARD (the rising default of newer producers —
+    r17, RFC 8878 frames sized via the parsed Frame_Content_Size), all
+    written by the module's spec-compliant writer (reader, snappy
+    layer, AND zstd frame-header parse independently pinned against
     hand-assembled spec bytes in tests/test_avro.py). The read
     runs with a tiny split target so even this fixture exercises the
     sync-marker block splitting that makes one large Avro file feed
@@ -248,9 +250,16 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         AV.write_avro(
             f"{root}/nation_b.avro",
             schema,
-            [r for r in rows if r[0] >= 13],
+            [r for r in rows if 13 <= r[0] < 20],
             codec="snappy",
             block_rows=7,
+        )
+        AV.write_avro(
+            f"{root}/nation_c.avro",
+            schema,
+            [r for r in rows if r[0] >= 20],
+            codec="zstandard",
+            block_rows=3,
         )
         _FIXTURES[key] = root
     try:
@@ -5592,6 +5601,11 @@ _ROUND_QUEUE = [
     # cell budget (empty cells included) instead of the non-empty mean
     # — re-evidence the skew audit against its updated oracle
     "ann_ivf_cell_skew",
+    # r17 codec addition: zstandard (RFC 8878 frames via pyarrow's
+    # bundled libzstd, FCS-sized) — fixture now splits deflate +
+    # snappy + zstd files; excess-scale decimals also rejected at the
+    # writer (r16 ADVICE)
+    "source_avro",
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]

@@ -34,10 +34,13 @@ big-endian two's-complement unscaled per the spec). Codecs ``null`` and ``deflat
 optional-but-ubiquitous default of real producers; r15 verdict task 3)
 via a pure-Python snappy block decoder — full format: literals, all
 three copy tags, overlapping copies — with the 4-byte big-endian
-CRC32-of-uncompressed suffix Avro appends per block verified on read.
-Anything else raises a clear NotImplementedError naming the
-unsupported node — schema evolution beyond this subset belongs to a
-full avro library, not an ingest path.
+CRC32-of-uncompressed suffix Avro appends per block verified on read —
+and ``zstandard`` (the rising default of newer producers; r16 verdict
+frontier item) via pyarrow's bundled libzstd with the frame header's
+Frame_Content_Size parsed per RFC 8878 (streaming frames that omit it
+raise an explicit guard). Anything else raises a clear
+NotImplementedError naming the unsupported node — schema evolution
+beyond this subset belongs to a full avro library, not an ingest path.
 
 A spec-compliant writer (:func:`write_avro`) rides along for tests and
 fixture generation; the reader is additionally pinned against
@@ -238,6 +241,89 @@ def _snappy_block_encode(raw: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# zstandard codec (RFC 8878 frames, via pyarrow's bundled libzstd)
+#
+# Avro's ``zstandard`` codec (spec's optional set; the rising default in
+# newer producers — the r16 verdict's last listed source gap) compresses
+# each block's payload as ONE zstd frame with no extra checksum (unlike
+# snappy's CRC32 suffix; zstd frames carry their own optional checksum).
+# pyarrow is already a hard dependency of the engine (Arrow-batched
+# kernels), and it bundles libzstd — no new dependency; environments
+# with a zstd-less pyarrow get an explicit NotImplementedError guard.
+#
+# pyarrow binds one-shot ZSTD_decompress, which needs the destination
+# size up front, so the reader parses the frame header's
+# Frame_Content_Size field (RFC 8878 §3.1.1.1) — present in every
+# one-shot-compressed frame (including everything write_avro emits, and
+# what CLI/one-shot producers write). A STREAMING producer may omit
+# FCS; that subset raises an explicit guard naming the feature rather
+# than guessing buffer sizes.
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # little-endian 0xFD2FB528
+
+
+def _zstd_codec():
+    try:
+        import pyarrow as pa
+
+        return pa.Codec("zstd")
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            f"zstandard codec needs pyarrow's bundled libzstd: {e}"
+        )
+
+
+def _zstd_frame_content_size(frame: bytes) -> int:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1),
+    or -1 when the frame legitimately omits it (streaming producers).
+    Field layout: magic(4) · Frame_Header_Descriptor(1) ·
+    [Window_Descriptor(1) unless Single_Segment] ·
+    [Dictionary_ID(0/1/2/4)] · [FCS(0/1/2/4/8 per fcs_code, where
+    code 0 means 1 byte iff Single_Segment else absent; code 1's
+    2-byte value is offset by 256)]."""
+    if len(frame) < 5 or frame[:4] != _ZSTD_MAGIC:
+        raise ValueError("not a zstandard frame (bad magic)")
+    fhd = frame[4]
+    single_segment = (fhd >> 5) & 1
+    fcs_code = fhd >> 6
+    did_code = fhd & 3
+    pos = 5
+    if not single_segment:
+        pos += 1  # Window_Descriptor
+    pos += (0, 1, 2, 4)[did_code]
+    if fcs_code == 0:
+        if not single_segment:
+            return -1
+        size_bytes = 1
+    else:
+        size_bytes = (0, 2, 4, 8)[fcs_code]
+    raw = frame[pos : pos + size_bytes]
+    if len(raw) != size_bytes:
+        raise EOFError("truncated zstandard frame header")
+    val = int.from_bytes(raw, "little")
+    if fcs_code == 1:
+        val += 256
+    return val
+
+
+def _zstd_block_decode(payload: bytes) -> bytes:
+    fcs = _zstd_frame_content_size(payload)
+    if fcs < 0:
+        raise NotImplementedError(
+            "zstandard frame without Frame_Content_Size (a streaming "
+            "producer): unsupported — the one-shot decompressor needs "
+            "the destination size from the frame header"
+        )
+    if fcs == 0:
+        return b""
+    return bytes(_zstd_codec().decompress(payload, fcs))
+
+
+def _zstd_block_encode(raw: bytes) -> bytes:
+    return bytes(_zstd_codec().compress(raw))
+
+
+# ---------------------------------------------------------------------------
 # schema -> decoder compilation
 
 
@@ -424,7 +510,7 @@ def read_header(fh):
         raise EOFError("truncated sync marker")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise NotImplementedError(f"unsupported Avro codec: {codec}")
     return schema, codec, sync, fh.tell()
 
@@ -489,6 +575,8 @@ def read_avro_records(path: str, offset: int | None = None, n_blocks: int | None
                 payload = zlib.decompress(payload, -15)  # raw deflate per spec
             elif codec == "snappy":
                 payload = _snappy_block_decode(payload)  # + CRC32 suffix check
+            elif codec == "zstandard":
+                payload = _zstd_block_decode(payload)  # one zstd frame, FCS-sized
             buf = io.BytesIO(payload)
             for _ in range(n):
                 yield tuple(d(buf) for d in decoders)
@@ -681,7 +769,7 @@ def write_avro(
     the schema text (md5), so identical inputs produce identical bytes."""
     import hashlib
 
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise NotImplementedError(f"unsupported Avro codec: {codec}")
     schema_raw = json.dumps(schema, sort_keys=True).encode("utf-8")
     sync = hashlib.md5(b"pyavro-sync:" + schema_raw).digest()
@@ -711,6 +799,8 @@ def write_avro(
                 payload = zlib.compress(payload, 6)[2:-4]  # raw deflate
             elif codec == "snappy":
                 payload = _snappy_block_encode(payload)  # + CRC32 suffix
+            elif codec == "zstandard":
+                payload = _zstd_block_encode(payload)  # one zstd frame
             block = bytearray()
             _write_long(block, len(chunk))
             _write_long(block, len(payload))
