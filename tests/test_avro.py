@@ -540,7 +540,7 @@ def test_snappy_roundtrip_property(data):
         st.tuples(st.integers(-(2**40), 2**40), st.text(max_size=40)),
         max_size=60,
     ),
-    st.sampled_from(["null", "deflate", "snappy"]),
+    st.sampled_from(["null", "deflate", "snappy", "zstandard"]),
 )
 def test_container_roundtrip_property(tmp_path_factory, rows, codec):
     """write_avro -> read_avro_records is identity for arbitrary
@@ -554,3 +554,17 @@ def test_container_roundtrip_property(tmp_path_factory, rows, codec):
     p = str(tmp_path_factory.mktemp("prop") / "p.avro")
     AV.write_avro(p, schema, rows, codec=codec, block_rows=7)
     assert list(AV.read_avro_records(p)) == rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=70_000))
+def test_zstd_block_roundtrip_property(data):
+    """decode(encode(x)) == x for arbitrary bytes through the zstd
+    layer, and the RFC 8878 frame-header parse recovers the exact
+    Frame_Content_Size from every frame the encoder emits (covering
+    the 1/2/4-byte FCS field widths and the fcs_code=1 +256 offset
+    as sizes cross 256 and 64 KiB)."""
+    frame = AV._zstd_block_encode(data)
+    assert frame[:4] == AV._ZSTD_MAGIC
+    assert AV._zstd_frame_content_size(frame) == len(data)
+    assert AV._zstd_block_decode(frame) == data
