@@ -841,10 +841,16 @@ def compact_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
     the live name once more to close the swap-completed race), so a
     search against a half-swapped tree still sees the full candidate
     set, with identical content either way. ``_quantizer/`` is never
-    touched. Scale shape: one shuffle of ~9 B/vector codes (plus
-    c_vec for refine stores), no driver-side data, listing O(nlist)
-    at maintenance time only; the row count rides the staging write
-    itself via ``Observation`` (zero extra read — r16 verdict).
+    touched. Concurrency contract: any number of concurrent READERS
+    are safe (above); maintenance itself is single-writer — exactly
+    one compact/retrain/append-maintenance job per index at a time
+    (two concurrent compactions could park each other's cells), the
+    standard contract for file-level table maintenance (Delta/Iceberg
+    compactors assume the same via their commit protocol). Scale
+    shape: one shuffle of ~9 B/vector codes (plus c_vec for refine
+    stores), no driver-side data, listing O(nlist) at maintenance time
+    only; the row count rides the staging write itself via
+    ``Observation`` (zero extra read — r16 verdict).
     Returns {files_before, files_after, max_files_per_cell_before,
     max_files_per_cell_after, n_cells, n_rows, cells_restored}."""
     from pyspark.sql import Observation
