@@ -593,7 +593,10 @@ def _load_pq_meta(spark: SparkSession, index_path: str) -> dict | None:
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _read_small_file
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _path_exists
 
-    meta_path = f"{index_path.rstrip('/')}/_quantizer/meta.json"
+    # resolve the live snapshot first (idempotent when the caller
+    # already pinned one — internal callers do, keeping quantizer and
+    # cells on the same version; external callers may pass the root)
+    meta_path = f"{_live_index_root(spark, index_path)}/_quantizer/meta.json"
     if not _path_exists(spark, meta_path):
         return None
     try:
@@ -610,10 +613,11 @@ def _load_pq_meta(spark: SparkSession, index_path: str) -> dict | None:
 
 def _load_pq_quantizer(spark: SparkSession, index_path: str):
     """(centroids, codebooks, m, sub) from the index's ``_quantizer/``
-    store — metadata-sized (nlist×dim + m×codebook×sub doubles)."""
+    store — metadata-sized (nlist×dim + m×codebook×sub doubles).
+    Resolves the live snapshot (idempotent on a pinned root)."""
     import numpy as np
 
-    qroot = f"{index_path.rstrip('/')}/_quantizer"
+    qroot = f"{_live_index_root(spark, index_path)}/_quantizer"
     cent_rows = spark.read.parquet(f"{qroot}/centroids").orderBy("cell").collect()
     cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     book_rows = spark.read.parquet(f"{qroot}/codebooks").orderBy("s", "code").collect()
@@ -640,8 +644,22 @@ def append_ivf_pq_index(
     amortization contract as persist_corpus_bands and the zone-map
     refresh. Centroids stay fixed between rebuilds (the FAISS
     ``add``-after-``train`` contract); periodic retrain-and-rebuild
-    handles drift."""
+    handles drift.
+
+    The append resolves the live snapshot ONCE and writes into it IN
+    PLACE (new files in existing ``cell=N`` dirs — concurrent readers
+    of the same snapshot see pre- or post-append rows per the parquet
+    job commit, never torn files). It is part of the single-writer
+    maintenance family: an append racing a compact/retrain publish
+    would land rows in the snapshot the publish is about to supersede
+    and lose them at the pointer flip — same contract as every
+    file-level table maintenance protocol (and why the r17 rename-aside
+    predecessor's append-vs-crashed-swap hazard is structurally gone:
+    appends never recreate directories a recovery pass could mistake
+    for a completed swap; there are no recovery renames at all)."""
     spark = new_vectors.sparkSession
+    root = index_path
+    index_path = _live_index_root(spark, index_path)  # resolve ONCE
     cents, books, m, sub = _load_pq_quantizer(spark, index_path)
     # match the live index's layout: a refine-store index (c_vec column,
     # build_ivf_pq_index store_vectors=True) appends vectors too. The
@@ -687,7 +705,7 @@ def append_ivf_pq_index(
         .mode("append")
         .parquet(index_path)
     )
-    return index_path
+    return root
 
 
 def _list_cell_dirs(spark: SparkSession, index_path: str) -> list[str]:
@@ -722,12 +740,14 @@ def ivf_pq_index_file_stats(spark: SparkSession, index_path: str) -> dict:
     :func:`compact_ivf_pq_index`: every :func:`append_ivf_pq_index`
     batch adds one file per touched cell, so ``max_files_per_cell``
     counts the appends since the last build/compact and is exactly the
-    number of footer opens each probed-cell GET pays per cell. Returns
+    number of footer opens each probed-cell GET pays per cell. Stats
+    cover the LIVE snapshot only (retained grace copies and crashed
+    stages are retention concerns, not file health). Returns
     {n_cells, n_files, max_files_per_cell}."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     n_files, max_per_cell = 0, 0
-    cell_dirs = _list_cell_dirs(spark, index_path)
+    cell_dirs = _list_cell_dirs(spark, _live_index_root(spark, index_path))
     for d in cell_dirs:
         p = jvm.org.apache.hadoop.fs.Path(d)
         fs = p.getFileSystem(conf)
@@ -745,57 +765,178 @@ def ivf_pq_index_file_stats(spark: SparkSession, index_path: str) -> dict:
     }
 
 
-def _hidden_sibling(path: str, suffix: str) -> str:
-    """A dot-prefixed sibling of ``path`` for staging/aside trees:
-    ``/a/b/idx`` → ``/a/b/.idx<suffix>``. The leading dot keeps the
-    tree out of Hadoop/Spark listings of the PARENT directory (hidden-
-    file convention) — a non-hidden sibling like ``idx__compacting``
-    would be visible to any job that partition-discovers or lists the
-    enclosing directory mid-maintenance (r16 ADVICE)."""
-    base = path.rstrip("/")
-    head, _, tail = base.rpartition("/")
-    return f"{head}/.{tail}{suffix}" if head else f".{tail}{suffix}"
+_VERSION_POINTER = "_VERSION"
 
 
-def _aside_root(index_path: str) -> str:
-    """The per-cell rename-aside parking dir INSIDE the index root
-    (``{root}/.__old``). Dot-prefixed, so every Spark read of the root
-    (partition discovery, profile_cell_skew's full scan) ignores it;
-    nested one level down, so an aside cell keeps its ``cell=N``
-    directory name and a fallback read with ``basePath={root}/.__old``
-    still derives the partition column."""
-    return f"{index_path.rstrip('/')}/.__old"
+def _index_version(spark: SparkSession, index_path: str) -> int | None:
+    """The committed snapshot version from ``{root}/_VERSION`` — the
+    index's single source of truth (r17 verdict task 1: the publish
+    pattern the semantic-cells store already used, applied to the
+    index layout). ``None`` when the pointer is absent: a brand-new
+    path, a pre-versioned legacy tree, or an ALREADY-RESOLVED
+    ``v=N`` directory (no pointer lives inside a version). A torn
+    pointer cannot exist — :func:`snapshots._write_small_file` stages
+    to a temp name and renames, so a reader sees the old content, the
+    new content, or (inside the delete→rename microwindow) no file;
+    the caller retries the missing case once."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _read_small_file
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _path_exists
+
+    ptr = f"{index_path.rstrip('/')}/{_VERSION_POINTER}"
+    if not _path_exists(spark, ptr):
+        return None
+    try:
+        return int(json.loads(_read_small_file(spark, ptr))["v"])
+    except Exception:
+        # the open itself can lose the delete→rename microwindow after
+        # the exists probe passed — same "missing right now" semantics
+        return None
 
 
-def _reclaim_cell_swaps(spark: SparkSession, index_path: str) -> int:
-    """Crash recovery for :func:`compact_ivf_pq_index`'s per-cell
-    rename-aside swap — run on entry of every maintenance pass. For
-    each ``cell=N`` parked under ``{root}/.__old/``: if the live
-    ``cell=N`` exists the swap completed (crash was between the
-    swap-in and the aside delete) → drop the aside copy; if the live
-    dir is MISSING the crash hit between the two renames → restore the
-    aside copy to its live name, losing nothing. Because each cell is
-    under exactly one of the two names at every swap step, this
-    reconciliation is total: after it runs the live tree is complete
-    and the aside dir is gone. Returns the number of cells restored
-    (0 on the normal, crash-free path — one fs.exists probe)."""
-    jvm, fs, jaside = _fs(spark, _aside_root(index_path))
-    if not fs.exists(jaside):
-        return 0
+def _index_version_dirs(spark: SparkSession, index_path: str) -> dict:
+    """{version: path} for the ``v=N`` snapshot directories under the
+    index root — one exact-path ``listStatus`` (no glob interpretation
+    of a user-supplied path), O(#versions) = O(2) in steady state.
+    Empty when the root itself does not exist."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
     base = index_path.rstrip("/")
-    restored = 0
-    for d in _list_cell_dirs(spark, _aside_root(index_path)):
-        name = d.rsplit("/", 1)[1]
-        live = jvm.org.apache.hadoop.fs.Path(f"{base}/{name}")
-        parked = jvm.org.apache.hadoop.fs.Path(d)
-        if fs.exists(live):
-            fs.delete(parked, True)  # swap-in completed; aside is stale
-        else:
-            if not fs.rename(parked, live):
-                raise IOError(f"restore {parked} -> {live} failed")
-            restored += 1
-    fs.delete(jaside, True)
-    return restored
+    root = jvm.org.apache.hadoop.fs.Path(base)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return {}
+    out = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out[int(name.split("=", 1)[1])] = f"{base}/{name}"
+            except ValueError:
+                continue  # foreign dir; ignore rather than crash
+    return out
+
+
+def _live_index_root(spark: SparkSession, index_path: str) -> str:
+    """Resolve the index path to its LIVE snapshot directory
+    (``{root}/v=P`` per the ``_VERSION`` pointer). Resolution is the
+    reader-side half of the publish protocol: every operation resolves
+    ONCE at entry and uses the resolved root for the quantizer AND the
+    cells, so a publish landing mid-operation can never mix two
+    versions' artifacts. Idempotent — a path with no pointer and no
+    ``v=N`` children (an already-resolved snapshot dir, or a
+    pre-versioned legacy tree) resolves to itself, so internal helpers
+    may re-resolve a resolved root at the cost of one stat. A missing
+    pointer OVER version directories is re-probed once (the atomic
+    pointer rewrite's delete→rename microwindow can only surface as
+    "missing"), then raised — it means a crashed initial build, which
+    a re-run of :func:`build_ivf_pq_index` repairs."""
+    base = index_path.rstrip("/")
+    v = _index_version(spark, base)
+    if v is None:
+        v = _index_version(spark, base)  # retry across the rename window
+    if v is not None:
+        return f"{base}/v={v}"
+    if _index_version_dirs(spark, base):
+        raise ValueError(
+            f"{base} has v=N snapshot directories but no committed "
+            f"{_VERSION_POINTER} pointer (crashed before its first "
+            "publish) — re-run build_ivf_pq_index"
+        )
+    return base
+
+
+def _stamp_index_version(spark: SparkSession, index_path: str, v: int) -> None:
+    """Atomically point ``{root}/_VERSION`` at snapshot ``v`` — THE
+    publish step: one small-file rename, after which every new
+    resolution sees the new snapshot. Nothing else moves."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _write_small_file
+
+    _write_small_file(
+        spark, f"{index_path.rstrip('/')}/{_VERSION_POINTER}", json.dumps({"v": int(v)})
+    )
+
+
+def _next_index_version(spark: SparkSession, index_path: str) -> int:
+    """The next unused snapshot number: above every on-disk ``v=N``
+    (committed or crashed-stage garbage) and the committed pointer."""
+    cur = _index_version(spark, index_path)
+    dirs = _index_version_dirs(spark, index_path)
+    return max(list(dirs) + [cur or 0]) + 1
+
+
+def _sweep_index_versions(spark: SparkSession, index_path: str, keep: set) -> list:
+    """Delete every ``v=N`` snapshot directory whose version is not in
+    ``keep`` — the ONE reclamation path for the whole maintenance
+    family (r17 verdict task 1: `_reclaim_cell_swaps` and
+    `_recover_root_swap` collapse into this sweep). Uncommitted
+    versions above the pointer are crashed staged builds; versions
+    below ``pointer-1`` have aged past the one-publish reader grace.
+    Returns the versions removed."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    removed = []
+    for v, path in sorted(_index_version_dirs(spark, index_path).items()):
+        if v in keep:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, True)
+        removed.append(v)
+    return removed
+
+
+def _publish_index_version(spark: SparkSession, index_path: str, new_v: int):
+    """Commit snapshot ``new_v``: flip the pointer (atomic rename),
+    then sweep every version except {new, previous}. Keeping the
+    PREVIOUS snapshot one more generation is the reader grace the
+    cells store's `_reclaim_old_versions` established: a reader that
+    resolved the old pointer keeps a complete, immutable tree under
+    its feet across this publish (snapshot isolation — the
+    manifest-protocol answer to the r17 ADVICE probe-to-scan TOCTOU).
+    Only a reader slower than TWO consecutive publishes can lose its
+    snapshot — the same retention contract as Delta/Iceberg vacuum.
+    Returns the previous version (None for a first publish)."""
+    prev = _index_version(spark, index_path)
+    _stamp_index_version(spark, index_path, new_v)
+    keep = {new_v} if prev is None else {new_v, prev}
+    _sweep_index_versions(spark, index_path, keep)
+    return prev
+
+
+def vacuum_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
+    """Owner-invoked retention: drop every snapshot except the live
+    one (the grace copy :func:`_publish_index_version` retains is for
+    in-flight readers; once the owner knows readers have drained —
+    e.g. a maintenance-cron tick later — this reclaims the disk).
+    Returns {version, removed}."""
+    base = index_path.rstrip("/")
+    cur = _index_version(spark, base)
+    if cur is None:
+        raise ValueError(f"no committed {_VERSION_POINTER} pointer under {base}")
+    removed = _sweep_index_versions(spark, base, {cur})
+    return {"version": cur, "removed": removed}
+
+
+def read_ivf_pq_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The live snapshot's full rows (vec_id, codes[, c_vec], cell) —
+    the supported way to scan a whole index (``spark.read.parquet`` of
+    the ROOT would see every retained snapshot at once). One pointer
+    read + one partitioned scan of ``{root}/v=P``; ``_quantizer`` is
+    underscore-hidden from the partition discovery."""
+    return spark.read.parquet(_live_index_root(spark, index_path))
+
+
+def _copy_quantizer(spark: SparkSession, src_root: str, dst_root: str) -> None:
+    """Bit-exact filesystem copy of ``{src}/_quantizer`` into the next
+    snapshot (centroids + codebooks + meta.json — metadata-sized).
+    Compaction must carry the quantizer VERBATIM: it is a pure
+    re-layout, and a re-serialisation could perturb nothing yet still
+    invalidate the "bit-identical before/after" contract the
+    ann_ivf_pq_compact oracle pins."""
+    jvm, fs, jsrc = _fs(spark, f"{src_root.rstrip('/')}/_quantizer")
+    jdst = jvm.org.apache.hadoop.fs.Path(f"{dst_root.rstrip('/')}/_quantizer")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if not jvm.org.apache.hadoop.fs.FileUtil.copy(fs, jsrc, fs, jdst, False, conf):
+        raise IOError(f"copy {jsrc} -> {jdst} failed")
 
 
 def compact_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
@@ -816,55 +957,63 @@ def compact_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
     catalog key ann_ivf_pq_compact pins hash-equality against the
     from-scratch-build oracle).
 
-    Mechanics: after reconciling any crashed prior swap
-    (:func:`_reclaim_cell_swaps`), read the enumerated ``cell=N`` dirs
-    (basePath keeps the partition column), re-cluster with the build's
-    own repartition(cell) + sortWithinPartitions(cell, vec_id) — one
-    shuffle of the codes(+refine) table, the standard clustering-write
-    cost — and write to a DOT-PREFIXED staging sibling (hidden from
-    any listing of the enclosing directory). Only after the staging
-    write COMPLETES are cells swapped in, each by RENAME-ASIDE
-    (r16 verdict task 1 — the delete→rename predecessor had a window
-    where a cell existed nowhere):
+    Mechanics (r17 verdict task 1 — staged-build + pointer flip, the
+    same publish pattern as the cells store and the reference's
+    WRITE_TRUNCATE partition-decorator swap,
+    ingestion/bigquery_interaction.py:20, applied to index snapshots):
+    after sweeping any crashed prior stage, read the live snapshot's
+    ``cell=N`` dirs (basePath keeps the partition column), re-cluster
+    with the build's own repartition(cell) +
+    sortWithinPartitions(cell, vec_id) — one shuffle of the
+    codes(+refine) table, the standard clustering-write cost — writing
+    DIRECTLY to the next snapshot directory ``{root}/v=P+1`` (invisible
+    to every reader: the pointer still names v=P), copy the quantizer
+    verbatim, then PUBLISH by rewriting the one ``_VERSION`` pointer
+    file (atomic rename). No directory is ever renamed or deleted on
+    the publish path, so:
 
-      1. ``rename(cell=N → .__old/cell=N)``  (park the original)
-      2. ``rename(staged cell=N → cell=N)``  (swap the compacted copy in)
-      3. ``delete(.__old/cell=N)``           (drop the parked original)
+    * a CRASH at any point leaves the pointer naming a complete
+      snapshot — an unfinished v=P+1 is garbage the next maintenance
+      entry sweeps (:func:`_sweep_index_versions`), never something a
+      reader can resolve;
+    * a CONCURRENT reader holds snapshot isolation: it resolved the
+      pointer once and reads an immutable tree; the publish retains
+      the previous snapshot one more generation
+      (:func:`_publish_index_version`), so even a reader that resolved
+      just before the flip scans to completion. Identical content
+      either way — compaction is a pure re-layout.
 
-    Every intermediate state has the cell's rows present under exactly
-    one of two well-known names, so (a) a CRASH at any step is fully
-    reconciled by the next maintenance pass — between 1 and 2 the
-    parked copy is restored, after 2 the parked copy is stale and
-    dropped — nothing is ever the "only copy" inside a deletion
-    window; (b) a CONCURRENT reader (:func:`_read_index_cells`) that
-    misses the live dir falls back to the parked name (and re-probes
-    the live name once more to close the swap-completed race), so a
-    search against a half-swapped tree still sees the full candidate
-    set, with identical content either way. ``_quantizer/`` is never
-    touched. Concurrency contract: any number of concurrent READERS
-    are safe (above); maintenance itself is single-writer — exactly
-    one compact/retrain/append-maintenance job per index at a time
-    (two concurrent compactions could park each other's cells), the
+    Concurrency contract: any number of concurrent readers; maintenance
+    itself is single-writer — exactly one compact/retrain/append job
+    per index at a time (two writers could both stage v=P+1), the
     standard contract for file-level table maintenance (Delta/Iceberg
     compactors assume the same via their commit protocol). Scale
     shape: one shuffle of ~9 B/vector codes (plus c_vec for refine
     stores), no driver-side data, listing O(nlist) at maintenance time
     only; the row count rides the staging write itself via
-    ``Observation`` (zero extra read — r16 verdict).
-    Returns {files_before, files_after, max_files_per_cell_before,
-    max_files_per_cell_after, n_cells, n_rows, cells_restored}."""
+    ``Observation`` (zero extra read). Disk high-water mark is two
+    snapshots between publishes — the Delta/Iceberg retention
+    trade; :func:`vacuum_ivf_pq_index` reclaims to one once readers
+    drain. Returns {files_before, files_after,
+    max_files_per_cell_before, max_files_per_cell_after, n_cells,
+    n_rows, version, versions_swept}."""
     from pyspark.sql import Observation
 
     base = index_path.rstrip("/")
-    restored = _reclaim_cell_swaps(spark, index_path)
-    before = ivf_pq_index_file_stats(spark, index_path)
-    cell_dirs = _list_cell_dirs(spark, index_path)
+    live = _live_index_root(spark, base)
+    cur = _index_version(spark, base)
+    # entry sweep: crashed stages (v > pointer) and aged grace copies
+    swept = (
+        _sweep_index_versions(spark, base, {cur, cur - 1}) if cur is not None else []
+    )
+    before = ivf_pq_index_file_stats(spark, base)
+    cell_dirs = _list_cell_dirs(spark, live)
     if not cell_dirs:
-        raise ValueError(f"no cell directories under {index_path}")
-    staging = _hidden_sibling(base, "__compacting")
-    jvm, fs, jstaging = _fs(spark, staging)
+        raise ValueError(f"no cell directories under {live}")
+    new_v = _next_index_version(spark, base)
+    target = f"{base}/v={new_v}"
 
-    df = spark.read.option("basePath", base).parquet(*cell_dirs)
+    df = spark.read.option("basePath", live).parquet(*cell_dirs)
     obs = Observation("compact_rows")
     (
         df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
@@ -875,30 +1024,26 @@ def compact_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
         .sortWithinPartitions("cell", "vec_id")
         .write.partitionBy("cell")
         .mode("overwrite")
-        .parquet(staging)
+        .parquet(target)
     )
     n_rows = int(obs.get["n_rows"])  # measured BY the write job itself
-    # staging is now a COMPLETE compacted copy — rename-aside swap
-    aside = _aside_root(index_path)
-    jaside = jvm.org.apache.hadoop.fs.Path(aside)
-    fs.mkdirs(jaside)
-    for d in _list_cell_dirs(spark, staging):
-        name = d.rsplit("/", 1)[1]
-        old = jvm.org.apache.hadoop.fs.Path(f"{base}/{name}")
-        parked = jvm.org.apache.hadoop.fs.Path(f"{aside}/{name}")
-        new = jvm.org.apache.hadoop.fs.Path(d)
-        if fs.exists(old):
-            if fs.exists(parked):  # unreachable after reclaim; belt+braces
-                fs.delete(parked, True)
-            if not fs.rename(old, parked):
-                raise IOError(f"rename {old} -> {parked} failed")
-        if not fs.rename(new, old):
-            raise IOError(f"rename {new} -> {old} failed")
-        if fs.exists(parked):
-            fs.delete(parked, True)
-    fs.delete(jstaging, True)  # leftover _SUCCESS etc.
-    fs.delete(jaside, True)  # empty after the loop
-    after = ivf_pq_index_file_stats(spark, index_path)
+    _copy_quantizer(spark, live, target)
+    _publish_index_version(spark, base, new_v)
+    if live == base:
+        # pre-versioned legacy tree just migrated: its old cell dirs sit
+        # beside the new v=N snapshots — drop them (the snapshot holds a
+        # complete compacted copy; the pointer is already committed)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for d in cell_dirs:
+            pth = jvm.org.apache.hadoop.fs.Path(d)
+            pth.getFileSystem(conf).delete(pth, True)
+        _copy_ok = f"{base}/_quantizer"
+        pth = jvm.org.apache.hadoop.fs.Path(_copy_ok)
+        fs = pth.getFileSystem(conf)
+        if fs.exists(pth):
+            fs.delete(pth, True)
+    after = ivf_pq_index_file_stats(spark, base)
     return {
         "files_before": before["n_files"],
         "files_after": after["n_files"],
@@ -906,11 +1051,14 @@ def compact_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
         "max_files_per_cell_after": after["max_files_per_cell"],
         "n_cells": after["n_cells"],
         "n_rows": n_rows,
-        "cells_restored": restored,
+        "version": new_v,
+        "versions_swept": swept,
     }
 
 
-def profile_cell_skew(spark: SparkSession, index_path: str) -> DataFrame:
+def profile_cell_skew(
+    spark: SparkSession, index_path: str, with_total: bool = False
+) -> DataFrame:
     """Cell-population skew audit for an IVF(-PQ) index — the rebalance
     signal the maintenance contract needs: nlist scales ∝ corpus to
     keep cells bounded, but a SKEWED embedding distribution
@@ -933,12 +1081,14 @@ def profile_cell_skew(spark: SparkSession, index_path: str) -> DataFrame:
     its threshold — see ``ivf_rebalance_needed``. Returns
     (cell, n_vectors, share, skew) ordered hottest-first (ties → cell
     asc)."""
+    live = _live_index_root(spark, index_path)  # resolve ONCE: the scan
+    # and the meta stamp must come from the same snapshot
     counts = (
-        spark.read.parquet(index_path.rstrip("/"))
+        spark.read.parquet(live)
         .groupBy(F.col("cell").cast("int").alias("cell"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
-    meta = _load_pq_meta(spark, index_path)
+    meta = _load_pq_meta(spark, live)
     nlist = meta.get("nlist") if meta else None
     # global window over the nlist-row aggregate: ONE index scan in the
     # plan (a crossJoin-with-total twin re-derives the counts lineage
@@ -951,36 +1101,43 @@ def profile_cell_skew(spark: SparkSession, index_path: str) -> DataFrame:
         if nlist
         else F.avg("n_vectors").over(w_all)
     )
-    return (
-        counts.select(
-            "cell",
-            "n_vectors",
-            F.round(
-                F.col("n_vectors") / F.sum("n_vectors").over(w_all), 4
-            ).alias("share"),
-            F.round(F.col("n_vectors") / budget, 4).alias("skew"),
-        )
-        .orderBy(F.desc("n_vectors"), F.asc("cell"))
-    )
+    cols = [
+        F.col("cell"),
+        F.col("n_vectors"),
+        F.round(F.col("n_vectors") / F.sum("n_vectors").over(w_all), 4).alias(
+            "share"
+        ),
+        F.round(F.col("n_vectors") / budget, 4).alias("skew"),
+    ]
+    if with_total:
+        # exact corpus total rides the same single scan — callers
+        # (retrain sizing via ivf_rebalance_needed) get n_rows with no
+        # second pass; opt-in so the audit's public schema stays stable
+        cols.append(F.sum("n_vectors").over(w_all).alias("n_total"))
+    return counts.select(*cols).orderBy(F.desc("n_vectors"), F.asc("cell"))
 
 
 def ivf_rebalance_needed(
     spark: SparkSession, index_path: str, max_skew: float = 4.0
 ) -> dict:
     """Driver-side rebalance decision over :func:`profile_cell_skew`:
-    ``{"rebalance": bool, "max_skew": float, "hot_cell": int}``. The
-    collect is ONE row (the profile's hottest-first head). 4.0 default:
-    a probed hot cell costing >4× the balanced-cell budget is the
-    point where re-training centroids (periodic rebuild — the FAISS
+    ``{"rebalance": bool, "max_skew": float, "hot_cell": int,
+    "n_rows": int}``. The collect is ONE row (the profile's
+    hottest-first head; ``n_rows`` = the exact corpus total that rode
+    the same scan — :func:`retrain_ivf_pq_index` sizes its target
+    nlist from it with no extra pass). 4.0 default: a probed hot cell
+    costing >4× the balanced-cell budget is the point where
+    re-training centroids (periodic rebuild — the FAISS
     re-train-on-drift contract) beats riding the skew."""
-    top = profile_cell_skew(spark, index_path).limit(1).collect()
+    top = profile_cell_skew(spark, index_path, with_total=True).limit(1).collect()
     if not top:
-        return {"rebalance": False, "max_skew": 0.0, "hot_cell": -1}
+        return {"rebalance": False, "max_skew": 0.0, "hot_cell": -1, "n_rows": 0}
     r = top[0]
     return {
         "rebalance": bool(r["skew"] > max_skew),
         "max_skew": float(r["skew"]),
         "hot_cell": int(r["cell"]),
+        "n_rows": int(r["n_total"]),
     }
 
 
@@ -995,6 +1152,11 @@ def maintain_ivf_pq_index(
     append/compact/skew pieces compose into (the semantic-cells store's
     compact/retrain lifecycle, mapped onto the index layout):
 
+    0. entry sweep (:func:`_sweep_index_versions`, metadata-only):
+       crashed staged snapshots (v > pointer) and grace copies older
+       than one publish are reclaimed — the single recovery path of
+       the version-pointer protocol, so the tick's gauges never see
+       (or pay for) a dead tree;
     1. file health (:func:`ivf_pq_index_file_stats`, metadata-only):
        when appends have grown any cell past ``max_files_per_cell``
        files, COMPACT (one clustering shuffle, values bit-identical,
@@ -1003,19 +1165,28 @@ def maintain_ivf_pq_index(
        when the hottest cell exceeds ``max_skew`` × the balanced-cell
        budget, signal RETRAIN — the lever is
        :func:`retrain_ivf_pq_index` (k-means centroids re-fit on the
-       deterministic hash-sample, codes re-encoded, atomically
-       published). By default the tick only FLAGS it: retraining
-       changes cell assignments, i.e. the index's physical layout
-       version, so its timing belongs to the owner's rollout policy,
-       exactly like retrain_corpus_cells vs compact_corpus_cells.
-       ``retrain=True`` opts the tick into performing it inline.
+       deterministic hash-sample at a corpus-derived target nlist,
+       codes re-encoded, published by pointer flip). By default the
+       tick only FLAGS it: retraining changes cell assignments, i.e.
+       the index's physical layout version, so its timing belongs to
+       the owner's rollout policy, exactly like retrain_corpus_cells
+       vs compact_corpus_cells. ``retrain=True`` opts the tick into
+       performing it inline, passing the already-measured skew through
+       (exactly TWO zero-column skew scans per retraining tick —
+       decision + verification — r17 verdict task 6).
 
     Hourly appends + this tick on a cron = a production index that
     never degrades: compaction keeps the per-cell file count O(1)
     between ticks, and the retrain flag bounds how far a drifting
     embedding distribution can erode the nlist sizing. Returns
     {compacted: bool, compact_stats: dict|None, retrain_needed: bool,
-    skew: dict, files: dict}."""
+    retrained: bool, retrain_stats: dict|None, skew: dict, files: dict,
+    versions_swept: list}."""
+    base = index_path.rstrip("/")
+    cur = _index_version(spark, base)
+    swept = (
+        _sweep_index_versions(spark, base, {cur, cur - 1}) if cur is not None else []
+    )
     files = ivf_pq_index_file_stats(spark, index_path)
     compact_stats = None
     if files["max_files_per_cell"] > max_files_per_cell:
@@ -1031,8 +1202,12 @@ def maintain_ivf_pq_index(
     skew = ivf_rebalance_needed(spark, index_path, max_skew=max_skew)
     retrain_stats = None
     if retrain and skew["rebalance"]:
-        retrain_stats = retrain_ivf_pq_index(spark, index_path)
-        skew = ivf_rebalance_needed(spark, index_path, max_skew=max_skew)
+        # pass the measured skew through and reuse the retrainer's own
+        # after-verification — two skew scans total, not four
+        retrain_stats = retrain_ivf_pq_index(
+            spark, index_path, skew_before=skew, max_skew=max_skew
+        )
+        skew = retrain_stats["skew_after"]
     return {
         "compacted": compact_stats is not None,
         "compact_stats": compact_stats,
@@ -1041,29 +1216,24 @@ def maintain_ivf_pq_index(
         "retrain_stats": retrain_stats,
         "skew": skew,
         "files": files,
+        "versions_swept": swept,
     }
 
 
-def _recover_root_swap(spark: SparkSession, index_path: str) -> bool:
-    """Crash recovery for :func:`retrain_ivf_pq_index`'s root publish:
-    if the live root is MISSING while its ``__preretrain`` aside
-    exists, the crash hit between the two root renames — restore the
-    aside (the complete pre-retrain index; the staged new tree, if it
-    survived, is discarded and rebuilt by the retried retrain). If the
-    live root EXISTS alongside a stale aside, the publish completed —
-    drop the aside. Returns True when a restore happened."""
-    base = index_path.rstrip("/")
-    aside = _hidden_sibling(base, "__preretrain")
-    jvm, fs, jaside = _fs(spark, aside)
-    if not fs.exists(jaside):
-        return False
-    jbase = jvm.org.apache.hadoop.fs.Path(base)
-    if fs.exists(jbase):
-        fs.delete(jaside, True)  # publish completed; aside is stale
-        return False
-    if not fs.rename(jaside, jbase):
-        raise IOError(f"restore {jaside} -> {jbase} failed")
-    return True
+def derive_ivf_nlist(n_rows: int, fit_nlist: int, fit_rows: int | None) -> int:
+    """The retrain target nlist from the observed corpus size (r17
+    verdict task 2): the IVF sizing rule keeps CELLS bounded —
+    ``nlist ∝ corpus`` — so the per-cell row budget chosen at the last
+    fit (``fit_rows / fit_nlist``) is the invariant, and a corpus now
+    ``g×`` larger needs ``ceil(g × fit_nlist)`` cells. Integer-exact
+    ceiling arithmetic (no float division) so the ann_ivf_pq_retrain
+    oracle replays it verbatim in SQL; never shrinks below the current
+    nlist (a smaller quantizer only ever comes from an explicit
+    ``nlist=`` override). ``fit_rows=None`` (an index stamped before
+    the build recorded its row count) keeps the current nlist."""
+    if not fit_rows:
+        return int(fit_nlist)
+    return max(int(fit_nlist), -(-int(n_rows) * int(fit_nlist) // int(fit_rows)))
 
 
 def retrain_ivf_pq_index(
@@ -1072,14 +1242,20 @@ def retrain_ivf_pq_index(
     nlist: int | None = None,
     seed: int = 42,
     trained: bool = True,
+    skew_before: dict | None = None,
+    max_skew: float = 4.0,
 ) -> dict:
-    """Act on the retrain signal :func:`maintain_ivf_pq_index` raises
-    (r16 verdict task 2 — the skew audit was a gauge with no lever):
-    re-fit the coarse quantizer on the CURRENT vectors and republish
-    the index with fresh cell assignments, restoring the balanced-cell
-    budget the nlist sizing assumed. The FAISS re-train-on-drift
-    contract for the persisted-index layout, mirroring
-    :func:`retrain_corpus_cells` on the cells store.
+    """Act on the retrain signal :func:`maintain_ivf_pq_index` raises:
+    re-fit the coarse quantizer on the CURRENT vectors — at a target
+    nlist DERIVED from the current corpus size
+    (:func:`derive_ivf_nlist`; explicit ``nlist=`` overrides) — and
+    republish the index with fresh cell assignments, restoring the
+    balanced-cell budget the nlist sizing assumed. The FAISS
+    re-train-on-drift contract for the persisted-index layout,
+    mirroring :func:`retrain_corpus_cells` on the cells store
+    (including its growth policy made automatic: the cells store's
+    caller passes the grown nlist by hand; here the meta stamp carries
+    the last fit's row count, so the tick grows the quantizer itself).
 
     Mechanics:
 
@@ -1101,30 +1277,41 @@ def retrain_ivf_pq_index(
       which is cheaper than carrying old codes through a second O(N)
       join just to skip the GEMMs;
     * the new tree (cells + ``_quantizer`` with the new centroids, the
-      carried-over codebooks, and a re-stamped meta) is STAGED at a
-      dot-prefixed sibling, then atomically PUBLISHED by root
-      rename-aside (live → ``__preretrain``, staged → live, delete
-      aside). A crash between the renames is reconciled on the next
-      retrain entry by :func:`_recover_root_swap`; the pre-retrain
-      index is never the only copy inside a deletion window.
+      carried-over codebooks, and a re-stamped meta recording the new
+      nlist and row count) is written DIRECTLY to the next snapshot
+      ``{root}/v=P+1`` — invisible until the one-file ``_VERSION``
+      pointer flip publishes it (r17 verdict task 1). There is no
+      moment without a live root: a reader that resolved v=P keeps a
+      complete immutable tree (retained one more generation) and one
+      that resolves after the flip gets v=P+1 — full pre-retrain or
+      full post-retrain results, never an error, never a mix of old
+      cells with a new quantizer. A crash anywhere leaves the pointer
+      on v=P and an unfinished v=P+1 the next maintenance entry
+      sweeps.
 
     Scale shape: one full read of the refine store (irreducible — the
     re-assignment must see every vector), one clustering shuffle of
     the encoded rows, sampled k-means, no driver-side data beyond the
     nlist×d centroid matrix. Maintenance-time cost, same class as the
-    original build. Returns {nlist_before, nlist_after, n_rows,
-    max_skew_before, max_skew_after, trained, recovered}."""
+    original build (measured 1×/10× in scripts/retrain_probe.py).
+    ``skew_before`` (an :func:`ivf_rebalance_needed` dict) lets the
+    maintenance tick pass its already-measured signal through instead
+    of paying a second zero-column scan. Returns {nlist_before,
+    nlist_after, n_rows, max_skew_before, max_skew_after, trained,
+    version, skew_after}."""
     import numpy as np
 
     base = index_path.rstrip("/")
-    recovered = _recover_root_swap(spark, index_path)
-    _reclaim_cell_swaps(spark, index_path)
-    meta = _load_pq_meta(spark, index_path)
-    cents_old, books, m, sub = _load_pq_quantizer(spark, index_path)
+    live = _live_index_root(spark, base)
+    cur = _index_version(spark, base)
+    if cur is not None:
+        _sweep_index_versions(spark, base, {cur, cur - 1})
+    meta = _load_pq_meta(spark, live)
+    cents_old, books, m, sub = _load_pq_quantizer(spark, live)
     if meta is not None:
         store_vectors = bool(meta.get("store_vectors"))
     else:
-        store_vectors = "c_vec" in spark.read.parquet(base).columns
+        store_vectors = "c_vec" in spark.read.parquet(live).columns
     if not store_vectors:
         raise ValueError(
             "retrain_ivf_pq_index needs a refine-store index (c_vec) — "
@@ -1132,14 +1319,21 @@ def retrain_ivf_pq_index(
             "build_ivf_pq_index(..., store_vectors=True)"
         )
     nlist_before = int(cents_old.shape[0])
-    nlist = int(nlist) if nlist else nlist_before
-    skew_before = ivf_rebalance_needed(spark, index_path)["max_skew"]
+    if skew_before is None:
+        skew_before = ivf_rebalance_needed(spark, index_path, max_skew=max_skew)
+    n_now = int(skew_before["n_rows"])
+    if nlist is not None:
+        nlist = int(nlist)
+    else:
+        nlist = derive_ivf_nlist(
+            n_now, nlist_before, (meta or {}).get("n_rows")
+        )
 
-    cell_dirs = _list_cell_dirs(spark, index_path)
+    cell_dirs = _list_cell_dirs(spark, live)
     if not cell_dirs:
-        raise ValueError(f"no cell directories under {index_path}")
+        raise ValueError(f"no cell directories under {live}")
     vecs = (
-        spark.read.option("basePath", base)
+        spark.read.option("basePath", live)
         .parquet(*cell_dirs)
         .select("vec_id", "c_vec")
     )
@@ -1150,10 +1344,8 @@ def retrain_ivf_pq_index(
     )
     cents_new = np.array([v for _, v in centroid_rows], dtype=np.float64)
 
-    staging = _hidden_sibling(base, "__retraining")
-    jvm, fs, jstaging = _fs(spark, staging)
-    if fs.exists(jstaging):
-        fs.delete(jstaging, True)  # stale tree from a crashed prior run
+    new_v = _next_index_version(spark, base)
+    target = f"{base}/v={new_v}"
     from pyspark.sql import Observation
 
     kernel, out_schema = _pq_encode_kernel(
@@ -1170,12 +1362,38 @@ def retrain_ivf_pq_index(
         .sortWithinPartitions("cell", "vec_id")
         .write.partitionBy("cell")
         .mode("overwrite")
-        .parquet(staging)
+        .parquet(target)
     )
     n_rows = int(obs.get["n_rows"])
-    qroot = f"{staging}/_quantizer"
+    _write_quantizer(
+        spark, target, cents_new, books, m,
+        {"store_vectors": True, "nlist": int(nlist), "m": int(m), "n_rows": n_rows},
+    )
+    # staged snapshot is a COMPLETE index — publish by pointer flip
+    _publish_index_version(spark, base, new_v)
+    skew_after = ivf_rebalance_needed(spark, index_path, max_skew=max_skew)
+    return {
+        "nlist_before": nlist_before,
+        "nlist_after": int(nlist),
+        "n_rows": n_rows,
+        "max_skew_before": float(skew_before["max_skew"]),
+        "max_skew_after": float(skew_after["max_skew"]),
+        "trained": bool(trained),
+        "version": new_v,
+        "skew_after": skew_after,
+    }
+
+
+def _write_quantizer(
+    spark: SparkSession, root: str, cents, books, m: int, meta: dict
+) -> None:
+    """Persist a quantizer (centroids + codebooks + meta stamp) under
+    ``{root}/_quantizer`` — shared by build and retrain so the two
+    creation paths cannot drift. All inputs are metadata-sized
+    (nlist×dim + m×codebook×sub doubles)."""
+    qroot = f"{root.rstrip('/')}/_quantizer"
     spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents_new)],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{qroot}/centroids")
     spark.createDataFrame(
@@ -1188,32 +1406,7 @@ def retrain_ivf_pq_index(
     ).write.mode("overwrite").parquet(f"{qroot}/codebooks")
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _write_small_file
 
-    _write_small_file(
-        spark,
-        f"{qroot}/meta.json",
-        json.dumps({"store_vectors": True, "nlist": nlist, "m": int(m)}),
-    )
-    # staged tree is a COMPLETE index — publish by root rename-aside
-    aside = _hidden_sibling(base, "__preretrain")
-    jaside = jvm.org.apache.hadoop.fs.Path(aside)
-    jbase = jvm.org.apache.hadoop.fs.Path(base)
-    if fs.exists(jaside):  # unreachable after recovery; belt+braces
-        fs.delete(jaside, True)
-    if not fs.rename(jbase, jaside):
-        raise IOError(f"rename {jbase} -> {jaside} failed")
-    if not fs.rename(jstaging, jbase):
-        raise IOError(f"rename {jstaging} -> {jbase} failed")
-    fs.delete(jaside, True)
-    skew_after = ivf_rebalance_needed(spark, index_path)["max_skew"]
-    return {
-        "nlist_before": nlist_before,
-        "nlist_after": nlist,
-        "n_rows": n_rows,
-        "max_skew_before": skew_before,
-        "max_skew_after": skew_after,
-        "trained": bool(trained),
-        "recovered": recovered,
-    }
+    _write_small_file(spark, f"{qroot}/meta.json", json.dumps(meta))
 
 
 def build_ivf_pq_index(
@@ -1239,8 +1432,19 @@ def build_ivf_pq_index(
       Arrow-batched pass over the corpus (centroids and codebooks ride
       in the kernel closure, nothing shuffles);
     * the quantizer (centroids + codebooks) persists under
-      ``_quantizer/`` inside the index root — underscore-hidden from
-      the partitioned scan, self-describing for search.
+      ``_quantizer/`` inside the snapshot — underscore-hidden from
+      the partitioned scan, self-describing for search;
+    * the whole tree lives in a SNAPSHOT directory ``{root}/v=N``
+      named by the one ``{root}/_VERSION`` pointer file (r17 verdict
+      task 1 — the cells store's version-pointer publish applied to
+      the index): build, compact and retrain all stage the next
+      snapshot invisibly and commit it with one atomic pointer
+      rewrite, readers resolve the pointer once per operation and
+      hold snapshot isolation across any concurrent publish, and
+      crash recovery is a single sweep of unreferenced versions —
+      the partition-decorator WRITE_TRUNCATE idempotency contract the
+      reference builds on (ingestion/bigquery_interaction.py:20,
+      README.md:34-39), applied to index snapshots.
 
     Deterministic seed quantizer (lowest-id vectors) keeps the whole
     index reproducible in SQL; production swaps k-means training in.
@@ -1263,12 +1467,18 @@ def build_ivf_pq_index(
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
+    from pyspark.sql import Observation
+
     C, books, sub = _pq_seed_books(corpus, codebook_size, m, id_col, vec_col)
     cents = C[:nlist]
 
+    base = index_path.rstrip("/")
+    new_v = _next_index_version(spark, base)
+    target = f"{base}/v={new_v}"
     kernel, out_schema = _pq_encode_kernel(
         cents, books, m, sub, id_col, vec_col, keep_vec=store_vectors
     )
+    obs = Observation("build_rows")
     (
         with_double_embedding(corpus, vec_col)
         .select(id_col, vec_col)
@@ -1285,6 +1495,7 @@ def build_ivf_pq_index(
         # buys one sorted file per cell: reads open O(nprobe x Q)
         # files however large the corpus, and vec_id-sorted row groups
         # prune inside them.
+        .observe(obs, F.count(F.lit(1)).alias("n_rows"))
         .repartition(F.col("cell"))
         # sort by (cell, vec_id): the leading cell key satisfies the
         # dynamic-partition writer's required ordering, so Spark does
@@ -1294,30 +1505,21 @@ def build_ivf_pq_index(
         .sortWithinPartitions("cell", "vec_id")
         .write.partitionBy("cell")
         .mode("overwrite")
-        .parquet(index_path)
+        .parquet(target)
     )
-    qroot = f"{index_path.rstrip('/')}/_quantizer"
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{qroot}/centroids")
-    spark.createDataFrame(
-        [
-            (s, j, [float(x) for x in books[s][j]])
-            for s in range(m)
-            for j in range(books[s].shape[0])
-        ],
-        "s int, code int, subvector array<double>",
-    ).write.mode("overwrite").parquet(f"{qroot}/codebooks")
-    # layout metadata: lets append_ivf_pq_index learn store_vectors with
-    # ONE stat+read instead of an O(nlist)-listing root-schema read
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.snapshots import _write_small_file
-
-    _write_small_file(
-        spark,
-        f"{qroot}/meta.json",
-        json.dumps({"store_vectors": bool(store_vectors), "nlist": int(nlist), "m": int(m)}),
+    # meta records the fit-time row count (measured BY the write via
+    # Observation, zero extra pass): retrain's corpus-derived nlist
+    # sizing divides today's count by this density baseline
+    _write_quantizer(
+        spark, target, cents, books, m,
+        {
+            "store_vectors": bool(store_vectors),
+            "nlist": int(nlist),
+            "m": int(m),
+            "n_rows": int(obs.get["n_rows"]),
+        },
     )
+    _publish_index_version(spark, base, new_v)
     return index_path
 
 
@@ -1340,8 +1542,11 @@ def ivf_pq_search(
     column-pruned to (vec_id, codes, cell), so a refine-store index's
     c_vec pages are never decoded here). Returns
     (query_id, vec_id, adc_dist, rank) under (adc asc, vec_id asc)."""
+    live = _live_index_root(spark, index_path)  # pin ONE snapshot for
+    # the quantizer load and the cell scans — a publish landing mid-
+    # search can never mix two versions' artifacts
     scored = _ivf_pq_adc_scored(
-        spark, index_path, queries, k, nprobe, id_col, vec_col
+        spark, live, queries, k, nprobe, id_col, vec_col
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
@@ -1367,11 +1572,15 @@ def _ivf_pq_adc_scored(
     (query_id, vec_id, cell, adc_dist) — ``cell`` rides along so the
     rescore stage can turn its float lookups into partition-pruned
     gets. The probed-cell restriction is a static partition filter on
-    the (column-pruned) index scan."""
+    the (column-pruned) index scan. ``index_path`` is resolved to the
+    live snapshot here (idempotent when the caller already pinned it —
+    both public entry points do, so the quantizer and the cells always
+    come from ONE version)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    index_path = _live_index_root(spark, index_path)
     cents, books, m, sub = _load_pq_quantizer(spark, index_path)
 
     q_rows = (
@@ -1445,21 +1654,21 @@ def _ivf_pq_adc_scored(
 
 
 def _read_index_cells(spark: SparkSession, index_path: str, cells: list) -> DataFrame:
-    """Read ONLY the given cells' partition directories of an IVF-PQ
-    index. ``spark.read.parquet(index_path)`` would LIST the whole
-    ``cell=N`` tree — O(nlist) driver-side metadata, and the IVF
-    maintenance contract scales nlist ∝ corpus, so a full-root read
-    makes every query batch pay corpus-proportional listing (measured:
-    the r15 decomposition saw end-to-end rescore growing ~0.5 s per
-    extra root listing at 10x while both stages' data work stayed
-    flat). Enumerating the probed directories caps the listing at
+    """Read ONLY the given cells' partition directories of the LIVE
+    index snapshot. A full-root read would LIST the whole ``cell=N``
+    tree — O(nlist) driver-side metadata, and the IVF maintenance
+    contract scales nlist ∝ corpus, so a full-root read makes every
+    query batch pay corpus-proportional listing (measured: the r15
+    decomposition saw end-to-end rescore growing ~0.5 s per extra root
+    listing at 10x while both stages' data work stayed flat).
+    Enumerating the probed directories caps the listing at
     O(len(cells)) = O(nprobe x Q), corpus-independent; ``basePath``
     keeps the ``cell`` partition column alive. The redundant
     ``isin`` partition filter stays as defense in depth (it also makes
     the pruning visible in the plan's PartitionFilters).
 
-    A probed cell can be EMPTY (a seed centroid no corpus vector maps
-    to writes no ``cell=N`` dir), so each candidate dir is existence-
+    A probed cell can be EMPTY (a centroid no corpus vector maps to
+    writes no ``cell=N`` dir), so each candidate dir is existence-
     probed first with a metadata-only EXACT-path ``fs.exists``
     (sources/probe.py ``_path_exists`` — any Hadoop FS, not just
     local; not globStatus, which would interpret ``[{*?`` in a
@@ -1467,43 +1676,28 @@ def _read_index_cells(spark: SparkSession, index_path: str, cells: list) -> Data
     "missing" → empty search results, r15 ADVICE): O(len(cells)) stat
     calls, still corpus-independent.
 
-    SWAP-WINDOW SAFETY (r16 verdict task 1): a cell missing its live
-    dir may be mid-compaction-swap — parked under ``{root}/.__old/``
-    between :func:`compact_ivf_pq_index`'s two renames — so a missing
-    live dir falls back to the parked name, and a missing parked dir
-    re-probes the live name ONCE more (the swap completing between the
-    two probes moves the cell back under its live name; it is swapped
-    at most once per compaction pass, so the second live probe cannot
-    be invalidated the same way). Content is identical under either
-    name (compaction is a pure re-layout), so a search racing the swap
-    returns the same candidate set as one before or after it. Cost on
-    the happy path: unchanged — the fallback probes only run for cells
-    whose live dir is absent (genuinely-empty or mid-swap)."""
+    PUBLISH-WINDOW SAFETY (r17 verdict task 1): resolution pins ONE
+    snapshot (``_live_index_root``), and snapshots are immutable once
+    published — a compaction or retrain landing between this probe and
+    the Spark scan writes a NEW ``v=N`` directory and flips the
+    pointer, never touching the resolved one, which the publish
+    retains a full extra generation for exactly this reader
+    (:func:`_publish_index_version`). The r17 rename-aside protocol
+    needed a parked-name fallback plus a re-probe and still had a
+    probe-to-scan TOCTOU (r17 ADVICE); the snapshot read needs
+    neither. Callers that already hold a resolved root pay one no-op
+    stat (resolution is idempotent)."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _path_exists
 
-    base = index_path.rstrip("/")
-    aside = _aside_root(index_path)
-    live_paths, parked_paths = [], []
+    base = _live_index_root(spark, index_path)
+    paths = []
     for c in cells:
         p = f"{base}/cell={int(c)}"
         if _path_exists(spark, p):
-            live_paths.append(p)
-            continue
-        parked = f"{aside}/cell={int(c)}"
-        if _path_exists(spark, parked):
-            parked_paths.append(parked)
-        elif _path_exists(spark, p):  # swap completed between the probes
-            live_paths.append(p)
-    if not live_paths and not parked_paths:
+            paths.append(p)
+    if not paths:
         return None  # every probed cell empty — caller picks its semantics
-    parts = []
-    if live_paths:
-        parts.append(spark.read.option("basePath", base).parquet(*live_paths))
-    if parked_paths:
-        # basePath = the aside root, so the parked dirs' cell=N names
-        # still parse into the partition column
-        parts.append(spark.read.option("basePath", aside).parquet(*parked_paths))
-    df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    df = spark.read.option("basePath", base).parquet(*paths)
     return df.filter(F.col("cell").isin([int(c) for c in cells]))
 
 
@@ -1548,18 +1742,21 @@ def ivf_pq_rescore_topk(
     value-checkable. Returns (query_id, vec_id, cosine, rank) under
     (cosine desc, vec_id asc)."""
     shortlist = max(shortlist, k)
+    live = _live_index_root(spark, index_path)  # pin ONE snapshot: the
+    # meta check, stage-1 scan and stage-2 refine GET must all read the
+    # same immutable tree even if a publish lands between the stages
     # fail-fast BEFORE paying the stage-1 scan: the build stamps
     # store_vectors into _quantizer/meta.json, so this is one stat+read
     # (never the O(nlist)-listing root-schema read). Pre-meta indexes
     # skip the fast check; _refine_rescore's pruned read still raises.
-    meta = _load_pq_meta(spark, index_path)
+    meta = _load_pq_meta(spark, live)
     if meta is not None and not meta.get("store_vectors"):
         raise ValueError(
             "ivf_pq_rescore_topk needs a refine-store index — rebuild with "
             "build_ivf_pq_index(..., store_vectors=True)"
         )
     scored = _ivf_pq_adc_scored(
-        spark, index_path, queries, shortlist, nprobe, id_col, vec_col
+        spark, live, queries, shortlist, nprobe, id_col, vec_col
     )
     w1 = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     short = (
@@ -1572,7 +1769,7 @@ def ivf_pq_rescore_topk(
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rank int"
         )
-    return _refine_rescore(spark, index_path, short, queries, k, id_col, vec_col)
+    return _refine_rescore(spark, live, short, queries, k, id_col, vec_col)
 
 
 def _refine_rescore(

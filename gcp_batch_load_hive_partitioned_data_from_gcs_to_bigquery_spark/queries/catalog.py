@@ -3348,37 +3348,45 @@ SELECT step, metric, value FROM (
 
 
 def q_ann_ivf_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index RETRAIN lifecycle as a driver-checkable row (r16 verdict
-    task 2 — operators/similarity.py retrain_ivf_pq_index): build the
-    refine-store index with the deterministic seed quantizer, then
-    retrain with the PRODUCTION sampled-fit k-means quantizer (codes
-    re-encoded against the carried-over codebooks, new tree staged at
-    a hidden sibling, atomically published by root rename-aside).
+    """Index RETRAIN lifecycle as a driver-checkable row (r17 verdict
+    tasks 1+2 — operators/similarity.py retrain_ivf_pq_index): build
+    the refine-store index on the FIRST QUARTER of the corpus (the
+    meta stamp records that fit-time row count), append the remaining
+    three quarters (a 4×-grown corpus at the stale nlist), then
+    retrain WITHOUT passing nlist — the target is DERIVED from the
+    growth (derive_ivf_nlist: ceil(n_now · nlist_fit / n_fit), integer
+    arithmetic) — with the PRODUCTION sampled-fit k-means quantizer
+    (codes re-encoded against the carried-over codebooks, the new
+    snapshot staged at ``{root}/v=2`` and published by the atomic
+    ``_VERSION`` pointer flip).
 
     Trained centroid VALUES are Spark-MLlib-specific (no external
     engine replays the fit), so — following the ann_store_trained /
     pca_fit_project pattern — the value-exact oracle pins the
-    quantizer-INDEPENDENT invariants: every vector survives the
-    retrain exactly once (count / distinct / exact integer id-sum),
-    every reassigned cell id stays in [0, nlist), the operator's own
-    observed row count agrees with the republished tree, the
-    re-stamped meta carries the retrained layout, and the RECALL GATE
-    holds — recall-vs-brute-force-cosine of the all-cells-probed
-    rescore top-3, measured on the SAME index before and after the
-    retrain, must not DEGRADE (the scale-independent statement of
-    FAISS's retrain contract: re-fitting the coarse quantizer
-    re-buckets vectors but must not lose them from their own
-    shortlists; an absolute threshold would really pin the
-    ADC-vs-cosine agreement of the random test embeddings, which
-    shrinks with corpus/shortlist ratio). A retrain that drops rows or
-    scrambles c_vec cannot go green. The quantizer-dependent behavior
-    (skew actually dropping on a skewed fixture; crash recovery at
-    each publish step) is pinned engine-side by
-    tests/test_operators.py."""
+    quantizer-INDEPENDENT invariants: the SIZING ARITHMETIC (the
+    emitted nlist_after must equal the oracle's own integer-exact
+    ceil(total·8 / (total//4)) — the r17 verdict task 2 growth rule,
+    replayed from the corpus row count alone), that every vector
+    survives the retrain exactly once (count / distinct / exact
+    integer id-sum), that every reassigned cell id stays in
+    [0, nlist_after), that the operator's own observed row count
+    agrees with the republished snapshot, that the re-stamped meta
+    carries the retrained layout AND the new density baseline
+    (n_rows = total), and that the RECALL GATE holds — recall-vs-
+    brute-force-cosine of the all-cells-probed rescore top-3, measured
+    on the SAME index before and after the retrain, must not DEGRADE
+    (the scale-independent statement of FAISS's retrain contract). A
+    retrain that drops rows, scrambles c_vec, or sizes the quantizer
+    wrong cannot go green. The quantizer-dependent behavior (skew
+    actually dropping on a skewed fixture; reader safety at every
+    publish point; the nprobe<nlist recall gate) is pinned engine-side
+    by tests/test_operators.py."""
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
         _load_pq_meta,
+        append_ivf_pq_index,
         build_ivf_pq_index,
         ivf_pq_rescore_topk,
+        read_ivf_pq_index,
         retrain_ivf_pq_index,
     )
 
@@ -3386,34 +3394,49 @@ def q_ann_ivf_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("ivf_pq_retrained", sf_dir)
     if key not in _FIXTURES:
         root = _tmp("ivfpqrt")
+        n_total = emb.count()
+        n_fit = n_total // 4
         build_ivf_pq_index(
-            emb, root, nlist=8, m=8, codebook_size=16, store_vectors=True
+            emb.filter(F.col("vec_id") < n_fit),
+            root,
+            nlist=8,
+            m=8,
+            codebook_size=16,
+            store_vectors=True,
         )
+        append_ivf_pq_index(emb.filter(F.col("vec_id") >= n_fit), root)
         q = emb.filter(F.col("vec_id") < 5)
         exact = SIM.cosine_topk(emb, q, k=3).select("query_id", "vec_id")
         n_exact = exact.count()
 
-        def _recall():
+        def _recall(nprobe):
             got = ivf_pq_rescore_topk(
-                spark, root, q, k=3, shortlist=100, nprobe=8
+                spark, root, q, k=3, shortlist=100, nprobe=nprobe
             ).select("query_id", "vec_id")
             return got.join(exact, ["query_id", "vec_id"]).count() / n_exact
 
-        recall_before = _recall()
-        res = retrain_ivf_pq_index(spark, root, nlist=8)
-        recall_after = _recall()
+        recall_before = _recall(8)
+        res = retrain_ivf_pq_index(spark, root)  # nlist DERIVED from growth
+        recall_after = _recall(res["nlist_after"])
         meta = _load_pq_meta(spark, root)
-        _FIXTURES[key] = (root, res, recall_before, recall_after, meta)
-    root, res, recall_before, recall_after, meta = _FIXTURES[key]
-    stored = spark.read.parquet(root)
+        _FIXTURES[key] = (root, res, recall_before, recall_after, meta, n_total)
+    root, res, recall_before, recall_after, meta, n_total = _FIXTURES[key]
+    nlist_after = int(res["nlist_after"])
+    stored = read_ivf_pq_index(spark, root)
     return stored.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("vec_id").alias("n_ids"),
         F.sum("vec_id").alias("id_sum"),
-        F.every((F.col("cell") >= 0) & (F.col("cell") < 8)).alias("cells_bounded"),
+        F.lit(nlist_after).cast("long").alias("nlist_after"),
+        F.every(
+            (F.col("cell") >= 0) & (F.col("cell") < nlist_after)
+        ).alias("cells_bounded"),
         (F.count(F.lit(1)) == F.lit(int(res["n_rows"]))).alias("stats_consistent"),
         F.lit(
-            bool(meta) and meta.get("nlist") == 8 and bool(meta.get("store_vectors"))
+            bool(meta)
+            and meta.get("nlist") == nlist_after
+            and bool(meta.get("store_vectors"))
+            and meta.get("n_rows") == n_total
         ).alias("meta_ok"),
         F.lit(recall_after >= recall_before).alias("recall_ok"),
     )
@@ -3423,6 +3446,12 @@ ORACLE_ANN_IVF_PQ_RETRAIN = """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT vec_id) AS BIGINT) AS n_ids,
        CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       -- the r17-task-2 sizing rule from first principles: the index
+       -- was fit on the first quarter (total//4 rows) at nlist=8, so a
+       -- corpus grown to `total` needs ceil(total*8 / (total//4))
+       -- cells — integer ceiling, no float division on either side
+       CAST((count(*) * 8 + count(*) // 4 - 1) // (count(*) // 4) AS BIGINT)
+         AS nlist_after,
        TRUE AS cells_bounded,
        TRUE AS stats_consistent,
        TRUE AS meta_ok,
@@ -5562,49 +5591,39 @@ ORACLES.update(BEHAVIOR_ORACLES)
 # their deterministic md5-family/fixed-quantizer forms this round) sort to
 # the front of the stale pool on their own.
 #
-# Round-17 queue — new keys and keys whose implementation changed in
-# r17 (each entry commented with what changed), per the changed-kernel
+# Round-18 queue — new keys and keys whose implementation changed in
+# r18 (each entry commented with what changed), per the changed-kernel
 # discipline: a green row from an earlier round attests the OLD code
 # and must not satisfy the queue.
 # _ROUND_QUEUE_ROUND pins the round this queue demands evidence FROM:
-# the queue retires only when CORRECTNESS_r17 lands (rotation.py).
+# the queue retires only when CORRECTNESS_r18 lands (rotation.py).
 # Behind the queue, the evidence-driven rotation automatically fronts
-# the r11/r12 evidence tail (r16 verdict task 3 — the 21 keys last
-# green r11 plus the oldest of the r12 band).
+# the r12 evidence tail (r17 verdict task 5 — the 24 keys last green
+# r12).
 # Gate (per project discipline): every queued key verified with
 # scripts/check_correctness.py at sf0.01 AND sf0.1 this round before the
 # rotation landed; the whole 50-key window swept in one process at both
 # SFs before freezing.
-_ROUND_QUEUE_ROUND = 17
+_ROUND_QUEUE_ROUND = 18
 _ROUND_QUEUE = [
-    # r17 NEW: the maintenance runbook under the oracle (r16 verdict
-    # task 4) — build → append×3 → tick compacts → tick idempotent,
-    # with the file erosion, skew gauge and threshold decision all
-    # replayed from first principles in SQL
+    # r18 REWRITE (r17 verdict task 1): the whole IVF-PQ index family
+    # moved to the version-pointer snapshot layout ({root}/v=N +
+    # atomic _VERSION flip — build/compact/retrain stage invisibly and
+    # publish by one pointer rewrite; readers resolve once and hold
+    # snapshot isolation; recovery is a single version sweep). Every
+    # key below reads/writes through the new layout — re-evidence all.
+    "ann_ivf_pq_retrain",  # + r17 task 2: nlist now DERIVED from corpus
+    # growth (build on quarter, append 4x, retrain sizes 8->32; the
+    # oracle replays the integer ceil arithmetic from count(*) alone)
     "ann_ivf_pq_maintain",
-    # r17 NEW: k-means retrain lifecycle (r16 verdict task 2) —
-    # quantizer-independent invariants + recall gate; skew-drop and
-    # crash recovery pinned engine-side
-    "ann_ivf_pq_retrain",
-    # r17 swap rewrite (r16 verdict task 1): compaction's per-cell swap
-    # is now rename-aside (crash-reconcilable at every step, hidden
-    # staging sibling, Observation row count) — re-evidence hash
-    # equality with the from-scratch-build oracle
     "ann_ivf_pq_compact",
-    # r17 reader change: _read_index_cells gained the parked-name
-    # fallback and _load_pq_meta the broad-degrade (r16 ADVICE) — the
-    # whole search/rescore family reads through those paths
     "ann_ivf_pq_rescore",
     "ann_ivf_pq_oracle",
     "ann_ivf_pq_append",
-    # r17 gauge fix: skew denominator is now the total/nlist balanced-
-    # cell budget (empty cells included) instead of the non-empty mean
-    # — re-evidence the skew audit against its updated oracle
     "ann_ivf_cell_skew",
-    # r17 codec addition: zstandard (RFC 8878 frames via pyarrow's
-    # bundled libzstd, FCS-sized) — fixture now splits deflate +
-    # snappy + zstd files; excess-scale decimals also rejected at the
-    # writer (r16 ADVICE)
+    # r18 decimal-context fixes (r17 ADVICE): writer widens precision
+    # before to_integral_exact (wide-but-exact values no longer falsely
+    # rejected); reader decodes context-free (no 28-digit rounding)
     "source_avro",
 ]
 

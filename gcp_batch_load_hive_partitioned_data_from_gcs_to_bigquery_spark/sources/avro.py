@@ -409,9 +409,13 @@ def _compile(node):
                 raw = fh.read(size) if size is not None else _read_bytes(fh)
                 if size is not None and len(raw) != size:
                     raise EOFError("truncated fixed decimal")
-                return Decimal(int.from_bytes(raw, "big", signed=True)).scaleb(
-                    -scale
-                )
+                unscaled = int.from_bytes(raw, "big", signed=True)
+                # context-free construction: (sign, digit tuple, -scale)
+                # — a scaleb under the default 28-digit context would
+                # precision-round a wider unscaled value and decode
+                # different digits than the writer encoded (r17 ADVICE)
+                tup = Decimal(unscaled).as_tuple()
+                return Decimal((tup.sign, tup.digits, -scale))
 
             return dec_decimal
         if t == "int" and logical == "date":
@@ -703,6 +707,13 @@ def _encode(node, value, out: bytearray) -> None:
                 # given would mask round-trip bugs (r16 ADVICE)
                 with decimal.localcontext() as ctx:
                     ctx.traps[decimal.Inexact] = True
+                    # widen the working precision past the value's own
+                    # digit count: under the default 28-digit context an
+                    # exactly-representable value with more significant
+                    # digits would signal Inexact from PRECISION rounding
+                    # inside scaleb and be falsely rejected as a scale
+                    # violation (r17 ADVICE)
+                    ctx.prec = max(ctx.prec, len(value.as_tuple().digits) + abs(scale) + 2)
                     unscaled = int(value.scaleb(scale).to_integral_exact())
             except decimal.Inexact:
                 raise ValueError(

@@ -516,6 +516,30 @@ def test_decimal_writer_rejects_excess_scale(tmp_path):
     with pytest.raises(ValueError, match="scale"):
         AV.write_avro(str(tmp_path / "bad.avro"), schema, [(Decimal("1.234"),)])
 
+    # r18 (r17 ADVICE): an exactly-representable value with MORE
+    # significant digits than the default 28-digit context must still
+    # encode — the Inexact trap exists to catch scale violations, not
+    # precision-rounding artifacts of the working context
+    wide_schema = {
+        "type": "record",
+        "name": "w",
+        "fields": [
+            {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                        "precision": 38, "scale": 2}},
+        ],
+    }
+    wide = Decimal("123456789012345678901234567890123456.78")  # 38 digits
+    wp = str(tmp_path / "wide.avro")
+    AV.write_avro(wp, wide_schema, [(wide,)])
+    assert list(AV.read_avro_records(wp)) == [(wide,)]
+    # and the trap still fires on a genuine scale violation at width
+    with pytest.raises(ValueError, match="scale"):
+        AV.write_avro(
+            str(tmp_path / "widebad.avro"),
+            wide_schema,
+            [(Decimal("123456789012345678901234567890123456.789"),)],
+        )
+
 
 # ---------------------------------------------------------------------------
 # property tests (hypothesis): the snappy layer and the container writer

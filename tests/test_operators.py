@@ -547,7 +547,10 @@ def test_ivf_pq_index_prunes_unprobed_cells(spark, emb, tmp_path):
     # nprobe=2 over nlist=8: the scan must touch a strict subset of cells
     import os
 
-    all_cells = {d for d in os.listdir(root) if d.startswith("cell=")}
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import _live_index_root
+
+    live = _live_index_root(spark, root)
+    all_cells = {d for d in os.listdir(live) if d.startswith("cell=")}
     assert len(all_cells) == 8
     rows = out.collect()
     assert rows and all(r.rank <= 5 for r in rows)
@@ -1892,11 +1895,14 @@ def test_ivf_pq_clustered_layout_and_probed_cell_listing(spark, emb, tmp_path):
 
     root = str(tmp_path / "ivfpq_clustered")
     build_ivf_pq_index(emb, root, nlist=8, m=8, codebook_size=16, store_vectors=True)
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import _live_index_root
+
+    live = _live_index_root(spark, root)  # appends land in-place: stays live
 
     def files_per_cell():
         return {
-            d: [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
-            for d in os.listdir(root)
+            d: [f for f in os.listdir(os.path.join(live, d)) if f.endswith(".parquet")]
+            for d in os.listdir(live)
             if d.startswith("cell=")
         }
 
@@ -1909,7 +1915,7 @@ def test_ivf_pq_clustered_layout_and_probed_cell_listing(spark, emb, tmp_path):
     import pyarrow.parquet as pq_
 
     for d, fs in before.items():
-        col = pq_.read_table(os.path.join(root, d, fs[0]), columns=["vec_id"])[
+        col = pq_.read_table(os.path.join(live, d, fs[0]), columns=["vec_id"])[
             "vec_id"
         ].to_pylist()
         assert col == sorted(col), f"{d} not vec_id-sorted"
@@ -1928,7 +1934,7 @@ def test_ivf_pq_clustered_layout_and_probed_cell_listing(spark, emb, tmp_path):
     assert _read_index_cells(spark, root, [ghost]) is None
 
     # meta stamp: append learns the refine layout without a root read
-    meta = _json.loads(open(os.path.join(root, "_quantizer", "meta.json")).read())
+    meta = _json.loads(open(os.path.join(live, "_quantizer", "meta.json")).read())
     assert meta["store_vectors"] is True and meta["nlist"] == 8
     batch = emb.filter(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
@@ -1943,8 +1949,8 @@ def test_ivf_pq_clustered_layout_and_probed_cell_listing(spark, emb, tmp_path):
     )
     assert got.count() > 0
     appended = (
-        spark.read.option("basePath", root)
-        .parquet(*[os.path.join(root, d) for d in touched])
+        spark.read.option("basePath", live)
+        .parquet(*[os.path.join(live, d) for d in touched])
         .filter(F.col("vec_id") >= 100000)
     )
     assert appended.count() == 5
@@ -1958,20 +1964,25 @@ def test_ivf_pq_clustered_layout_and_probed_cell_listing(spark, emb, tmp_path):
 def test_ivf_pq_compact_restores_one_file_per_cell(spark, emb, tmp_path):
     """r16: compact_ivf_pq_index repairs the contract append erodes —
     after ≥3 appends a hot cell holds ≥4 files (one per batch); compact
-    collapses every cell back to ONE vec_id-sorted file, leaves
-    _quantizer untouched, and search/rescore results are BIT-IDENTICAL
-    pre/post (pure re-layout). A crashed prior run's staging dir is
-    reclaimed, and the staging dir is gone after success."""
+    collapses every cell back to ONE vec_id-sorted file, carries the
+    _quantizer verbatim, and search/rescore results are BIT-IDENTICAL
+    pre/post (pure re-layout). The compacted copy is a NEW snapshot
+    published by pointer flip; a crashed prior run's uncommitted
+    staged version is swept on entry, and the pre-compact snapshot is
+    retained one generation for in-flight readers."""
     import json as _json
     import os
 
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _index_version,
+        _live_index_root,
         append_ivf_pq_index,
         build_ivf_pq_index,
         compact_ivf_pq_index,
         ivf_pq_index_file_stats,
         ivf_pq_rescore_topk,
         ivf_pq_search,
+        read_ivf_pq_index,
     )
 
     root = str(tmp_path / "ivfpq_compact")
@@ -1989,44 +2000,50 @@ def test_ivf_pq_compact_restores_one_file_per_cell(spark, emb, tmp_path):
         )
     pre = ivf_pq_index_file_stats(spark, root)
     assert pre["max_files_per_cell"] >= 4  # build + 3 appends on a hot cell
-    n_rows_pre = spark.read.parquet(root).count()
+    n_rows_pre = read_ivf_pq_index(spark, root).count()
     q = emb.filter(F.col("vec_id") < 5)
     pre_search = sorted(map(tuple, ivf_pq_search(spark, root, q, k=3, nprobe=3).collect()))
     pre_rescore = sorted(
         map(tuple, ivf_pq_rescore_topk(spark, root, q, k=3, shortlist=10, nprobe=3).collect())
     )
 
-    # a crashed prior compaction left a stale staging dir — reclaimed
-    # (dot-prefixed sibling: hidden from listings of the parent, r16
-    # ADVICE)
-    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import _hidden_sibling
-
-    staging = _hidden_sibling(root, "__compacting")
-    os.makedirs(f"{staging}/cell=0", exist_ok=True)
-    open(f"{staging}/cell=0/garbage.parquet", "w").write("junk")
+    # a crashed prior compaction left an UNCOMMITTED staged snapshot
+    # (version above the pointer) — swept on entry, never resolvable
+    assert _index_version(spark, root) == 1
+    os.makedirs(f"{root}/v=7/cell=0", exist_ok=True)
+    open(f"{root}/v=7/cell=0/garbage.parquet", "w").write("junk")
 
     res = compact_ivf_pq_index(spark, root)
+    assert res["versions_swept"] == [7]
     assert res["files_before"] == pre["n_files"]
     assert res["files_after"] == res["n_cells"]  # exactly one per cell
     assert res["n_rows"] == n_rows_pre
     post = ivf_pq_index_file_stats(spark, root)
     assert post["max_files_per_cell"] == 1 and post["n_cells"] == pre["n_cells"]
-    assert not os.path.exists(staging)
-    assert not os.path.exists(f"{root}/.__old")
+    assert not os.path.exists(f"{root}/v=7")
+    # the publish retained exactly {new, previous}: snapshot isolation
+    # for a reader that resolved v=1 just before the flip (the crashed
+    # v=7 was swept on entry, so the next version number is 2)
+    assert res["version"] == 2 and _index_version(spark, root) == 2
+    assert sorted(d for d in os.listdir(root) if d.startswith("v=")) == [
+        "v=1",
+        "v=2",
+    ]
 
     # each compacted file is vec_id-sorted (row-group-pruning contract)
     import pyarrow.parquet as pq_
 
-    for d in os.listdir(root):
+    live = _live_index_root(spark, root)
+    for d in os.listdir(live):
         if not d.startswith("cell="):
             continue
-        (f,) = [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
-        col = pq_.read_table(os.path.join(root, d, f), columns=["vec_id"])["vec_id"].to_pylist()
+        (f,) = [f for f in os.listdir(os.path.join(live, d)) if f.endswith(".parquet")]
+        col = pq_.read_table(os.path.join(live, d, f), columns=["vec_id"])["vec_id"].to_pylist()
         assert col == sorted(col), f"{d} not vec_id-sorted after compact"
 
-    # quantizer + meta survive; results identical
-    meta = _json.loads(open(os.path.join(root, "_quantizer", "meta.json")).read())
-    assert meta == {"store_vectors": True, "nlist": 8, "m": 8}
+    # quantizer + meta carried verbatim; results identical
+    meta = _json.loads(open(os.path.join(live, "_quantizer", "meta.json")).read())
+    assert meta == {"store_vectors": True, "nlist": 8, "m": 8, "n_rows": 200}
     assert sorted(map(tuple, ivf_pq_search(spark, root, q, k=3, nprobe=3).collect())) == pre_search
     assert (
         sorted(map(tuple, ivf_pq_rescore_topk(spark, root, q, k=3, shortlist=10, nprobe=3).collect()))
@@ -2058,7 +2075,12 @@ def test_profile_cell_skew_flags_hot_cell(spark, tmp_path):
     assert prof[0]["skew"] > 3.0
     assert abs(sum(r["share"] for r in prof) - 1.0) < 0.01
     sig = ivf_rebalance_needed(spark, root, max_skew=3.0)
-    assert sig == {"rebalance": True, "max_skew": prof[0]["skew"], "hot_cell": 0}
+    assert sig == {
+        "rebalance": True,
+        "max_skew": prof[0]["skew"],
+        "hot_cell": 0,
+        "n_rows": 116,
+    }
 
     # a balanced corpus must NOT trip it: same 16 seeds, then the bulk
     # round-robins the 4 CENTROID locations (seeds 0..3) evenly
@@ -2117,9 +2139,12 @@ def test_pq_meta_torn_stamp_and_literal_path_probe(spark, emb, tmp_path):
         emb.filter(F.col("vec_id") < 200), root, nlist=8, m=8,
         codebook_size=16, store_vectors=True,
     )
-    meta_path = os.path.join(root, "_quantizer", "meta.json")
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import _live_index_root
+
+    live = _live_index_root(spark, root)
+    meta_path = os.path.join(live, "_quantizer", "meta.json")
     assert not os.path.exists(meta_path + ".tmp") and not os.path.exists(
-        os.path.join(root, "_quantizer", ".meta.json.tmp")
+        os.path.join(live, "_quantizer", ".meta.json.tmp")
     )
     # tear the stamp THROUGH the Hadoop FS (in-place create, no staging
     # — the pre-atomic writer's crash shape, checksum sidecar consistent)
@@ -2235,29 +2260,33 @@ def test_ivf_pq_compact_edge_cases(spark, tmp_path):
     assert out.count() > 0
 
 
-def test_ivf_pq_compact_crash_at_every_swap_step(spark, emb, tmp_path):
-    """r17 (r16 verdict task 1): the per-cell swap is rename-aside —
-    park the original under .__old/, swap the staged copy in, drop the
-    parked copy — so the cell's rows exist under exactly one of two
-    well-known names at EVERY step. This test constructs each crash
-    boundary state by hand and proves, for each: (a) a search issued
-    against the half-swapped tree returns the full candidate set
-    (reader fallback to the parked name), and (b) a subsequent
-    compact run reconciles the crash and loses ZERO rows."""
+def test_ivf_pq_publish_reader_and_crash_at_every_point(spark, emb, tmp_path):
+    """r18 (r17 verdict task 1): compaction and retrain publish by
+    staged-snapshot + pointer flip. This test constructs EVERY point
+    of a publish by hand and proves, at each: (a) a search issued
+    against the tree returns the FULL pre-publish or FULL post-publish
+    result — never an error, never a mix of one snapshot's cells with
+    the other's quantizer (retrain changes both; results are compared
+    at nprobe < nlist, where a mixed read would change the candidate
+    set); (b) a subsequent maintenance run reconciles the state and
+    loses ZERO rows."""
     import os
     import shutil
 
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
-        _hidden_sibling,
-        _read_index_cells,
-        append_ivf_pq_index,
+        _index_version,
         build_ivf_pq_index,
+        append_ivf_pq_index,
         compact_ivf_pq_index,
         ivf_pq_index_file_stats,
+        ivf_pq_rescore_topk,
         ivf_pq_search,
+        read_ivf_pq_index,
+        retrain_ivf_pq_index,
+        vacuum_ivf_pq_index,
     )
 
-    root = str(tmp_path / "ivfpq_crash")
+    root = str(tmp_path / "ivfpq_pub")
     build_ivf_pq_index(
         emb.filter(F.col("vec_id") < 200), root, nlist=8, m=8,
         codebook_size=16, store_vectors=True,
@@ -2266,85 +2295,114 @@ def test_ivf_pq_compact_crash_at_every_swap_step(spark, emb, tmp_path):
         append_ivf_pq_index(
             emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), root
         )
-    n_total = spark.read.parquet(root).count()
+    n_total = read_ivf_pq_index(spark, root).count()
     q = emb.filter(F.col("vec_id") < 5)
-    expected = sorted(
-        map(tuple, ivf_pq_search(spark, root, q, k=3, nprobe=8).collect())
-    )
+
+    def results(r):
+        s = sorted(map(tuple, ivf_pq_search(spark, r, q, k=3, nprobe=3).collect()))
+        g = sorted(
+            map(
+                tuple,
+                ivf_pq_rescore_topk(spark, r, q, k=3, shortlist=10, nprobe=3).collect(),
+            )
+        )
+        return (s, g)
+
+    pre = results(root)
     pristine = str(tmp_path / "pristine")
     shutil.copytree(root, pristine)
-    # a genuine staged tree: compact a DONOR copy — its cell dirs are
-    # byte-wise what the crashed run's completed staging write held
-    donor = str(tmp_path / "donor")
-    shutil.copytree(pristine, donor)
-    compact_ivf_pq_index(spark, donor)
-    staging = _hidden_sibling(root, "__compacting")
-    aside = f"{root}/.__old"
-    cells = sorted(
-        d for d in os.listdir(donor) if d.startswith("cell=")
-    )
-    hot = cells[0]
 
-    def fresh():
+    # donor runs: a genuine compacted snapshot (content-identical to
+    # pre) and a genuine RETRAINED snapshot (k-means quantizer — new
+    # centroids AND new cell assignments, so nprobe=3 results differ
+    # from pre unless the reader resolves one coherent snapshot)
+    donor_c = str(tmp_path / "donor_c")
+    shutil.copytree(pristine, donor_c)
+    compact_ivf_pq_index(spark, donor_c)  # publishes v=2
+    donor_r = str(tmp_path / "donor_r")
+    shutil.copytree(pristine, donor_r)
+    retrain_ivf_pq_index(spark, donor_r, nlist=8)  # publishes v=2
+    post_retrain = results(donor_r)
+
+    def fresh(donor=None, staged_cells=None, flip=False, drop_old=False):
+        """Assemble a publish point: pristine v=1 (pointer=1) plus an
+        optionally partial/complete staged v=2 from the donor; flip
+        the pointer and/or drop the old snapshot to model the
+        post-publish points."""
         shutil.rmtree(root, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
         shutil.copytree(pristine, root)
+        if donor is not None:
+            os.makedirs(f"{root}/v=2", exist_ok=True)
+            names = sorted(os.listdir(f"{donor}/v=2"))
+            if staged_cells is not None:
+                names = [n for n in names if n.startswith("cell=")][:staged_cells]
+            for n in names:
+                shutil.copytree(f"{donor}/v=2/{n}", f"{root}/v=2/{n}")
+        if flip:
+            open(f"{root}/_VERSION", "w").write('{"v": 2}')
+            for crc in (f"{root}/._VERSION.crc",):
+                if os.path.exists(crc):
+                    os.remove(crc)  # hand-edited pointer: drop stale checksum
+        if drop_old:
+            shutil.rmtree(f"{root}/v=1")
 
-    def stage_all():
-        shutil.copytree(donor, staging)
-        shutil.rmtree(f"{staging}/_quantizer")  # staging holds cells only
-
-    def check_recovers(state: str):
-        # (a) reader safety: full candidate set from the crashed tree
-        got = sorted(
-            map(tuple, ivf_pq_search(spark, root, q, k=3, nprobe=8).collect())
-        )
-        assert got == expected, f"{state}: search degraded mid-crash"
-        hot_cell = int(hot.split("=")[1])
-        rows = _read_index_cells(spark, root, [hot_cell])
-        assert rows is not None and rows.count() > 0, f"{state}: hot cell lost"
-        # (b) recovery: the next compact run loses zero rows
+    def check(state, expected, versions_after_recovery):
+        got = results(root)
+        assert got == expected, f"{state}: reader saw a torn/mixed snapshot"
+        # recovery: the next maintenance run reconciles and loses nothing
         res = compact_ivf_pq_index(spark, root)
         assert res["n_rows"] == n_total, f"{state}: rows lost in recovery"
-        assert spark.read.parquet(root).count() == n_total
+        assert read_ivf_pq_index(spark, root).count() == n_total
         assert (
-            spark.read.parquet(root).select("vec_id").distinct().count() == n_total
+            read_ivf_pq_index(spark, root).select("vec_id").distinct().count()
+            == n_total
         )
         assert ivf_pq_index_file_stats(spark, root)["max_files_per_cell"] == 1
-        assert not os.path.exists(staging) and not os.path.exists(aside)
-        got = sorted(
-            map(tuple, ivf_pq_search(spark, root, q, k=3, nprobe=8).collect())
-        )
-        assert got == expected, f"{state}: search changed after recovery"
+        assert sorted(
+            d for d in os.listdir(root) if d.startswith("v=")
+        ) == versions_after_recovery
+        got = results(root)
+        assert got == expected, f"{state}: values changed across recovery"
 
-    # state A — crash after the staging write, before any rename
-    fresh(); stage_all()
-    check_recovers("A: staged, no swap")
+    # -- compaction publish points (post == pre: pure re-layout) -----
+    # A: crash mid-staging — partial v=2, pointer=1
+    fresh(donor=donor_c, staged_cells=3)
+    assert _index_version(spark, root) == 1
+    check("A: partial stage", pre, ["v=1", "v=2"])
+    # B: staged snapshot complete, crash before the pointer flip
+    fresh(donor=donor_c)
+    check("B: staged, unflipped", pre, ["v=1", "v=2"])
+    # C: pointer flipped, previous snapshot retained (grace)
+    fresh(donor=donor_c, flip=True)
+    assert _index_version(spark, root) == 2
+    check("C: flipped, grace copy", pre, ["v=2", "v=3"])
+    # D: after vacuum — only the new snapshot remains
+    fresh(donor=donor_c, flip=True)
+    vacuum_ivf_pq_index(spark, root)
+    assert sorted(d for d in os.listdir(root) if d.startswith("v=")) == ["v=2"]
+    check("D: vacuumed", pre, ["v=2", "v=3"])
 
-    # state B — crash between rename 1 and rename 2 on the first cell:
-    # live dir missing, original parked under .__old/ (the state the
-    # old delete→rename protocol lost permanently)
-    fresh(); stage_all()
-    os.makedirs(aside, exist_ok=True)
-    os.rename(f"{root}/{hot}", f"{aside}/{hot}")
-    check_recovers("B: parked, not yet swapped in")
-
-    # state C — crash between rename 2 and the aside delete: staged
-    # copy live, stale parked copy still under .__old/
-    fresh(); stage_all()
-    os.makedirs(aside, exist_ok=True)
-    os.rename(f"{root}/{hot}", f"{aside}/{hot}")
-    os.rename(f"{staging}/{hot}", f"{root}/{hot}")
-    check_recovers("C: swapped in, aside not dropped")
-
-    # state D — crash after the first cell completed, before the next
-    # cell's rename 1 (partial-prefix state)
-    fresh(); stage_all()
-    os.makedirs(aside, exist_ok=True)
-    os.rename(f"{root}/{hot}", f"{aside}/{hot}")
-    os.rename(f"{staging}/{hot}", f"{root}/{hot}")
-    shutil.rmtree(f"{aside}/{hot}")
-    check_recovers("D: one cell done, rest pending")
+    # -- retrain publish points (post != pre at nprobe<nlist) --------
+    assert post_retrain != pre  # the mix-detector has teeth
+    # E: staged retrained snapshot complete, crash before the flip:
+    # readers see the FULL pre-retrain result
+    fresh(donor=donor_r)
+    got = results(root)
+    assert got == pre, "E: reader leaked the unpublished retrain"
+    # recovery: the retried retrain sweeps the dead stage and republishes
+    res = retrain_ivf_pq_index(spark, root, nlist=8)
+    assert res["n_rows"] == n_total
+    assert read_ivf_pq_index(spark, root).count() == n_total
+    # F: pointer flipped to the retrained snapshot, grace copy retained:
+    # readers see the FULL post-retrain result (cells + quantizer from
+    # ONE snapshot — a mix would produce a third, different answer)
+    fresh(donor=donor_r, flip=True)
+    got = results(root)
+    assert got == post_retrain, "F: reader mixed snapshots across the flip"
+    # G: grace copy gone too
+    fresh(donor=donor_r, flip=True, drop_old=True)
+    got = results(root)
+    assert got == post_retrain, "G: reader mixed snapshots post-vacuum"
 
 
 def test_retrain_ivf_pq_index_rebalances_and_recalls(spark, tmp_path):
@@ -2404,7 +2462,9 @@ def test_retrain_ivf_pq_index_rebalances_and_recalls(spark, tmp_path):
     assert res["max_skew_after"] < res["max_skew_before"]
     after = ivf_rebalance_needed(spark, root, max_skew=3.0)
     assert after["rebalance"] is False, f"still skewed: {after}"
-    stored = spark.read.parquet(root)
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import read_ivf_pq_index
+
+    stored = read_ivf_pq_index(spark, root)
     assert stored.count() == 136 and stored.select("vec_id").distinct().count() == 136
 
     # recall gate: all-cells-probed exact rescore == brute-force top-k
@@ -2440,43 +2500,195 @@ def test_retrain_ivf_pq_index_rebalances_and_recalls(spark, tmp_path):
         retrain_ivf_pq_index(spark, root3)
 
 
-def test_retrain_root_swap_crash_recovery(spark, emb, tmp_path):
-    """r17: retrain's publish is a root rename-aside — a crash between
-    the two renames leaves the complete pre-retrain index parked at the
-    __preretrain sibling; _recover_root_swap restores it (and a retried
-    retrain then succeeds end-to-end). A STALE aside next to a live
-    root (crash after publish, before the aside delete) is dropped."""
+def test_retrain_publish_crash_recovery_and_tick_sweep(spark, emb, tmp_path):
+    """r18: a retrain that crashes before the pointer flip leaves the
+    live pointer untouched — searches, stats and the maintenance tick
+    all keep working against the committed snapshot, and the tick's
+    entry sweep reclaims the dead staged version (r17 ADVICE: the tick
+    previously never reclaimed, so a crashed cell could stay parked
+    and undercounted indefinitely — the version sweep runs on EVERY
+    maintenance entry and the gauges only ever read the live
+    snapshot)."""
     import os
-    import shutil
 
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
-        _hidden_sibling,
-        _recover_root_swap,
+        _index_version,
         build_ivf_pq_index,
+        ivf_pq_index_file_stats,
         ivf_pq_search,
+        maintain_ivf_pq_index,
+        read_ivf_pq_index,
         retrain_ivf_pq_index,
     )
 
-    root = str(tmp_path / "ivfpq_rootswap")
+    root = str(tmp_path / "ivfpq_pubcrash")
     build_ivf_pq_index(
         emb.filter(F.col("vec_id") < 200), root, nlist=8, m=8,
         codebook_size=16, store_vectors=True,
     )
-    n = spark.read.parquet(root).count()
-    aside = _hidden_sibling(root, "__preretrain")
+    n = read_ivf_pq_index(spark, root).count()
 
-    # crash between the renames: live root gone, aside holds the index
-    os.rename(root, aside)
-    assert _recover_root_swap(spark, root) is True
-    assert os.path.exists(root) and not os.path.exists(aside)
-    assert spark.read.parquet(root).count() == n
-    # the retried retrain completes from the restored state
-    res = retrain_ivf_pq_index(spark, root, nlist=8)
-    assert res["n_rows"] == n
+    # crash before the flip: a dead complete-looking staged snapshot
+    os.makedirs(f"{root}/v=2/cell=0", exist_ok=True)
+    open(f"{root}/v=2/cell=0/orphan.parquet", "w").write("junk")
+    assert _index_version(spark, root) == 1  # pointer untouched
     q = emb.filter(F.col("vec_id") < 3)
     assert ivf_pq_search(spark, root, q, k=3, nprobe=8).count() > 0
+    assert read_ivf_pq_index(spark, root).count() == n
+    # gauges see only the live snapshot — the orphan never counts
+    stats = ivf_pq_index_file_stats(spark, root)
+    assert stats["max_files_per_cell"] == 1
 
-    # stale aside next to a live root: dropped, not restored
-    shutil.copytree(root, aside)
-    assert _recover_root_swap(spark, root) is False
-    assert os.path.exists(root) and not os.path.exists(aside)
+    # the tick's entry sweep reclaims the dead stage
+    tick = maintain_ivf_pq_index(spark, root)
+    assert tick["versions_swept"] == [2]
+    assert not os.path.exists(f"{root}/v=2")
+
+    # and a retried retrain completes end-to-end from the same state
+    os.makedirs(f"{root}/v=2/cell=0", exist_ok=True)
+    open(f"{root}/v=2/cell=0/orphan.parquet", "w").write("junk")
+    res = retrain_ivf_pq_index(spark, root, nlist=8)
+    assert res["n_rows"] == n and _index_version(spark, root) > 1
+    assert ivf_pq_search(spark, root, q, k=3, nprobe=8).count() > 0
+
+
+def test_retrain_derives_nlist_from_corpus_growth(spark, emb, tmp_path):
+    """r18 (r17 verdict task 2): the maintenance tick's retrain derives
+    its target nlist from the observed corpus instead of re-fitting at
+    the stale size — the ``nlist ∝ corpus`` rule made operational. On
+    a 4×-grown index (build on 125 rows at nlist=8, append 375 more),
+    the derived target is ceil(500·8/125) = 32; after the retrain the
+    skew gauge AND the per-cell population are back under the
+    balanced-cell budget the sizing assumed, and the recall gate
+    (all-cells rescore vs brute force) does not degrade."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _live_index_root,
+        _load_pq_meta,
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        cosine_topk,
+        derive_ivf_nlist,
+        ivf_pq_rescore_topk,
+        ivf_rebalance_needed,
+        read_ivf_pq_index,
+        retrain_ivf_pq_index,
+    )
+
+    # the sizing rule itself, integer-exact (the oracle replays it)
+    assert derive_ivf_nlist(500, 8, 125) == 32
+    assert derive_ivf_nlist(501, 8, 125) == 33  # ceil, not floor
+    assert derive_ivf_nlist(100, 8, 125) == 8  # never shrinks implicitly
+    assert derive_ivf_nlist(500, 8, None) == 8  # pre-r18 stamp: keep
+
+    root = str(tmp_path / "ivfpq_grow")
+    build_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 125), root, nlist=8, m=8,
+        codebook_size=16, store_vectors=True,
+    )
+    assert _load_pq_meta(spark, _live_index_root(spark, root))["n_rows"] == 125
+    append_ivf_pq_index(emb.filter(F.col("vec_id") >= 125), root)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, q, k=3).collect()
+    }
+
+    def recall(nprobe_all):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_pq_rescore_topk(
+                spark, root, q, k=3, shortlist=100, nprobe=nprobe_all
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    recall_before = recall(8)
+    res = retrain_ivf_pq_index(spark, root)  # nlist derived, not passed
+    assert res["nlist_before"] == 8 and res["nlist_after"] == 32
+    meta = _load_pq_meta(spark, _live_index_root(spark, root))
+    assert meta["nlist"] == 32 and meta["n_rows"] == 500  # new density baseline
+    stored = read_ivf_pq_index(spark, root)
+    assert stored.count() == 500
+    assert stored.select("vec_id").distinct().count() == 500
+    # per-cell population back under the balanced budget the sizing
+    # assumed: no cell holds more than max_skew × (total / nlist)
+    sig = ivf_rebalance_needed(spark, root, max_skew=4.0)
+    assert sig["rebalance"] is False, f"still over budget: {sig}"
+    hot = stored.groupBy("cell").count().agg(F.max("count")).first()[0]
+    assert hot <= 4.0 * 500 / 32, f"hot cell {hot} over the sized budget"
+    assert recall(32) >= recall_before, "retrain degraded recall"
+
+
+def test_retrain_recall_gate_at_production_nprobe(spark, tmp_path):
+    """r18 (r17 verdict task 3): the recall gate at nprobe < nlist —
+    the setting where bad centroids actually LOSE neighbors (an
+    all-cells probe always finds them again via the exact rescore).
+    Fixture: a STALE quantizer after distribution drift — the seed
+    centroids (ids 0..7) differ only along dim 2, modelling an index
+    fit when the corpus's variance lay there; the corpus has since
+    drifted into four well-separated clusters in dims 0/1, with each
+    member's dim-2 value pseudorandom ((j·5) mod 8) and its dim-0/1
+    jitter an order of magnitude larger, so cell assignment (decided
+    purely by dim 2 — the seeds are identical elsewhere) is
+    uncorrelated with cosine ranking (decided by dims 0/1). At
+    nprobe=2 of 8 the stale index MISSES ~half the true neighbors
+    (the 0.9 gate FAILS pre-retrain — the gate has teeth); after the
+    k-means retrain each cluster collapses into adjacent cells, the
+    same gate passes ≥0.9, and recall strictly improves."""
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        cosine_topk,
+        ivf_pq_rescore_topk,
+        retrain_ivf_pq_index,
+    )
+
+    centers = [(0.0, 0.0), (200.0, 0.0), (0.0, 200.0), (200.0, 200.0)]
+    # ids 0..7: the stale seeds — spread ONLY along dim 2
+    rows = [(i, [0.0, 0.0, i * 0.125, 1.0]) for i in range(8)]
+    # ids 8..19: spread across the clusters (sane PQ codebook seeds)
+    rows += [
+        (8 + j, [centers[j % 4][0] + j * 0.11, centers[j % 4][1] + j * 0.07, 0.0, 1.0])
+        for j in range(12)
+    ]
+    # the bulk: four balanced clusters; dim-2 pseudorandom and SMALL
+    # next to the dim-0/1 jitter, so it decides the cell but not the
+    # neighbor ranking
+    rows += [
+        (
+            100 + j,
+            [
+                centers[j % 4][0] + (j % 7) * 1.3,
+                centers[j % 4][1] + (j % 5) * 1.1,
+                ((j * 5) % 8) * 0.125,
+                1.0,
+            ],
+        )
+        for j in range(160)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "ivf_nprobe_gate")
+    build_ivf_pq_index(df, root, nlist=8, m=2, codebook_size=16, store_vectors=True)
+
+    q = df.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(df, q, k=5).collect()
+    }
+
+    def recall_at(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_pq_rescore_topk(
+                spark, root, q, k=5, shortlist=60, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    before = recall_at(2)
+    assert before < 0.9, (
+        f"fixture not stale enough to exercise the gate: {before}"
+    )
+    retrain_ivf_pq_index(spark, root, nlist=8)
+    after = recall_at(2)
+    assert after >= 0.9, f"production-nprobe recall gate failed: {after}"
+    assert after > before
