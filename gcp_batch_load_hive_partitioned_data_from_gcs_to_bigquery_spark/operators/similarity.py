@@ -832,11 +832,26 @@ def _live_index_root(spark: SparkSession, index_path: str) -> str:
     a re-run of :func:`build_ivf_pq_index` repairs."""
     base = index_path.rstrip("/")
     v = _index_version(spark, base)
-    if v is None:
-        v = _index_version(spark, base)  # retry across the rename window
     if v is not None:
         return f"{base}/v={v}"
+    # no pointer: an already-resolved ``v=N`` snapshot dir re-resolves
+    # to itself by NAME alone — ONE stat, and never a listing, which
+    # would put an O(nlist) listStatus on the query path every helper
+    # re-resolution (nlist ∝ corpus; the corpus-independent-listing
+    # contract of _read_index_cells). A root the user literally named
+    # ``v=<int>`` without a pointer inside is indistinguishable and
+    # also resolves to itself, failing later with a clear
+    # missing-quantizer error.
+    tail = base.rsplit("/", 1)[-1]
+    if tail.startswith("v=") and tail[2:].isdigit():
+        return base
     if _index_version_dirs(spark, base):
+        # version dirs but no pointer: either the atomic pointer
+        # rewrite's delete→rename microwindow (retry sees it) or a
+        # crash before the first publish (raise)
+        v = _index_version(spark, base)
+        if v is not None:
+            return f"{base}/v={v}"
         raise ValueError(
             f"{base} has v=N snapshot directories but no committed "
             f"{_VERSION_POINTER} pointer (crashed before its first "
