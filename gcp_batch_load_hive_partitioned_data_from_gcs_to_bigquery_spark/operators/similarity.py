@@ -786,11 +786,25 @@ def _index_version(spark: SparkSession, index_path: str) -> int | None:
     if not _path_exists(spark, ptr):
         return None
     try:
-        return int(json.loads(_read_small_file(spark, ptr))["v"])
+        content = _read_small_file(spark, ptr)
     except Exception:
         # the open itself can lose the delete→rename microwindow after
         # the exists probe passed — same "missing right now" semantics
         return None
+    try:
+        return int(json.loads(content)["v"])
+    except Exception:
+        # content READ fine but does not parse: external corruption, not
+        # a publish race (_write_small_file is atomic — torn content
+        # cannot come from this code). Coercing this to "missing" would
+        # route callers to "re-run build", whose first publish sweeps
+        # every committed snapshot (prev=None) — destroying intact data
+        # over an 8-byte pointer. Raise the repairable truth instead.
+        raise ValueError(
+            f"corrupt {_VERSION_POINTER} pointer at {ptr}: {content!r} — "
+            'restore it to {"v": N} naming the live snapshot directory; '
+            "the v=N snapshots themselves are untouched (do NOT rebuild)"
+        )
 
 
 def _index_version_dirs(spark: SparkSession, index_path: str) -> dict:
@@ -845,13 +859,27 @@ def _live_index_root(spark: SparkSession, index_path: str) -> str:
     tail = base.rsplit("/", 1)[-1]
     if tail.startswith("v=") and tail[2:].isdigit():
         return base
+    # a pre-versioned LEGACY tree (or a snapshot dir under an odd name)
+    # carries its quantizer at the root: one more stat resolves it with
+    # no listing — and it wins over any stray v=N garbage beside it (a
+    # crashed first migrate must not brick reads of the intact legacy
+    # tree)
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.sources.probe import _path_exists
+
+    if _path_exists(spark, f"{base}/_quantizer"):
+        return base
     if _index_version_dirs(spark, base):
-        # version dirs but no pointer: either the atomic pointer
-        # rewrite's delete→rename microwindow (retry sees it) or a
-        # crash before the first publish (raise)
-        v = _index_version(spark, base)
-        if v is not None:
-            return f"{base}/v={v}"
+        # version dirs, no pointer, no legacy tree: either the atomic
+        # pointer rewrite's delete→rename microwindow (the spaced
+        # retries see it land) or a crash before the first publish
+        # (raise — build_ivf_pq_index repairs it)
+        import time as _time
+
+        for backoff in (0.05, 0.2):
+            _time.sleep(backoff)
+            v = _index_version(spark, base)
+            if v is not None:
+                return f"{base}/v={v}"
         raise ValueError(
             f"{base} has v=N snapshot directories but no committed "
             f"{_VERSION_POINTER} pointer (crashed before its first "
@@ -877,6 +905,22 @@ def _next_index_version(spark: SparkSession, index_path: str) -> int:
     cur = _index_version(spark, index_path)
     dirs = _index_version_dirs(spark, index_path)
     return max(list(dirs) + [cur or 0]) + 1
+
+
+def _entry_sweep(spark: SparkSession, index_path: str, cur) -> list:
+    """Maintenance-entry reclamation: keep the live snapshot and the
+    ACTUAL previous on-disk version (the reader grace copy), delete
+    everything else — crashed stages above the pointer and versions
+    aged past the grace. "Previous" is the highest on-disk version
+    below the pointer, NOT ``cur-1`` by arithmetic: version numbers
+    skip past crashed stages (``_next_index_version``), so a numeric
+    guess could delete the real grace copy out from under an in-flight
+    reader while leaving nothing it meant to keep."""
+    if cur is None:
+        return []
+    prevs = [v for v in _index_version_dirs(spark, index_path) if v < cur]
+    keep = {cur} | ({max(prevs)} if prevs else set())
+    return _sweep_index_versions(spark, index_path, keep)
 
 
 def _sweep_index_versions(spark: SparkSession, index_path: str, keep: set) -> list:
@@ -929,6 +973,107 @@ def vacuum_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
         raise ValueError(f"no committed {_VERSION_POINTER} pointer under {base}")
     removed = _sweep_index_versions(spark, base, {cur})
     return {"version": cur, "removed": removed}
+
+
+def migrate_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
+    """One-time in-place migration of a pre-versioned (r17-layout)
+    index — cells and ``_quantizer`` directly under the root — onto the
+    version-pointer snapshot layout. The ONE publish in the protocol
+    without a retained previous snapshot: the legacy tree is deleted
+    after the pointer flip (it cannot be retained — it lives at the
+    names the root itself owns), so the caller must DRAIN CONCURRENT
+    READERS first; every subsequent publish restores the one-generation
+    grace contract. Steps:
+
+    1. reconcile any r17 rename-aside crash state: a cell parked under
+       ``{root}/.__old/`` whose live dir is missing is restored (the
+       r17 protocol's guarantee, honored across the upgrade); a parked
+       cell whose live dir exists is a stale aside and is dropped;
+    2. stage snapshot v=N from the legacy cells (the compactor's
+       clustering write — the migrated index also comes out at one
+       sorted file per cell) and copy the quantizer verbatim;
+    3. publish by pointer flip, then delete the legacy cell dirs and
+       ``{root}/_quantizer``.
+
+    Idempotent: re-run after a crash at any step and it resumes —
+    before the flip the legacy tree is still the (only) live index and
+    the dead stage is swept; after the flip the pointer wins and only
+    the leftover legacy cleanup re-runs. Returns {version, migrated,
+    n_rows|None, legacy_dirs_removed}."""
+    from pyspark.sql import Observation
+
+    base = index_path.rstrip("/")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _delete(path_str: str) -> bool:
+        pth = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = pth.getFileSystem(conf)
+        if fs.exists(pth):
+            fs.delete(pth, True)
+            return True
+        return False
+
+    cur = _index_version(spark, base)
+    if cur is not None:
+        # already versioned: resume a crashed post-flip cleanup
+        removed = sum(_delete(d) for d in _list_cell_dirs(spark, base))
+        removed += _delete(f"{base}/_quantizer")
+        removed += _delete(f"{base}/.__old")
+        return {
+            "version": cur,
+            "migrated": False,
+            "n_rows": None,
+            "legacy_dirs_removed": int(removed),
+        }
+
+    # 1. r17 crash reconciliation (the removed _reclaim_cell_swaps
+    # contract, honored one last time across the layout upgrade)
+    aside = f"{base}/.__old"
+    japath = jvm.org.apache.hadoop.fs.Path(aside)
+    fs = japath.getFileSystem(conf)
+    if fs.exists(japath):
+        for d in _list_cell_dirs(spark, aside):
+            name = d.rsplit("/", 1)[1]
+            live_p = jvm.org.apache.hadoop.fs.Path(f"{base}/{name}")
+            parked = jvm.org.apache.hadoop.fs.Path(d)
+            if fs.exists(live_p):
+                fs.delete(parked, True)  # swap had completed; aside stale
+            elif not fs.rename(parked, live_p):
+                raise IOError(f"restore {parked} -> {live_p} failed")
+        fs.delete(japath, True)
+
+    legacy_dirs = _list_cell_dirs(spark, base)
+    if not legacy_dirs:
+        raise ValueError(f"no legacy cell directories under {base}")
+
+    # 2. stage the first snapshot (clustering write, quantizer verbatim)
+    new_v = _next_index_version(spark, base)
+    target = f"{base}/v={new_v}"
+    obs = Observation("migrate_rows")
+    (
+        spark.read.option("basePath", base)
+        .parquet(*legacy_dirs)
+        .observe(obs, F.count(F.lit(1)).alias("n_rows"))
+        .repartition(F.col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(target)
+    )
+    n_rows = int(obs.get["n_rows"])
+    _copy_quantizer(spark, base, target)
+
+    # 3. publish, then drop the legacy tree (readers drained per contract)
+    _publish_index_version(spark, base, new_v)
+    removed = sum(_delete(d) for d in legacy_dirs)
+    _delete(f"{base}/_quantizer")
+    return {
+        "version": new_v,
+        "migrated": True,
+        "n_rows": n_rows,
+        "legacy_dirs_removed": int(removed),
+    }
 
 
 def read_ivf_pq_index(spark: SparkSession, index_path: str) -> DataFrame:
@@ -1015,12 +1160,17 @@ def compact_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
     from pyspark.sql import Observation
 
     base = index_path.rstrip("/")
-    live = _live_index_root(spark, base)
     cur = _index_version(spark, base)
+    if cur is None:
+        raise ValueError(
+            f"{base} is not a versioned IVF-PQ index — a pre-versioned "
+            "tree must be migrated first: migrate_ivf_pq_index (its one "
+            "publish has no retained previous snapshot, so drain "
+            "readers before running it)"
+        )
+    live = _live_index_root(spark, base)
     # entry sweep: crashed stages (v > pointer) and aged grace copies
-    swept = (
-        _sweep_index_versions(spark, base, {cur, cur - 1}) if cur is not None else []
-    )
+    swept = _entry_sweep(spark, base, cur)
     before = ivf_pq_index_file_stats(spark, base)
     cell_dirs = _list_cell_dirs(spark, live)
     if not cell_dirs:
@@ -1044,20 +1194,6 @@ def compact_ivf_pq_index(spark: SparkSession, index_path: str) -> dict:
     n_rows = int(obs.get["n_rows"])  # measured BY the write job itself
     _copy_quantizer(spark, live, target)
     _publish_index_version(spark, base, new_v)
-    if live == base:
-        # pre-versioned legacy tree just migrated: its old cell dirs sit
-        # beside the new v=N snapshots — drop them (the snapshot holds a
-        # complete compacted copy; the pointer is already committed)
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        for d in cell_dirs:
-            pth = jvm.org.apache.hadoop.fs.Path(d)
-            pth.getFileSystem(conf).delete(pth, True)
-        _copy_ok = f"{base}/_quantizer"
-        pth = jvm.org.apache.hadoop.fs.Path(_copy_ok)
-        fs = pth.getFileSystem(conf)
-        if fs.exists(pth):
-            fs.delete(pth, True)
     after = ivf_pq_index_file_stats(spark, base)
     return {
         "files_before": before["n_files"],
@@ -1199,9 +1335,13 @@ def maintain_ivf_pq_index(
     versions_swept: list}."""
     base = index_path.rstrip("/")
     cur = _index_version(spark, base)
-    swept = (
-        _sweep_index_versions(spark, base, {cur, cur - 1}) if cur is not None else []
-    )
+    if cur is None:
+        raise ValueError(
+            f"{base} is not a versioned IVF-PQ index — run "
+            "migrate_ivf_pq_index first (drain readers; its one publish "
+            "retains no previous snapshot)"
+        )
+    swept = _entry_sweep(spark, base, cur)
     files = ivf_pq_index_file_stats(spark, index_path)
     compact_stats = None
     if files["max_files_per_cell"] > max_files_per_cell:
@@ -1317,10 +1457,15 @@ def retrain_ivf_pq_index(
     import numpy as np
 
     base = index_path.rstrip("/")
-    live = _live_index_root(spark, base)
     cur = _index_version(spark, base)
-    if cur is not None:
-        _sweep_index_versions(spark, base, {cur, cur - 1})
+    if cur is None:
+        raise ValueError(
+            f"{base} is not a versioned IVF-PQ index — run "
+            "migrate_ivf_pq_index first (drain readers; see its "
+            "docstring for the one-publish-without-grace contract)"
+        )
+    live = _live_index_root(spark, base)
+    _entry_sweep(spark, base, cur)
     meta = _load_pq_meta(spark, live)
     cents_old, books, m, sub = _load_pq_quantizer(spark, live)
     if meta is not None:

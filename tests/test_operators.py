@@ -2692,3 +2692,162 @@ def test_retrain_recall_gate_at_production_nprobe(spark, tmp_path):
     after = recall_at(2)
     assert after >= 0.9, f"production-nprobe recall gate failed: {after}"
     assert after > before
+
+
+def test_migrate_legacy_index_and_writer_guards(spark, emb, tmp_path):
+    """r18: pre-versioned (r17-layout) trees stay READABLE (resolution
+    falls back to the root via its _quantizer — one stat, no listing),
+    the maintenance writers refuse them with migration guidance, and
+    migrate_ivf_pq_index moves them onto the snapshot layout in place:
+    r17 rename-aside crash states are reconciled first (a parked cell
+    whose live dir is missing is restored — zero rows lost across the
+    layout upgrade), values are identical post-migration, re-running is
+    an idempotent cleanup resume, and the migrated index compacts/
+    retrains normally."""
+    import os
+    import shutil
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _index_version,
+        _live_index_root,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_index_file_stats,
+        ivf_pq_search,
+        maintain_ivf_pq_index,
+        migrate_ivf_pq_index,
+        read_ivf_pq_index,
+        retrain_ivf_pq_index,
+    )
+
+    # construct a genuine r17-layout tree: a versioned build's snapshot
+    # contents (cells + _quantizer) placed directly under a fresh root
+    donor = str(tmp_path / "donor")
+    build_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 300), donor, nlist=8, m=8,
+        codebook_size=16, store_vectors=True,
+    )
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(_live_index_root(spark, donor), legacy)
+    assert _index_version(spark, legacy) is None
+
+    q = emb.filter(F.col("vec_id") < 5)
+    expected = sorted(
+        map(tuple, ivf_pq_search(spark, legacy, q, k=3, nprobe=8).collect())
+    )
+    assert expected  # legacy tree reads fine pre-migration
+    n = read_ivf_pq_index(spark, legacy).count()
+    assert ivf_pq_index_file_stats(spark, legacy)["n_cells"] > 0
+
+    # writers refuse with guidance
+    import pytest as _pytest
+
+    for op in (compact_ivf_pq_index, retrain_ivf_pq_index, maintain_ivf_pq_index):
+        with _pytest.raises(ValueError, match="migrate_ivf_pq_index"):
+            op(spark, legacy)
+
+    # r17 crash state: park one populated cell with its live dir missing
+    cells = sorted(d for d in os.listdir(legacy) if d.startswith("cell="))
+    hot = cells[0]
+    os.makedirs(f"{legacy}/.__old", exist_ok=True)
+    os.rename(f"{legacy}/{hot}", f"{legacy}/.__old/{hot}")
+
+    res = migrate_ivf_pq_index(spark, legacy)
+    assert res["migrated"] is True and res["version"] == 1
+    assert res["n_rows"] == n  # the parked cell was restored, not lost
+    assert read_ivf_pq_index(spark, legacy).count() == n
+    assert not os.path.exists(f"{legacy}/.__old")
+    assert not any(d.startswith("cell=") for d in os.listdir(legacy))
+    assert not os.path.exists(f"{legacy}/_quantizer")
+    got = sorted(
+        map(tuple, ivf_pq_search(spark, legacy, q, k=3, nprobe=8).collect())
+    )
+    assert got == expected  # values identical across the migration
+
+    # idempotent resume: a second run is a no-op cleanup
+    again = migrate_ivf_pq_index(spark, legacy)
+    assert again == {
+        "version": 1, "migrated": False, "n_rows": None, "legacy_dirs_removed": 0,
+    }
+
+    # the migrated index is a first-class versioned index
+    tick = maintain_ivf_pq_index(spark, legacy)
+    assert tick["files"]["max_files_per_cell"] == 1
+
+
+def test_corrupt_version_pointer_raises_repairable_error(spark, emb, tmp_path):
+    """r18: a corrupt (present-but-unparseable) _VERSION pointer raises
+    a distinct, repair-oriented error instead of masquerading as
+    "missing" — the missing diagnosis routes callers to a rebuild whose
+    first publish would sweep every committed snapshot over an 8-byte
+    pointer. The snapshots stay intact and re-stamping the pointer
+    fully recovers the index."""
+    import pytest as _pytest
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _stamp_index_version,
+        build_ivf_pq_index,
+        ivf_pq_search,
+        read_ivf_pq_index,
+    )
+
+    root = str(tmp_path / "ivfpq_corrupt")
+    build_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 200), root, nlist=8, m=8,
+        codebook_size=16, store_vectors=True,
+    )
+    n = read_ivf_pq_index(spark, root).count()
+    # corrupt the pointer THROUGH the Hadoop FS (keeps the checksum
+    # sidecar consistent — see the torn-meta test)
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{root}/_VERSION")
+    hfs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = hfs.create(jpath, True)
+    stream.write(b'{"v": tor')
+    stream.close()
+
+    with _pytest.raises(ValueError, match="corrupt _VERSION"):
+        read_ivf_pq_index(spark, root)
+    with _pytest.raises(ValueError, match="do NOT rebuild"):
+        ivf_pq_search(spark, root, emb.filter(F.col("vec_id") < 2), k=3)
+
+    _stamp_index_version(spark, root, 1)  # the repair the error names
+    assert read_ivf_pq_index(spark, root).count() == n
+
+
+def test_entry_sweep_keeps_actual_previous_version(spark, emb, tmp_path):
+    """r18: reader grace must survive non-consecutive version numbers.
+    A rebuild over a crashed stage skips a version number (pointer
+    1 → 3 with v=1 the real grace copy); the maintenance entry sweep
+    must keep {3, 1} — the ACTUAL previous on-disk version — not
+    {3, 2} by arithmetic, which would delete the grace copy an
+    in-flight reader may still be scanning."""
+    import os
+
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators.similarity import (
+        _index_version,
+        build_ivf_pq_index,
+        maintain_ivf_pq_index,
+        read_ivf_pq_index,
+    )
+
+    root = str(tmp_path / "ivfpq_gap")
+    emb200 = emb.filter(F.col("vec_id") < 200)
+    build_ivf_pq_index(emb200, root, nlist=8, m=8, codebook_size=16,
+                       store_vectors=True)
+    # a crashed staged build occupies v=2 ...
+    os.makedirs(f"{root}/v=2/cell=0", exist_ok=True)
+    open(f"{root}/v=2/cell=0/garbage.parquet", "w").write("junk")
+    # ... so the rebuild stages PAST it and publishes v=3, retaining
+    # v=1 as the reader grace copy and sweeping the dead v=2
+    build_ivf_pq_index(emb200, root, nlist=8, m=8, codebook_size=16,
+                       store_vectors=True)
+    assert _index_version(spark, root) == 3
+    assert sorted(d for d in os.listdir(root) if d.startswith("v=")) == [
+        "v=1", "v=3",
+    ]
+
+    tick = maintain_ivf_pq_index(spark, root)
+    assert tick["versions_swept"] == []  # v=1 IS the grace copy: kept
+    assert os.path.exists(f"{root}/v=1")
+    assert read_ivf_pq_index(spark, root).count() == 200
