@@ -186,7 +186,9 @@ def hyperplane_signature(vec, num_planes: int, dim: int, seed: int = 42):
 TRAIN_SAMPLE_PER_CELL = 256  # k-means fit sees ≤ this many vectors per cell
 
 
-def _train_sample(c: DataFrame, nlist: int, seed: int) -> DataFrame:
+def _train_sample(
+    c: DataFrame, nlist: int, seed: int, per_cell: int | None = None
+) -> DataFrame:
     """Deterministic, partitioning-independent sample of the corpus for
     quantizer training, capped at ~``TRAIN_SAMPLE_PER_CELL * nlist``
     rows: keep exactly the ids whose seed-keyed ``xxhash64`` falls under
@@ -210,7 +212,7 @@ def _train_sample(c: DataFrame, nlist: int, seed: int) -> DataFrame:
     rows falls back to the full corpus so ``KMeans(k=nlist)`` always
     sees at least k candidates. 256 samples/centroid is the standard
     IVF training density (FAISS's documented default regime)."""
-    cap = TRAIN_SAMPLE_PER_CELL * nlist
+    cap = (per_cell or TRAIN_SAMPLE_PER_CELL) * nlist
     ids = c.select("vec_id")
     if ids.limit(cap + 1).count() <= cap:
         return c
@@ -1298,6 +1300,9 @@ def maintain_ivf_pq_index(
     max_files_per_cell: int = 8,
     max_skew: float = 4.0,
     retrain: bool = False,
+    fit_sample_per_cell: int | None = None,
+    fit_max_iter: int | None = None,
+    fit_init_mode: str | None = None,
 ) -> dict:
     """One maintenance tick for a live IVF-PQ index — the runbook the
     append/compact/skew pieces compose into (the semantic-cells store's
@@ -1360,7 +1365,9 @@ def maintain_ivf_pq_index(
         # pass the measured skew through and reuse the retrainer's own
         # after-verification — two skew scans total, not four
         retrain_stats = retrain_ivf_pq_index(
-            spark, index_path, skew_before=skew, max_skew=max_skew
+            spark, index_path, skew_before=skew, max_skew=max_skew,
+            fit_sample_per_cell=fit_sample_per_cell, fit_max_iter=fit_max_iter,
+            fit_init_mode=fit_init_mode,
         )
         skew = retrain_stats["skew_after"]
     return {
@@ -1399,6 +1406,9 @@ def retrain_ivf_pq_index(
     trained: bool = True,
     skew_before: dict | None = None,
     max_skew: float = 4.0,
+    fit_sample_per_cell: int | None = None,
+    fit_max_iter: int | None = None,
+    fit_init_mode: str | None = None,
 ) -> dict:
     """Act on the retrain signal :func:`maintain_ivf_pq_index` raises:
     re-fit the coarse quantizer on the CURRENT vectors — at a target
@@ -1447,8 +1457,29 @@ def retrain_ivf_pq_index(
     Scale shape: one full read of the refine store (irreducible — the
     re-assignment must see every vector), one clustering shuffle of
     the encoded rows, sampled k-means, no driver-side data beyond the
-    nlist×d centroid matrix. Maintenance-time cost, same class as the
-    original build (measured 1×/10× in scripts/retrain_probe.py).
+    nlist×d centroid matrix. The encode + clustering shuffle is the
+    build's exact cost; the ONE term retrain carries beyond the build
+    is the k-means fit, and its cost model deserves honesty (measured
+    at 1×/10×/100× in scripts/retrain_probe.py): per iteration the fit
+    pays ``sample × nlist`` distance GEMMs, and because the sample cap
+    scales with nlist (``256·nlist``, FAISS's documented training
+    density) while ``nlist ∝ corpus``, the fit's TOTAL work grows
+    quadratically in corpus size and overtakes the linear encode once
+    the cap stops binding — measured retrain/build 2.6× → 1.8× → 7.3×
+    across the three octaves. The fit is fully distributed (MLlib over
+    the sampled DataFrame, parallel across executors), so this is
+    compute, not a driver bottleneck, but at large nlist the knobs
+    bound it: ``fit_sample_per_cell`` tightens the per-centroid sample
+    (FAISS warns below ~39/centroid; 64 is a practical floor),
+    ``fit_max_iter`` caps the iteration multiplier (MLlib default 20),
+    and ``fit_init_mode="random"`` replaces the k-means|| seeding
+    passes — whose cost dominates at large k and which ``maxIter``
+    does not touch — with FAISS's standard seeded point draw. The
+    probe's tuned cell (64/10/random) quantifies the lever at the
+    100× octave with the recall gate still green (pinned by pytest on
+    the drift fixture); the structural fix beyond flat k-means — a
+    hierarchical/IMI coarse quantizer whose fit is O(sample·√nlist) —
+    is the documented next step if nlist outgrows the knobs.
     ``skew_before`` (an :func:`ivf_rebalance_needed` dict) lets the
     maintenance tick pass its already-measured signal through instead
     of paying a second zero-column scan. Returns {nlist_before,
@@ -1498,7 +1529,11 @@ def retrain_ivf_pq_index(
         .select("vec_id", "c_vec")
     )
     centroid_rows = (
-        _trained_centroid_rows(vecs, nlist, seed)
+        _trained_centroid_rows(
+            vecs, nlist, seed,
+            sample_per_cell=fit_sample_per_cell, max_iter=fit_max_iter,
+            init_mode=fit_init_mode,
+        )
         if trained
         else _seed_centroid_rows(vecs, nlist)
     )
@@ -2361,7 +2396,14 @@ def _seed_centroid_rows(c: DataFrame, nlist: int):
     return [(i, list(r["c_vec"])) for i, r in enumerate(rows)]
 
 
-def _trained_centroid_rows(c: DataFrame, nlist: int, seed: int = 42):
+def _trained_centroid_rows(
+    c: DataFrame,
+    nlist: int,
+    seed: int = 42,
+    sample_per_cell: int | None = None,
+    max_iter: int | None = None,
+    init_mode: str | None = None,
+):
     """Trained k-means centroids, fit on the deterministic hash-sample
     (:func:`_train_sample`, capped ~256·nlist vectors) — the PRODUCTION
     quantizer the seed-vector path (:func:`_seed_centroid_rows`) stands
@@ -2377,12 +2419,22 @@ def _trained_centroid_rows(c: DataFrame, nlist: int, seed: int = 42):
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = _train_sample(c, nlist, seed).select(
+    train = _train_sample(c, nlist, seed, per_cell=sample_per_cell).select(
         array_to_vector("c_vec").alias("features")
     )
-    model = KMeans(
-        k=nlist, seed=seed, featuresCol="features", predictionCol="cell"
-    ).fit(train)
+    km = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cell")
+    if max_iter is not None:
+        # fit-budget knob (see retrain_ivf_pq_index): per-iteration fit
+        # cost is sample × nlist GEMMs, so the iteration count is a
+        # direct multiplier on the one super-build-cost term retrain has
+        km = km.setMaxIter(int(max_iter))
+    if init_mode is not None:
+        # "random" collapses the k-means|| seeding passes (whose cost
+        # dominates at large k and which maxIter does not touch) to a
+        # seeded draw of k sample points — FAISS's standard IVF
+        # training initialization
+        km = km.setInitMode(init_mode)
+    model = km.fit(train)
     return [
         (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
     ]

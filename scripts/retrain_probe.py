@@ -4,7 +4,8 @@ maintenance operator that had no measured exponent.
 (irreducible — the re-assignment must see every vector) + a sampled
 k-means fit + one clustering shuffle of the re-encoded rows — the
 docstring's claim is "maintenance-time cost, same class as the
-original build". This probe measures that claim at 1× and 10×:
+original build". This probe measures that claim across octaves
+(default 1× and 10×; pass octaves as argv, e.g. ``1 10 100``):
 
 * ``retrain_Kx``      — wall time of retrain_ivf_pq_index (trained
                         k-means fit, nlist ∝ corpus per the
@@ -24,7 +25,7 @@ original build". This probe measures that claim at 1× and 10×:
 Discipline (memory: probes): min-of-2 per cell, kernels warmed by a
 small throwaway build first, never overlapped with bench/pytest.
 
-Usage: python scripts/retrain_probe.py   (one JSON line out)
+Usage: python scripts/retrain_probe.py [K ...]   (one JSON line out)
 """
 
 from __future__ import annotations
@@ -64,24 +65,28 @@ def main() -> None:
     )
     retrain_ivf_pq_index(spark, f"{PROBE_ROOT}/warm", nlist=4)
 
-    out = {"metric": "retrain_probe", "ks": [1, 10], "phases": {}}
+    ks = [int(x) for x in sys.argv[1:]] or [1, 10]
+    out = {"metric": "retrain_probe", "ks": ks, "phases": {}}
     times = {}
-    for k in (1, 10):
+    for k in ks:
         if k == 1:
             emb = load_table(spark, BASE_SF, "embeddings")
         else:
             emb = spark.read.parquet(
-                os.path.join(build_derived(spark, 10), "embeddings.parquet")
+                os.path.join(build_derived(spark, k), "embeddings.parquet")
             )
         n = emb.count()
         nlist = 16 * k  # ∝ corpus, same contract as scale/compaction probes
+        # PQ codebooks stay at most 256 entries (the FAISS 8-bit code
+        # convention): nlist scales with the corpus, codebooks do not
+        cb = min(nlist, 256)
 
-        builds, retrains = [], []
+        builds, retrains, tuned = [], [], []
         for rep in range(2):
             root = f"{PROBE_ROOT}/idx_{k}x_{rep}"
             t0 = time.monotonic()
             build_ivf_pq_index(
-                emb, root, nlist=nlist, m=8, codebook_size=nlist,
+                emb, root, nlist=nlist, m=8, codebook_size=cb,
                 store_vectors=True,
             )
             builds.append(time.monotonic() - t0)
@@ -89,19 +94,38 @@ def main() -> None:
             res = retrain_ivf_pq_index(spark, root, nlist=nlist)
             retrains.append(time.monotonic() - t0)
             assert res["n_rows"] == n, (res, n)
+            # the fit-budget knobs (64 samples/centroid, 10 iterations,
+            # random init): the levers that bound the fit's quadratic
+            # term at large nlist — quality pinned by the pytest recall
+            # gate
+            t0 = time.monotonic()
+            res = retrain_ivf_pq_index(
+                spark, root, nlist=nlist,
+                fit_sample_per_cell=64, fit_max_iter=10,
+                fit_init_mode="random",
+            )
+            tuned.append(time.monotonic() - t0)
+            assert res["n_rows"] == n, (res, n)
         times[k] = (min(builds), min(retrains))
         out["phases"][f"{k}x"] = {
             "rows": n,
             "nlist": nlist,
             "build": round(min(builds), 3),
             "retrain": round(min(retrains), 3),
+            "retrain_tuned": round(min(tuned), 3),
             "retrain_vs_build": round(min(retrains) / min(builds), 3),
+            "retrain_tuned_vs_build": round(min(tuned) / min(builds), 3),
         }
 
-    out["exponents"] = {
-        "build_1x_10x": round(math.log10(times[10][0] / times[1][0]), 3),
-        "retrain_1x_10x": round(math.log10(times[10][1] / times[1][1]), 3),
-    }
+    out["exponents"] = {}
+    for lo, hi in zip(ks, ks[1:]):
+        span = math.log10(hi / lo)
+        out["exponents"][f"build_{lo}x_{hi}x"] = round(
+            math.log10(times[hi][0] / times[lo][0]) / span, 3
+        )
+        out["exponents"][f"retrain_{lo}x_{hi}x"] = round(
+            math.log10(times[hi][1] / times[lo][1]) / span, 3
+        )
     try:
         out["load_avg"] = round(os.getloadavg()[0], 2)
     except OSError:

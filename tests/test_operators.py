@@ -2693,6 +2693,16 @@ def test_retrain_recall_gate_at_production_nprobe(spark, tmp_path):
     assert after >= 0.9, f"production-nprobe recall gate failed: {after}"
     assert after > before
 
+    # the fit-budget knobs (the lever that bounds the fit's quadratic
+    # term at large nlist — see retrain_ivf_pq_index's cost model) must
+    # not cost the gate: a tuned re-fit of the same index passes too
+    retrain_ivf_pq_index(
+        spark, root, nlist=8, fit_sample_per_cell=64, fit_max_iter=10,
+        fit_init_mode="random",
+    )
+    tuned = recall_at(2)
+    assert tuned >= 0.9, f"tuned-fit recall gate failed: {tuned}"
+
 
 def test_migrate_legacy_index_and_writer_guards(spark, emb, tmp_path):
     """r18: pre-versioned (r17-layout) trees stay READABLE (resolution
