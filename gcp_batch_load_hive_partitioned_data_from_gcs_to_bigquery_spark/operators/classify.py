@@ -68,23 +68,40 @@ def naive_bayes_scores(
 
     tf = scoped_persist(tf, "classify.naive_bayes.tf")
 
-    # model: per-(word,label) smoothed log-count increment ln(c+1)
-    wc = tf.groupBy("word", F.col("true_label").alias("label")).agg(
-        F.sum("tf").alias("c")
+    # model: per-(word,label) smoothed log-count increment ln(c+1).
+    # Persisted: three consumers (label totals, vocab size, the scoring
+    # join) otherwise each re-aggregate the corpus-sized tf cache into
+    # the same vocab×label table — one derivation instead of three.
+    wc = scoped_persist(
+        tf.groupBy("word", F.col("true_label").alias("label")).agg(
+            F.sum("tf").alias("c")
+        ),
+        "classify.naive_bayes.wc",
     )
-    # label constants: doc prior and token totals; V = global vocab size
+    # per-(doc,label) token totals — also a multi-consumer intermediate
+    # (the score grid, the doc prior, the corpus doc count); docs-sized.
+    docs = scoped_persist(
+        tf.groupBy("doc_id", "true_label").agg(F.sum("tf").alias("n_tok")),
+        "classify.naive_bayes.docs",
+    )
+    # label constants: doc prior and token totals; V = global vocab size.
+    # All integer-exact, so sourcing them from the persisted wc/docs
+    # intermediates (vocab- and docs-sized) instead of re-scanning tf
+    # cannot change a value: count(*) per true_label over docs IS
+    # countDistinct(doc_id) per label (docs has one row per
+    # (doc_id,label) pair), and the countDistincts are unchanged
+    # aggregations over exactly the same key sets.
     lab = wc.groupBy("label").agg(F.sum("c").alias("total_tokens"))
-    n_docs = tf.groupBy("true_label").agg(
-        F.countDistinct("doc_id").alias("n_docs_l")
+    n_docs = docs.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_docs_l")
     )
     consts = (
         lab.join(n_docs, lab.label == n_docs.true_label)
         .select("label", "total_tokens", "n_docs_l")
         .crossJoin(wc.agg(F.countDistinct("word").alias("v")))
-        .crossJoin(tf.agg(F.countDistinct("doc_id").alias("n")))
+        .crossJoin(docs.agg(F.countDistinct("doc_id").alias("n")))
     )
 
-    docs = tf.groupBy("doc_id", "true_label").agg(F.sum("tf").alias("n_tok"))
     contrib = (
         tf.join(wc.withColumnRenamed("word", "w"), tf.word == F.col("w"))
         .groupBy("doc_id", "label")

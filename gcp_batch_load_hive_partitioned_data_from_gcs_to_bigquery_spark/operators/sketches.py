@@ -141,16 +141,29 @@ def countmin_query(
     key_col: str,
     depth: int = 4,
     width: int = 2048,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Point-query a Count-Min sketch for each candidate key: recompute
     the candidate's ``depth`` cell coordinates, join to the sketch, and
     take min(n). The sketch side is depth × width rows — broadcast —
     so probing any number of candidates is one map-side join plus a
     candidate-keyed min aggregate. Returns (key, cms_estimate).
+
+    ``carry_cols`` names additional candidate columns to ride through
+    the probe unchanged (grouped with the key, so they must be
+    functionally determined by it — true for any aggregate the caller
+    computed per key). A caller that needs the estimate NEXT TO its own
+    per-key columns carries them instead of re-joining the candidate
+    frame afterwards, which would re-derive the whole candidate lineage
+    a second time (the candidate set is usually the expensive side —
+    e.g. a Misra-Gries pass over the corpus).
     """
     key = F.col(key_col).cast("string")
+    # carried columns ride under reserved names so they can never
+    # collide with the sketch's own (d, bucket, n) columns in the join
     probes = candidates.select(
         key.alias("key"),
+        *[F.col(c).alias(f"__carry_{c}") for c in carry_cols],
         F.posexplode(
             F.array(
                 *[
@@ -163,11 +176,14 @@ def countmin_query(
     # LEFT join + coalesce(0): a never-inserted key may miss some cells
     # entirely; true CMS semantics take min over ALL depth rows, so an
     # absent cell reads 0 (estimate 0 for unseen keys, never inflated).
-    return (
+    out = (
         probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
-        .groupBy("key")
+        .groupBy("key", *[F.col(f"__carry_{c}") for c in carry_cols])
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
     )
+    for c in carry_cols:
+        out = out.withColumnRenamed(f"__carry_{c}", c)
+    return out
 
 
 def hashmin_sample_quantiles(

@@ -388,6 +388,7 @@ def bpe_train_merges(
     text_col: str,
     n_merges: int = 50,
     vocab_limit: int = 10_000,
+    pre_tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Learn BPE merge rules from the corpus — the tokenizer-TRAINING
     step (`vocab_topk` builds the pre-token vocabulary; this learns the
@@ -409,13 +410,24 @@ def bpe_train_merges(
     Iterative pair-merging is not expressible in one SQL query; the
     operator is verified against a pure-Python reference implementation
     in tests. Returns (merge_rank, left, right, merged, pair_count).
+
+    ``pre_tokenized`` (optional) is an already-exploded token frame with
+    a ``w`` column (one row per non-empty token occurrence, same
+    trim/lower/``\\s+``-split normalization this function would apply);
+    a caller that also runs :func:`bpe_encode` on the same corpus passes
+    one persisted frame to both so the corpus is tokenized ONCE instead
+    of once per stage — the frequency aggregation below is identical
+    either way, so the learned merges cannot differ.
     """
-    word_rows = (
-        df.select(
+    toks = (
+        pre_tokenized.select("w")
+        if pre_tokenized is not None
+        else df.select(
             F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .groupBy("w")
+        ).filter(F.col("w") != "")
+    )
+    word_rows = (
+        toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("w"))
         .limit(vocab_limit)
@@ -469,6 +481,7 @@ def bpe_encode(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    pre_tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Apply learned BPE merges (:func:`bpe_train_merges`) to the corpus
     — the tokenizer ENCODE side. Returns (id, tokens array<string>).
@@ -484,6 +497,14 @@ def bpe_encode(
     of a large corpus is unbounded) — and documents reassemble with one
     groupBy on the id, the same join-back-a-dictionary shape as the zone
     map and corpus-bands stores.
+
+    ``pre_tokenized`` (optional) is an already-exploded token frame with
+    ``(doc_id, pos, w)`` columns — one row per non-empty token with its
+    position from the SAME posexplode-of-split this function would run.
+    The join probe side and the distinct-word vocabulary both derive
+    from it, so a caller that persists one tokenized frame (and shares
+    it with :func:`bpe_train_merges`) pays the corpus explode once
+    instead of per consumer; plan semantics are otherwise unchanged.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -516,12 +537,16 @@ def bpe_encode(
                 {"w": pdf["w"], "subtokens": [_encode_word(w) for w in pdf["w"]]}
             )
 
-    words = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("pos", "w"),
-    ).filter(F.col("w") != "")
+    words = (
+        pre_tokenized
+        if pre_tokenized is not None
+        else df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("pos", "w"),
+        ).filter(F.col("w") != "")
+    )
     vocab = words.select("w").distinct().mapInPandas(_kernel, enc_schema)
     return (
         words.join(vocab, "w")

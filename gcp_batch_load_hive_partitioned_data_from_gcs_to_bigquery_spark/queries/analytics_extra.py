@@ -1186,10 +1186,17 @@ def _sliding_bitmap_counts(ev: DataFrame) -> DataFrame:
         (F.col("user_id") / 32).cast("long").alias("chunk"),
         F.expr("shiftleft(1L, cast(user_id % 32 as int))").alias("bit"),
     )
-    hour_chunks = base.groupBy("hr", "chunk").agg(F.expr("bit_or(bit)").alias("bits"))
+    # persisted: the anchor set AND the trailing explode both consume
+    # the per-(hour, chunk) bitmaps; unpersisted, each branch re-runs
+    # the full event scan + bitmap aggregation (exchange reuse does not
+    # fire across the differing downstream projections). The aggregate
+    # is metadata-sized (hours × users/32 longs) at any corpus scale.
+    hour_chunks = _scoped_persist(
+        base.groupBy("hr", "chunk").agg(F.expr("bit_or(bit)").alias("bits")),
+        "analytics_extra.sliding_bitmap.hour_chunks",
+    )
     # observed hours come from the ALREADY-AGGREGATED side (every
-    # observed hour keeps >=1 chunk row), so the anchor set shares the
-    # aggregate exchange instead of re-deriving base's full event scan
+    # observed hour keeps >=1 chunk row)
     observed = hour_chunks.select("hr").distinct()
     contrib = hour_chunks.select(
         F.explode(F.sequence(F.col("hr"), F.col("hr") + F.lit(23))).alias("t_hr"),
@@ -1300,15 +1307,21 @@ def q_window_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
     )
     w_h = W.partitionBy("hr").orderBy("h", "v")
-    hourly = (
+    # persisted: BOTH consumers (the 24h trailing explode and the
+    # observed-hours anchor set) otherwise re-derive the hourly window
+    # — two full event scans + two rank windows for one hours×k sample.
+    # The sample is bounded by hours×k rows by construction, so the
+    # cache is metadata-sized at any corpus scale.
+    hourly = _scoped_persist(
         base.withColumn("rn", F.row_number().over(w_h))
         .filter(F.col("rn") <= k)
-        .drop("rn")
+        .drop("rn"),
+        "analytics_extra.sliding_quantile.hourly",
     )
     # every observed hour retains >=1 sampled row (rn=1 survives any
     # k>=1), so the anchor set derives from the ALREADY-SAMPLED side —
-    # bounded by hours x k and sharing the window exchange — instead of
-    # re-deriving base's full event scan a second time
+    # bounded by hours x k — instead of re-deriving base's full event
+    # scan a second time
     observed = hourly.select("hr").distinct()
     contrib = hourly.select(
         F.explode(F.sequence(F.col("hr"), F.col("hr") + F.lit(23))).alias("t_hr"),

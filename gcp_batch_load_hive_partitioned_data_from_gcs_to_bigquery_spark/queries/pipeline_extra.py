@@ -821,12 +821,32 @@ SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.3
 
 
 
+def _bpe_tokenized_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted (doc_id, pos, w) token frame shared by the BPE
+    TRAIN pass and both ENCODE consumers: unshared, the corpus is
+    re-tokenized (scan + lower/split + explode) once for the training
+    frequency table, once for the encode join probe, and once for the
+    distinct-word vocabulary — three narrow corpus passes computing the
+    same rows. Same posexplode-of-split the operators run internally,
+    so sharing cannot change a value."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    return _scoped_persist(words, "pipeline_extra.bpe_words")
+
+
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer ENCODE with learned merges (operators/text.py
     bpe_encode): train 20 merges on the corpus, then tokenize every
     document — the greedy walk runs once per DISTINCT word (vocab-sized
     Python work), the dictionary joins back by broadcast, documents
-    reassemble with one id groupBy. The DuckDB oracle replays training
+    reassemble with one id groupBy. Train and encode share one
+    persisted token frame (_bpe_tokenized_words), so the corpus is
+    tokenized once, not per stage. The DuckDB oracle replays training
     via the unrolled placeholder cascade and applies the merges in rank
     order (equivalent to the priority walk for trained tables —
     _bpe_encode_oracle_sql); greedy order and per-word roundtrip are
@@ -834,11 +854,14 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_encode, bpe_train_merges
 
     docs = load_table(spark, sf_dir, "documents")
+    words = _bpe_tokenized_words(spark, sf_dir)
     merges = [
         (r.left, r.right)
-        for r in bpe_train_merges(docs, "text", n_merges=20).orderBy("merge_rank").collect()
+        for r in bpe_train_merges(
+            docs, "text", n_merges=20, pre_tokenized=words
+        ).orderBy("merge_rank").collect()
     ]
-    enc = bpe_encode(docs, "doc_id", "text", merges)
+    enc = bpe_encode(docs, "doc_id", "text", merges, pre_tokenized=words)
     return enc.select(
         "doc_id",
         F.size("tokens").alias("n_tokens"),
@@ -853,16 +876,18 @@ def q_text_bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     multilingual/multi-domain pipeline runs before committing a merge
     table (an out-of-distribution domain fragments toward one token per
     character). One extra per-source aggregation on top of the encode
-    plan; the oracle replays training, encoding, and the rollup."""
+    plan; the oracle replays training, encoding, and the rollup. Train
+    and encode share one persisted token frame (_bpe_tokenized_words)."""
     from ..operators.text import bpe_encode, bpe_train_merges
 
     docs = load_table(spark, sf_dir, "documents")
+    words = _bpe_tokenized_words(spark, sf_dir)
     merges = [
         (r.left, r.right)
-        for r in bpe_train_merges(docs, "text", n_merges=20)
+        for r in bpe_train_merges(docs, "text", n_merges=20, pre_tokenized=words)
         .orderBy("merge_rank").collect()
     ]
-    enc = bpe_encode(docs, "doc_id", "text", merges).select(
+    enc = bpe_encode(docs, "doc_id", "text", merges, pre_tokenized=words).select(
         "doc_id", F.size("tokens").alias("n_tokens")
     )
     per_doc = enc.join(
@@ -1955,10 +1980,18 @@ def q_approx_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _scoped_persist(words, "pipeline_extra.cms_words")
     sketch = countmin_sketch(words, "word", depth=4, width=2048)
     top = heavy_hitters(words, "word", k=20, capacity=400)
-    est = countmin_query(sketch, top.select("key"), "key", depth=4, width=2048)
+    # carry the exact count THROUGH the probe instead of re-joining top
+    # afterwards: the previous `top.join(est, "key")` consumed top twice
+    # (probe keys + exact side), so the whole Misra-Gries MapInPandas
+    # pass over the token cache ran once per consumer. The carried
+    # column is grouped with its key — a pure attach, value-identical
+    # to the join it replaces (est's keys ARE top's keys).
+    est = countmin_query(
+        sketch, top, "key", depth=4, width=2048, carry_cols=("n",)
+    )
     n_total = words.count()
     eps_n = int(math.ceil((math.e / 2048) * n_total))
-    joined = top.join(est, "key")
+    joined = est
     # NO eager unpersist here: the returned frame is lazy, so dropping
     # the cache at construction time would make every consumer (sketch,
     # heavy hitters, estimate join) re-derive the tokenized corpus at
