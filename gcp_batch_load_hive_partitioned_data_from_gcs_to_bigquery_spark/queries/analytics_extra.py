@@ -1186,17 +1186,16 @@ def _sliding_bitmap_counts(ev: DataFrame) -> DataFrame:
         (F.col("user_id") / 32).cast("long").alias("chunk"),
         F.expr("shiftleft(1L, cast(user_id % 32 as int))").alias("bit"),
     )
-    # persisted: the anchor set AND the trailing explode both consume
-    # the per-(hour, chunk) bitmaps; unpersisted, each branch re-runs
-    # the full event scan + bitmap aggregation (exchange reuse does not
-    # fire across the differing downstream projections). The aggregate
-    # is metadata-sized (hours × users/32 longs) at any corpus scale.
-    hour_chunks = _scoped_persist(
-        base.groupBy("hr", "chunk").agg(F.expr("bit_or(bit)").alias("bits")),
-        "analytics_extra.sliding_bitmap.hour_chunks",
-    )
+    hour_chunks = base.groupBy("hr", "chunk").agg(F.expr("bit_or(bit)").alias("bits"))
     # observed hours come from the ALREADY-AGGREGATED side (every
-    # observed hour keeps >=1 chunk row)
+    # observed hour keeps >=1 chunk row). The anchor branch does
+    # re-derive the scan + bitmap aggregation — a MEASURED decision
+    # (r18): persisting hour_chunks here cost more than it saved
+    # (bench 0.81 -> 1.12/1.15 s across two runs) because the map-side
+    # bit_or is cheap and the two narrow branches overlap across cores,
+    # while the cache fill serializes them — unlike the sliding-quantile
+    # twin, whose per-branch sort+rank window is expensive enough that
+    # the same persist wins 2x there.
     observed = hour_chunks.select("hr").distinct()
     contrib = hour_chunks.select(
         F.explode(F.sequence(F.col("hr"), F.col("hr") + F.lit(23))).alias("t_hr"),

@@ -5625,6 +5625,14 @@ _ROUND_QUEUE = [
     # before to_integral_exact (wide-but-exact values no longer falsely
     # rejected); reader decodes context-free (no 28-digit rounding)
     "source_avro",
+    # r18 OPTIMIZATION-round plan restructures (OPTIMIZATION_r18.md —
+    # value-identical by construction, every key re-verified at both
+    # SFs, but the changed-kernel discipline demands fresh driver rows):
+    "classify_naive_bayes",  # consts sourced from persisted wc/docs
+    "approx_cms_counts",  # exact count carried through countmin_query
+    "text_bpe_encode",  # train+encode share one persisted token frame
+    "text_bpe_coverage",  # same shared token frame
+    "window_sliding_quantile",  # hourly KMV sample persisted (one scan)
 ]
 
 _missing = [k for k in _ROUND_QUEUE if k not in QUERIES]
