@@ -16,14 +16,17 @@ import io
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 
 def main() -> int:
     tag = sys.argv[1]  # e.g. "r18_before"
     only = set(sys.argv[2:])
     round_dir, _, suffix = tag.partition("_")
-    out_dir = os.path.join("/root/repo/plans", round_dir)
+    if not suffix:  # bare tag like "r18": default instead of writing "<query>_.txt"
+        suffix = "plan"
+    out_dir = os.path.join(_REPO, "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
