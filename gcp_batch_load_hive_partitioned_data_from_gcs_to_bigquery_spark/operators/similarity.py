@@ -46,15 +46,28 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, cosine) — k best corpus
     vectors per query, self-matches excluded. Queries are broadcast; the
     corpus streams through executors once. Norms are computed ONCE per
     side before the join — inside the join condition each corpus norm
     would be re-derived per query and each query norm per corpus row,
-    multiplying the dominant arithmetic by (1 + |queries|)."""
+    multiplying the dominant arithmetic by (1 + |queries|).
+
+    ``carry_cols``: corpus columns (functionally determined by the
+    corpus id, e.g. a label) to ride through scoring and the top-k
+    window into the output — saves the caller a second corpus scan +
+    join-back to re-attach them (the ``countmin_query`` carry pattern).
+    Ranking is unaffected: the window orders on (cosine, vec_id) only.
+    Carried names must not collide with the output schema."""
+    carry = list(carry_cols or [])
+    reserved = {"query_id", "vec_id", "cosine", "rank"}
+    bad = reserved.intersection(carry)
+    if bad:
+        raise ValueError(f"carry_cols collide with output columns: {sorted(bad)}")
     c = with_double_embedding(corpus, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), *carry
     ).withColumn("c_norm", _norm(F.col("c_vec")))
     q = with_double_embedding(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -65,13 +78,13 @@ def cosine_topk(
             "cosine",
             _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
         )
-        .select("query_id", "vec_id", "cosine")
+        .select("query_id", "vec_id", "cosine", *carry)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine", "rank", *carry)
     )
 
 

@@ -158,6 +158,13 @@ def countmin_query(
     a second time (the candidate set is usually the expensive side —
     e.g. a Misra-Gries pass over the corpus).
     """
+    # a carried column named like an output column would produce a
+    # duplicate/ambiguous output schema after the rename-back (ADVICE r18)
+    bad = {"key", "cms_estimate"}.intersection(carry_cols)
+    if bad:
+        raise ValueError(
+            f"carry_cols collide with countmin_query output columns: {sorted(bad)}"
+        )
     key = F.col(key_col).cast("string")
     # carried columns ride under reserved names so they can never
     # collide with the sketch's own (d, bucket, n) columns in the join

@@ -419,6 +419,11 @@ def bpe_train_merges(
     of once per stage — the frequency aggregation below is identical
     either way, so the learned merges cannot differ.
     """
+    if pre_tokenized is not None and "w" not in pre_tokenized.columns:
+        raise ValueError(
+            "pre_tokenized frame must have a 'w' token column "
+            f"(got {pre_tokenized.columns})"
+        )
     toks = (
         pre_tokenized.select("w")
         if pre_tokenized is not None
@@ -537,6 +542,13 @@ def bpe_encode(
                 {"w": pdf["w"], "subtokens": [_encode_word(w) for w in pdf["w"]]}
             )
 
+    if pre_tokenized is not None:
+        missing = {"doc_id", "pos", "w"}.difference(pre_tokenized.columns)
+        if missing:
+            raise ValueError(
+                "pre_tokenized frame must have (doc_id, pos, w) columns; "
+                f"missing {sorted(missing)}"
+            )
     words = (
         pre_tokenized
         if pre_tokenized is not None
@@ -812,7 +824,9 @@ def bm25_topk(
     )
 
 
-def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, carry_cols: list | None = None
+) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021
     §A1.1 "repetition removal") — excessive self-repetition is the
     strongest single predictor of low-quality scraped text:
@@ -825,6 +839,13 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
       (``1 − distinct/total``).
     * ``repetition_keep`` — the filter verdict (thresholds from the
       Gopher paper scaled to short synthetic docs).
+
+    ``carry_cols``: input columns (or pre-computed per-row expressions
+    the caller attached with ``withColumn``) to ride through into the
+    output — all signals are per-row expressions over one scan, so a
+    caller that needs the verdict NEXT TO other per-doc columns gets
+    them from the same scan instead of joining a second one back on
+    the id. Names must not collide with the signal columns.
 
     Shuffle story at 100 TB: every signal is a per-row higher-order
     array expression (transform/filter/array_distinct) — zero shuffles,
@@ -900,6 +921,14 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._parallel import ensure_min_parallelism
 
+    carry = list(carry_cols or [])
+    reserved = {
+        id_col, "n_words", "top_word_char_frac",
+        "dup_bigram_frac", "dup_trigram_frac", "repetition_keep",
+    }
+    bad = reserved.intersection(carry)
+    if bad:
+        raise ValueError(f"carry_cols collide with output columns: {sorted(bad)}")
     df = ensure_min_parallelism(df)
     out = df.select(
         F.col(id_col),
@@ -909,6 +938,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
         dup_frac(2).alias("dup_bigram_frac"),
         dup_frac(3).alias("dup_trigram_frac"),
+        *carry,
     )
     return out.withColumn(
         "repetition_keep",

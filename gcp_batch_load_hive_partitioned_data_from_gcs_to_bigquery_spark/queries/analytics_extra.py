@@ -866,27 +866,36 @@ def q_approx_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id", "event_type"
     )
-    per_type = base.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
-        F.countDistinct("user_id").alias("n_exact"),
+    # ONE events pass (was three: per-type sketches, exact union, exact
+    # intersection — replan_audit: events x3, guide §2.4): roll up to
+    # per-user click/purchase flags with one map-side-combined shuffle,
+    # then every figure is an aggregate of that user-sized frame. The
+    # sketches are built over DISTINCT users per type, which cannot
+    # change an HLL estimate (registers are max-of-hashes — duplicate
+    # updates are idempotent), and both sketches keep lgConfigK=14; the
+    # exact counts are plain flag sums (same values as the
+    # countDistincts they replace).
+    per_user = base.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
     )
-    merged = per_type.agg(
-        F.sum(F.when(F.col("event_type") == "click", F.col("n_exact"))).alias(
-            "n_click"
-        ),
-        F.sum(F.when(F.col("event_type") == "purchase", F.col("n_exact"))).alias(
-            "n_purchase"
-        ),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_union_approx"),
+    merged = per_user.agg(
+        F.sum("c").alias("n_click"),
+        F.sum("p").alias("n_purchase"),
+        F.hll_sketch_estimate(
+            F.hll_union(
+                F.hll_sketch_agg(
+                    F.when(F.col("c") == 1, F.col("user_id")), F.lit(14)
+                ),
+                F.hll_sketch_agg(
+                    F.when(F.col("p") == 1, F.col("user_id")), F.lit(14)
+                ),
+            )
+        ).alias("n_union_approx"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("c") * F.col("p")).alias("n_inter"),
     )
-    exact_union = base.agg(F.countDistinct("user_id").alias("n_union"))
-    exact_inter = (
-        base.groupBy("user_id")
-        .agg(F.countDistinct("event_type").alias("k"))
-        .filter(F.col("k") == 2)
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = merged.crossJoin(exact_union).crossJoin(exact_inter)
+    out = merged
     inter_approx = F.col("n_click") + F.col("n_purchase") - F.col("n_union_approx")
     return out.select(
         F.col("n_click").cast("long").alias("n_click"),
@@ -1079,22 +1088,34 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives exactly (for dense integer key spaces). Both levels checked
     against plain countDistinct in the same output."""
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    # ONE events pass (was three: the bitmap build, the per-day exact
+    # countDistinct, the month exact countDistinct — replan_audit:
+    # events x3, guide §2.4): distinct (day, user) pairs are the shared
+    # sufficient statistic for BOTH sides of the audit — the bitmap side
+    # because bit_or is duplicate-insensitive (the chunk bitmap over
+    # distinct users per day IS the chunk bitmap over raw events), and
+    # the exact side because countDistinct(user) per day is count(*)
+    # over the distinct pairs (and the month exact is countDistinct over
+    # them). The persisted pair frame is bounded at days x users rows.
+    pairs = _scoped_persist(
+        ev.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        ).distinct(),
+        "analytics_extra.bitmap_day_users",
+    )
+    day_chunks = pairs.select(
+        "day",
         (F.col("user_id") / 32).cast("long").alias("chunk"),
         F.expr("shiftleft(1L, cast(user_id % 32 as int))").alias("bit"),
-        "user_id",
-    )
-    day_chunks = base.groupBy("day", "chunk").agg(
-        F.expr("bit_or(bit)").alias("bits")
-    )
+    ).groupBy("day", "chunk").agg(F.expr("bit_or(bit)").alias("bits"))
     day_chunks = _scoped_persist(day_chunks, "analytics_extra.bitmap_day_chunks")
     per_day = day_chunks.groupBy("day").agg(
         F.sum(F.bit_count("bits")).alias("n_bitmap")
     )
-    exact_day = ev.groupBy(
-        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
-    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    exact_day = pairs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
     days = (
         per_day.join(exact_day, "day")
         .select(
@@ -1111,7 +1132,7 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bit_count("bits")).alias("n_bitmap"))
         .crossJoin(
             F.broadcast(
-                ev.agg(F.countDistinct("user_id").alias("n_exact"))
+                pairs.agg(F.countDistinct("user_id").alias("n_exact"))
             )
         )
         .select(
@@ -2506,25 +2527,31 @@ def q_agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("cv"),
     )
-    out = []
-    for pct in (1, 5, 10):
-        # floor() explicitly: double->BIGINT CAST rounds in DuckDB but
-        # truncates in Spark (n=150, 1%: 1.5 -> 2 vs 1)
-        k = F.greatest(F.floor(F.col("n") * pct / 100).cast("long"), F.lit(1))
-        out.append(
-            cum.filter(F.col("rk") == k)
-            .select(
-                F.lit(f"top_{pct}_pct").alias("cohort"),
-                F.col("rk").alias("n_users"),
-                F.round(F.col("cv") / F.col("tot").cast("double"), 6).alias(
-                    "value_share"
-                ),
-            )
+    # All three cohorts from ONE derivation of the ranked frame: the
+    # former union-of-three-filters re-derived the events scan + user
+    # rollup + rank window once per cohort (replan_audit: events x3).
+    # A broadcast join against the literal 3-row cohort table emits
+    # exactly the same rows — for each pct, the cum row where
+    # rk == greatest(floor(n*pct/100), 1) — with one events scan and
+    # one window (guide §2.4).
+    # floor() explicitly: double->BIGINT CAST rounds in DuckDB but
+    # truncates in Spark (n=150, 1%: 1.5 -> 2 vs 1)
+    cohorts = spark.createDataFrame(
+        [(1, "top_1_pct"), (5, "top_5_pct"), (10, "top_10_pct")],
+        "pct INT, cohort STRING",
+    )
+    k = F.greatest(F.floor(F.col("n") * F.col("pct") / 100).cast("long"), F.lit(1))
+    return (
+        cum.join(F.broadcast(cohorts), F.col("rk") == k)
+        .select(
+            "cohort",
+            F.col("rk").alias("n_users"),
+            F.round(F.col("cv") / F.col("tot").cast("double"), 6).alias(
+                "value_share"
+            ),
         )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res.orderBy("cohort")
+        .orderBy("cohort")
+    )
 
 
 ORACLE_PARETO = """

@@ -4227,10 +4227,14 @@ def q_ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation query every ANN index is judged by."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    topk = SIM.cosine_topk(emb, queries, k=5)
-    labeled = topk.join(
-        emb.select(F.col("vec_id"), F.col("label").alias("neighbor_label")), "vec_id"
-    )
+    # label rides through the top-k scoring pass (cosine_topk carry_cols
+    # — functionally determined by vec_id), replacing the join-back
+    # against a second full-corpus scan; and truth is pre-filtered to
+    # the query ids (the inner join on query_id < 20 made every other
+    # row dead weight), so its scan is pushdown-pruned instead of an
+    # O(corpus) broadcast. Corpus scans 4 -> 1 full + 2 id-pruned.
+    topk = SIM.cosine_topk(emb, queries, k=5, carry_cols=["label"])
+    labeled = topk.withColumnRenamed("label", "neighbor_label")
     votes = labeled.groupBy("query_id", "neighbor_label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
@@ -4240,7 +4244,9 @@ def q_ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("query_id", F.col("neighbor_label").alias("predicted_label"))
     )
-    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
     return pred.join(F.broadcast(truth), "query_id").select(
         "query_id",
         "predicted_label",

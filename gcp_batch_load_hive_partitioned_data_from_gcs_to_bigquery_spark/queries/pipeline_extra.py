@@ -2553,15 +2553,29 @@ def q_profile_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
-    rep = TX.repetition_signals(docs, "doc_id", "text").select(
-        "doc_id", "repetition_keep"
-    )
-    per_doc = docs.join(rep, "doc_id").select(
+    # ONE corpus scan for the whole per-doc signal row (was three:
+    # repetition_signals' scan + the docs side of the join-back + the
+    # source-mix rollup — replan_audit: documents x3, guide §2.4): the
+    # token count, normalized sha and source ride through the
+    # repetition kernel as carry columns (every signal is a per-row
+    # expression over the same scan), and the source mix below rolls up
+    # from this frame instead of re-scanning the corpus. Persisted:
+    # two consumers (the wide aggregate and the mix rollup) would
+    # otherwise each re-run the O(len^2-ish) n-gram distinct work; the
+    # cache is one narrow row per document (no text column).
+    enriched = docs.select(
         "doc_id",
+        "text",
         "source",
         TX.token_count(F.col("text")).alias("n_tok"),
         F.sha2(normalize_text(F.col("text")), 256).alias("norm_sha"),
-        "repetition_keep",
+    )
+    per_doc = _scoped_persist(
+        TX.repetition_signals(
+            enriched, "doc_id", "text",
+            carry_cols=["source", "n_tok", "norm_sha"],
+        ).select("doc_id", "source", "n_tok", "norm_sha", "repetition_keep"),
+        "pipeline_extra.corpus_report_per_doc",
     )
     wide = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -2583,11 +2597,12 @@ def q_profile_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source shares via a partitionless window over the source-count
     # rollup (bounded: one row per source) — the previous docs.count()
     # was an EAGER extra corpus pass at query-construction time, paid
-    # even before the report executed (replan_audit)
+    # even before the report executed (replan_audit). Rolls up from the
+    # persisted per-doc frame (one row per doc), not a fresh corpus scan.
     from pyspark.sql import Window as W
 
     mix = (
-        docs.groupBy("source")
+        per_doc.groupBy("source")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             F.concat(F.lit("frac_"), F.col("source")).alias("metric"),
