@@ -769,6 +769,7 @@ def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     lines_col: str = "lines",
+    persist_exploded: bool = False,
 ) -> DataFrame:
     """CROSS-corpus line-level deduplication (the C4 §2.2 "discard any
     line that occurs elsewhere in the dataset" rule, applied
@@ -797,6 +798,15 @@ def line_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.col(lines_col)).alias("pos", "line"),
     )
+    if persist_exploded:
+        # A/B lever (r18 verdict task 3): the exploded line frame is
+        # consumed by BOTH the winners groupBy and the survivors
+        # join-back — persisting trades one corpus re-scan for a
+        # corpus-sized cache fill. Decided by measurement per corpus
+        # (scripts/dup_scan_probe.py), not by default.
+        from ._cache import scoped_persist
+
+        exploded = scoped_persist(exploded, "dedup.line_dedup.exploded")
     winners = exploded.groupBy("line").agg(
         F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("w")
     )
@@ -834,6 +844,7 @@ def span_dedup_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     width: int = 8,
+    persist_exploded: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span audit (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" §4.1),
@@ -881,6 +892,15 @@ def span_dedup_stats(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "gram"),
     )
+    if persist_exploded:
+        # A/B lever (r18 verdict task 3) — same tradeoff as line_dedup:
+        # grams feeds both the winners groupBy and the dups join-back;
+        # the cache is gram-string-wide (~width words per row), so this
+        # is the §5 memory-pressure side of the bargain. Decided by
+        # scripts/dup_scan_probe.py measurement.
+        from ._cache import scoped_persist
+
+        grams = scoped_persist(grams, "dedup.span_dedup.grams")
     winners = grams.groupBy("gram").agg(
         F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("w")
     )

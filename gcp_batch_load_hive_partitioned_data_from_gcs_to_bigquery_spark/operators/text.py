@@ -13,6 +13,7 @@ so the hot path stays inside whole-stage codegen at 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -627,40 +628,36 @@ def tfidf_top_terms(
     )
 
 
-def _bloom_build(keys, n_bits: int, n_hashes: int):
-    """Driver-side Bloom bitmap over ``keys`` (list of strings): numpy
-    uint64 words, double hashing ``pos_i = (h1 + i·h2) mod n_bits`` with
-    two fixed-key :func:`pandas.util.hash_array` passes — deterministic
-    across processes (unlike Python's seeded ``hash``), vectorized in
-    both build and probe. Returns ``(bitmap, n_bits)``."""
+def _bloom_build_hashed(h1_list, h2_list, n_bits: int, n_hashes: int):
+    """Bloom bitmap over PRE-HASHED keys (two independent 64-bit hashes
+    per key, e.g. ``xxhash64(gram, 1)`` / ``xxhash64(gram, 2)`` computed
+    JVM-side): double hashing ``pos_i = (h1 + i·h2) mod n_bits``. The
+    string→hash step stays inside whole-stage codegen, so neither build
+    nor probe ever string-hashes in Python."""
     import numpy as np
-    import pandas as pd
 
     bitmap = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
-    if keys:
-        arr = np.array(keys, dtype=object)
-        h1 = pd.util.hash_array(arr, hash_key="0123456789abcdef", categorize=False)
-        h2 = pd.util.hash_array(arr, hash_key="fedcba9876543210", categorize=False)
+    if len(h1_list):
+        h1 = np.asarray(h1_list, dtype=np.int64).astype(np.uint64)
+        h2 = np.asarray(h2_list, dtype=np.int64).astype(np.uint64)
         for i in range(n_hashes):
             pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
             np.bitwise_or.at(bitmap, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
-    return bitmap, n_bits
+    return bitmap
 
 
-def _bloom_probe(values, bitmap, n_bits: int, n_hashes: int):
-    """Vectorized membership probe: boolean numpy mask (True = maybe in
-    the set; false positives possible, false negatives impossible)."""
+def _bloom_probe_hashed(h1, h2, bitmap, n_bits: int, n_hashes: int):
+    """Probe twin of :func:`_bloom_build_hashed` over two int64 numpy /
+    pandas arrays. Returns a boolean mask."""
     import numpy as np
-    import pandas as pd
 
-    if len(values) == 0:
+    if len(h1) == 0:
         return np.zeros(0, dtype=bool)
-    arr = np.array(list(values), dtype=object)
-    h1 = pd.util.hash_array(arr, hash_key="0123456789abcdef", categorize=False)
-    h2 = pd.util.hash_array(arr, hash_key="fedcba9876543210", categorize=False)
-    hit = np.ones(len(arr), dtype=bool)
+    a = np.asarray(h1, dtype=np.int64).astype(np.uint64)
+    b = np.asarray(h2, dtype=np.int64).astype(np.uint64)
+    hit = np.ones(len(a), dtype=bool)
     for i in range(n_hashes):
-        pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+        pos = (a + np.uint64(i) * b) % np.uint64(n_bits)
         hit &= (bitmap[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1) != 0
     return hit
 
@@ -681,51 +678,62 @@ def contamination_screen_bloom(
     STRINGS and left-joins every corpus gram against them. At 100 TB
     with a real eval suite (tens of millions of grams) that broadcast
     is GBs of strings and every corpus gram pays a hash-table probe
-    inside the join. Here the gram set is compiled ONCE, driver-side,
-    into a Bloom BITMAP (``bits_per_key`` bits/gram ≈ 1.5 bytes — a
-    ~30× smaller ship than the strings; 12 bits × 6 hashes ⇒ ~0.1% FP)
-    carried in the kernel closure like the query matrix in
-    ``cosine_topk_blas``. Corpus grams stream through a vectorized
-    mapInPandas probe that drops non-members MAP-SIDE, so only
-    candidates (true hits + ~0.1% FPs) reach the exact confirm
-    semi-join that restores exactness — the join's probe side shrinks
-    from every-gram-in-the-corpus to approximately-the-contaminated
-    ones. Per-doc totals come from ``size()`` on the un-exploded array
-    (no second pass over exploded grams); the final per-doc merge joins
-    two doc-count-sized aggregates.
+    inside the join. Here the gram set is compiled ONCE into a Bloom
+    BITMAP (``bits_per_key`` bits/gram ≈ 1.5 bytes — a ~30× smaller
+    ship than the strings; 12 bits × 6 hashes ⇒ ~0.1% FP) carried in
+    the probe closure like the query matrix in ``cosine_topk_blas``.
+    Corpus grams drop non-members MAP-SIDE, so only candidates (true
+    hits + ~0.1% FPs) reach the exact confirm semi-join that restores
+    exactness — the join's probe side shrinks from
+    every-gram-in-the-corpus to approximately-the-contaminated ones.
+
+    The Python boundary carries two int64 hash columns per gram, never
+    the gram strings (r19, guide §4): ``xxhash64(gram, 1|2)`` is
+    computed inside whole-stage codegen on BOTH sides, the driver
+    collects hash pairs (16 bytes/key) instead of key strings to build
+    the bitmap, and the vectorized probe is a boolean pandas UDF over
+    the two hash columns — ~16 bytes/row across Arrow instead of
+    ~n-word strings, and zero Python string hashing. Per-doc totals are
+    pure token-count arithmetic (``max(n_tokens − n + 1, 0)``) — no
+    second gram-string construction pass. The benchmark gram frame is
+    persisted (bounded by the eval suite) and feeds both the bitmap
+    build and the confirm join, one derivation.
 
     False positives cannot leak into the result (confirm join is
     exact); false negatives are impossible by Bloom construction — so
     the output is bit-identical to :func:`contamination_screen`, and
     the same SQL oracle checks both.
     """
-    import pandas as pd
-    from pyspark.sql import types as T
+    from gcp_batch_load_hive_partitioned_data_from_gcs_to_bigquery_spark.operators._cache import scoped_persist
 
     grams_expr = word_shingles(tokenize(F.col(text_col)), n)
 
-    bench_grams = benchmark.select(
-        F.explode(grams_expr).alias("gram")
-    ).distinct()
-    bench_keys = [r["gram"] for r in bench_grams.collect()]
-    bitmap, n_bits = _bloom_build(bench_keys, max(64, bits_per_key * max(len(bench_keys), 1)), n_hashes)
-
-    id_field = docs.schema[id_col]
-    probe_schema = T.StructType(
-        [T.StructField(id_col, id_field.dataType), T.StructField("gram", T.StringType())]
+    bench_grams = scoped_persist(
+        benchmark.select(F.explode(grams_expr).alias("gram")).distinct(),
+        "text.contamination_bloom.bench_grams",
+    )
+    hash_rows = bench_grams.select(
+        F.xxhash64("gram", F.lit(1)).alias("h1"),
+        F.xxhash64("gram", F.lit(2)).alias("h2"),
+    ).collect()
+    n_bits = max(64, bits_per_key * max(len(hash_rows), 1))
+    bitmap = _bloom_build_hashed(
+        [r["h1"] for r in hash_rows], [r["h2"] for r in hash_rows], n_bits, n_hashes
     )
 
-    def _probe_kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mask = _bloom_probe(pdf["gram"], bitmap, n_bits, n_hashes)
-            out = pdf[mask]
-            if len(out):
-                yield out
+    @F.pandas_udf("boolean")
+    def _maybe_contaminated(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        return pd.Series(_bloom_probe_hashed(h1, h2, bitmap, n_bits, n_hashes))
 
     doc_grams = docs.select(F.col(id_col), F.explode(grams_expr).alias("gram"))
-    candidates = doc_grams.mapInPandas(_probe_kernel, probe_schema)
+    candidates = doc_grams.filter(
+        # nondeterministic mark (guide §4.4): keeps the optimizer from
+        # cloning the probe above AND below a pushed-down filter — the
+        # mask is pure, the mark only pins one evaluation per row
+        _maybe_contaminated.asNondeterministic()(
+            F.xxhash64("gram", F.lit(1)), F.xxhash64("gram", F.lit(2))
+        )
+    )
     # exact confirm: kill Bloom false positives; gram-level inner join,
     # then per-doc hit counts (candidate rows only — tiny at this point)
     hits = (
@@ -733,9 +741,15 @@ def contamination_screen_bloom(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+    # n_grams is arithmetic on the token count — identical to
+    # size(word_shingles(...)) (size−n+1 when ≥n tokens, else 0) without
+    # re-building every gram string just to count them
+    n_tok = F.size(tokenize(F.col(text_col)))
     totals = docs.select(
         F.col(id_col),
-        F.greatest(F.size(grams_expr), F.lit(0)).cast("long").alias("n_grams"),
+        F.when(n_tok >= n, (n_tok - (n - 1)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_grams"),
     )
     return (
         totals.join(hits, id_col, "left")
