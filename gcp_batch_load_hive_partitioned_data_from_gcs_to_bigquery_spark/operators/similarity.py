@@ -1419,8 +1419,8 @@ def retrain_ivf_pq_index(
     trained: bool = True,
     skew_before: dict | None = None,
     max_skew: float = 4.0,
-    fit_sample_per_cell: int | None = None,
-    fit_max_iter: int | None = None,
+    fit_sample_per_cell: int | None = 64,
+    fit_max_iter: int | None = 10,
     fit_init_mode: str | None = None,
 ) -> dict:
     """Act on the retrain signal :func:`maintain_ivf_pq_index` raises:
@@ -1487,10 +1487,21 @@ def retrain_ivf_pq_index(
     ``fit_max_iter`` caps the iteration multiplier (MLlib default 20),
     and ``fit_init_mode="random"`` replaces the k-means|| seeding
     passes — whose cost dominates at large k and which ``maxIter``
-    does not touch — with FAISS's standard seeded point draw. The
-    probe's tuned cell (64/10/random) quantifies the lever at the
-    100× octave with the recall gate still green (pinned by pytest on
-    the drift fixture); the structural fix beyond flat k-means — a
+    does not touch — with FAISS's standard seeded point draw. Since
+    r19 the CAPPED budget (64 samples/cell, 10 iterations) is the
+    default — the r18 probe ladder (PROBES_r18.jsonl runs G/H)
+    measured that cell at 172.5 s → 112.1 s at the 100× octave with
+    the pytest nprobe<nlist recall gate green; k-means|| seeding is
+    deliberately KEPT as the default init because the full tuned cell
+    with ``init_mode="random"`` (85.7 s at 100×) intermittently fails
+    the ≥0.9 recall gate when retraining from a genuinely stale
+    quantizer (measured r19: 1-in-3 on the drift fixture — MLlib's
+    random draw is partitioning-sensitive even when seeded), and a
+    maintenance default must not gamble recall for the last 1.3×.
+    Callers that pair the cheap draw with their own recall acceptor
+    pass ``fit_init_mode="random"`` explicitly; pass
+    ``fit_sample_per_cell=256, fit_max_iter=20`` to request the
+    pre-r19 untuned budget. The structural fix beyond flat k-means — a
     hierarchical/IMI coarse quantizer whose fit is O(sample·√nlist) —
     is the documented next step if nlist outgrows the knobs.
     ``skew_before`` (an :func:`ivf_rebalance_needed` dict) lets the
